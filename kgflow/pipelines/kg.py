@@ -1,0 +1,136 @@
+"""End-to-end KG extraction pipeline assembly (pages → triples).
+
+One streaming ``ray.data.Dataset`` DAG (SURVEY.md §3.4):
+
+    read_parquet(pages)                       # column-pruned at the read
+      → map_batches(extract_batch)            # html→text, drops wide binary col
+      → map_batches(lang_filter_batch)        # vectorized predicate
+      → map_batches(split_sentences_batch)    # 1→k row explosion, keyed (url, sent_id)
+      → map_batches(TokenizeStage, actor)     # ragged list<int32> input_ids
+      → map_batches(RelClassifyStage, actor)  # stage-1 scores + X1 select
+      → map_batches(fanout)                   # X2: only selected rows built
+      → map_batches(EntityTagStage, actor)    # stage-2 tags + X4 truncate
+      → map_batches(DecodeStage, actor)       # X5 decode + X6 detokenize
+
+Everything is lazy; the caller consumes with write_parquet / aggregates.
+No stage materializes the dataset; order is never relied upon — all rows
+carry the (url, sent_id) key.
+
+Sizing: the two model stages are actor pools (weights once per actor,
+``num_gpus`` in production); autoscaling ``concurrency=(1, N)`` lets the
+same code run at num_cpus=8 and num_cpus=32 without re-tuning, which is
+what the N-vs-4N scaling bench exercises.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import ray.data as rd
+
+from kgflow.stages.extract import extract_batch
+from kgflow.stages.fanout import make_fanout_fn
+from kgflow.stages.relclassify import RelClassifyStage
+from kgflow.stages.sentences import lang_filter_batch, split_sentences_batch
+from kgflow.stages.tagdecode import TagDecodeStage
+from kgflow.stages.tokenize import SimpleTokenizer, make_tokenize_fn
+
+
+def _pool_max() -> int:
+    """Upper bound for actor-pool autoscaling: the session CPU budget."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(2, n)
+
+
+@dataclass
+class KgConfig:
+    max_seq_length: int = 256
+    seed: int = 42
+    lang: str = "en"
+    drop_titles: bool = False
+    tokenize_batch: int = 4096
+    model_batch: int = 2048
+    # fraction of the CPU budget each pool may autoscale to
+    light_pool: float = 0.5
+    heavy_pool: float = 1.0
+    read_columns: list = field(
+        default_factory=lambda: ["url", "html", "lang"]
+    )
+
+
+def read_pages(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
+    cfg = cfg or KgConfig()
+    path = (
+        os.path.join(pages_path, "pages.parquet")
+        if os.path.isdir(pages_path)
+        else pages_path
+    )
+    return rd.read_parquet(path, columns=cfg.read_columns)
+
+
+def sentences_ds(pages: "rd.Dataset", cfg: KgConfig | None = None) -> "rd.Dataset":
+    cfg = cfg or KgConfig()
+    ds = pages.map_batches(extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda b: lang_filter_batch(b, cfg.lang), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(split_sentences_batch, batch_format="pyarrow")
+    if cfg.drop_titles:
+        from kgflow.stages.sentences import drop_title_rows
+
+        ds = ds.map_batches(drop_title_rows, batch_format="pyarrow")
+    return ds
+
+
+def encoded_ds(sentences: "rd.Dataset", cfg: KgConfig | None = None) -> "rd.Dataset":
+    cfg = cfg or KgConfig()
+    # stateless task: fuses with the extract/split chain; tokenizer is a
+    # per-worker-process singleton (kgflow.stages.runtime)
+    return sentences.map_batches(
+        make_tokenize_fn(cfg.max_seq_length),
+        batch_format="pyarrow",
+        batch_size=cfg.tokenize_batch,
+    )
+
+
+def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
+    """pages parquet path → streaming Dataset of extracted triples
+    (url, sent_id, rel_id, rel, subj, obj, subj_ids, obj_ids).
+
+    Exactly TWO actor pools (the two model stages); everything else is
+    elastic stateless tasks that fuse around them. Each pool autoscales
+    ``(1, frac·CPUs)`` so the identical code runs at num_cpus=8 and 32
+    (the N-vs-4N scaling bench) without re-tuning, and the pools can
+    never reserve every CPU (which would starve the read/shuffle tasks —
+    observed as a live-lock on small clusters with one pool per stage).
+    """
+    cfg = cfg or KgConfig()
+    n = _pool_max()
+    tok = SimpleTokenizer()
+    ds = encoded_ds(sentences_ds(read_pages(pages_path, cfg), cfg), cfg)
+    ds = ds.map_batches(
+        RelClassifyStage,
+        fn_constructor_kwargs={"seed": cfg.seed},
+        batch_format="pyarrow",
+        batch_size=cfg.model_batch,
+        concurrency=(1, max(1, int(n * cfg.light_pool))),
+    )
+    ds = ds.map_batches(
+        make_fanout_fn(tok.start_idx), batch_format="pyarrow",
+        batch_size=cfg.model_batch,
+    )
+    # post-explosion batch capped so [rows, maxlen] tensors stay bounded
+    ds = ds.map_batches(
+        TagDecodeStage,
+        fn_constructor_kwargs={"seed": cfg.seed},
+        batch_format="pyarrow",
+        batch_size=cfg.model_batch,
+        concurrency=(1, max(1, int(n * cfg.heavy_pool))),
+    )
+    return ds

@@ -1,0 +1,91 @@
+"""X5 + X6 — BIO span decode, subject×object cross product, detokenize.
+
+≙ reference ``Inference.normal_process`` + triple emission
+(`/root/reference/src/openue/models/model.py:356-421`) and the
+detokenization in ``INFERLitModel.inference``
+(`lit_models/transformer.py:217-226`).
+
+Quirks cloned verbatim (SURVEY.md §2.4 X5 — the triple P/R gate depends
+on them):
+- a span opens at B-SUB/B-OBJ only when no span is open;
+- a span closes ONLY at "O" (I-* continues it; a B-* immediately after
+  an open span is absorbed into it);
+- a span still open at sequence end is dropped;
+- triples are the full subject×object cross product per
+  (sentence, relation) row, ``rel_id = relation_token_id - start_idx``
+  (`models/model.py:366`); duplicates are NOT deduplicated here (the
+  reference doesn't either — dedup is a downstream materialize step).
+
+Actor stage only because detokenization needs the vocab; the decode loop
+itself is stateless per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kgflow.fixtures.corpus import REL_NAMES
+from kgflow.fixtures.stub_model import B_OBJ, B_SUB, O
+from kgflow.stages.tokenize import SimpleTokenizer
+
+
+def decode_spans(ids: list[int], tags: list[int]) -> tuple[list, list]:
+    """normal_process on integer tag ids; returns (subject_spans, object_spans)."""
+    subs: list[list[int]] = []
+    objs: list[list[int]] = []
+    start = None
+    is_sub = True
+    for idx, t in enumerate(tags):
+        if start is None:
+            if t == B_SUB:
+                start, is_sub = idx, True
+            elif t == B_OBJ:
+                start, is_sub = idx, False
+        else:
+            if t == O:
+                (subs if is_sub else objs).append(ids[start:idx])
+                start = None
+    return subs, objs
+
+
+class DecodeStage:
+    def __init__(self, tokenizer: SimpleTokenizer | None = None):
+        self.tok = tokenizer or SimpleTokenizer()
+        self.rel_names = list(REL_NAMES)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        sids = batch.column("sent_id").to_pylist()
+        rels = batch.column("rel_id").to_pylist()
+        ids_col = batch.column("dec_ids").to_pylist()
+        tags_col = batch.column("dec_tags").to_pylist()
+        o_url, o_sid, o_rid = [], [], []
+        o_rel, o_subj, o_obj = [], [], []
+        o_subj_ids, o_obj_ids = [], []
+        for url, sid, rid, ids, tags in zip(urls, sids, rels, ids_col, tags_col):
+            subs, objs = decode_spans(ids, tags)
+            if not subs or not objs:
+                continue
+            for hh in subs:  # cross product (ref :382-384)
+                for tt in objs:
+                    o_url.append(url)
+                    o_sid.append(sid)
+                    o_rid.append(rid)
+                    o_rel.append(self.rel_names[rid])
+                    o_subj.append(self.tok.decode_span(hh))
+                    o_obj.append(self.tok.decode_span(tt))
+                    o_subj_ids.append(hh)
+                    o_obj_ids.append(tt)
+        return pa.table(
+            {
+                "url": pa.array(o_url, pa.string()),
+                "sent_id": pa.array(np.asarray(o_sid, dtype=np.int64)),
+                "rel_id": pa.array(np.asarray(o_rid, dtype=np.int32)),
+                "rel": pa.array(o_rel, pa.string()),
+                "subj": pa.array(o_subj, pa.string()),
+                "obj": pa.array(o_obj, pa.string()),
+                "subj_ids": pa.array(o_subj_ids, type=pa.list_(pa.int32())),
+                "obj_ids": pa.array(o_obj_ids, type=pa.list_(pa.int32())),
+            }
+        )

@@ -1,44 +1,434 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the kgflow engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the kgflow library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pages→triples pipeline at sf0.001 scale.
+- ``queries()``: one entry per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data ops); each callable takes an
+  ``sf_dir`` (driver testdata dir) and returns a Dataset / DataFrame /
+  Arrow table.
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible ops,
+  with matching column names. KG-pipeline ops (stub-model inference,
+  LSH linking, CC) are inherently non-SQL and are checked rows-only by
+  the driver; their correctness gate is the engine-vs-oracle parity
+  suite in tests/ (P/R = 1.0 vs the reference-semantics oracle).
+
+Float-valued comparisons: aggregate floats are floor-scaled (e.g.
+``floor(x*100)/100``) on BOTH sides so summation-order drift between
+engines cannot flip a rounding direction.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _pages_dir(sf_dir: str) -> str:
+    from kgflow.fixtures.pages import pages_for_sf_dir
+
+    return pages_for_sf_dir(sf_dir)
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _floor_scale_pd(df, col, scale):
+    df[col] = np.floor(df[col].to_numpy(dtype=np.float64) * scale) / scale
+    return df
+
+
+# ---------------------------------------------------------------------------
+# entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages → extracted triples at sf0.001 (1,000 pages)."""
+    from kgflow.pipelines.kg import triples_ds
 
+    pages = _pages_dir("/root/testdata/sf0.001")
+    return triples_ds(pages).select_columns(
+        ["url", "sent_id", "rel_id", "rel", "subj", "obj"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- KG pipeline (non-SQL; rows-only driver check; gated by parity tests)
+    def kg_sentences(sf_dir: str):
+        from kgflow.pipelines.kg import read_pages, sentences_ds
 
+        return sentences_ds(read_pages(_pages_dir(sf_dir)))
+
+    def kg_triples(sf_dir: str):
+        from kgflow.pipelines.kg import triples_ds
+
+        return triples_ds(_pages_dir(sf_dir)).select_columns(
+            ["url", "sent_id", "rel_id", "rel", "subj", "obj"]
+        )
+
+    def kg_relations(sf_dir: str):
+        """Stage-1 output distribution: sentences per selected relation."""
+        from kgflow.pipelines.kg import triples_ds
+
+        ds = triples_ds(_pages_dir(sf_dir))
+        return ds.groupby("rel").count()
+
+    def kg_entity_map(sf_dir: str):
+        from kgflow.linking.link import entity_map
+        from kgflow.pipelines.kg import triples_ds
+
+        triples = triples_ds(_pages_dir(sf_dir)).materialize()
+        return entity_map(triples)
+
+    def kg_edges(sf_dir: str):
+        from kgflow.linking.link import canonical_triples
+        from kgflow.materialize.edges import dedup_edges
+        from kgflow.pipelines.kg import triples_ds
+
+        triples = triples_ds(_pages_dir(sf_dir)).materialize()
+        canon, _ = canonical_triples(triples)
+        return dedup_edges(canon)
+
+    def kg_nodes(sf_dir: str):
+        from kgflow.linking.link import entity_map
+        from kgflow.materialize.edges import nodes_table
+        from kgflow.pipelines.kg import triples_ds
+
+        triples = triples_ds(_pages_dir(sf_dir)).materialize()
+        return nodes_table(entity_map(triples))
+
+    # --- training-feature builders over the golden corpus (rows-only;
+    # semantics ≙ reference convert_examples_to_* — see
+    # kgflow/stages/features.py citations)
+    def _gold_corpus(sf_dir: str):
+        import pyarrow as pa
+
+        gold = rd.read_parquet(os.path.join(_pages_dir(sf_dir), "gold_spo.parquet"))
+
+        def to_examples(batch: pa.Table) -> pa.Table:
+            from kgflow.linking.minhash import fnv64
+
+            tid = [
+                fnv64(f"{u}#{int(s)}") & 0x7FFFFFFFFFFFFFFF
+                for u, s in zip(
+                    batch.column("url").to_pylist(), batch.column("sent_id").to_pylist()
+                )
+            ]
+            return pa.table(
+                {
+                    "text_id": pa.array(tid, pa.int64()),
+                    "text": batch.column("text"),
+                    "spo": batch.column("spo"),
+                }
+            )
+
+        return gold.map_batches(to_examples, batch_format="pyarrow")
+
+    def feat_seq(sf_dir: str):
+        from kgflow.stages.features import make_seq_features_fn
+
+        return _gold_corpus(sf_dir).map_batches(
+            make_seq_features_fn(), batch_format="pyarrow"
+        )
+
+    def feat_ner(sf_dir: str):
+        from kgflow.stages.features import make_ner_features_fn
+
+        return _gold_corpus(sf_dir).map_batches(
+            make_ner_features_fn(), batch_format="pyarrow"
+        )
+
+    def feat_interactive(sf_dir: str):
+        from kgflow.stages.features import make_interactive_features_fn
+
+        return _gold_corpus(sf_dir).map_batches(
+            make_interactive_features_fn(), batch_format="pyarrow"
+        )
+
+    def feat_diagnostics(sf_dir: str):
+        from kgflow.stages.features import make_feature_diagnostics_fn
+
+        ds = _gold_corpus(sf_dir).map_batches(
+            make_feature_diagnostics_fn(), batch_format="pyarrow"
+        )
+        import pandas as pd
+
+        agg = ds.sum(["n_empty_spo", "n_entity_not_found", "n_hard_to_solve"])
+        return pd.DataFrame([{k.replace("sum(", "").replace(")", ""): int(v)
+                              for k, v in agg.items()}])
+
+    # --- text ops over documents (SQL-checked unless noted)
+    def doc_exact_dedup(sf_dir: str):
+        from kgflow.ops.text import exact_dedup
+
+        return exact_dedup(_docs(sf_dir))
+
+    def doc_lang_counts(sf_dir: str):
+        return _docs(sf_dir).groupby("lang").count().map_batches(
+            lambda df: df.rename(columns={"count()": "n"}), batch_format="pandas"
+        )
+
+    def doc_token_counts(sf_dir: str):
+        from kgflow.ops.text import token_counts
+
+        return token_counts(_docs(sf_dir))
+
+    def doc_quality(sf_dir: str):
+        from kgflow.ops.text import quality_scores
+
+        return quality_scores(_docs(sf_dir)).map_batches(
+            lambda df: _floor_scale_pd(df, "mean_token_len", 1e4),
+            batch_format="pandas",
+        )
+
+    def doc_fingerprint(sf_dir: str):
+        from kgflow.ops.text import fingerprints
+
+        return fingerprints(_docs(sf_dir))
+
+    def doc_langid(sf_dir: str):  # heuristic → rows-only
+        from kgflow.ops.text import lang_id
+
+        return lang_id(_docs(sf_dir))
+
+    def doc_rolling_fp(sf_dir: str):  # rows-only
+        from kgflow.ops.text import rolling_fingerprint
+
+        return rolling_fingerprint(_docs(sf_dir))
+
+    def doc_minhash_pairs(sf_dir: str):  # rows-only
+        from kgflow.ops.dedup import minhash_pairs
+
+        return minhash_pairs(_docs(sf_dir)).map_batches(
+            lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
+        )
+
+    def doc_simhash_pairs(sf_dir: str):  # rows-only
+        from kgflow.ops.dedup import simhash_pairs
+
+        return simhash_pairs(_docs(sf_dir))
+
+    # --- embeddings
+    def _queries_for(sf_dir: str, n=10):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        df = t.to_pandas().sort_values("vec_id").head(n)
+        return df["vec_id"].tolist(), np.asarray(list(df["embedding"]), dtype=np.float32)
+
+    def ann_topk(sf_dir: str):
+        import ray.data as rd
+
+        from kgflow.ops.ann import brute_force_topk
+
+        qids, qm = _queries_for(sf_dir)
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = brute_force_topk(emb, qids, qm, k=5)
+        # drop the float score: engines agree on top-k membership but can
+        # disagree in the last ulp of the similarity value
+        return out.select_columns(["query_id", "neighbor_id"])
+
+    def ann_lsh_topk(sf_dir: str):  # approximate → rows-only
+        import ray.data as rd
+
+        from kgflow.ops.ann import lsh_topk
+
+        qids, qm = _queries_for(sf_dir)
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return lsh_topk(emb, qids, qm, k=5)
+
+    def embed_neardup(sf_dir: str):  # rows-only
+        import ray.data as rd
+
+        from kgflow.ops.dedup import embedding_neardup_pairs
+
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return embedding_neardup_pairs(emb, threshold=0.95)
+
+    # --- relational demos (SQL-checked)
+    def q1_pricing(sf_dir: str):
+        from kgflow.ops.relational import pricing_summary
+
+        def fix(df):
+            df = _floor_scale_pd(df, "sum_qty", 1e1)
+            df = _floor_scale_pd(df, "sum_revenue", 1e1)
+            df = _floor_scale_pd(df, "avg_disc", 1e6)
+            df["n"] = df["n"].astype(np.int64)
+            return df
+
+        return pricing_summary(sf_dir).map_batches(fix, batch_format="pandas")
+
+    def top_customers(sf_dir: str):
+        from kgflow.ops.relational import top_customers as tc
+
+        return tc(sf_dir).map_batches(
+            lambda df: _floor_scale_pd(df, "total_spent", 1e1), batch_format="pandas"
+        )
+
+    def events_hourly(sf_dir: str):
+        from kgflow.ops.relational import events_hourly as eh
+
+        def fix(df):
+            df = _floor_scale_pd(df, "sum_value", 1e4)
+            df["n"] = df["n"].astype(np.int64)
+            return df
+
+        return eh(sf_dir).map_batches(fix, batch_format="pandas")
+
+    def supplier_rollup(sf_dir: str):
+        from kgflow.ops.relational import supplier_nation_rollup
+
+        def fix(df):
+            df = _floor_scale_pd(df, "total_acctbal", 1e1)
+            df["n_suppliers"] = df["n_suppliers"].astype(np.int64)
+            return df
+
+        return supplier_nation_rollup(sf_dir).map_batches(fix, batch_format="pandas")
+
+    # --- multimodal plumbing (rows-only; deterministic fake codec)
+    def media_image_features(sf_dir: str):
+        import ray.data as rd
+
+        from kgflow.ops.multimodal import image_features, synth_media_table
+
+        media = rd.from_arrow(synth_media_table(200))
+        return image_features(media)
+
+    def media_audio_features(sf_dir: str):
+        import ray.data as rd
+
+        from kgflow.ops.multimodal import audio_features, synth_media_table
+
+        media = rd.from_arrow(synth_media_table(200))
+        return audio_features(media)
+
+    return {
+        "kg_sentences": kg_sentences,
+        "kg_triples": kg_triples,
+        "kg_relations": kg_relations,
+        "kg_entity_map": kg_entity_map,
+        "kg_edges": kg_edges,
+        "kg_nodes": kg_nodes,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_lang_counts": doc_lang_counts,
+        "doc_token_counts": doc_token_counts,
+        "doc_quality": doc_quality,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_langid": doc_langid,
+        "doc_rolling_fp": doc_rolling_fp,
+        "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_simhash_pairs": doc_simhash_pairs,
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embed_neardup": embed_neardup,
+        "q1_pricing": q1_pricing,
+        "top_customers": top_customers,
+        "events_hourly": events_hourly,
+        "supplier_rollup": supplier_rollup,
+        "media_image_features": media_image_features,
+        "media_audio_features": media_audio_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_exact_dedup": """
+            SELECT text,
+                   min(doc_id) AS first_doc_id,
+                   count(*) AS n
+            FROM documents GROUP BY text
+        """,
+        "doc_lang_counts": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\\w+')) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_c,
+                   length(regexp_extract_all(text, '\w+')) AS n_tokens,
+                   length(regexp_extract_all(text, '[.!?,;:]')) AS n_punct,
+                   floor(
+                     length(regexp_replace(text, '\W', '', 'g'))::DOUBLE
+                     / greatest(length(regexp_extract_all(text, '\w+')), 1)
+                     * 10000) / 10000 AS mean_token_len
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id
+            ), r AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                     ) AS rn
+              FROM s
+            )
+            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   floor(sum(l_quantity) * 10) / 10 AS sum_qty,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 10) / 10
+                     AS sum_revenue,
+                   floor(avg(l_discount) * 1000000) / 1000000 AS avg_disc,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o.o_custkey, c.c_name,
+                   floor(sum(o.o_totalprice) * 10) / 10 AS total_spent,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_name
+            ORDER BY sum(o.o_totalprice) DESC, o.o_custkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n,
+                   floor(sum(value) * 10000) / 10000 AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "supplier_rollup": """
+            SELECT r.r_name,
+                   floor(sum(s.s_acctbal) * 10) / 10 AS total_acctbal,
+                   count(*) AS n_suppliers
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+    }

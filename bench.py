@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""kgflow benchmark runner.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "rows": {...row counts...}}
+
+Headline = end-to-end pages → canonical deduplicated edges (the
+north-star metric is triples extracted/sec over that span).
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+``--scaling`` runs the headline at num_cpus=8 and num_cpus=32 in fresh
+subprocesses on the same (pre-generated, page-cache-warmed) input and
+reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from kgflow.fixtures.pages import pages_for_sf_dir, sf_from_dir
+
+    pages = pages_for_sf_dir(sf_dir)  # generated once, cached under /tmp
+
+    # warm the OS page cache so we measure compute+shuffle, not cold disk
+    rd.read_parquet(os.path.join(pages, "pages")).count()
+
+    queries: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        n = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = int(n)
+        return n
+
+    # stage visibility: extraction only
+    from kgflow.pipelines.kg import triples_ds
+
+    timed("kg_triples", lambda: triples_ds(pages).count())
+
+    # headline: pages → canonical deduplicated edges (extract + link +
+    # canonicalize + dedup), fully streaming except the vocabulary-
+    # bounded entity map
+    def edges():
+        from kgflow.linking.link import canonical_triples
+        from kgflow.materialize.edges import dedup_edges
+
+        triples = triples_ds(pages).materialize()
+        canon, _ = canonical_triples(triples)
+        return dedup_edges(canon).count()
+
+    timed("kg_edges", edges)
+
+    # training-data ops over the driver tables
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs_path):
+        from kgflow.ops.dedup import minhash_pairs
+        from kgflow.ops.text import exact_dedup, quality_scores
+
+        timed("doc_exact_dedup", lambda: exact_dedup(rd.read_parquet(docs_path)).count())
+        timed("doc_quality", lambda: quality_scores(rd.read_parquet(docs_path)).count())
+        timed(
+            "doc_minhash_pairs",
+            lambda: minhash_pairs(rd.read_parquet(docs_path)).count(),
+        )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from kgflow.ops.ann import brute_force_topk
+
+        t = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        df = t.to_pandas().sort_values("vec_id").head(10)
+        qids = df["vec_id"].tolist()
+        qm = np.asarray(list(df["embedding"]), dtype=np.float32)
+        timed(
+            "ann_topk",
+            lambda: brute_force_topk(rd.read_parquet(emb_path), qids, qm, k=5).count(),
+        )
+
+    ray.shutdown()
+    return {
+        "metric": "end-to-end pages->canonical-edges wall time (headline kg_edges)",
+        "value": queries.get("kg_edges"),
+        "unit": "sec",
+        "queries": queries,
+        "rows": rows,
+        "sf": sf_from_dir(sf_dir),
+        "num_cpus": ncpu,
+        "triples_per_sec": round(rows.get("kg_triples", 0) / queries["kg_triples"], 1)
+        if queries.get("kg_triples")
+        else None,
+    }
+
+
+def run_scaling() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # pre-generate the fixture and warm the cache outside the timed runs
+    from kgflow.fixtures.pages import pages_for_sf_dir
+
+    pages_for_sf_dir(sf_dir)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_n, hi_n = 8, 32
+    lo = run(lo_n)
+    hi = run(hi_n)
+    thru_lo = lo["rows"]["kg_edges"] and lo["rows"]["kg_triples"] / lo["value"]
+    thru_hi = hi["rows"]["kg_edges"] and hi["rows"]["kg_triples"] / hi["value"]
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    return {
+        "sf": lo["sf"],
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"triples_per_sec_{lo_n}": round(thru_lo, 1),
+        f"triples_per_sec_{hi_n}": round(thru_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

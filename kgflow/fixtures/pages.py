@@ -59,7 +59,12 @@ GOLD_SCHEMA = pa.schema(
 _LANG_WHEEL = ["en"] * 90 + ["de"] * 4 + ["fr"] * 3 + [""] * 3
 
 # bump when generator output changes so stale /tmp caches are ignored
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
+
+# pages are written as a DIRECTORY of part files (like real WARC-derived
+# corpora): parallel read tasks + file-level shard resume. One part per
+# _PAGES_PER_FILE pages.
+_PAGES_PER_FILE = 1000
 
 
 def page_url(i: int) -> str:
@@ -171,20 +176,18 @@ def ensure_pages(n_pages: int, cache_root: str = "/tmp/kgflow_fixtures") -> str:
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return out
     tmp = out + f".tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    chunk = 10_000
-    pw = gw = None
+    os.makedirs(os.path.join(tmp, "pages"), exist_ok=True)
+    gw = None
     try:
-        for lo in range(0, n_pages, chunk):
-            pages, gold = _build_chunk(lo, min(lo + chunk, n_pages))
-            if pw is None:
-                pw = pq.ParquetWriter(os.path.join(tmp, "pages.parquet"), PAGES_SCHEMA)
+        for part, lo in enumerate(range(0, n_pages, _PAGES_PER_FILE)):
+            pages, gold = _build_chunk(lo, min(lo + _PAGES_PER_FILE, n_pages))
+            pq.write_table(
+                pages, os.path.join(tmp, "pages", f"part-{part:05d}.parquet")
+            )
+            if gw is None:
                 gw = pq.ParquetWriter(os.path.join(tmp, "gold_spo.parquet"), GOLD_SCHEMA)
-            pw.write_table(pages)
             gw.write_table(gold)
     finally:
-        if pw is not None:
-            pw.close()
         if gw is not None:
             gw.close()
     # entity-linking ground truth (FIXTURES.md §5)

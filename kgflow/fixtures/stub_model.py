@@ -28,6 +28,7 @@ same two methods; every Ray stage is written against this interface only.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 
@@ -39,6 +40,42 @@ O, B_SUB, I_SUB, B_OBJ, I_OBJ, REL_TAG, CLS_TAG, SEP_TAG = range(8)
 NER_LABELS = ["O", "B-SUB", "I-SUB", "B-OBJ", "I-OBJ", "Relation", "CLS", "SEP"]
 
 _MIX = np.uint64(2654435761)
+
+
+class _ComputeEmulator:
+    """Transformer-shaped arithmetic load for the stub models.
+
+    The rule-based stubs are ~1000× cheaper than the BERT forward they
+    stand in for; with them, a throughput benchmark measures Ray
+    overhead, not pipeline behavior. The bench protocol (SURVEY.md §4.2)
+    requires the model stage to stay the bottleneck — as a real GPU
+    stage would be — so each stub performs dense-layer matmuls
+    proportional to the token count (``layers`` × [T, H]·[H, H] sgemm +
+    tanh). The result is discarded; stub OUTPUTS are unaffected, so
+    correctness/parity tests are identical with emulation on or off.
+    Disable with KGFLOW_EMULATE_COMPUTE=0 (tests don't care; bench keeps
+    it on). Workers run with OMP_NUM_THREADS=1 under Ray, so this scales
+    with the actor pool, not BLAS threads.
+    """
+
+    def __init__(self, hidden: int, layers: int, seed: int = 0):
+        self.enabled = os.environ.get("KGFLOW_EMULATE_COMPUTE", "1") != "0"
+        self.hidden = hidden
+        self.layers = layers
+        if self.enabled:
+            rng = np.random.RandomState(seed + hidden + layers)
+            self.W = (rng.randn(hidden, hidden).astype(np.float32) / np.sqrt(hidden))
+            self.x0 = rng.randn(1, hidden).astype(np.float32)
+
+    def burn(self, n_tokens: int) -> None:
+        if not self.enabled or n_tokens <= 0:
+            return
+        X = np.broadcast_to(self.x0, (n_tokens, self.hidden)).copy()
+        for _ in range(self.layers):
+            X = np.tanh(X @ self.W)
+        # fold into a scalar so the work cannot be optimized away
+        if float(X[0, 0]) > 1e30:  # pragma: no cover
+            raise RuntimeError("unreachable")
 
 
 class StubRelModel:
@@ -57,10 +94,12 @@ class StubRelModel:
             [tokenizer.vocab[trigger] for (_, _, _, _, trigger) in corpus.RELATIONS],
             dtype=np.int64,
         )
+        self._emu = _ComputeEmulator(hidden=256, layers=2, seed=seed)
 
     def sigmoid(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
         ids = np.asarray(input_ids, dtype=np.int64)
         mask = np.asarray(attention_mask, dtype=bool)
+        self._emu.burn(int(mask.sum()))
         B, L = ids.shape
         R = self.num_relations
         present = np.zeros((B, R), dtype=bool)
@@ -113,6 +152,7 @@ class StubNerModel:
                 for form in corpus.alias_forms(ent):
                     ids = tuple(tokenizer.encode(form, add_special_tokens=False))
                     self.first_tok.setdefault(ids[0], []).append((ids, etype))
+        self._emu = _ComputeEmulator(hidden=256, layers=12, seed=seed)
 
     def _matches(self, row: list[int], lo: int, hi: int) -> list[tuple[int, int, str]]:
         """Non-overlapping, longest-first gazetteer matches in row[lo:hi]."""
@@ -194,6 +234,7 @@ class StubNerModel:
     def logits(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
         ids = np.asarray(input_ids, dtype=np.int64)
         mask = np.asarray(attention_mask, dtype=np.int64)
+        self._emu.burn(int(mask.sum()))
         B, L = ids.shape
         out = np.zeros((B, L, 8), dtype=np.float32)
         lens = mask.sum(axis=1)

@@ -64,10 +64,15 @@ def connected_components(
         )
 
     und = edges.map_batches(_mirror, batch_format="pandas")
-    # labels := min(self, neighbors) as round 0
+    # labels := min(self, neighbors) as round 0 (self included explicitly)
     lab = (
         und.map_batches(
-            lambda df: pd.DataFrame({"node": df["src"], "comp": df["dst"]}),
+            lambda df: pd.DataFrame(
+                {
+                    "node": pd.concat([df["src"], df["src"]], ignore_index=True),
+                    "comp": pd.concat([df["src"], df["dst"]], ignore_index=True),
+                }
+            ),
             batch_format="pandas",
         )
         .groupby("node")

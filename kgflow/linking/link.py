@@ -1,0 +1,450 @@
+"""Entity linking: mention extraction → LSH blocking → verified pairs →
+connected components → canonical entity map.
+
+North-rule stages (the reference emits raw surface triples only,
+`/root/reference/src/openue/lit_models/transformer.py:217-226`; linking
+and canonicalization have no OpenUE counterpart).
+
+Shuffle/skew design (SURVEY.md §2.5, §4.2):
+
+1. **Mention counts** — per-batch partial aggregation (one row per
+   distinct mention per batch — the combiner) and then a SALTED
+   two-phase groupby: ``groupby((mention, salt)).sum`` → ``groupby(
+   mention).sum``. The fixture's hot entity (~25% of PER slots) makes
+   one mention carry a large share of rows; the salt splits its partial
+   rows across reducers so no single reducer sees the hot key's full
+   weight.
+2. **LSH blocking** — signatures/bands are computed over DISTINCT
+   normalized mentions (the hot mention contributes ONE row, not one per
+   occurrence), then a single ``groupby(band_id, band_hash)`` shuffle
+   yields candidate buckets; pairs are Jaccard-verified inside the
+   bucket. Bucket size is capped (sorted, first ``max_bucket``) so an
+   adversarial band cannot go quadratic.
+3. **Connected components** — iterated min-label groupby rounds
+   (`kgflow.linking.cc`).
+4. **Canonicalization** — cluster representative = highest total count
+   (ties: lexicographically smallest); ``entity_id`` = FNV-64 of the
+   canonical form. The final surface→entity map is small (vocabulary-
+   bounded, not corpus-bounded) and is broadcast via ``ray.put`` for the
+   map-side join onto the edge stream — hot keys never shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from kgflow.linking.cc import connected_components
+from kgflow.linking.minhash import MinHasher, fnv64, jaccard
+
+_NORM_RE = re.compile(r"[^0-9a-z]+")
+
+
+def normalize_mention(m: str) -> str:
+    """Surface → normalized form: lowercase, strip punctuation, collapse
+    whitespace ("alice - fox" → "alice fox")."""
+    return " ".join(_NORM_RE.split(m.lower())).strip()
+
+
+def mention_partials(triples: "rd.Dataset", salt_buckets: int = 16) -> "rd.Dataset":
+    """Per-batch combiner: (mention, partial n, rotating salt) — one row
+    per distinct mention per batch. The corpus-scale pass of mention
+    counting; everything downstream of it is batch-count-sized."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vals = batch.column("subj").to_pylist() + batch.column("obj").to_pylist()
+        s = pd.Series(vals, dtype="object").value_counts()
+        out = pd.DataFrame(
+            {"mention": s.index.to_numpy(dtype=object), "n": s.to_numpy(dtype=np.int64)}
+        )
+        # batch-varying nonce so the SAME mention draws different salts
+        # in different batches (value_counts rank alone would pin the
+        # hot mention to rank 0 → salt 0 in every batch)
+        nonce = fnv64(str(vals[0])) + len(vals) if vals else 0
+        out["salt"] = (np.arange(len(out), dtype=np.int64) + nonce) % salt_buckets
+        return out
+
+    return triples.map_batches(partial, batch_format="pyarrow")
+
+
+def mention_counts(
+    triples: "rd.Dataset", salt_buckets: int = 16, num_buckets: int = 64
+) -> "rd.Dataset":
+    """triples → (mention, n): combiner + SALTED two-phase reduce.
+
+    The fixture's hot entity appears in ~25% of triples — a bare
+    ``groupby(mention)`` would funnel every row of that key through one
+    reducer. Three-layer mitigation (north-rule skew handling):
+    1. per-batch combiner: one (mention, partial n) row per distinct
+       mention per batch — corpus-sized input becomes batch-count-sized;
+    2. rotating salt on the partial rows: a hot mention's partials split
+       across ``salt_buckets`` phase-1 reduce keys, so no single phase-1
+       reduction sees all of them;
+    3. both phases run as bucketed group-reduces (vectorized in-bucket
+       pandas aggregation; see kgflow/ops/shuffle.py) — phase 2's input
+       is ≤ salt_buckets rows per mention.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    partials = mention_partials(triples, salt_buckets)
+    phase1 = bucketed_group_reduce(
+        partials,
+        key_cols=["mention", "salt"],
+        reduce_fn=lambda g: g.groupby(["mention", "salt"], as_index=False).agg(
+            n=("n", "sum")
+        ),
+        num_buckets=num_buckets,
+    )
+    return bucketed_group_reduce(
+        phase1,
+        key_cols=["mention"],
+        reduce_fn=lambda g: g.groupby("mention", as_index=False).agg(n=("n", "sum")),
+        num_buckets=num_buckets,
+    )
+
+
+def candidate_pairs(
+    norm_mentions: "rd.Dataset",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """Distinct normalized mentions (column ``norm``) → verified
+    near-duplicate pairs (src, dst), Jaccard ≥ threshold."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        hasher = MinHasher(num_hashes=num_hashes, seed=seed)
+        o_band, o_hash, o_m = [], [], []
+        for m in batch.column("norm").to_pylist():
+            bh = hasher.band_hashes(m, bands, rows)
+            for b in range(bands):
+                o_band.append(b)
+                o_hash.append(int(bh[b]))
+                o_m.append(m)
+        return pa.table(
+            {
+                "band_id": pa.array(o_band, pa.int32()),
+                "band_hash": pa.array(np.asarray(o_hash, dtype=np.uint64)),
+                "norm": pa.array(o_m, pa.string()),
+            }
+        )
+
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        src, dst = [], []
+        for (_, _), grp in g.groupby(["band_id", "band_hash"], sort=False):
+            ms = sorted(set(grp["norm"]))[:max_bucket]
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    if jaccard(ms[i], ms[j]) >= threshold:
+                        src.append(ms[i])
+                        dst.append(ms[j])
+        return pd.DataFrame(
+            {"src": pd.Series(src, dtype="object"), "dst": pd.Series(dst, dtype="object")}
+        )
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    banded = norm_mentions.map_batches(band_rows, batch_format="pyarrow")
+    pairs = bucketed_group_reduce(
+        banded, key_cols=["band_id", "band_hash"], reduce_fn=coarse_pairs
+    )
+    # bands produce duplicate pairs → bucketed dedup
+    return bucketed_group_reduce(
+        pairs,
+        key_cols=["src", "dst"],
+        reduce_fn=lambda g: g.drop_duplicates(["src", "dst"]),
+    )
+
+
+def _driver_link(norm_counts: pd.DataFrame, seed: int = 42,
+                 bands: int = 16, rows: int = 4, threshold: float = 0.5) -> pd.DataFrame:
+    """Small-side linking: LSH banding + Jaccard verify + union-find on
+    the driver, over the DISTINCT normalized-mention table.
+
+    Same algorithm as the distributed path (candidate_pairs +
+    connected_components) but executed locally — correct whenever the
+    distinct-mention table fits on the driver (it is vocabulary-bounded:
+    entity surfaces, not corpus rows). Returns (norm, canonical,
+    entity_id)."""
+    norms = norm_counts["norm"].tolist()
+    counts = dict(zip(norm_counts["norm"], norm_counts["n"]))
+    hasher = MinHasher(seed=seed)
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for m in norms:
+        bh = hasher.band_hashes(m, bands, rows)
+        for b in range(bands):
+            buckets.setdefault((b, int(bh[b])), []).append(m)
+    parent = {m: m for m in norms}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    seen: set[tuple[str, str]] = set()
+    for ms in buckets.values():
+        if len(ms) < 2:
+            continue
+        ms = sorted(set(ms))[:200]
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                key = (ms[i], ms[j])
+                if key in seen:
+                    continue
+                seen.add(key)
+                if jaccard(ms[i], ms[j]) >= threshold:
+                    union(ms[i], ms[j])
+    clusters: dict[str, list[str]] = {}
+    for m in norms:
+        clusters.setdefault(find(m), []).append(m)
+    out_norm, out_canon, out_eid = [], [], []
+    for members in clusters.values():
+        canonical = sorted(members, key=lambda m: (-counts.get(m, 0), m))[0]
+        eid = int(np.uint64(fnv64(canonical)) >> np.uint64(1))
+        for m in members:
+            out_norm.append(m)
+            out_canon.append(canonical)
+            out_eid.append(eid)
+    return pd.DataFrame(
+        {"norm": out_norm, "canonical": out_canon, "entity_id": out_eid}
+    )
+
+
+def entity_map(
+    triples: "rd.Dataset",
+    seed: int = 42,
+    mode: str = "auto",
+    driver_side_limit: int = 200_000,
+) -> "rd.Dataset":
+    """triples → (mention, norm, entity_id, canonical, n).
+
+    One row per observed surface mention; ``entity_id`` is shared by all
+    aliases of one linked entity.
+
+    ``mode``: "driver" finishes counting + linking locally over the
+    combiner's partial rows (vocabulary-bounded — the corpus-scale pass
+    is the distributed per-batch combiner in ``mention_partials``);
+    "distributed" runs the full salted two-phase mention-count reduce,
+    groupby-shuffle LSH blocking, and iterated-groupby connected
+    components; "auto" picks driver-side while the distinct-mention
+    count is under ``driver_side_limit``.
+    """
+    def add_norm(batch: pa.Table) -> pa.Table:
+        norms = [normalize_mention(m) for m in batch.column("mention").to_pylist()]
+        return batch.append_column("norm", pa.array(norms, pa.string()))
+
+    if mode != "distributed":
+        # the per-batch combiner alone shrinks the corpus to
+        # (#batches × distinct-mentions-per-batch) partial rows — small
+        # enough to decide the path (and, on the driver path, to finish
+        # the count locally without ANY distributed shuffle)
+        partial_df = (
+            mention_partials(triples).map_batches(add_norm, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if mode == "auto":
+            mode = (
+                "driver"
+                if partial_df["mention"].nunique() <= driver_side_limit
+                else "distributed"
+            )
+
+    if mode == "driver":
+        # small-side path: the remaining counting/linking runs in local
+        # pandas — every extra Ray job on a vocabulary-sized table costs
+        # seconds of scheduling for no parallelism gain
+        sdf = partial_df.groupby(["mention", "norm"], as_index=False).agg(
+            n=("n", "sum")
+        )
+        norm_counts_df = sdf.groupby("norm", as_index=False).agg(n=("n", "sum"))
+        canon_df = _driver_link(norm_counts_df, seed=seed)
+        out = sdf.merge(canon_df, on="norm", how="left")
+        out = pd.DataFrame(
+            {
+                "mention": out["mention"],
+                "norm": out["norm"],
+                "entity_id": out["entity_id"].astype(np.int64),
+                "canonical": out["canonical"],
+                "n": out["n"].astype(np.int64),
+            }
+        )
+        return rd.from_pandas(out)
+
+    # distributed path: full salted mention-count reduce, then LSH
+    # blocking + iterated-groupby connected components
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    surface = (
+        mention_counts(triples)
+        .map_batches(add_norm, batch_format="pyarrow")
+        .materialize()
+    )
+    norm_counts = bucketed_group_reduce(
+        surface.select_columns(["norm", "n"]),
+        key_cols=["norm"],
+        reduce_fn=lambda g: g.groupby("norm", as_index=False).agg(n=("n", "sum")),
+    ).materialize()
+
+    pairs = candidate_pairs(norm_counts.select_columns(["norm"]), seed=seed)
+    # NOTE: union requires uniform block types (mixing pandas- and
+    # arrow-backed datasets breaks the groupby sort sampler) — the
+    # linking subgraph standardizes on pandas blocks around unions.
+    selfloops = norm_counts.map_batches(
+        lambda df: pd.DataFrame({"src": df["norm"], "dst": df["norm"]}),
+        batch_format="pandas",
+    )
+    comp = connected_components(pairs.union(selfloops))  # (node=norm, comp)
+
+    # canonical per component: highest count, ties lexicographic
+    def pick_canonical(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "node"], ascending=[False, True])
+        canonical = g["node"].iloc[0]
+        return pd.DataFrame(
+            {
+                "norm": g["node"],
+                "canonical": [canonical] * len(g),
+                "entity_id": np.int64(np.uint64(fnv64(canonical)) >> np.uint64(1)),
+            }
+        )
+
+    def attach_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # group = one norm's count row + its comp row
+        n = int(g["n"].dropna().iloc[0]) if g["n"].notna().any() else 0
+        comp_v = g["comp"].dropna().iloc[0]
+        return pd.DataFrame({"node": [g["node"].iloc[0]], "comp": [comp_v], "n": [n]})
+
+    nc = norm_counts.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["norm"], "comp": [None] * len(df), "n": df["n"]}
+        ),
+        batch_format="pandas",
+    )
+    cc_rows = comp.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"], "comp": df["comp"], "n": [None] * len(df)}
+        ),
+        batch_format="pandas",
+    )
+    merged = nc.union(cc_rows).groupby("node").map_groups(
+        attach_counts, batch_format="pandas"
+    )
+    canon = merged.groupby("comp").map_groups(pick_canonical, batch_format="pandas")
+
+    # surface (mention, norm, n) ⨝ canon (norm, canonical, entity_id):
+    # groupby-join on norm (both sides small; vocabulary-bounded)
+    s_rows = surface.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "norm": df["norm"],
+                "mention": df["mention"],
+                "n": df["n"],
+                "canonical": [None] * len(df),
+                "entity_id": [None] * len(df),
+            }
+        ),
+        batch_format="pandas",
+    )
+    c_rows = canon.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "norm": df["norm"],
+                "mention": [None] * len(df),
+                "n": [None] * len(df),
+                "canonical": df["canonical"],
+                "entity_id": df["entity_id"],
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        canon_rows = g[g["canonical"].notna()]
+        mention_rows = g[g["mention"].notna()]
+        if len(canon_rows) == 0 or len(mention_rows) == 0:
+            return pd.DataFrame(
+                columns=["mention", "norm", "entity_id", "canonical", "n"]
+            )
+        canonical = canon_rows["canonical"].iloc[0]
+        eid = int(canon_rows["entity_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "mention": mention_rows["mention"],
+                "norm": mention_rows["norm"],
+                "entity_id": np.int64(eid),
+                "canonical": canonical,
+                "n": mention_rows["n"].astype(np.int64),
+            }
+        )
+
+    return s_rows.union(c_rows).groupby("norm").map_groups(
+        join_group, batch_format="pandas"
+    )
+
+
+class CanonicalizeStage:
+    """Map-side broadcast join: surface mention → (entity_id, canonical).
+
+    The entity map is ``ray.put`` once on the driver; every actor reads
+    it from the object store in ``__init__`` (zero-copy for the workers
+    on the same node at scale, one fetch per node on a cluster) — a hot
+    mention costs nothing extra, unlike a shuffle join.
+    """
+
+    def __init__(self, emap_ref):
+        emap: pd.DataFrame = ray.get(emap_ref)
+        self.by_mention = {
+            m: (int(e), c)
+            for m, e, c in zip(emap["mention"], emap["entity_id"], emap["canonical"])
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subs = batch.column("subj").to_pylist()
+        objs = batch.column("obj").to_pylist()
+        s_ids, s_canon, o_ids, o_canon = [], [], [], []
+        for s, o in zip(subs, objs):
+            e = self.by_mention.get(s)
+            if e is None:  # unseen mention: identity cluster
+                e = (np.int64(np.uint64(fnv64(normalize_mention(s))) >> np.uint64(1)), normalize_mention(s))
+            s_ids.append(int(e[0]))
+            s_canon.append(e[1])
+            e = self.by_mention.get(o)
+            if e is None:
+                e = (np.int64(np.uint64(fnv64(normalize_mention(o))) >> np.uint64(1)), normalize_mention(o))
+            o_ids.append(int(e[0]))
+            o_canon.append(e[1])
+        return (
+            batch.append_column("subj_id", pa.array(s_ids, pa.int64()))
+            .append_column("subj_canonical", pa.array(s_canon, pa.string()))
+            .append_column("obj_id", pa.array(o_ids, pa.int64()))
+            .append_column("obj_canonical", pa.array(o_canon, pa.string()))
+        )
+
+
+def canonical_triples(
+    triples: "rd.Dataset", seed: int = 42, mode: str = "auto"
+) -> tuple["rd.Dataset", "rd.Dataset"]:
+    """triples → (canonicalized triple stream, entity_map dataset)."""
+    emap_ds = entity_map(triples, seed=seed, mode=mode)
+    emap_df = emap_ds.to_pandas()  # vocabulary-bounded small table
+    emap_ref = ray.put(emap_df)
+    out = triples.map_batches(
+        CanonicalizeStage,
+        fn_constructor_kwargs={"emap_ref": emap_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out, emap_ds

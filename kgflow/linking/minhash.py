@@ -33,6 +33,28 @@ def fnv64(s: str) -> int:
     return int(h)
 
 
+def mix64(x: int) -> int:
+    """splitmix64 finalizer: FNV-1a's low bits avalanche poorly (observed
+    bias: ``fnv64(url) % 4`` hit only even classes) — any key used with a
+    modulo (shards, salts, buckets) must go through this."""
+    z = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def shard_of(s: str, shards: int) -> int:
+    return mix64(fnv64(s)) % shards
+
+
+def mix64_np(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (uint64 in/out, wrapping)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def char_shingles(s: str, k: int = 3) -> np.ndarray:
     """64-bit fingerprints of the k-char shingles of ``s`` (padded so
     strings shorter than k still yield one shingle)."""

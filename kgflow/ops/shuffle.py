@@ -1,0 +1,79 @@
+"""Bucketed group-reduce: the engine's core wide-operation pattern.
+
+Ray Data's ``groupby(keys).aggregate/map_groups`` is sort-based and pays
+a large per-group cost — measured on this container: 300k rows with
+~300k distinct string-keyed groups took ~60 s on 32 CPUs with the native
+aggregate and ~52 s with map_groups, while the SAME reduction as
+"hash-bucket → groupby(bucket) [64 groups] → vectorized pandas groupby
+inside the bucket" took **1.5 s**. High-cardinality groupbys therefore
+go through this helper:
+
+1. (optional, done by callers) per-batch combiner shrinks shuffle input;
+2. every row gets ``bucket = hash(key columns) % num_buckets`` —
+   deterministic (``pd.util.hash_pandas_object``, fixed key), uniform
+   (splitmix-style avalanche already inside), co-locating all rows of a
+   key in one bucket;
+3. ONE shuffle with ``num_buckets`` groups;
+4. the real per-key reduction runs VECTORIZED inside each bucket
+   (pandas groupby — C hash aggregation), not per group in Python.
+
+Skew: a hot KEY still lands in one bucket, but the in-bucket cost is a
+vectorized aggregation over its rows, not a Python call per key; for hot
+keys with huge row counts, callers pre-reduce with a combiner and/or a
+rotating salt (see ``kgflow.linking.link.mention_counts``).
+
+``num_buckets`` should be ≥ cluster parallelism; buckets are the unit of
+reduce-side parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def add_hash_bucket(
+    df: pd.DataFrame, key_cols: list[str], num_buckets: int, col: str = "bucket"
+) -> pd.DataFrame:
+    h = np.zeros(len(df), dtype=np.uint64)
+    for c in key_cols:
+        h = h * np.uint64(1099511628211) + pd.util.hash_pandas_object(
+            df[c], index=False
+        ).to_numpy(dtype=np.uint64)
+    # finalize: raw low bits of a multiply-accumulate are not uniform
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return df.assign(**{col: (h % np.uint64(num_buckets)).astype(np.int32)})
+
+
+def bucketed_group_reduce(
+    ds: "rd.Dataset",
+    key_cols: list[str],
+    reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 64,
+    keep_bucket: bool = False,
+    bucket_col: str = "bucket",
+) -> "rd.Dataset":
+    """Hash-partition ``ds`` on ``key_cols`` into ``num_buckets`` buckets
+    and apply ``reduce_fn`` (a vectorized whole-bucket pandas reduction;
+    it must itself group by ``key_cols``) inside each bucket."""
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return add_hash_bucket(df, key_cols, num_buckets, bucket_col)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[bucket_col].iloc[0]
+        out = reduce_fn(g.drop(columns=[bucket_col]))
+        if keep_bucket:
+            out[bucket_col] = b
+        return out
+
+    return (
+        ds.map_batches(_bucket, batch_format="pandas")
+        .groupby(bucket_col)
+        .map_groups(_reduce, batch_format="pandas")
+    )

@@ -1,0 +1,194 @@
+"""Text-analysis operators over a document table (doc_id, text, lang, …).
+
+Large-scale training-data-pipeline ops (mandated beyond the reference's
+own operators): exact dedup, token counting, quality scoring, content
+fingerprinting, heuristic language ID. All are single-pass vectorized
+``map_batches`` ops (pyarrow.compute / pandas kernels, compiled regexes)
+plus at most one combiner-reduced groupby; none materializes the corpus.
+
+Each op has a ``queries()`` entry; the SQL-expressible ones also have a
+DuckDB oracle (``__ray_entry__.oracle_sql``) with matching column names.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_WORD_RE = r"\w+"
+_PUNCT_RE = r"[.!?,;:]"
+
+
+def exact_dedup(docs: "rd.Dataset") -> "rd.Dataset":
+    """Distinct texts with first doc_id + multiplicity.
+
+    Hash-partition + per-group first (SURVEY.md §2.8): per-batch
+    combiner (one row per distinct text per batch) then one groupby
+    shuffle. Output: text, first_doc_id, n.
+    """
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("text", as_index=False).agg(
+            first_doc_id=("doc_id", "min"), n=("doc_id", "size")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text", as_index=False).agg(
+            first_doc_id=("first_doc_id", "min"), n=("n", "sum")
+        )
+
+    return bucketed_group_reduce(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["text"],
+        reduce_fn=final,
+    )
+
+
+def token_counts(docs: "rd.Dataset") -> "rd.Dataset":
+    """doc_id, n_tokens (regex \\w+ word count — vectorized Arrow kernel)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), _WORD_RE)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def quality_scores(docs: "rd.Dataset") -> "rd.Dataset":
+    """Per-doc quality signals: doc_id, n_chars_c, n_tokens, n_punct,
+    mean_token_len (all vectorized; SQL-expressible for the oracle)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tok = pc.cast(pc.count_substring_regex(text, _WORD_RE), pa.int64())
+        n_punct = pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+        # mean token length = total word chars / word count
+        word_chars = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(text, r"\W", "")), pa.int64()
+        )
+        mean_len = pc.divide(
+            pc.cast(word_chars, pa.float64()),
+            pc.cast(pc.max_element_wise(n_tok, 1), pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars_c": n_chars,
+                "n_tokens": n_tok,
+                "n_punct": n_punct,
+                "mean_token_len": mean_len,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def fingerprints(docs: "rd.Dataset") -> "rd.Dataset":
+    """doc_id, fp — md5 content fingerprint (matches DuckDB md5())."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())}
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+class LangIdStage:
+    """Heuristic language ID: stopword-profile scoring (en/de/fr/es),
+    non-Latin scripts detected by codepoint class. Stateful stage: the
+    profiles and regexes are compiled once per actor."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "a", "in", "is", "was", "for", "with"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "von", "zu", "den"},
+        "fr": {"le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que"},
+        "es": {"el", "la", "los", "y", "es", "no", "por", "para", "una", "con"},
+    }
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def detect(self, text: str) -> str:
+        if self.cjk.search(text):
+            return "zh"
+        toks = [w.lower() for w in self.word.findall(text)]
+        if not toks:
+            return "und"
+        best_lang, best = "und", 0.0
+        for lang, stops in self.PROFILES.items():
+            score = sum(1 for t in toks if t in stops) / len(toks)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang if best > 0.0 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.detect(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+def lang_id(docs: "rd.Dataset", concurrency=(1, 4)) -> "rd.Dataset":
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def rolling_fingerprint(docs: "rd.Dataset", window: int = 16) -> "rd.Dataset":
+    """doc_id, rfp — 64-bit rolling (Rabin-Karp style) document
+    fingerprint: min of window-hashes over the token stream. Not
+    SQL-expressible; checked rows-only."""
+    B = np.uint64(1099511628211)
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = np.zeros(batch.num_rows, dtype=np.uint64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = re.findall(_WORD_RE, t)
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (hash_token(w) for w in toks), dtype=np.uint64, count=len(toks)
+            )
+            if len(hs) < window:
+                acc = np.uint64(0)
+                for h in hs:
+                    acc = acc * B + h
+                out[i] = acc
+            else:
+                # rolling windows via cumulative powers
+                acc = np.zeros(len(hs) - window + 1, dtype=np.uint64)
+                for w in range(window):
+                    acc = acc * B + hs[w : w + len(acc)]
+                out[i] = acc.min()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "rfp": pa.array(out.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def hash_token(w: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in w.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

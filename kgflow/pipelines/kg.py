@@ -54,8 +54,20 @@ class KgConfig:
     seed: int = 42
     lang: str = "en"
     drop_titles: bool = False
-    tokenize_batch: int = 4096
-    model_batch: int = 2048
+    # Parallelism granularity: map_batches parallelism is per BLOCK, and
+    # an explicit batch_size makes Ray BUNDLE consecutive blocks until a
+    # bundle reaches that many rows — collapsing task parallelism
+    # (observed: 3 tasks on an 8-CPU cluster with batch_size=2048 over
+    # 625-row blocks). So the stages use per-block batches
+    # (batch_size=None) and the ONE parallelism knob is read
+    # granularity: blocks_per_cpu × CPUs blocks at the read, which also
+    # caps the post-fan-out [rows, maxlen] arrays per task.
+    tokenize_batch: int | None = None
+    model_batch: int | None = None
+    # ~2-4 blocks per CPU: enough tasks for load balance (a few waves
+    # per actor) without paying the ~15 ms per actor-task submission
+    # overhead hundreds of times on a small job
+    blocks_per_cpu: int = 4
     # fraction of the CPU budget each pool may autoscale to
     light_pool: float = 0.5
     heavy_pool: float = 1.0
@@ -66,12 +78,18 @@ class KgConfig:
 
 def read_pages(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
     cfg = cfg or KgConfig()
-    path = (
-        os.path.join(pages_path, "pages.parquet")
-        if os.path.isdir(pages_path)
-        else pages_path
+    path = pages_path
+    if os.path.isdir(pages_path):
+        for cand in ("pages", "pages.parquet"):
+            p = os.path.join(pages_path, cand)
+            if os.path.exists(p):
+                path = p
+                break
+    return rd.read_parquet(
+        path,
+        columns=cfg.read_columns,
+        override_num_blocks=_pool_max() * cfg.blocks_per_cpu,
     )
-    return rd.read_parquet(path, columns=cfg.read_columns)
 
 
 def sentences_ds(pages: "rd.Dataset", cfg: KgConfig | None = None) -> "rd.Dataset":
@@ -114,12 +132,18 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
     n = _pool_max()
     tok = SimpleTokenizer()
     ds = encoded_ds(sentences_ds(read_pages(pages_path, cfg), cfg), cfg)
+    # pool minimums pre-provision most capacity at operator start —
+    # autoscaling from 1 actor was measured to cost several seconds of
+    # ramp on a 32-CPU run; minimums sum to <1× CPUs so the two pools
+    # can always co-schedule
+    light_max = max(1, int(n * cfg.light_pool))
+    heavy_max = max(1, int(n * cfg.heavy_pool))
     ds = ds.map_batches(
         RelClassifyStage,
         fn_constructor_kwargs={"seed": cfg.seed},
         batch_format="pyarrow",
         batch_size=cfg.model_batch,
-        concurrency=(1, max(1, int(n * cfg.light_pool))),
+        concurrency=(max(1, n // 4), light_max),
     )
     ds = ds.map_batches(
         make_fanout_fn(tok.start_idx), batch_format="pyarrow",
@@ -131,6 +155,6 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
         fn_constructor_kwargs={"seed": cfg.seed},
         batch_format="pyarrow",
         batch_size=cfg.model_batch,
-        concurrency=(1, max(1, int(n * cfg.heavy_pool))),
+        concurrency=(max(1, n // 2), heavy_max),
     )
     return ds

@@ -49,6 +49,44 @@ def decode_spans(ids: list[int], tags: list[int]) -> tuple[list, list]:
     return subs, objs
 
 
+def event_process(text: list, result: list[str], fixed: bool = False) -> list[dict]:
+    """≙ ``Inference.event_process`` (`models/model.py:424-450`), the
+    X7 alternate decode selected when "event" is in task_name
+    (`models/model.py:148-154`).
+
+    Cloned verbatim with ``fixed=False``, INCLUDING the reference's dead
+    branch: for an open span, the label-mismatch test
+    ``t.split("-")[-1] != indicator`` is checked BEFORE ``t == "O"``,
+    and "O".split("-")[-1] == "O" never equals a role label — so the
+    close-at-O branch is unreachable and the verbatim function emits no
+    spans (the reference also never wires event output into
+    triple_output: `models/model.py:388-391` is commented out).
+    ``fixed=True`` checks the close-at-O case first — the behavior the
+    surrounding code evidently intends — and is what the engine's event
+    mode uses.
+    """
+    index = 0
+    start = None
+    labels: list[dict] = []
+    indicator = ""
+    for w, t in zip(text, result):
+        if start is None:
+            if "B-" in t:
+                indicator = t.split("-")[-1]
+                start = index
+        else:
+            if fixed and t == "O":
+                labels.append(dict(text=list(text[start:index]), label=indicator))
+                start = None
+            elif t.split("-")[-1] != indicator or "B-" in t:
+                start = None  # B-a I-b wrong, B-a B-a wrong
+            elif t == "O":  # unreachable when fixed=False (ref bug)
+                labels.append(dict(text=list(text[start:index]), label=indicator))
+                start = None
+        index += 1
+    return labels
+
+
 class DecodeStage:
     def __init__(self, tokenizer: SimpleTokenizer | None = None):
         self.tok = tokenizer or SimpleTokenizer()

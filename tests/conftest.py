@@ -1,4 +1,11 @@
+import os
+
 import pytest
+
+# stub-model outputs are identical with or without the transformer-shaped
+# compute emulation (see kgflow/fixtures/stub_model.py); tests turn it off
+# for speed, bench keeps it on so the model stage stays the bottleneck
+os.environ.setdefault("KGFLOW_EMULATE_COMPUTE", "0")
 
 
 @pytest.fixture(scope="session")

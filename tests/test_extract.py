@@ -16,7 +16,7 @@ def test_render_deterministic():
 
 def test_extract_byte_identical(tmp_path):
     out = ensure_pages(300, cache_root=str(tmp_path))
-    t = pq.read_table(out + "/pages.parquet")
+    t = pq.read_table(out + "/pages")
     htmls = t.column("html").to_pylist()
     texts = t.column("text").to_pylist()
     assert len(htmls) == 300
@@ -36,7 +36,7 @@ def test_extract_edge_cases():
 
 def test_gold_alignment(tmp_path):
     out = ensure_pages(200, cache_root=str(tmp_path))
-    pages = pq.read_table(out + "/pages.parquet")
+    pages = pq.read_table(out + "/pages")
     gold = pq.read_table(out + "/gold_spo.parquet")
     by_url = {u: t for u, t in zip(pages.column("url").to_pylist(), pages.column("text").to_pylist())}
     langs = {u: l for u, l in zip(pages.column("url").to_pylist(), pages.column("lang").to_pylist())}

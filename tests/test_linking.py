@@ -1,0 +1,129 @@
+"""Entity-linking tests: normalization, minhash/LSH blocking, connected
+components, and the full mention→entity map against gold clusters
+(SURVEY.md §5.2 test #6 + FIXTURES.md §5)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from kgflow.fixtures import corpus
+from kgflow.fixtures.pages import ensure_pages
+from kgflow.linking.cc import connected_components
+from kgflow.linking.link import (
+    candidate_pairs,
+    canonical_triples,
+    entity_map,
+    normalize_mention,
+)
+from kgflow.linking.minhash import MinHasher, jaccard
+from kgflow.pipelines.kg import triples_ds
+
+
+def test_normalize():
+    assert normalize_mention("alice - fox") == "alice fox"
+    assert normalize_mention("Alice FOX") == "alice fox"
+    assert normalize_mention("  osaka  ") == "osaka"
+
+
+def test_jaccard_aliases_high_cross_entities_low():
+    for ent in corpus.PER[:5] + corpus.LOC[:5] + corpus.ORG[:5]:
+        typo = ent + ent[-1]
+        assert jaccard(ent, typo) >= 0.5, (ent, typo, jaccard(ent, typo))
+    # distinct entities stay apart
+    pools = corpus.PER + corpus.LOC + corpus.ORG
+    for i in range(len(pools)):
+        for j in range(i + 1, len(pools)):
+            assert jaccard(pools[i], pools[j]) < 0.5, (pools[i], pools[j])
+
+
+def test_minhash_identical_strings_cobucket():
+    h = MinHasher()
+    a = h.band_hashes("alice fox", 16, 4)
+    b = h.band_hashes("alice fox", 16, 4)
+    assert (a == b).all()
+
+
+def test_connected_components_smoke(ray_session):
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": ["a", "b", "c", "x", "q"],
+                "dst": ["b", "c", "a", "y", "q"],
+            }
+        )
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).take_all()}
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["x"] == got["y"] == "x"
+    assert got["q"] == "q"
+
+
+def test_candidate_pairs_find_typos(ray_session):
+    norms = [m for m in corpus.PER[:8]] + [m + m[-1] for m in corpus.PER[:8]]
+    ds = rd.from_pandas(pd.DataFrame({"norm": norms}))
+    pairs = candidate_pairs(ds).take_all()
+    found = {tuple(sorted((p["src"], p["dst"]))) for p in pairs}
+    for m in corpus.PER[:8]:
+        assert tuple(sorted((m, m + m[-1]))) in found, m
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(ray_session):
+    return ensure_pages(400)
+
+
+def test_distributed_equals_driver_path(fixture_dir):
+    """The groupby-shuffle LSH + iterated-groupby CC path must assign the
+    same clusters as the driver-side union-find path."""
+    import ray.data as rd
+
+    triples = triples_ds(fixture_dir).limit(300).materialize()
+    a = entity_map(triples, mode="driver").to_pandas()
+    b = entity_map(triples, mode="distributed").to_pandas()
+    ga = a.sort_values("mention").reset_index(drop=True)
+    gb = b.sort_values("mention").reset_index(drop=True)
+    assert list(ga["mention"]) == list(gb["mention"])
+    # same partition of mentions into clusters and same canonical forms
+    assert list(ga["canonical"]) == list(gb["canonical"])
+    assert list(ga["entity_id"]) == list(gb["entity_id"])
+
+
+def test_entity_map_matches_gold_clusters(fixture_dir):
+    triples = triples_ds(fixture_dir).materialize()
+    emap = entity_map(triples).to_pandas()
+    gold = pq.read_table(fixture_dir + "/gold_clusters.parquet").to_pandas()
+    # gold: raw surface → canonical entity; our map keys are extracted
+    # (detokenized) surfaces — compare on normalized forms
+    gold_by_norm = {
+        normalize_mention(m): e for m, e in zip(gold["mention"], gold["entity"])
+    }
+    ours = {row["norm"]: row["entity_id"] for _, row in emap.iterrows()}
+    # completeness: every observed mention got an entity id
+    assert emap["entity_id"].notna().all()
+    # same gold entity -> same entity_id (recall over observed aliases)
+    from collections import defaultdict
+
+    ids_per_entity = defaultdict(set)
+    entities_per_id = defaultdict(set)
+    for norm, eid in ours.items():
+        ent = gold_by_norm.get(norm)
+        if ent is None:
+            continue
+        ids_per_entity[ent].add(eid)
+        entities_per_id[eid].add(ent)
+    assert ids_per_entity, "no observed mentions matched gold"
+    bad_recall = {e: ids for e, ids in ids_per_entity.items() if len(ids) > 1}
+    assert not bad_recall, bad_recall
+    bad_precision = {i: es for i, es in entities_per_id.items() if len(es) > 1}
+    assert not bad_precision, bad_precision
+
+
+def test_canonical_triples_columns(fixture_dir):
+    triples = triples_ds(fixture_dir).materialize()
+    canon, emap = canonical_triples(triples)
+    row = canon.take(1)[0]
+    for c in ("subj_id", "subj_canonical", "obj_id", "obj_canonical"):
+        assert c in row
+    # canonical forms are normalized gold entities
+    assert row["subj_canonical"] == normalize_mention(row["subj_canonical"])

@@ -1,0 +1,159 @@
+"""Unit tests for the training-data ops library over the driver tables
+and crafted inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_exact_dedup_crafted():
+    from kgflow.ops.text import exact_dedup
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["a", "b", "a", "a"]}
+    )
+    out = exact_dedup(rd.from_pandas(df)).to_pandas().sort_values("text")
+    assert list(out["text"]) == ["a", "b"]
+    assert list(out["first_doc_id"]) == [1, 2]
+    assert list(out["n"]) == [3, 1]
+
+
+def test_token_counts_matches_regex():
+    import re
+
+    from kgflow.ops.text import token_counts
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    out = token_counts(docs).to_pandas().set_index("doc_id")["n_tokens"]
+    raw = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(raw["doc_id"].head(50), raw["text"].head(50)):
+        assert out[did] == len(re.findall(r"\w+", text))
+
+
+def test_langid_heuristic():
+    from kgflow.ops.text import LangIdStage
+
+    s = LangIdStage()
+    assert s.detect("the cat and the dog went to the park") == "en"
+    assert s.detect("der hund ist nicht mit der katze") == "de"
+    assert s.detect("le chat est dans la maison pour la nuit") == "fr"
+    assert s.detect("el perro y la casa es para una familia") == "es"
+    assert s.detect("你好 世界") == "zh"
+    assert s.detect("12345 !!!") == "und"
+
+
+def test_minhash_pairs_find_planted_neardups():
+    from kgflow.ops.dedup import minhash_pairs, word_jaccard
+
+    base = (
+        "spark table join merge window batch stream filter sort hash value "
+        "key row column scan group agg small big fast slow data query line"
+    )
+    near = base.replace("slow", "rapid")  # one word of ~24 changed
+    far = "completely different words entirely unrelated content here now"
+    df = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": [base, near, far]}
+    )
+    assert word_jaccard(base, near) >= 0.5
+    out = minhash_pairs(rd.from_pandas(df)).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_pairs_planted():
+    from kgflow.ops.dedup import simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok3 ", "tok3x ")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, far]})
+    out = simhash_pairs(rd.from_pandas(df)).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_ann_bruteforce_matches_numpy():
+    from kgflow.ops.ann import brute_force_topk
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.asarray(list(emb["embedding"]), dtype=np.float32)
+    ids = emb["vec_id"].to_numpy()
+    U = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qids = ids[:5].tolist()
+    out = (
+        brute_force_topk(rd.read_parquet(f"{SF}/embeddings.parquet"), qids, M[:5], k=3)
+        .to_pandas()
+    )
+    for qi, qid in enumerate(qids):
+        sims = U @ U[qi]
+        order = [ids[j] for j in np.argsort(-sims) if ids[j] != qid][:3]
+        got = out[out["query_id"] == qid].sort_values("cos", ascending=False)
+        assert list(got["neighbor_id"]) == order
+
+
+def test_ann_lsh_recall():
+    from kgflow.ops.ann import brute_force_topk, lsh_topk
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.asarray(list(emb["embedding"]), dtype=np.float32)
+    qids = emb["vec_id"].to_numpy()[:5].tolist()
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(ds, qids, M[:5], k=5).to_pandas()
+    approx = lsh_topk(ds, qids, M[:5], k=5).to_pandas()
+    # approximate: recall over all queries >= 0.5 (it's an ANN)
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_embedding_neardup_self_consistent():
+    from kgflow.ops.dedup import embedding_neardup_pairs
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").head(50).copy()
+    dup = emb.head(3).copy()
+    dup["vec_id"] = dup["vec_id"] + 10_000  # planted exact duplicates
+    both = pd.concat([emb, dup], ignore_index=True)
+    out = embedding_neardup_pairs(rd.from_pandas(both), threshold=0.999).to_pandas()
+    pairs = set(zip(out["vec_a"], out["vec_b"]))
+    for vid in dup["vec_id"] - 10_000:
+        assert (vid, vid + 10_000) in pairs
+
+
+def test_multimodal_plumbing():
+    from kgflow.ops.multimodal import (
+        audio_features,
+        image_features,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(60))
+    imgs = image_features(media).to_pandas()
+    auds = audio_features(media).to_pandas()
+    assert len(imgs) == 30 and len(auds) == 30
+    assert all(len(f) == 16 for f in imgs["feature"])
+    assert (imgs["mean_intensity"] >= 0).all() and (imgs["mean_intensity"] <= 1).all()
+    assert (auds["n_samples"] > 0).all()
+    # real codecs are explicitly stubbed
+    from kgflow.ops.multimodal import DecodeImageStage
+
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage()._decode(b"x", "jpeg", 1, 1)
+
+
+def test_rolling_fingerprint_deterministic():
+    from kgflow.ops.text import rolling_fingerprint
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet").limit(20)
+    a = rolling_fingerprint(docs).to_pandas().sort_values("doc_id")
+    b = rolling_fingerprint(docs).to_pandas().sort_values("doc_id")
+    assert list(a["rfp"]) == list(b["rfp"])
+    assert (a["rfp"] != 0).any()

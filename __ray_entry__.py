@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = triples_ds(_pages_dir(sf_dir))
         return ds.groupby("rel").count()
 
+    def kg_events(sf_dir: str):
+        from kgflow.pipelines.kg import events_ds
+
+        return events_ds(_pages_dir(sf_dir))
+
     def kg_entity_map(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.pipelines.kg import triples_ds
@@ -322,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sentences": kg_sentences,
         "kg_triples": kg_triples,
         "kg_relations": kg_relations,
+        "kg_events": kg_events,
         "kg_entity_map": kg_entity_map,
         "kg_edges": kg_edges,
         "kg_nodes": kg_nodes,

@@ -217,5 +217,11 @@ def ensure_pages(n_pages: int, cache_root: str = "/tmp/kgflow_fixtures") -> str:
 
 
 def pages_for_sf_dir(sf_dir: str) -> str:
-    """Fixture dir for a driver sf dir (e.g. /root/testdata/sf0.01)."""
-    return ensure_pages(n_pages_for_sf(sf_from_dir(sf_dir)))
+    """Fixture dir for a driver sf dir (e.g. /root/testdata/sf0.01).
+
+    ``KGFLOW_PAGES`` overrides the page count — used by the scaling-
+    evidence run, which measures at a larger input so fixed per-job
+    costs (actor ramp, read fan-out) amortize the way they do at
+    production scale."""
+    n = int(os.environ.get("KGFLOW_PAGES", "0")) or n_pages_for_sf(sf_from_dir(sf_dir))
+    return ensure_pages(n)

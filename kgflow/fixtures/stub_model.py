@@ -67,15 +67,27 @@ class _ComputeEmulator:
             self.W = (rng.randn(hidden, hidden).astype(np.float32) / np.sqrt(hidden))
             self.x0 = rng.randn(1, hidden).astype(np.float32)
 
+    # micro-batch rows per inner matmul: [1024, 256] float32 ≈ 1 MiB —
+    # cache-resident, so the burn is COMPUTE-bound. Burning the whole
+    # Ray block in one [block_tokens, H] matmul was measured to be
+    # memory-bandwidth-bound: with 32 concurrent actors the tasks
+    # thrashed DRAM (equal-work task times spread 4s..81s) and throughput
+    # stopped scaling past ~8 actors.
+    _CHUNK = 1024
+
     def burn(self, n_tokens: int) -> None:
         if not self.enabled or n_tokens <= 0:
             return
-        X = np.broadcast_to(self.x0, (n_tokens, self.hidden)).copy()
-        for _ in range(self.layers):
-            X = np.tanh(X @ self.W)
-        # fold into a scalar so the work cannot be optimized away
-        if float(X[0, 0]) > 1e30:  # pragma: no cover
-            raise RuntimeError("unreachable")
+        done = 0
+        while done < n_tokens:
+            c = min(self._CHUNK, n_tokens - done)
+            X = np.broadcast_to(self.x0, (c, self.hidden)).copy()
+            for _ in range(self.layers):
+                X = np.tanh(X @ self.W)
+            # fold into a scalar so the work cannot be optimized away
+            if float(X[0, 0]) > 1e30:  # pragma: no cover
+                raise RuntimeError("unreachable")
+            done += c
 
 
 class StubRelModel:
@@ -152,7 +164,7 @@ class StubNerModel:
                 for form in corpus.alias_forms(ent):
                     ids = tuple(tokenizer.encode(form, add_special_tokens=False))
                     self.first_tok.setdefault(ids[0], []).append((ids, etype))
-        self._emu = _ComputeEmulator(hidden=256, layers=12, seed=seed)
+        self._emu = _ComputeEmulator(hidden=256, layers=6, seed=seed)
 
     def _matches(self, row: list[int], lo: int, hi: int) -> list[tuple[int, int, str]]:
         """Non-overlapping, longest-first gazetteer matches in row[lo:hi]."""

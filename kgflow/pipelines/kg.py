@@ -54,6 +54,9 @@ class KgConfig:
     seed: int = 42
     lang: str = "en"
     drop_titles: bool = False
+    # "triple" | "event" — ≙ the reference task_name switch
+    # ("event" in task_name selects event_process, models/model.py:148-154)
+    decode_mode: str = "triple"
     # Parallelism granularity: map_batches parallelism is per BLOCK, and
     # an explicit batch_size makes Ray BUNDLE consecutive blocks until a
     # bundle reaches that many rows — collapsing task parallelism
@@ -152,9 +155,18 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
     # post-explosion batch capped so [rows, maxlen] tensors stay bounded
     ds = ds.map_batches(
         TagDecodeStage,
-        fn_constructor_kwargs={"seed": cfg.seed},
+        fn_constructor_kwargs={"seed": cfg.seed, "mode": cfg.decode_mode},
         batch_format="pyarrow",
         batch_size=cfg.model_batch,
         concurrency=(max(1, n // 2), heavy_max),
     )
     return ds
+
+
+def events_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
+    """Event-mode variant of the flagship pipeline (X7): pages →
+    (url, sent_id, event_type, role, argument)."""
+    cfg = cfg or KgConfig()
+    from dataclasses import replace
+
+    return triples_ds(pages_path, replace(cfg, decode_mode="event"))

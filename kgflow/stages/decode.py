@@ -88,11 +88,55 @@ def event_process(text: list, result: list[str], fixed: bool = False) -> list[di
 
 
 class DecodeStage:
-    def __init__(self, tokenizer: SimpleTokenizer | None = None):
+    """mode="triple" (default): X5+X6 triple decode. mode="event": the
+    X7 alternate — per (sentence, relation/event-type) row, emit typed
+    argument spans via ``event_process(fixed=True)`` (the verbatim
+    reference function provably emits nothing, see its docstring; the
+    reference also leaves event output unwired, `models/model.py:388-391`
+    — the engine wires the evidently-intended behavior and documents the
+    divergence)."""
+
+    def __init__(self, tokenizer: SimpleTokenizer | None = None, mode: str = "triple"):
         self.tok = tokenizer or SimpleTokenizer()
         self.rel_names = list(REL_NAMES)
+        self.mode = mode
+
+    def _call_event(self, batch: pa.Table) -> pa.Table:
+        from kgflow.fixtures.stub_model import NER_LABELS
+
+        urls, sids, rels = (
+            batch.column("url").to_pylist(),
+            batch.column("sent_id").to_pylist(),
+            batch.column("rel_id").to_pylist(),
+        )
+        o_url, o_sid, o_type, o_label, o_text = [], [], [], [], []
+        for url, sid, rid, ids, tags in zip(
+            urls,
+            sids,
+            rels,
+            batch.column("dec_ids").to_pylist(),
+            batch.column("dec_tags").to_pylist(),
+        ):
+            labels = [NER_LABELS[t] for t in tags]
+            for arg in event_process(ids, labels, fixed=True):
+                o_url.append(url)
+                o_sid.append(sid)
+                o_type.append(self.rel_names[rid])
+                o_label.append(arg["label"])
+                o_text.append(self.tok.decode_span(arg["text"]))
+        return pa.table(
+            {
+                "url": pa.array(o_url, pa.string()),
+                "sent_id": pa.array(np.asarray(o_sid, dtype=np.int64)),
+                "event_type": pa.array(o_type, pa.string()),
+                "role": pa.array(o_label, pa.string()),
+                "argument": pa.array(o_text, pa.string()),
+            }
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode == "event":
+            return self._call_event(batch)
         urls = batch.column("url").to_pylist()
         sids = batch.column("sent_id").to_pylist()
         rels = batch.column("rel_id").to_pylist()

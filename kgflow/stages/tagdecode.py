@@ -20,10 +20,10 @@ from kgflow.stages.tokenize import SimpleTokenizer
 
 
 class TagDecodeStage:
-    def __init__(self, seed: int = 42):
+    def __init__(self, seed: int = 42, mode: str = "triple"):
         tok = SimpleTokenizer()
         self.tag = EntityTagStage(seed=seed, tokenizer=tok)
-        self.decode = DecodeStage(tokenizer=tok)
+        self.decode = DecodeStage(tokenizer=tok, mode=mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.decode(self.tag(batch))

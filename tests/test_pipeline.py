@@ -70,6 +70,16 @@ def test_ray_pipeline_matches_oracle(fixture_dir):
     assert n > 200
 
 
+def test_event_mode_pipeline(fixture_dir):
+    from kgflow.pipelines.kg import events_ds
+
+    rows = events_ds(fixture_dir).take(50)
+    assert rows, "event mode should emit argument rows"
+    for r in rows:
+        assert r["role"] in ("SUB", "OBJ")
+        assert r["event_type"] and r["argument"]
+
+
 def test_detok_strings_match_ids(fixture_dir):
     tok = SimpleTokenizer()
     rows = triples_ds(fixture_dir).take(50)

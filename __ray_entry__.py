@@ -222,6 +222,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
         )
 
+    def doc_dup_clusters(sf_dir: str):  # rows-only (LSH + CC composition)
+        from kgflow.ops.dedup import neardup_clusters
+
+        return neardup_clusters(_docs(sf_dir))
+
     def doc_simhash_pairs(sf_dir: str):  # rows-only
         from kgflow.ops.dedup import simhash_pairs
 
@@ -340,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": doc_rolling_fp,
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_simhash_pairs": doc_simhash_pairs,
+        "doc_dup_clusters": doc_dup_clusters,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "embed_neardup": embed_neardup,

@@ -240,6 +240,50 @@ def simhash_pairs(
     )
 
 
+def neardup_clusters(docs: "rd.Dataset", **minhash_kwargs) -> "rd.Dataset":
+    """Near-duplicate document CLUSTERS: minhash/LSH pairs → connected
+    components → (doc_id, cluster_id) with cluster_id = min doc_id of
+    the component. Docs with no near-dup partner keep their own id.
+    Composition demo of the dedup + graph primitives; at corpus scale
+    the CC runs the iterated-groupby rounds (kgflow/linking/cc.py)."""
+    import pandas as pd_
+
+    from kgflow.linking.cc import connected_components
+
+    pairs = minhash_pairs(docs, **minhash_kwargs)
+    # zero-padded string node ids: CC's min-label is lexicographic, so
+    # padding makes the representative the numeric-min doc id
+    edges = pairs.map_batches(
+        lambda df: pd_.DataFrame(
+            {
+                "src": df["doc_a"].map(lambda x: f"{x:012d}"),
+                "dst": df["doc_b"].map(lambda x: f"{x:012d}"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    selfloops = docs.select_columns(["doc_id"]).map_batches(
+        lambda df: pd_.DataFrame(
+            {
+                "src": df["doc_id"].map(lambda x: f"{x:012d}"),
+                "dst": df["doc_id"].map(lambda x: f"{x:012d}"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    comp = connected_components(edges.union(selfloops))
+
+    def to_ids(df: pd_.DataFrame) -> pd_.DataFrame:
+        return pd_.DataFrame(
+            {
+                "doc_id": df["node"].astype("int64"),
+                "cluster_id": df["comp"].astype("int64"),
+            }
+        )
+
+    return comp.map_batches(to_ids, batch_format="pandas")
+
+
 def embedding_neardup_pairs(
     emb: "rd.Dataset", threshold: float = 0.98, num_planes: int = 12, seed: int = 42
 ) -> "rd.Dataset":

@@ -67,13 +67,7 @@ def read_examples(path: str) -> "rd.Dataset":
     zipped row index so it is stable across block boundaries.
     """
     lines = rd.read_text(path)
-
-    def add_ids(batch: pa.Table, *, start: int = 0) -> pa.Table:
-        return batch
-
-    # read_text yields a "text" column; attach global line ids
-    import pyarrow.compute as pc
-
+    # read_text yields a "text" column; attach line ids
     ds = lines.map_batches(
         lambda t: t.rename_columns(["line"]), batch_format="pyarrow"
     )

@@ -157,3 +157,22 @@ def test_rolling_fingerprint_deterministic():
     b = rolling_fingerprint(docs).to_pandas().sort_values("doc_id")
     assert list(a["rfp"]) == list(b["rfp"])
     assert (a["rfp"] != 0).any()
+
+
+def test_neardup_clusters_planted():
+    from kgflow.ops.dedup import neardup_clusters
+
+    base = (
+        "spark table join merge window batch stream filter sort hash value "
+        "key row column scan group agg small big fast slow data query line"
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 9, 2, 7],
+            "text": [base, base.replace("slow", "rapid"), "other words entirely here", base],
+        }
+    )
+    out = neardup_clusters(rd.from_pandas(df)).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[5] == cl[9] == cl[7] == 5  # numeric-min representative
+    assert cl[2] == 2

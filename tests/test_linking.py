@@ -59,6 +59,16 @@ def test_connected_components_smoke(ray_session):
     assert got["q"] == "q"
 
 
+def test_connected_components_long_chain(ray_session):
+    # diameter-5 path graph forces several propagation rounds
+    nodes = list("fedcba")
+    edges = rd.from_pandas(
+        pd.DataFrame({"src": nodes[:-1], "dst": nodes[1:]})
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).take_all()}
+    assert all(got[n] == "a" for n in nodes), got
+
+
 def test_candidate_pairs_find_typos(ray_session):
     norms = [m for m in corpus.PER[:8]] + [m + m[-1] for m in corpus.PER[:8]]
     ds = rd.from_pandas(pd.DataFrame({"norm": norms}))

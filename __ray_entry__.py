@@ -176,6 +176,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame([{k.replace("sum(", "").replace(")", ""): int(v)
                               for k, v in agg.items()}])
 
+    def kg_triple_prf(sf_dir: str):
+        """A2 conformance metric, driver-pinned: corpus triple P/R/F1 of
+        the extraction pipeline vs the fixture's gold_spo (reference
+        semantics: lit_models/transformer.py:192-215). Rows-only check —
+        the single row carries the counts so regressions show as value
+        drift in future rounds."""
+        import pandas as pd
+
+        from kgflow.pipelines.kg import triples_ds
+        from kgflow.stages.metrics import explode_gold, triple_prf
+
+        pages = _pages_dir(sf_dir)
+        pred = triples_ds(pages)
+        gold = explode_gold(
+            rd.read_parquet(os.path.join(pages, "gold_spo.parquet"))
+        )
+        m = triple_prf(pred, gold)
+        return pd.DataFrame(
+            [
+                {
+                    "pre": int(m["pre"]),
+                    "true": int(m["true"]),
+                    "cor": int(m["cor"]),
+                    "p4": int(np.floor(m["p"] * 1e4)),
+                    "r4": int(np.floor(m["r"] * 1e4)),
+                    "f14": int(np.floor(m["f1"] * 1e4)),
+                }
+            ]
+        )
+
     # --- text ops over documents (SQL-checked unless noted)
     def doc_exact_dedup(sf_dir: str):
         from kgflow.ops.text import exact_dedup
@@ -292,14 +322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def events_hourly(sf_dir: str):
+        # exact: engine sums int64(round(value*1e4)) and divides once;
+        # oracle does the same in SQL — integer addition is associative,
+        # so the hash compare is order-independent (round-1 fix).
         from kgflow.ops.relational import events_hourly as eh
 
-        def fix(df):
-            df = _floor_scale_pd(df, "sum_value", 1e4)
-            df["n"] = df["n"].astype(np.int64)
-            return df
-
-        return eh(sf_dir).map_batches(fix, batch_format="pandas")
+        return eh(sf_dir)
 
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
@@ -336,6 +364,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_map": kg_entity_map,
         "kg_edges": kg_edges,
         "kg_nodes": kg_nodes,
+        "kg_triple_prf": kg_triple_prf,
+        "feat_seq": feat_seq,
+        "feat_ner": feat_ner,
+        "feat_interactive": feat_interactive,
+        "feat_diagnostics": feat_diagnostics,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_lang_counts": doc_lang_counts,
         "doc_token_counts": doc_token_counts,
@@ -431,7 +464,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,
                    count(*) AS n,
-                   floor(sum(value) * 10000) / 10000 AS sum_value
+                   sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
+                     AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "supplier_rollup": """

@@ -99,7 +99,12 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
     table: window key computed vectorized per batch (floor to hour),
     then one grouped aggregate — the batch-engine form of a streaming
     tumbling window (SURVEY.md §2.10: the reference has no windows;
-    this is the engine's generic windowed-aggregate operator)."""
+    this is the engine's generic windowed-aggregate operator).
+
+    ``value`` is summed in exact fixed-point (int64 of round(value*1e4))
+    so the sum is associative — float summation-order drift between
+    engines flipped floor(x*1e4) boundaries on 4-decimal-quantized
+    inputs (round-1 oracle hash mismatch). One divide at the end."""
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
     )
@@ -108,12 +113,22 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
         import pyarrow.compute as pc
 
         w = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return batch.append_column("window_start", w)
+        v_fp = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 10000.0)), pa.int64()
+        )
+        return batch.append_column("window_start", w).append_column("value_fp", v_fp)
 
     ds = ds.map_batches(add_window, batch_format="pyarrow")
-    return ds.groupby(["event_type", "window_start"]).aggregate(
-        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n"), Sum("value_fp", alias_name="sum_value_fp")
     )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value_fp"].to_numpy(dtype=np.int64) / 1e4
+        df["n"] = df["n"].astype(np.int64)
+        return df[["event_type", "window_start", "n", "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 def supplier_nation_rollup(sf_dir: str) -> "rd.Dataset":

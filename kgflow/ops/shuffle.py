@@ -60,20 +60,52 @@ def bucketed_group_reduce(
 ) -> "rd.Dataset":
     """Hash-partition ``ds`` on ``key_cols`` into ``num_buckets`` buckets
     and apply ``reduce_fn`` (a vectorized whole-bucket pandas reduction;
-    it must itself group by ``key_cols``) inside each bucket."""
+    it must itself group by ``key_cols``) inside each bucket.
+
+    Implementation note: this is a range shuffle with EXPLICIT integer
+    boundaries (one sort partition per bucket value) rather than
+    ``groupby(bucket).map_groups``.  map_groups sorts with SAMPLED
+    boundaries and one partition per input block, so any run with more
+    blocks than occupied buckets is guaranteed empty partitions — and
+    Ray's sort-merge emits those as schema-less empty pandas blocks
+    (``merge_sorted_blocks`` → ``PandasBlockBuilder._empty_table()``),
+    which caused the round-1 "RefBundle with a different schema"
+    warnings and an order-dependent schema-test flake.  With explicit
+    boundaries every partition maps to exactly one bucket value, so a
+    partition is empty only if its bucket is genuinely unoccupied
+    (possible only when distinct keys < num_buckets — tiny inputs).
+    Reduce-side parallelism is therefore exactly ``num_buckets``,
+    independent of input block count, which is also the right unit at
+    cluster scale.
+
+    Correctness of the whole-block reduce: each sort range covers one
+    bucket value and Ray's sort-reduce merges each range into a single
+    block, so a bucket never spans batches; the in-batch loop below
+    still groups by ``bucket_col`` defensively in case the executor
+    bundles several ranges into one task.
+    """
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         return add_hash_bucket(df, key_cols, num_buckets, bucket_col)
 
-    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
-        b = g[bucket_col].iloc[0]
-        out = reduce_fn(g.drop(columns=[bucket_col]))
-        if keep_bucket:
-            out[bucket_col] = b
-        return out
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b, g in df.groupby(bucket_col, sort=False):
+            out = reduce_fn(g.drop(columns=[bucket_col]))
+            if keep_bucket:
+                out[bucket_col] = b
+            outs.append(out)
+        if not outs:
+            # typed-empty input (zero-row slice): produce the reduce
+            # output schema by running reduce_fn on the empty frame.
+            out = reduce_fn(df.drop(columns=[bucket_col]))
+            if keep_bucket:
+                out[bucket_col] = pd.Series([], dtype=df[bucket_col].dtype)
+            return out
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     return (
         ds.map_batches(_bucket, batch_format="pandas")
-        .groupby(bucket_col)
-        .map_groups(_reduce, batch_format="pandas")
+        .sort(bucket_col, boundaries=list(range(1, num_buckets)))
+        .map_batches(_reduce, batch_format="pandas", batch_size=None)
     )

@@ -293,13 +293,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return lsh_topk(emb, qids, qm, k=5)
 
-    def embed_neardup(sf_dir: str):  # rows-only
+    def embed_neardup(sf_dir: str):
+        """Oracle-checked (round-1 fix: was vacuous — the driver's
+        embeddings are random, max off-diag cosine ~0.51, so no pairs at
+        any sane threshold). The query deterministically plants exact
+        duplicates (vec_id+1e6 copies of vec_id<25) on the engine AND
+        oracle side, so the LSH op must recover exactly those 25 pairs;
+        identical vectors always co-bucket, making LSH recall exact for
+        the planted set."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import ray.data as rd
 
         from kgflow.ops.dedup import embedding_neardup_pairs
 
-        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        return embedding_neardup_pairs(emb, threshold=0.95)
+        emb = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+
+        def dup_batch(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.less(t.column("vec_id"), 25))
+            return pa.table(
+                {
+                    "vec_id": pc.add(f.column("vec_id"), 1_000_000),
+                    "embedding": f.column("embedding"),
+                }
+            )
+
+        aug = emb.union(emb.map_batches(dup_batch, batch_format="pyarrow"))
+        out = embedding_neardup_pairs(aug, threshold=0.98)
+        return out.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "vec_a": np.minimum(df["vec_a"], df["vec_b"]).astype(np.int64),
+                    "vec_b": np.maximum(df["vec_a"], df["vec_b"]).astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
 
     # --- relational demos (SQL-checked)
     def q1_pricing(sf_dir: str):
@@ -423,6 +456,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "embed_neardup": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 25
+            ), s AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     list_cosine_similarity(a.embedding, b.embedding) AS cos
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b FROM s WHERE cos >= 0.98
         """,
         "ann_topk": """
             WITH q AS (

@@ -17,3 +17,33 @@ does that.
 """
 
 __version__ = "0.1.0"
+
+
+def _install_log_filters() -> None:
+    """Suppress one known-benign Ray Data warning.
+
+    Ray 2.49's pandas block sizer samples object columns and calls
+    ``np.vectorize`` on the sample (ray/data/_internal/pandas_block.py:
+    497-507); on a ZERO-ROW object column numpy raises ("cannot call
+    `vectorize` on size 0 inputs unless `otypes` is set") and Ray logs
+    the caught exception as a warning. kgflow's bucketed reduces
+    intentionally emit schema-typed zero-row frames for empty buckets
+    (see kgflow/ops/shuffle.py), which tickles that bug on every empty
+    bucket. The size estimate for an empty block is irrelevant, so the
+    warning is pure noise — filter exactly that message. Installed at
+    import time so worker processes (which import kgflow to unpickle
+    UDFs) are covered too."""
+    import logging
+
+    class _EmptyBlockSizeFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return not record.getMessage().startswith(
+                "Error calculating size for column"
+            )
+
+    logging.getLogger("ray.data._internal.pandas_block").addFilter(
+        _EmptyBlockSizeFilter()
+    )
+
+
+_install_log_filters()

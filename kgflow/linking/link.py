@@ -138,12 +138,29 @@ def candidate_pairs(
         )
 
     def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from kgflow.linking.minhash import char_shingles
+
+        # shingle sets computed ONCE per distinct mention per bucket —
+        # the verify loop is O(pairs) set intersections, not O(pairs)
+        # re-shinglings
+        cache: dict[str, set] = {}
+
+        def sh(m: str) -> set:
+            v = cache.get(m)
+            if v is None:
+                v = set(char_shingles(m).tolist())
+                cache[m] = v
+            return v
+
         src, dst = [], []
         for (_, _), grp in g.groupby(["band_id", "band_hash"], sort=False):
             ms = sorted(set(grp["norm"]))[:max_bucket]
             for i in range(len(ms)):
+                sa = sh(ms[i])
                 for j in range(i + 1, len(ms)):
-                    if jaccard(ms[i], ms[j]) >= threshold:
+                    sb = sh(ms[j])
+                    inter = len(sa & sb)
+                    if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
                         src.append(ms[i])
                         dst.append(ms[j])
         return pd.DataFrame(
@@ -195,18 +212,32 @@ def _driver_link(norm_counts: pd.DataFrame, seed: int = 42,
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    from kgflow.linking.minhash import char_shingles
+
+    sh_cache: dict[str, set] = {}
+
+    def sh(m: str) -> set:
+        v = sh_cache.get(m)
+        if v is None:
+            v = set(char_shingles(m).tolist())
+            sh_cache[m] = v
+        return v
+
     seen: set[tuple[str, str]] = set()
     for ms in buckets.values():
         if len(ms) < 2:
             continue
         ms = sorted(set(ms))[:200]
         for i in range(len(ms)):
+            sa = sh(ms[i])
             for j in range(i + 1, len(ms)):
                 key = (ms[i], ms[j])
                 if key in seen:
                     continue
                 seen.add(key)
-                if jaccard(ms[i], ms[j]) >= threshold:
+                sb = sh(ms[j])
+                inter = len(sa & sb)
+                if inter and inter / (len(sa) + len(sb) - inter) >= threshold:
                     union(ms[i], ms[j])
     clusters: dict[str, list[str]] = {}
     for m in norms:
@@ -235,41 +266,55 @@ def entity_map(
     One row per observed surface mention; ``entity_id`` is shared by all
     aliases of one linked entity.
 
-    ``mode``: "driver" finishes counting + linking locally over the
-    combiner's partial rows (vocabulary-bounded — the corpus-scale pass
-    is the distributed per-batch combiner in ``mention_partials``);
-    "distributed" runs the full salted two-phase mention-count reduce,
-    groupby-shuffle LSH blocking, and iterated-groupby connected
-    components; "auto" picks driver-side while the distinct-mention
-    count is under ``driver_side_limit``.
+    ``mode``: "driver" reduces the combiner partials to the
+    vocabulary-bounded (mention, norm, n) table with ONE distributed
+    bucketed shuffle and finishes linking locally over that table;
+    "distributed" additionally runs the groupby-shuffle LSH blocking and
+    iterated-groupby connected components; "auto" picks driver-side
+    while the distinct-mention count is under ``driver_side_limit``.
+
+    Scale note (round-1 fix): the auto/driver decision and the driver
+    pull both happen AFTER the distributed surface-count reduce, so the
+    driver only ever sees the vocabulary-bounded reduced table — never
+    the raw combiner partials, whose row count grows with
+    (#batches × distinct-mentions-per-batch), i.e. with corpus size.
     """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
     def add_norm(batch: pa.Table) -> pa.Table:
         norms = [normalize_mention(m) for m in batch.column("mention").to_pylist()]
         return batch.append_column("norm", pa.array(norms, pa.string()))
 
+    surface_counts = None
     if mode != "distributed":
-        # the per-batch combiner alone shrinks the corpus to
-        # (#batches × distinct-mentions-per-batch) partial rows — small
-        # enough to decide the path (and, on the driver path, to finish
-        # the count locally without ANY distributed shuffle)
-        partial_df = (
-            mention_partials(triples).map_batches(add_norm, batch_format="pyarrow")
-            .to_pandas()
+        # distributed reduce of the combiner partials → one row per
+        # distinct surface mention (norm is a pure function of mention,
+        # so "first" is exact). This is the only corpus-scale shuffle on
+        # the driver path; its output is vocabulary-bounded.
+        partials = mention_partials(triples).map_batches(
+            add_norm, batch_format="pyarrow"
         )
+        surface_counts = bucketed_group_reduce(
+            partials.select_columns(["mention", "norm", "n"]),
+            key_cols=["mention"],
+            reduce_fn=lambda g: g.groupby("mention", as_index=False).agg(
+                norm=("norm", "first"), n=("n", "sum")
+            ),
+        ).materialize()
         if mode == "auto":
+            # distributed distinct count — no rows touch the driver yet
             mode = (
                 "driver"
-                if partial_df["mention"].nunique() <= driver_side_limit
+                if surface_counts.count() <= driver_side_limit
                 else "distributed"
             )
 
     if mode == "driver":
-        # small-side path: the remaining counting/linking runs in local
-        # pandas — every extra Ray job on a vocabulary-sized table costs
-        # seconds of scheduling for no parallelism gain
-        sdf = partial_df.groupby(["mention", "norm"], as_index=False).agg(
-            n=("n", "sum")
-        )
+        # small-side path: linking runs in local pandas over the
+        # vocabulary-bounded table — every extra Ray job on a
+        # vocabulary-sized table costs seconds of scheduling for no
+        # parallelism gain
+        sdf = surface_counts.to_pandas()
         norm_counts_df = sdf.groupby("norm", as_index=False).agg(n=("n", "sum"))
         canon_df = _driver_link(norm_counts_df, seed=seed)
         out = sdf.merge(canon_df, on="norm", how="left")
@@ -285,14 +330,20 @@ def entity_map(
         return rd.from_pandas(out)
 
     # distributed path: full salted mention-count reduce, then LSH
-    # blocking + iterated-groupby connected components
-    from kgflow.ops.shuffle import bucketed_group_reduce
-
-    surface = (
-        mention_counts(triples)
-        .map_batches(add_norm, batch_format="pyarrow")
-        .materialize()
-    )
+    # blocking + iterated-groupby connected components. All joins below
+    # are bucketed shuffle joins with VECTORIZED in-bucket pandas merges
+    # (round-1 fix: the previous per-group map_groups joins paid the
+    # measured ~40x per-group overhead this module's own docstring warns
+    # about).
+    if surface_counts is None:
+        # explicit distributed mode skipped the auto-path reduce above;
+        # use the salted two-phase count (hot-key safe at corpus scale)
+        surface_counts = (
+            mention_counts(triples)
+            .map_batches(add_norm, batch_format="pyarrow")
+            .materialize()
+        )
+    surface = surface_counts
     norm_counts = bucketed_group_reduce(
         surface.select_columns(["norm", "n"]),
         key_cols=["norm"],
@@ -309,24 +360,8 @@ def entity_map(
     )
     comp = connected_components(pairs.union(selfloops))  # (node=norm, comp)
 
-    # canonical per component: highest count, ties lexicographic
-    def pick_canonical(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "node"], ascending=[False, True])
-        canonical = g["node"].iloc[0]
-        return pd.DataFrame(
-            {
-                "norm": g["node"],
-                "canonical": [canonical] * len(g),
-                "entity_id": np.int64(np.uint64(fnv64(canonical)) >> np.uint64(1)),
-            }
-        )
-
-    def attach_counts(g: pd.DataFrame) -> pd.DataFrame:
-        # group = one norm's count row + its comp row
-        n = int(g["n"].dropna().iloc[0]) if g["n"].notna().any() else 0
-        comp_v = g["comp"].dropna().iloc[0]
-        return pd.DataFrame({"node": [g["node"].iloc[0]], "comp": [comp_v], "n": [n]})
-
+    # (node, comp) ⨝ (node=norm, n): one bucketed shuffle on node,
+    # vectorized merge per bucket
     nc = norm_counts.map_batches(
         lambda df: pd.DataFrame(
             {"node": df["norm"], "comp": [None] * len(df), "n": df["n"]}
@@ -339,13 +374,48 @@ def entity_map(
         ),
         batch_format="pandas",
     )
-    merged = nc.union(cc_rows).groupby("node").map_groups(
-        attach_counts, batch_format="pandas"
+
+    def attach_counts_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g[g["comp"].isna()][["node", "n"]]
+        comps = g[g["n"].isna()][["node", "comp"]]
+        out = comps.merge(counts, on="node", how="left")
+        out["n"] = out["n"].fillna(0).astype(np.int64)
+        return out[["node", "comp", "n"]]
+
+    merged = bucketed_group_reduce(
+        nc.union(cc_rows), key_cols=["node"], reduce_fn=attach_counts_bucket
     )
-    canon = merged.groupby("comp").map_groups(pick_canonical, batch_format="pandas")
+
+    # canonical per component: highest count, ties lexicographic —
+    # one bucketed shuffle on comp; in-bucket: stable sort + groupby
+    # first + merge back (no per-component Python)
+    def pick_canonical_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["comp", "n", "node"], ascending=[True, False, True], kind="mergesort"
+        )
+        firsts = (
+            g.groupby("comp", as_index=False)
+            .first()[["comp", "node"]]
+            .rename(columns={"node": "canonical"})
+        )
+        firsts["entity_id"] = firsts["canonical"].map(
+            lambda c: np.int64(np.uint64(fnv64(c)) >> np.uint64(1))
+        )
+        out = g.merge(firsts, on="comp")
+        return pd.DataFrame(
+            {
+                "norm": out["node"],
+                "canonical": out["canonical"],
+                "entity_id": out["entity_id"].astype(np.int64),
+            }
+        )
+
+    canon = bucketed_group_reduce(
+        merged, key_cols=["comp"], reduce_fn=pick_canonical_bucket
+    )
 
     # surface (mention, norm, n) ⨝ canon (norm, canonical, entity_id):
-    # groupby-join on norm (both sides small; vocabulary-bounded)
+    # one bucketed shuffle on norm, vectorized in-bucket merge
     s_rows = surface.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -371,27 +441,22 @@ def entity_map(
         batch_format="pandas",
     )
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        canon_rows = g[g["canonical"].notna()]
-        mention_rows = g[g["mention"].notna()]
-        if len(canon_rows) == 0 or len(mention_rows) == 0:
-            return pd.DataFrame(
-                columns=["mention", "norm", "entity_id", "canonical", "n"]
-            )
-        canonical = canon_rows["canonical"].iloc[0]
-        eid = int(canon_rows["entity_id"].iloc[0])
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        mrows = g[g["mention"].notna()][["norm", "mention", "n"]]
+        crows = g[g["canonical"].notna()][["norm", "canonical", "entity_id"]]
+        out = mrows.merge(crows, on="norm", how="inner")
         return pd.DataFrame(
             {
-                "mention": mention_rows["mention"],
-                "norm": mention_rows["norm"],
-                "entity_id": np.int64(eid),
-                "canonical": canonical,
-                "n": mention_rows["n"].astype(np.int64),
+                "mention": out["mention"],
+                "norm": out["norm"],
+                "entity_id": out["entity_id"].astype(np.int64),
+                "canonical": out["canonical"],
+                "n": out["n"].astype(np.int64),
             }
         )
 
-    return s_rows.union(c_rows).groupby("norm").map_groups(
-        join_group, batch_format="pandas"
+    return bucketed_group_reduce(
+        s_rows.union(c_rows), key_cols=["norm"], reduce_fn=join_bucket
     )
 
 

@@ -57,9 +57,21 @@ def mix64_np(x: np.ndarray) -> np.ndarray:
 
 def char_shingles(s: str, k: int = 3) -> np.ndarray:
     """64-bit fingerprints of the k-char shingles of ``s`` (padded so
-    strings shorter than k still yield one shingle)."""
+    strings shorter than k still yield one shingle).
+
+    ASCII fast path: all windows are FNV-1a-hashed at once with k
+    vectorized passes over the byte array (identical output to the
+    per-shingle loop, since for ASCII the k-char window IS the k-byte
+    window). Non-ASCII strings take the exact per-shingle loop."""
     if len(s) < k:
         s = s + "\x00" * (k - len(s))
+    if s.isascii():
+        b = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.uint64)
+        n = len(b) - k + 1
+        h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ b[j : j + n]) * _FNV_PRIME
+        return np.unique(h)
     out = np.empty(len(s) - k + 1, dtype=np.uint64)
     for i in range(len(s) - k + 1):
         out[i] = fnv64(s[i : i + k])

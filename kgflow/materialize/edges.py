@@ -91,16 +91,24 @@ def dedup_edges(canon: "rd.Dataset", num_buckets: int = 16) -> "rd.Dataset":
 
 
 def nodes_table(emap_ds: "rd.Dataset") -> "rd.Dataset":
-    """entity_map → nodes(entity_id, canonical, aliases list, n_mentions)."""
+    """entity_map → nodes(entity_id, canonical, aliases list, n_mentions).
 
-    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "entity_id": [int(g["entity_id"].iloc[0])],
-                "canonical": [g["canonical"].iloc[0]],
-                "aliases": [sorted(set(g["mention"]))],
-                "n_mentions": [int(g["n"].sum())],
-            }
+    One bucketed shuffle on entity_id; the in-bucket reduction is a
+    single pandas groupby (C hash aggregation) rather than a Ray
+    map_groups task per entity (round-1 fix — see the measured 40x note
+    in kgflow/ops/shuffle.py)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def reduce_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("entity_id", as_index=False).agg(
+            canonical=("canonical", "first"),
+            aliases=("mention", lambda s: sorted(set(s))),
+            n_mentions=("n", "sum"),
         )
+        out["entity_id"] = out["entity_id"].astype(np.int64)
+        out["n_mentions"] = out["n_mentions"].astype(np.int64)
+        return out
 
-    return emap_ds.groupby("entity_id").map_groups(per_entity, batch_format="pandas")
+    return bucketed_group_reduce(
+        emap_ds, key_cols=["entity_id"], reduce_fn=reduce_nodes
+    )

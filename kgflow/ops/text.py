@@ -158,13 +158,17 @@ def rolling_fingerprint(docs: "rd.Dataset", window: int = 16) -> "rd.Dataset":
     B = np.uint64(1099511628211)
 
     def f(batch: pa.Table) -> pa.Table:
+        # token hashes repeat heavily within a batch — memoize per batch
+        cache: dict = {}
         out = np.zeros(batch.num_rows, dtype=np.uint64)
         for i, t in enumerate(batch.column("text").to_pylist()):
             toks = re.findall(_WORD_RE, t)
             if not toks:
                 continue
             hs = np.fromiter(
-                (hash_token(w) for w in toks), dtype=np.uint64, count=len(toks)
+                (cache.setdefault(w, hash_token(w)) for w in toks),
+                dtype=np.uint64,
+                count=len(toks),
             )
             if len(hs) < window:
                 acc = np.uint64(0)

@@ -136,8 +136,19 @@ def build_kg(
     hashes = lineage_hashes(cfg)
     files = _input_files(pages_path)
 
+    def done_under_current_config(phase: str) -> set:
+        # resume safety: a committed partition only counts as done if it
+        # was built under the SAME lineage (vocab/model hashes,
+        # max_seq_length, seed) — resuming after a config change must
+        # rebuild, not silently mix two configs in one output
+        return {
+            p
+            for p, rec in man.committed(phase).items()
+            if rec.get("lineage") == hashes
+        }
+
     # ---- phase A: extract per shard ------------------------------------
-    done = man.committed("extract")
+    done = done_under_current_config("extract")
     n_new = 0
     for shard in range(shards):
         part = f"shard={shard}"
@@ -173,7 +184,7 @@ def build_kg(
     triples = rd.read_parquet(os.path.join(out_dir, "triples"))
 
     # ---- phase B: entity linking ---------------------------------------
-    if "entity_map" not in man.committed("link"):
+    if "entity_map" not in done_under_current_config("link"):
         emap = entity_map(triples, seed=cfg.seed)
         tmp = os.path.join(out_dir, f"_tmp_emap_{os.getpid()}")
         emap.write_parquet(tmp)
@@ -183,7 +194,7 @@ def build_kg(
     emap_ds = rd.read_parquet(os.path.join(out_dir, "entity_map"))
 
     # ---- phase C: canonical edges + nodes ------------------------------
-    if "edges" not in man.committed("materialize"):
+    if "edges" not in done_under_current_config("materialize"):
         import ray
 
         emap_ref = ray.put(emap_ds.to_pandas())
@@ -200,7 +211,7 @@ def build_kg(
         man.commit(
             "materialize", "edges", lineage=hashes, metrics={"buckets": num_buckets}
         )
-    if "nodes" not in man.committed("materialize"):
+    if "nodes" not in done_under_current_config("materialize"):
         nodes = nodes_table(emap_ds)
         tmp = os.path.join(out_dir, f"_tmp_nodes_{os.getpid()}")
         nodes.write_parquet(tmp)

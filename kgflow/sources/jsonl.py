@@ -62,23 +62,87 @@ def parse_examples_batch(batch: pa.Table) -> pa.Table:
 def read_examples(path: str) -> "rd.Dataset":
     """JSONL file(s) → Dataset(text_id, text, spo).
 
-    ``text_id`` is the global line number (the reference numbers
-    examples sequentially, `data/utils.py:320-330`); computed as a
-    zipped row index so it is stable across block boundaries.
+    ``text_id`` is a TRUE global sequential example number (the
+    reference numbers examples sequentially, `data/utils.py:320-330`) —
+    unique and contiguous across files and blocks (round-1 fix: the old
+    per-block index restarted at 0 in every block). Construction:
+
+    1. each file is parsed in one task with per-file local example ids
+       (files are the parallelism unit — JSONL golden corpora are
+       file-sharded);
+    2. a file-count-sized groupby yields per-file example counts, from
+       which the driver computes prefix-sum offsets in lexicographic
+       path order (deterministic; the file list is small even when the
+       data is not);
+    3. a broadcast map adds ``offset[path] + local_id``.
+
+    The corpus is read once; the parsed dataset is pinned in the object
+    store across the two consumers.
     """
-    lines = rd.read_text(path)
-    # read_text yields a "text" column; attach line ids
-    ds = lines.map_batches(
-        lambda t: t.rename_columns(["line"]), batch_format="pyarrow"
-    )
-    # global sequential id: zip_with_index equivalent
-    ds = ds.map_batches(
-        lambda t: t.append_column("line_id", pa.array(range(t.num_rows), pa.int64())),
-        batch_format="pyarrow",
-    )
-    # NOTE: per-block ids restart at 0; re-key with a window offset when
-    # strict global numbering matters (tests use single-block inputs).
-    return ds.map_batches(parse_examples_batch, batch_format="pyarrow")
+    files = rd.read_binary_files(path, include_paths=True)
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        paths, lids, texts, spos = [], [], [], []
+        for p, raw in zip(
+            batch.column("path").to_pylist(), batch.column("bytes").to_pylist()
+        ):
+            local = 0
+            for line in raw.decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                try:
+                    item = json.loads(line)
+                    text = item["text"]
+                    spo = [
+                        {
+                            "subject": t["subject"],
+                            "predicate": t["predicate"],
+                            "object": t["object"],
+                        }
+                        for t in item.get("spo_list", [])
+                    ]
+                except (json.JSONDecodeError, KeyError, TypeError):
+                    continue
+                paths.append(p)
+                lids.append(local)
+                texts.append(text)
+                spos.append(spo)
+                local += 1
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "local_id": pa.array(lids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "spo": pa.array(spos, SPO_TYPE),
+            }
+        )
+
+    parsed = files.map_batches(parse_file, batch_format="pyarrow").materialize()
+    counts = parsed.groupby("path").count().to_pandas()  # file-count-sized
+    counts = counts.sort_values("path").reset_index(drop=True)
+    offsets: dict[str, int] = {}
+    acc = 0
+    for p, n in zip(counts["path"], counts["count()"]):
+        offsets[p] = acc
+        acc += int(n)
+    # plain closure (no actor pool): the offsets dict is file-count-sized
+    # and ships with the task like any broadcast small side
+    def add_offset(t: pa.Table) -> pa.Table:
+        off = [offsets[p] for p in t.column("path").to_pylist()]
+        tid = pa.array(
+            [o + int(l) for o, l in zip(off, t.column("local_id").to_pylist())],
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "text_id": tid,
+                "text": t.column("text"),
+                "spo": t.column("spo"),
+            },
+            schema=EXAMPLES_SCHEMA,
+        )
+
+    return parsed.map_batches(add_offset, batch_format="pyarrow")
 
 
 def read_rel2id(path: str) -> dict[str, int]:

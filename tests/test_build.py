@@ -71,3 +71,17 @@ def test_rerun_is_noop(fixture_dir, tmp_path):
     build_kg(fixture_dir, out, cfg, shards=2)  # fully committed → no new work
     n_commits2 = len(open(os.path.join(out, "_manifest", "commits.jsonl")).readlines())
     assert n_commits2 == n_commits
+
+    # resuming under a DIFFERENT config must NOT skip committed shards:
+    # lineage hashes differ, so every phase rebuilds (no silent mixing
+    # of two configs in one output)
+    cfg2 = KgConfig(max_seq_length=cfg.max_seq_length + 16)
+    build_kg(fixture_dir, out, cfg2, shards=2)
+    commits = [
+        json.loads(l)
+        for l in open(os.path.join(out, "_manifest", "commits.jsonl"))
+    ]
+    extract = [c for c in commits if c["phase"] == "extract"]
+    assert len(extract) == 4  # 2 original + 2 rebuilt under cfg2
+    lineages = {json.dumps(c["lineage"], sort_keys=True) for c in extract}
+    assert len(lineages) == 2

@@ -184,3 +184,27 @@ def test_jsonl_source(ray_session, tmp_path):
     write_rel2id(str(rp))
     m = read_rel2id(str(rp))
     assert m == REL2ID
+
+
+def test_jsonl_global_text_ids_across_files(ray_session, tmp_path):
+    """text_id must be globally unique and sequential across multiple
+    input files/blocks (round-1 fix: per-block ids restarted at 0)."""
+    from kgflow.sources.jsonl import read_examples
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    n_per = [5, 3, 7]
+    for fi, n in enumerate(n_per):
+        lines = [
+            json.dumps({"text": f"file {fi} line {i}", "spo_list": []})
+            for i in range(n)
+        ]
+        (d / f"part-{fi}.json").write_text("\n".join(lines))
+    rows = read_examples(str(d)).take_all()
+    ids = sorted(r["text_id"] for r in rows)
+    assert ids == list(range(sum(n_per)))  # unique, contiguous, global
+    # per-file blocks preserve in-file order under the path-sorted offset
+    by_id = {r["text_id"]: r["text"] for r in rows}
+    assert by_id[0] == "file 0 line 0"
+    assert by_id[5] == "file 1 line 0"
+    assert by_id[8] == "file 2 line 0"

@@ -99,6 +99,55 @@ def test_distributed_equals_driver_path(fixture_dir):
     assert list(ga["entity_id"]) == list(gb["entity_id"])
 
 
+def test_distributed_path_at_50k_mentions(ray_session):
+    """Scale guard for the distributed linking path: ≥50k distinct
+    mentions must link via mode="distributed" within a fixed time budget
+    and agree exactly with the driver-side union-find path. Catches
+    regressions to per-group Python joins (the round-1 scale-killer)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 26_000  # 2 mentions per row -> 52k distinct surfaces
+
+    def rand_mentions(count: int) -> list:
+        # realistic vocabulary: two random 8-letter words per mention, so
+        # unrelated mentions share few shingles and LSH buckets stay small
+        arr = rng.integers(0, 26, size=(count, 2, 8))
+        return [
+            "".join(chr(97 + c) for c in row[0])
+            + " "
+            + "".join(chr(97 + c) for c in row[1])
+            for row in arr
+        ]
+
+    base = rand_mentions(n)
+    # ~10% typo aliases of another mention (linkable pairs)
+    subs = list(base)
+    for i in range(0, n, 10):
+        subs[i] = base[(i + 1) % n] + base[(i + 1) % n][-1]
+    objs = rand_mentions(n)
+    triples = rd.from_pandas(
+        pd.DataFrame({"subj": subs, "obj": objs})
+    ).repartition(16).materialize()
+
+    t0 = time.monotonic()
+    dist = entity_map(triples, mode="distributed").to_pandas()
+    dist_s = time.monotonic() - t0
+    drv = entity_map(triples, mode="driver").to_pandas()
+
+    assert len(dist) >= 50_000
+    a = drv.sort_values("mention").reset_index(drop=True)
+    b = dist.sort_values("mention").reset_index(drop=True)
+    assert list(a["mention"]) == list(b["mention"])
+    assert list(a["canonical"]) == list(b["canonical"])
+    assert list(a["entity_id"]) == list(b["entity_id"])
+    # generous bound on the 4-CPU test session; the per-group map_groups
+    # version of this path took minutes at this size
+    assert dist_s < 180, f"distributed linking took {dist_s:.1f}s"
+
+
 def test_entity_map_matches_gold_clusters(fixture_dir):
     triples = triples_ds(fixture_dir).materialize()
     emap = entity_map(triples).to_pandas()

@@ -158,20 +158,42 @@ def run_scaling() -> dict:
 
     pair = os.environ.get("KGFLOW_SCALE_PAIR", "8,32").split(",")
     lo_n, hi_n = int(pair[0]), int(pair[1])
-    lo = run(lo_n)
-    hi = run(hi_n)
-    thru_lo = lo["rows"]["kg_edges"] and lo["rows"]["kg_triples"] / lo["value"]
-    thru_hi = hi["rows"]["kg_edges"] and hi["rows"]["kg_triples"] / hi["value"]
-    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    # ≥2 legs: median is the headline (best-of-N supplementary) — this
+    # host's ≥8-core legs vary up to ~30% run-to-run, so a single leg
+    # (or best-of-N alone) overstates confidence. Legs alternate between
+    # levels so both levels sample the same noise windows.
+    legs = max(1, int(os.environ.get("KGFLOW_SCALE_LEGS", "1")))
+    lo_runs, hi_runs = [], []
+    for _ in range(legs):
+        lo_runs.append(run(lo_n))
+        hi_runs.append(run(hi_n))
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+    lo_secs = [r["value"] for r in lo_runs]
+    hi_secs = [r["value"] for r in hi_runs]
+    lo, hi = lo_runs[0], hi_runs[0]
+    med_lo, med_hi = med(lo_secs), med(hi_secs)
+    best_lo, best_hi = min(lo_secs), min(hi_secs)
+    eff_med = (med_lo / med_hi) / (hi_n / lo_n)
+    eff_best = (best_lo / best_hi) / (hi_n / lo_n)
+    n_triples = lo["rows"]["kg_triples"]
     return {
         "sf": lo["sf"],
-        f"sec_{lo_n}": lo["value"],
-        f"sec_{hi_n}": hi["value"],
-        f"triples_per_sec_{lo_n}": round(thru_lo, 1),
-        f"triples_per_sec_{hi_n}": round(thru_hi, 1),
-        "scaling_efficiency": round(eff, 3),
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        "legs": legs,
+        f"sec_{lo_n}": med_lo,
+        f"sec_{hi_n}": med_hi,
+        f"sec_{lo_n}_all": lo_secs,
+        f"sec_{hi_n}_all": hi_secs,
+        f"triples_per_sec_{lo_n}": round(n_triples / med_lo, 1),
+        f"triples_per_sec_{hi_n}": round(n_triples / med_hi, 1),
+        "scaling_efficiency": round(eff_med, 3),  # MEDIAN = headline
+        "scaling_efficiency_best": round(eff_best, 3),
+        f"queries_{lo_n}": lo["queries"],
+        f"queries_{hi_n}": hi["queries"],
     }
 
 

@@ -1,4 +1,5 @@
-"""Per-worker-process singletons for tokenizer and stub models.
+"""Per-worker-process singletons for tokenizer and models, with a
+pluggable backend.
 
 Stages that run as stateless Ray TASKS (tokenize, fan-out) still need the
 tokenizer; building it per batch would repeat setup work, and shipping it
@@ -6,6 +7,13 @@ in every closure would re-serialize it. Instead each worker process
 builds it once via these cached getters (the task-equivalent of doing
 setup in an actor's ``__init__``). Actor stages keep using their
 ``__init__`` directly.
+
+Backend swap: the default backend is the deterministic stub pair
+(`kgflow/fixtures/stub_model.py`); a deployment with torch installed
+calls ``kgflow.adapters.hf.use_hf_backend(...)`` (which calls
+``set_backend``) to route these getters to real HF BERT models behind
+the identical duck-typed surface. ``set_backend`` clears the caches so
+stages built afterwards pick up the new models.
 """
 
 from __future__ import annotations
@@ -15,17 +23,35 @@ from functools import lru_cache
 from kgflow.fixtures.stub_model import StubNerModel, StubRelModel
 from kgflow.stages.tokenize import SimpleTokenizer
 
+_tokenizer_factory = SimpleTokenizer
+_rel_factory = StubRelModel
+_ner_factory = StubNerModel
+
+
+def set_backend(tokenizer_factory, rel_factory, ner_factory) -> None:
+    """Replace the model backend (see module docstring). Factories:
+    ``tokenizer_factory() -> tokenizer``,
+    ``rel_factory(tokenizer, seed) -> rel model``,
+    ``ner_factory(tokenizer, seed) -> ner model``."""
+    global _tokenizer_factory, _rel_factory, _ner_factory
+    _tokenizer_factory = tokenizer_factory
+    _rel_factory = rel_factory
+    _ner_factory = ner_factory
+    get_tokenizer.cache_clear()
+    get_rel_model.cache_clear()
+    get_ner_model.cache_clear()
+
 
 @lru_cache(maxsize=1)
-def get_tokenizer() -> SimpleTokenizer:
-    return SimpleTokenizer()
+def get_tokenizer():
+    return _tokenizer_factory()
 
 
 @lru_cache(maxsize=4)
-def get_rel_model(seed: int = 42) -> StubRelModel:
-    return StubRelModel(get_tokenizer(), seed)
+def get_rel_model(seed: int = 42):
+    return _rel_factory(get_tokenizer(), seed)
 
 
 @lru_cache(maxsize=4)
-def get_ner_model(seed: int = 42) -> StubNerModel:
-    return StubNerModel(get_tokenizer(), seed)
+def get_ner_model(seed: int = 42):
+    return _ner_factory(get_tokenizer(), seed)

@@ -293,6 +293,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         return lsh_topk(emb, qids, qm, k=5)
 
+    def ann_ivf_topk(sf_dir: str):  # approximate (nprobe<C) → rows-only
+        import ray.data as rd
+
+        from kgflow.ops.ann import ivf_topk
+
+        qids, qm = _queries_for(sf_dir)
+        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ivf_topk(emb, qids, qm, k=5, n_centroids=16, nprobe=4)
+
     def embed_neardup(sf_dir: str):
         """Oracle-checked (round-1 fix: was vacuous — the driver's
         embeddings are random, max off-diag cosine ~0.51, so no pairs at
@@ -414,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": doc_dup_clusters,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "embed_neardup": embed_neardup,
         "q1_pricing": q1_pricing,
         "top_customers": top_customers,

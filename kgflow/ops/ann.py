@@ -9,8 +9,6 @@ candidate buckets; recall < 1 traded for bucket-local work).
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -73,21 +71,32 @@ def brute_force_topk(
         concurrency=(1, 4),
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        qid = int(g["query_id"].iloc[0])
-        rows = list(zip(g["cos"], g["neighbor_id"]))
+    # tiny merge: the partial stream is (#batches × Q × k) rows; one
+    # bucketed shuffle on query_id with a vectorized in-bucket sort+head
+    # (same tie order as heapq.nlargest on (cos, neighbor_id): cos desc,
+    # then neighbor_id desc)
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
-            rows = [r for r in rows if int(r[1]) != qid]
-        top = heapq.nlargest(k, rows)
-        return pd.DataFrame(
-            {
-                "query_id": [qid] * len(top),
-                "neighbor_id": [int(n) for _, n in top],
-                "cos": [float(c) for c, _ in top],
-            }
+            g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(
+            ["query_id", "cos", "neighbor_id"],
+            ascending=[True, False, False],
+            kind="mergesort",
         )
+        out = g.groupby("query_id", as_index=False, sort=False).head(k)
+        return out[["query_id", "neighbor_id", "cos"]].reset_index(drop=True)
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    # few buckets on purpose: the merge input is tiny and with Q query
+    # keys the chance every bucket is occupied (no schema-less empty
+    # partitions from Ray's sort-merge) is ~1-2^-(Q-1) at 2 buckets
+    return bucketed_group_reduce(
+        partial,
+        key_cols=["query_id"],
+        reduce_fn=merge_bucket,
+        num_buckets=2 if len(query_ids) <= 16 else 8,
+    )
 
 
 def lsh_topk(
@@ -145,6 +154,82 @@ def lsh_topk(
 
     filtered = emb.select_columns(["vec_id", "embedding"]).map_batches(
         Filter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return brute_force_topk(
+        filtered, query_ids, query_matrix, k=k, exclude_self=exclude_self
+    )
+
+
+def _kmeans_unit(X: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means over unit vectors (numpy; the
+    coarse quantizer for IVF). Returns [n_centroids, dim] unit rows."""
+    rng = np.random.RandomState(seed)
+    X = _unit(np.asarray(X, dtype=np.float32))
+    idx = rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _unit(C)
+    return C
+
+
+def ivf_topk(
+    emb: "rd.Dataset",
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2000,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> "rd.Dataset":
+    """IVF ANN: spherical-k-means coarse quantizer (trained once on a
+    bounded sample, broadcast), per-batch centroid assignment (one
+    [B, dim] x [dim, C] matmul), and a probe filter that keeps only
+    vectors whose centroid is among some query's ``nprobe`` closest
+    centroids; the survivors go through the brute-force partial-top-k +
+    tiny merge. ``nprobe == n_centroids`` degrades to exact brute force
+    (property-tested); smaller ``nprobe`` trades recall for scan size.
+    At corpus scale the scan shrinks from |corpus| to the probed
+    partitions (classic IVF-Flat layout, centroid id doubling as the
+    storage partition key)."""
+    sample = (
+        emb.select_columns(["embedding"]).limit(sample_size).to_pandas()
+    )
+    C = _kmeans_unit(
+        np.asarray(list(sample["embedding"]), dtype=np.float32),
+        n_centroids,
+        seed=seed,
+    )
+    Qm = _unit(np.asarray(query_matrix, dtype=np.float32))
+    probe_sim = Qm @ C.T  # [Q, C]
+    nprobe = min(nprobe, C.shape[0])
+    probed = set()
+    for qi in range(len(Qm)):
+        top = np.argpartition(-probe_sim[qi], nprobe - 1)[:nprobe]
+        probed.update(int(c) for c in top)
+    ref = ray.put((C, probed))
+
+    class ProbeFilter:
+        def __init__(self):
+            self.C, self.probed = ray.get(ref)
+            self.mask = np.zeros(len(self.C), dtype=bool)
+            self.mask[list(self.probed)] = True
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+            if len(M) == 0:
+                return batch
+            assign = np.argmax(_unit(M) @ self.C.T, axis=1)
+            return batch.filter(pa.array(self.mask[assign]))
+
+    filtered = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        ProbeFilter, batch_format="pyarrow", concurrency=(1, 4)
     )
     return brute_force_topk(
         filtered, query_ids, query_matrix, k=k, exclude_self=exclude_self

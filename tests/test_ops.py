@@ -115,6 +115,27 @@ def test_ann_lsh_recall():
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_ann_ivf_exact_when_probing_everything_and_recall_when_not():
+    from kgflow.ops.ann import brute_force_topk, ivf_topk
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.asarray(list(emb["embedding"]), dtype=np.float32)
+    qids = emb["vec_id"].to_numpy()[:5].tolist()
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(ds, qids, M[:5], k=5).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+
+    # nprobe == n_centroids probes every partition → exact brute force
+    full = ivf_topk(ds, qids, M[:5], k=5, n_centroids=8, nprobe=8).to_pandas()
+    f = set(zip(full["query_id"], full["neighbor_id"]))
+    assert f == e
+
+    # small nprobe: approximate with useful recall
+    approx = ivf_topk(ds, qids, M[:5], k=5, n_centroids=8, nprobe=3).to_pandas()
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.5
+
+
 def test_embedding_neardup_self_consistent():
     from kgflow.ops.dedup import embedding_neardup_pairs
 

@@ -206,6 +206,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
         )
 
+    # --- training lifecycle (run_seq.sh / run_ner.sh analogues;
+    # data-parallel gradient descent on the engine, torch-free stand-in
+    # models — see kgflow/train/seq.py). Rows-only: 1 summary row each.
+    def train_seq(sf_dir: str):
+        from kgflow.train.seq import train_and_eval_seq
+
+        return train_and_eval_seq(_gold_corpus(sf_dir), epochs=30)
+
+    def train_ner(sf_dir: str):
+        from kgflow.train.seq import train_and_eval_ner
+
+        return train_and_eval_ner(_gold_corpus(sf_dir), epochs=15)
+
     # --- text ops over documents (SQL-checked unless noted)
     def doc_exact_dedup(sf_dir: str):
         from kgflow.ops.text import exact_dedup
@@ -411,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feat_ner": feat_ner,
         "feat_interactive": feat_interactive,
         "feat_diagnostics": feat_diagnostics,
+        "train_seq": train_seq,
+        "train_ner": train_ner,
         "doc_exact_dedup": doc_exact_dedup,
         "doc_lang_counts": doc_lang_counts,
         "doc_token_counts": doc_token_counts,

@@ -1,0 +1,79 @@
+"""Training-lifecycle tests (run_seq.sh / run_ner.sh analogues):
+data-parallel gradient descent must reduce the loss and reach the
+quality gate on the fixture (SURVEY.md §3.1-3.2; torch-free stand-in
+models, same lifecycle shape as the reference trainers)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from kgflow.fixtures.pages import ensure_pages
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    pages = ensure_pages(400)
+    gold = rd.read_parquet(os.path.join(pages, "gold_spo.parquet"))
+
+    def to_examples(batch: pa.Table) -> pa.Table:
+        from kgflow.linking.minhash import fnv64
+
+        tid = [
+            fnv64(f"{u}#{int(s)}") & 0x7FFFFFFFFFFFFFFF
+            for u, s in zip(
+                batch.column("url").to_pylist(), batch.column("sent_id").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "text_id": pa.array(tid, pa.int64()),
+                "text": batch.column("text"),
+                "spo": batch.column("spo"),
+            }
+        )
+
+    return gold.map_batches(to_examples, batch_format="pyarrow").materialize()
+
+
+def test_seq_training_converges_to_perfect_prf(corpus):
+    from kgflow.train.seq import train_and_eval_seq
+
+    df = train_and_eval_seq(corpus, epochs=30)
+    row = df.iloc[0]
+    assert row["loss_last4"] < row["loss_first4"] * 0.2  # loss dropped ≥5x
+    # trigger tokens separate the fixture perfectly → exact P/R
+    assert row["p4"] == 10000 and row["r4"] == 10000
+
+
+def test_seq_training_deterministic(corpus):
+    from kgflow.train.seq import train_and_eval_seq
+
+    a = train_and_eval_seq(corpus, epochs=5).iloc[0]
+    b = train_and_eval_seq(corpus, epochs=5).iloc[0]
+    # same seed + same data -> same first-epoch loss (scaled int compare;
+    # the gradient reduce is a float sum over batch rows, so this also
+    # guards against nondeterministic batch partitioning effects at 1e-4)
+    assert a["loss_first4"] == b["loss_first4"]
+
+
+def test_ner_training_beats_majority_baseline(corpus):
+    from kgflow.stages.features import make_ner_features_fn
+    from kgflow.train.seq import train_and_eval_ner
+
+    # majority baseline: fraction of the most common tag over attended
+    # positions
+    import numpy as np
+
+    feats = corpus.map_batches(
+        make_ner_features_fn(), batch_format="pyarrow"
+    ).to_pandas()
+    all_tags = np.concatenate([np.asarray(t) for t in feats["label_ids_ner"]])
+    all_tags = all_tags[all_tags >= 0]
+    majority = np.bincount(all_tags).max() / len(all_tags)
+
+    df = train_and_eval_ner(corpus, epochs=15)
+    row = df.iloc[0]
+    assert row["loss_last4"] < row["loss_first4"]
+    assert row["acc4"] / 1e4 > majority + 0.05, (row["acc4"], majority)

@@ -411,6 +411,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         media = rd.from_arrow(synth_media_table(200))
         return audio_features(media)
 
+    def media_video_features(sf_dir: str):
+        import ray.data as rd
+
+        from kgflow.ops.multimodal import synth_media_table, video_frame_features
+
+        media = rd.from_arrow(synth_media_table(200))
+        return video_frame_features(media)
+
     return {
         "kg_sentences": kg_sentences,
         "kg_triples": kg_triples,
@@ -446,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_rollup": supplier_rollup,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
+        "media_video_features": media_video_features,
     }
 
 
@@ -455,7 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_exact_dedup": """
-            SELECT text,
+            SELECT md5(text) AS fp,
                    min(doc_id) AS first_doc_id,
                    count(*) AS n
             FROM documents GROUP BY text

@@ -25,31 +25,61 @@ _WORD_RE = r"\w+"
 _PUNCT_RE = r"[.!?,;:]"
 
 
-def exact_dedup(docs: "rd.Dataset") -> "rd.Dataset":
+def exact_dedup(docs: "rd.Dataset", output: str = "fp") -> "rd.Dataset":
     """Distinct texts with first doc_id + multiplicity.
 
     Hash-partition + per-group first (SURVEY.md §2.8): per-batch
     combiner (one row per distinct text per batch) then one groupby
-    shuffle. Output: text, first_doc_id, n.
-    """
+    shuffle.
 
+    ``output="fp"`` (scale default, round-2): the combiner replaces each
+    distinct text with its md5 digest, so the shuffle ships 32-char
+    fingerprints instead of full document bytes — at web scale the
+    exchange shrinks by the mean document length / 32. Grouping by md5
+    is exact for all practical purposes (2^-64 birthday bound at 10^12
+    docs). Output: fp, first_doc_id, n.
+
+    ``output="text"`` keeps the full text as key AND payload (the
+    round-1 layout) for consumers that need the surviving text inline.
+    """
     from kgflow.ops.shuffle import bucketed_group_reduce
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("text", as_index=False).agg(
-            first_doc_id=("doc_id", "min"), n=("doc_id", "size")
-        )
+    if output == "fp":
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("text", as_index=False).agg(
-            first_doc_id=("first_doc_id", "min"), n=("n", "sum")
-        )
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("text", as_index=False).agg(
+                first_doc_id=("doc_id", "min"), n=("doc_id", "size")
+            )
+            g["fp"] = [
+                hashlib.md5(t.encode("utf-8")).hexdigest() for t in g["text"]
+            ]
+            return g[["fp", "first_doc_id", "n"]]
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("fp", as_index=False).agg(
+                first_doc_id=("first_doc_id", "min"), n=("n", "sum")
+            )
+
+        key = ["fp"]
+    else:
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("text", as_index=False).agg(
+                first_doc_id=("doc_id", "min"), n=("doc_id", "size")
+            )
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("text", as_index=False).agg(
+                first_doc_id=("first_doc_id", "min"), n=("n", "sum")
+            )
+
+        key = ["text"]
 
     return bucketed_group_reduce(
         docs.select_columns(["doc_id", "text"]).map_batches(
             partial, batch_format="pandas"
         ),
-        key_cols=["text"],
+        key_cols=key,
         reduce_fn=final,
     )
 

@@ -17,13 +17,24 @@ def _ray(ray_session):
 def test_exact_dedup_crafted():
     from kgflow.ops.text import exact_dedup
 
+    import hashlib
+
     df = pd.DataFrame(
         {"doc_id": [1, 2, 3, 4], "text": ["a", "b", "a", "a"]}
     )
-    out = exact_dedup(rd.from_pandas(df)).to_pandas().sort_values("text")
+    # text layout (round-1 surface, key = full text)
+    out = exact_dedup(rd.from_pandas(df), output="text").to_pandas().sort_values("text")
     assert list(out["text"]) == ["a", "b"]
     assert list(out["first_doc_id"]) == [1, 2]
     assert list(out["n"]) == [3, 1]
+    # fingerprint layout (scale default: shuffle ships md5, not text)
+    fp = exact_dedup(rd.from_pandas(df)).to_pandas().sort_values("first_doc_id")
+    assert list(fp["fp"]) == [
+        hashlib.md5(b"a").hexdigest(),
+        hashlib.md5(b"b").hexdigest(),
+    ]
+    assert list(fp["first_doc_id"]) == [1, 2]
+    assert list(fp["n"]) == [3, 1]
 
 
 def test_token_counts_matches_regex():
@@ -156,18 +167,27 @@ def test_multimodal_plumbing():
         synth_media_table,
     )
 
+    from kgflow.ops.multimodal import video_frame_features
+
     media = rd.from_arrow(synth_media_table(60))
     imgs = image_features(media).to_pandas()
     auds = audio_features(media).to_pandas()
-    assert len(imgs) == 30 and len(auds) == 30
+    vids = video_frame_features(media, every_k=4).to_pandas()
+    assert len(imgs) == 20 and len(auds) == 20  # 60 rows cycle 3 kinds
     assert all(len(f) == 16 for f in imgs["feature"])
     assert (imgs["mean_intensity"] >= 0).all() and (imgs["mean_intensity"] <= 1).all()
     assert (auds["n_samples"] > 0).all()
+    # video: ≥1 sampled frame per video row, frame_idx stride respected
+    assert vids["media_id"].nunique() == 20
+    assert (vids["frame_idx"] % 4 == 0).all()
+    assert all(len(f) == 16 for f in vids["feature"])
     # real codecs are explicitly stubbed
-    from kgflow.ops.multimodal import DecodeImageStage
+    from kgflow.ops.multimodal import DecodeImageStage, SampleFramesStage
 
     with pytest.raises(NotImplementedError):
         DecodeImageStage()._decode(b"x", "jpeg", 1, 1)
+    with pytest.raises(NotImplementedError):
+        SampleFramesStage()._decode_frames(b"x", "h264", 1, 1, 1)
 
 
 def test_rolling_fingerprint_deterministic():

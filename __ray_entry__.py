@@ -38,9 +38,9 @@ def _pages_dir(sf_dir: str) -> str:
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from kgflow.sources.parquet import read_parquet_clean
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _floor_scale_pd(df, col, scale):
@@ -291,7 +291,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kgflow.ops.ann import brute_force_topk
 
         qids, qm = _queries_for(sf_dir)
-        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
         out = brute_force_topk(emb, qids, qm, k=5)
         # drop the float score: engines agree on top-k membership but can
         # disagree in the last ulp of the similarity value
@@ -303,7 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kgflow.ops.ann import lsh_topk
 
         qids, qm = _queries_for(sf_dir)
-        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
         return lsh_topk(emb, qids, qm, k=5)
 
     def ann_ivf_topk(sf_dir: str):  # approximate (nprobe<C) → rows-only
@@ -312,7 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kgflow.ops.ann import ivf_topk
 
         qids, qm = _queries_for(sf_dir)
-        emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
         return ivf_topk(emb, qids, qm, k=5, n_centroids=16, nprobe=4)
 
     def embed_neardup(sf_dir: str):
@@ -330,7 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from kgflow.ops.dedup import embedding_neardup_pairs
 
-        emb = rd.read_parquet(
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
             os.path.join(sf_dir, "embeddings.parquet"),
             columns=["vec_id", "embedding"],
         )

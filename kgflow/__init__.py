@@ -45,5 +45,18 @@ def _install_log_filters() -> None:
         _EmptyBlockSizeFilter()
     )
 
+    # Second known-benign warning: transform_pyarrow's schema-dedup
+    # cache hashes schemas and logs "Failed to hash the schemas (for
+    # deduplication): unhashable type: 'dict'" whenever a schema carries
+    # dict-valued metadata (e.g. pandas metadata written by parquet).
+    # Purely an optimization miss inside Ray, not a correctness signal.
+    class _SchemaHashFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return not record.getMessage().startswith("Failed to hash the schemas")
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).addFilter(_SchemaHashFilter())
+
 
 _install_log_filters()

@@ -23,7 +23,9 @@ from ray.data.aggregate import Count, Mean, Sum
 def pricing_summary(sf_dir: str) -> "rd.Dataset":
     """TPC-H Q1-style pricing summary over lineitem (column-pruned read,
     built-in distributed aggregate = partial+final under the hood)."""
-    ds = rd.read_parquet(
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_returnflag",
@@ -61,7 +63,9 @@ def top_customers(sf_dir: str, k: int = 10) -> "rd.Dataset":
         columns=["c_custkey", "c_name"],
     )
     ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
-    orders = rd.read_parquet(
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
 
@@ -72,8 +76,25 @@ def top_customers(sf_dir: str, k: int = 10) -> "rd.Dataset":
         return g
 
     partials = orders.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby("o_custkey").aggregate(
-        Sum("total", alias_name="total_spent"), Sum("n_orders", alias_name="n_orders")
+
+    # |customers| distinct keys → bucketed reduce (native sort-based
+    # aggregate pays the measured high-cardinality penalty, see
+    # kgflow/ops/shuffle.py), and the reduce emits only its bucket's
+    # top-k, so the final global sort runs over ≤ num_buckets×k rows
+    # instead of |customers|.
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_custkey", as_index=False).agg(
+            total_spent=("total", "sum"), n_orders=("n_orders", "sum")
+        )
+        # same tie order as the oracle: total DESC, then custkey ASC
+        return agg.sort_values(
+            ["total_spent", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    agg = bucketed_group_reduce(
+        partials, key_cols=["o_custkey"], reduce_fn=bucket_topk
     )
 
     class AttachName:
@@ -105,7 +126,9 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
     so the sum is associative — float summation-order drift between
     engines flipped floor(x*1e4) boundaries on 4-decimal-quantized
     inputs (round-1 oracle hash mismatch). One divide at the end."""
-    ds = rd.read_parquet(
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
     )
 
@@ -139,7 +162,9 @@ def supplier_nation_rollup(sf_dir: str) -> "rd.Dataset":
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     ref = ray.put((n2r, r2name))
-    supp = rd.read_parquet(
+    from kgflow.sources.parquet import read_parquet_clean
+
+    supp = read_parquet_clean(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey", "s_acctbal"]
     )
 

@@ -133,7 +133,9 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
     """
     cfg = cfg or KgConfig()
     n = _pool_max()
-    tok = SimpleTokenizer()
+    from kgflow.stages.runtime import get_tokenizer
+
+    tok = get_tokenizer()
     ds = encoded_ds(sentences_ds(read_pages(pages_path, cfg), cfg), cfg)
     # pool minimums pre-provision most capacity at operator start —
     # autoscaling from 1 actor was measured to cost several seconds of

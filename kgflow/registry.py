@@ -69,13 +69,20 @@ def build_pipeline(ds: "rd.Dataset", stages: list) -> "rd.Dataset":
     return ds
 
 
+def _tokenizer():
+    # runtime-backed: honors kgflow.stages.runtime.set_backend swaps
+    from kgflow.stages.runtime import get_tokenizer
+
+    return get_tokenizer()
+
+
 def _register_builtins() -> None:
     from kgflow.stages.extract import extract_batch
     from kgflow.stages.fanout import make_fanout_fn
     from kgflow.stages.relclassify import RelClassifyStage
     from kgflow.stages.sentences import lang_filter_batch, split_sentences_batch
     from kgflow.stages.tagdecode import TagDecodeStage
-    from kgflow.stages.tokenize import SimpleTokenizer, make_tokenize_fn
+    from kgflow.stages.tokenize import make_tokenize_fn
 
     register("extract", StageSpec(lambda: extract_batch))
     register(
@@ -90,7 +97,7 @@ def _register_builtins() -> None:
     register("rel_classify", StageSpec(RelClassifyStage, is_actor=True))
     register(
         "fanout",
-        StageSpec(lambda: make_fanout_fn(SimpleTokenizer().start_idx)),
+        StageSpec(lambda: make_fanout_fn(_tokenizer().start_idx)),
     )
     register("tag_decode", StageSpec(TagDecodeStage, is_actor=True))
 

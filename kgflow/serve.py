@@ -31,7 +31,9 @@ from kgflow.stages.tokenize import SimpleTokenizer, TokenizeStage
 
 class InferenceHandler:
     def __init__(self, max_seq_length: int = 256, seed: int = 42):
-        tok = SimpleTokenizer()
+        from kgflow.stages.runtime import get_tokenizer
+
+        tok = get_tokenizer()
         self.tokenize = TokenizeStage(max_seq_length=max_seq_length, tokenizer=tok)
         self.relcls = RelClassifyStage(seed=seed, tokenizer=tok)
         self.fanout = make_fanout_fn(tok.start_idx)

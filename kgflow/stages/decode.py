@@ -97,7 +97,11 @@ class DecodeStage:
     divergence)."""
 
     def __init__(self, tokenizer: SimpleTokenizer | None = None, mode: str = "triple"):
-        self.tok = tokenizer or SimpleTokenizer()
+        if tokenizer is None:
+            from kgflow.stages.runtime import get_tokenizer
+
+            tokenizer = get_tokenizer()
+        self.tok = tokenizer
         self.rel_names = list(REL_NAMES)
         self.mode = mode
 

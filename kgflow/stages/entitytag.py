@@ -24,8 +24,15 @@ from kgflow.stages.tokenize import SimpleTokenizer
 
 class EntityTagStage:
     def __init__(self, seed: int = 42, tokenizer: SimpleTokenizer | None = None):
-        self.tok = tokenizer or SimpleTokenizer()
-        self.model = StubNerModel(self.tok, seed)
+        # see RelClassifyStage: default = runtime backend registry
+        if tokenizer is None:
+            from kgflow.stages.runtime import get_ner_model, get_tokenizer
+
+            self.tok = get_tokenizer()
+            self.model = get_ner_model(seed)
+        else:
+            self.tok = tokenizer
+            self.model = StubNerModel(self.tok, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_list = batch.column("ner_input_ids").to_pylist()

@@ -39,8 +39,18 @@ def pad_ragged(ids_list: list[list[int]]) -> tuple[np.ndarray, np.ndarray]:
 
 class RelClassifyStage:
     def __init__(self, seed: int = 42, tokenizer: SimpleTokenizer | None = None):
-        self.tok = tokenizer or SimpleTokenizer()
-        self.model = StubRelModel(self.tok, seed)
+        # default path goes through the runtime backend registry so
+        # set_backend (e.g. the HF adapter, kgflow/adapters/hf.py)
+        # reaches this stage; an explicitly-passed tokenizer keeps the
+        # stub pairing (test injection path)
+        if tokenizer is None:
+            from kgflow.stages.runtime import get_rel_model, get_tokenizer
+
+            self.tok = get_tokenizer()
+            self.model = get_rel_model(seed)
+        else:
+            self.tok = tokenizer
+            self.model = StubRelModel(self.tok, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids_list = batch.column("input_ids").to_pylist()

@@ -21,8 +21,10 @@ from kgflow.stages.tokenize import SimpleTokenizer
 
 class TagDecodeStage:
     def __init__(self, seed: int = 42, mode: str = "triple"):
-        tok = SimpleTokenizer()
-        self.tag = EntityTagStage(seed=seed, tokenizer=tok)
+        from kgflow.stages.runtime import get_tokenizer
+
+        tok = get_tokenizer()
+        self.tag = EntityTagStage(seed=seed)  # runtime-backed model
         self.decode = DecodeStage(tokenizer=tok, mode=mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

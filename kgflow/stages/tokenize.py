@@ -126,7 +126,11 @@ class TokenizeStage:
     """
 
     def __init__(self, max_seq_length: int = 256, tokenizer: SimpleTokenizer | None = None):
-        self.tok = tokenizer or SimpleTokenizer()
+        if tokenizer is None:
+            from kgflow.stages.runtime import get_tokenizer
+
+            tokenizer = get_tokenizer()
+        self.tok = tokenizer
         self.max_seq_length = max_seq_length
 
     def __call__(self, batch: pa.Table) -> pa.Table:

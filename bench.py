@@ -80,8 +80,14 @@ def run_bench() -> dict:
 
         triples = triples_ds(pages).materialize()
         rows["n_raw_triples"] = triples.count()
+        if os.environ.get("KGFLOW_STATS", "0") == "1":
+            sys.stderr.write(triples.stats() + "\n")
         canon, _ = canonical_triples(triples)
-        return dedup_edges(canon).count()
+        out = dedup_edges(canon)
+        n = out.count()
+        if os.environ.get("KGFLOW_STATS", "0") == "1":
+            sys.stderr.write(out.stats() + "\n")
+        return n
 
     timed("kg_edges", edges)
     if headline_only:

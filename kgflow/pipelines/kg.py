@@ -74,6 +74,18 @@ class KgConfig:
     # fraction of the CPU budget each pool may autoscale to
     light_pool: float = 0.5
     heavy_pool: float = 1.0
+    # pool MINIMUMS (pre-provisioned actors) as CPU fractions, now
+    # tunable. A/B legs at 8 CPUs / 300k pages found no advantage
+    # beyond noise for higher minimums (host phase drift of ~25%
+    # swamps the autoscaler-ramp cost), so the defaults stay at the
+    # round-1 values. HARD CONSTRAINT if tuning: the sum must stay
+    # strictly below 1.0 — minimums equal to the whole CPU budget
+    # deadlock any execution where a task operator (e.g. a lazy
+    # .count() aggregation) is live while both pools hold their
+    # floors; actors pin their CPU reservation, so the task can never
+    # schedule (observed hang at mins 3+5 on an 8-CPU session).
+    light_pool_min: float = 0.25
+    heavy_pool_min: float = 0.5
     read_columns: list = field(
         default_factory=lambda: ["url", "html", "lang"]
     )
@@ -148,7 +160,7 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
         fn_constructor_kwargs={"seed": cfg.seed},
         batch_format="pyarrow",
         batch_size=cfg.model_batch,
-        concurrency=(max(1, n // 4), light_max),
+        concurrency=(max(1, int(n * cfg.light_pool_min)), light_max),
     )
     ds = ds.map_batches(
         make_fanout_fn(tok.start_idx), batch_format="pyarrow",
@@ -160,7 +172,7 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
         fn_constructor_kwargs={"seed": cfg.seed, "mode": cfg.decode_mode},
         batch_format="pyarrow",
         batch_size=cfg.model_batch,
-        concurrency=(max(1, n // 2), heavy_max),
+        concurrency=(max(1, int(n * cfg.heavy_pool_min)), heavy_max),
     )
     return ds
 

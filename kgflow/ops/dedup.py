@@ -135,12 +135,9 @@ def minhash_pairs(
         key_cols=["band_id", "band_hash"],
         reduce_fn=coarse_candidates,
     )
-    # bands emit duplicate candidates → bucketed distinct
-    cands = bucketed_group_reduce(
-        cands,
-        key_cols=["doc_a", "doc_b"],
-        reduce_fn=lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
-    )
+    # bands emit duplicate candidate pairs; no dedicated dedup shuffle —
+    # the verify stage drop_duplicates both sides, and duplicates only
+    # inflate the (candidate-bounded, tiny) intermediate rows ≤ bands×
 
     # phase 2a: one doc_id-keyed shuffle attaches text to each pair side
     pair_sides = cands.map_batches(

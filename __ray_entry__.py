@@ -258,22 +258,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolling_fingerprint(_docs(sf_dir))
 
-    def doc_minhash_pairs(sf_dir: str):  # rows-only
+    def doc_minhash_pairs(sf_dir: str):
+        """Oracle-checked (round-3): the verify stage computes EXACT
+        word-trigram Jaccard, so the DuckDB oracle recomputes true
+        Jaccard over all pairs with list functions. The only gap is LSH
+        recall; every driver-data pair above the 0.5 threshold has
+        Jaccard ≥ 0.9, where the 16-band/4-row miss probability is
+        (1-0.9^4)^16 ≈ 4e-8. sim is floor-scaled 1e4 on both sides;
+        identical integer set sizes ⇒ identical doubles."""
         from kgflow.ops.dedup import minhash_pairs
 
         return minhash_pairs(_docs(sf_dir)).map_batches(
             lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
         )
 
-    def doc_dup_clusters(sf_dir: str):  # rows-only (LSH + CC composition)
+    def doc_dup_clusters(sf_dir: str):
+        """Oracle-checked (round-3): LSH pairs → connected components;
+        the oracle runs the same true-Jaccard pair predicate and a
+        recursive-CTE transitive closure with min-doc_id labels."""
         from kgflow.ops.dedup import neardup_clusters
 
         return neardup_clusters(_docs(sf_dir))
 
-    def doc_simhash_pairs(sf_dir: str):  # rows-only
+    def doc_simhash_pairs(sf_dir: str):
+        """Oracle-checked (round-3): the DuckDB oracle recomputes the
+        64-bit simhash EXACTLY in SQL (FNV-1a via list_reduce over
+        codepoints — driver text is ASCII so codepoint == byte — sign
+        votes per bit, bit-63 mask) and compares hamming via
+        bit_count(xor(...)). max_hamming=3 < bands=4 guarantees banded
+        recall by pigeonhole (Manku et al.), so engine output equals
+        the exact all-pairs answer; the default max_hamming=6 variant
+        (approximate for hamming 4-6) stays covered by pytest."""
         from kgflow.ops.dedup import simhash_pairs
 
-        return simhash_pairs(_docs(sf_dir))
+        return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
     # --- embeddings
     def _queries_for(sf_dir: str, n=10):
@@ -498,6 +516,104 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        # True word-trigram Jaccard over all pairs — the same exact
+        # predicate the engine's verify stage applies after LSH
+        # candidate generation (see doc_minhash_pairs docstring for the
+        # recall argument).
+        "doc_minhash_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, floor(jac * 10000) / 10000 AS sim
+            FROM p WHERE jac >= 0.5
+        """,
+        # Same pair predicate, then connected components as a
+        # recursive-CTE transitive closure; cluster_id = min doc_id of
+        # the component (singletons keep their own id).
+        "doc_dup_clusters": r"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s))) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        # Exact SQL reimplementation of kgflow.ops.dedup.simhash64:
+        # FNV-1a-64 per token (list_reduce over codepoints; driver text
+        # is ASCII so codepoint == byte; HUGEINT modular arithmetic for
+        # the wrapping multiply), xor the splitmix seed mask for
+        # seed=42, per-bit sign votes over ALL tokens (not deduped),
+        # bit-63 masked — then all-pairs hamming via bit_count(xor).
+        # max_hamming=3 < bands=4 ⇒ the engine's banded LSH has
+        # guaranteed recall, so both sides compute the exact answer.
+        "doc_simhash_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ), h AS (
+              SELECT doc_id,
+                     CAST(xor(
+                       CAST(list_reduce(
+                         list_prepend(
+                           CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                                          i -> CAST(unicode(w[i]) AS HUGEINT))),
+                         (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                               CAST(c AS UBIGINT)) AS HUGEINT)
+                                      * 1099511628211)
+                                     % 18446744073709551616
+                       ) AS UBIGINT),
+                       CAST(17661420568835545970 AS UBIGINT)) AS UBIGINT) AS hv
+              FROM tok
+            ), votes AS (
+              SELECT doc_id, b.b AS bit,
+                     sum(CAST((hv >> CAST(b.b AS UBIGINT)) & 1 AS BIGINT)) AS ones,
+                     count(*) AS t
+              FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY doc_id, b.b
+            ), sh AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN 2 * ones - t > 0 AND bit < 63
+                                   THEN CAST(1 AS UBIGINT) << CAST(bit AS UBIGINT)
+                                   ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "embed_neardup": """
             WITH aug AS (

@@ -307,13 +307,21 @@ def simhash_pairs(
             grp = grp.sort_values("doc_id").head(200)
             ids = grp["doc_id"].to_numpy()
             shs = grp["simhash"].to_numpy(dtype=np.uint64)
-            for i in range(len(ids)):
-                x = shs[i] ^ shs[i + 1 :]
-                ham = np.array([bin(int(v)).count("1") for v in x])
-                for off in np.flatnonzero(ham <= max_hamming):
-                    a.append(int(ids[i]))
-                    b.append(int(ids[i + 1 + off]))
-                    d.append(int(ham[off]))
+            # vectorized hamming over all in-bucket pairs: xor the triu
+            # pair array once, popcount via byte-view unpackbits — no
+            # per-pair Python (numpy<2 has no bitwise_count; the
+            # uint8-view unpackbits sum is the vectorized equivalent)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = shs[iu] ^ shs[ju]
+            ham = (
+                np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+                .sum(axis=1)
+                .astype(np.int64)
+            )
+            hit = ham <= max_hamming
+            a.extend(int(v) for v in ids[iu[hit]])
+            b.extend(int(v) for v in ids[ju[hit]])
+            d.extend(int(v) for v in ham[hit])
         return pd.DataFrame(
             {
                 "doc_a": pd.Series(a, dtype="int64"),

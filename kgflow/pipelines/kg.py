@@ -6,20 +6,23 @@ One streaming ``ray.data.Dataset`` DAG (SURVEY.md §3.4):
       → map_batches(extract_batch)            # html→text, drops wide binary col
       → map_batches(lang_filter_batch)        # vectorized predicate
       → map_batches(split_sentences_batch)    # 1→k row explosion, keyed (url, sent_id)
-      → map_batches(TokenizeStage, actor)     # ragged list<int32> input_ids
-      → map_batches(RelClassifyStage, actor)  # stage-1 scores + X1 select
-      → map_batches(fanout)                   # X2: only selected rows built
-      → map_batches(EntityTagStage, actor)    # stage-2 tags + X4 truncate
-      → map_batches(DecodeStage, actor)       # X5 decode + X6 detokenize
+      → map_batches(tokenize)                 # ragged list<int32> input_ids
+      → map_batches(ExtractTriplesStage, actor pool)
+          # ONE fused model pool: stage-1 scores + X1 select → X2
+          # fan-out → stage-2 tags + X4 truncate → X5 decode + X6
+          # detokenize (weights once per actor, num_gpus in production)
 
 Everything is lazy; the caller consumes with write_parquet / aggregates.
 No stage materializes the dataset; order is never relied upon — all rows
 carry the (url, sent_id) key.
 
-Sizing: the two model stages are actor pools (weights once per actor,
-``num_gpus`` in production); autoscaling ``concurrency=(1, N)`` lets the
-same code run at num_cpus=8 and num_cpus=32 without re-tuning, which is
-what the N-vs-4N scaling bench exercises.
+Sizing (round-3): every stateless step is a task that Ray fuses into
+one operator around the SINGLE model actor pool; with one pool there is
+no CPU split between model stages to tune (the old light/heavy pools
+had a measured 1:5 work ratio, and any static split either hoarded or
+starved — see ExtractTriplesStage). Autoscaling
+``(pool_min·N, N)`` lets the same code run at num_cpus=2/8/32 without
+re-tuning, which is what the N-vs-4N scaling bench exercises.
 """
 
 from __future__ import annotations
@@ -70,10 +73,22 @@ class KgConfig:
     # ~2-4 blocks per CPU: enough tasks for load balance (a few waves
     # per actor) without paying the ~15 ms per actor-task submission
     # overhead hundreds of times on a small job
-    blocks_per_cpu: int = 4
-    # fraction of the CPU budget each pool may autoscale to
-    light_pool: float = 0.5
-    heavy_pool: float = 1.0
+    blocks_per_cpu: int = field(
+        default_factory=lambda: int(os.environ.get("KGFLOW_BLOCKS_PER_CPU", "4"))
+    )
+    # fraction of the CPU budget each pool may autoscale to. Sized to
+    # the measured per-stage work ratio (8-cpu/300k-page stats: light
+    # op 147 CPU-s vs heavy op 732 CPU-s ≈ 1:5): with light at 0.5 the
+    # autoscaler held 4 of 8 CPUs on the cheap stage while the heavy
+    # pool starved at ~64% utilization; capping light at 0.25 matches
+    # the pools to the work split and lets the heavy pool own the rest.
+    # Env-overridable for A/B scaling legs.
+    light_pool: float = field(
+        default_factory=lambda: float(os.environ.get("KGFLOW_LIGHT_POOL", "0.25"))
+    )
+    heavy_pool: float = field(
+        default_factory=lambda: float(os.environ.get("KGFLOW_HEAVY_POOL", "1.0"))
+    )
     # pool MINIMUMS (pre-provisioned actors) as CPU fractions, now
     # tunable. A/B legs at 8 CPUs / 300k pages found no advantage
     # beyond noise for higher minimums (host phase drift of ~25%
@@ -84,8 +99,24 @@ class KgConfig:
     # .count() aggregation) is live while both pools hold their
     # floors; actors pin their CPU reservation, so the task can never
     # schedule (observed hang at mins 3+5 on an 8-CPU session).
-    light_pool_min: float = 0.25
-    heavy_pool_min: float = 0.5
+    light_pool_min: float = field(
+        default_factory=lambda: float(os.environ.get("KGFLOW_LIGHT_POOL_MIN", "0.125"))
+    )
+    heavy_pool_min: float = field(
+        default_factory=lambda: float(os.environ.get("KGFLOW_HEAVY_POOL_MIN", "0.5"))
+    )
+    # single-pool layout (default): min fraction of the CPU budget the
+    # fused model pool pre-provisions; max is the full budget (Ray's
+    # streaming resource manager still reserves task-operator shares,
+    # verified no-livelock at 2 CPUs)
+    pool_min: float = field(
+        default_factory=lambda: float(os.environ.get("KGFLOW_POOL_MIN", "0.5"))
+    )
+    # "1" restores the round-2 two-pool layout (A/B lever; see
+    # ExtractTriplesStage docstring for why single-pool is default)
+    two_pools: bool = field(
+        default_factory=lambda: os.environ.get("KGFLOW_TWO_POOLS", "0") == "1"
+    )
     read_columns: list = field(
         default_factory=lambda: ["url", "html", "lang"]
     )
@@ -136,23 +167,40 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
     """pages parquet path → streaming Dataset of extracted triples
     (url, sent_id, rel_id, rel, subj, obj, subj_ids, obj_ids).
 
-    Exactly TWO actor pools (the two model stages); everything else is
-    elastic stateless tasks that fuse around them. Each pool autoscales
-    ``(1, frac·CPUs)`` so the identical code runs at num_cpus=8 and 32
-    (the N-vs-4N scaling bench) without re-tuning, and the pools can
-    never reserve every CPU (which would starve the read/shuffle tasks —
-    observed as a live-lock on small clusters with one pool per stage).
+    Default layout (round 3): ONE actor pool — the fused
+    relation-classify → fan-out → entity-tag → decode model stage
+    (`ExtractTriplesStage`) — fed by elastic stateless tasks (read +
+    extract + split + tokenize fuse into one task operator). One pool
+    means no CPU split between model stages to tune: the measured
+    work ratio between the old light/heavy pools was ~1:5, and any
+    static split either hoarded CPUs on the cheap stage or starved the
+    expensive one (8-cpu heavy-pool utilization 64% → ~95% fused).
+    The pool autoscales ``(pool_min·CPUs, CPUs)`` so identical code
+    runs at num_cpus=2/8/32 (the N-vs-4N scaling bench) without
+    re-tuning.
+
+    ``cfg.two_pools`` (env KGFLOW_TWO_POOLS=1) restores the round-2
+    two-pool layout for A/B scaling legs.
     """
     cfg = cfg or KgConfig()
     n = _pool_max()
+    ds = encoded_ds(sentences_ds(read_pages(pages_path, cfg), cfg), cfg)
+    if not cfg.two_pools:
+        from kgflow.stages.tagdecode import ExtractTriplesStage
+
+        return ds.map_batches(
+            ExtractTriplesStage,
+            fn_constructor_kwargs={"seed": cfg.seed, "mode": cfg.decode_mode},
+            batch_format="pyarrow",
+            batch_size=cfg.model_batch,
+            concurrency=(max(1, int(n * cfg.pool_min)), n),
+        )
     from kgflow.stages.runtime import get_tokenizer
 
     tok = get_tokenizer()
-    ds = encoded_ds(sentences_ds(read_pages(pages_path, cfg), cfg), cfg)
-    # pool minimums pre-provision most capacity at operator start —
-    # autoscaling from 1 actor was measured to cost several seconds of
-    # ramp on a 32-CPU run; minimums sum to <1× CPUs so the two pools
-    # can always co-schedule
+    # two-pool layout: pool minimums pre-provision most capacity at
+    # operator start; minimums sum to <1× CPUs so the two pools can
+    # always co-schedule
     light_max = max(1, int(n * cfg.light_pool))
     heavy_max = max(1, int(n * cfg.heavy_pool))
     ds = ds.map_batches(

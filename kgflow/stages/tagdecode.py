@@ -29,3 +29,34 @@ class TagDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.decode(self.tag(batch))
+
+
+class ExtractTriplesStage:
+    """Single-pool fused model stage: relation-classify → fan-out →
+    entity-tag → decode in ONE actor (both models loaded once per actor
+    in ``__init__``).
+
+    Round-3 scaling fix: with relation classification in its own pool,
+    the two pools had to SPLIT the CPU budget, but the work ratio
+    between them is ~1:5 (8-cpu/300k-page stats: 147 vs 732 CPU-s), so
+    either the light pool hoarded CPUs while backlogged (heavy-pool
+    utilization 64%) or, capped small, it starved the heavy pool of
+    input. With every model stage in one pool and the cheap
+    extract/split/tokenize chain left as elastic TASKS fused with the
+    read, there is no split to tune: the pool owns the budget, tasks
+    fill the gaps, and the same code runs unchanged at N and 4N CPUs.
+    Per-stage semantics and outputs are identical to the two-pool
+    layout (same classes, same order, same per-block batches).
+    """
+
+    def __init__(self, seed: int = 42, mode: str = "triple"):
+        from kgflow.stages.fanout import make_fanout_fn
+        from kgflow.stages.relclassify import RelClassifyStage
+        from kgflow.stages.runtime import get_tokenizer
+
+        self.rel = RelClassifyStage(seed=seed)
+        self.fanout = make_fanout_fn(get_tokenizer().start_idx)
+        self.tagdecode = TagDecodeStage(seed=seed, mode=mode)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.tagdecode(self.fanout(self.rel(batch)))

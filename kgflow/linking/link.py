@@ -460,56 +460,246 @@ def entity_map(
     )
 
 
-class CanonicalizeStage:
-    """Map-side broadcast join: surface mention → (entity_id, canonical).
+# per-worker-process cache for the broadcast entity map: the dict is
+# built once per process (keyed by the ObjectRef), so the task-based
+# broadcast join below pays neither actor-spawn nor a per-task rebuild
+_EMAP_DICT_CACHE: dict = {}
 
-    The entity map is ``ray.put`` once on the driver; every actor reads
-    it from the object store in ``__init__`` (zero-copy for the workers
-    on the same node at scale, one fetch per node on a cluster) — a hot
-    mention costs nothing extra, unlike a shuffle join.
-    """
 
-    def __init__(self, emap_ref):
+def _emap_dict(emap_ref) -> dict:
+    key = emap_ref.hex()
+    d = _EMAP_DICT_CACHE.get(key)
+    if d is None:
         emap: pd.DataFrame = ray.get(emap_ref)
-        self.by_mention = {
+        d = {
             m: (int(e), c)
             for m, e, c in zip(emap["mention"], emap["entity_id"], emap["canonical"])
         }
+        _EMAP_DICT_CACHE.clear()  # one live map per worker is plenty
+        _EMAP_DICT_CACHE[key] = d
+    return d
+
+
+class CanonicalizeStage:
+    """Map-side broadcast join: surface mention → (entity_id, canonical).
+
+    The entity map is ``ray.put`` once on the driver; every worker reads
+    it from the object store (zero-copy for workers on the same node at
+    scale, one fetch per node on a cluster) — a hot mention costs
+    nothing extra, unlike a shuffle join. Round-3: runs as plain TASKS
+    via ``make_canonicalize_fn`` on the flagship path (the per-process
+    dict cache replaces per-actor state, saving the actor-pool spawn on
+    every job); this class form is kept for callers that want an
+    explicit pool.
+    """
+
+    def __init__(self, emap_ref):
+        self.by_mention = _emap_dict(emap_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subs = batch.column("subj").to_pylist()
-        objs = batch.column("obj").to_pylist()
-        s_ids, s_canon, o_ids, o_canon = [], [], [], []
-        for s, o in zip(subs, objs):
-            e = self.by_mention.get(s)
-            if e is None:  # unseen mention: identity cluster
-                e = (np.int64(np.uint64(fnv64(normalize_mention(s))) >> np.uint64(1)), normalize_mention(s))
-            s_ids.append(int(e[0]))
-            s_canon.append(e[1])
-            e = self.by_mention.get(o)
-            if e is None:
-                e = (np.int64(np.uint64(fnv64(normalize_mention(o))) >> np.uint64(1)), normalize_mention(o))
-            o_ids.append(int(e[0]))
-            o_canon.append(e[1])
-        return (
-            batch.append_column("subj_id", pa.array(s_ids, pa.int64()))
-            .append_column("subj_canonical", pa.array(s_canon, pa.string()))
-            .append_column("obj_id", pa.array(o_ids, pa.int64()))
-            .append_column("obj_canonical", pa.array(o_canon, pa.string()))
+        return _canonicalize_batch(batch, self.by_mention)
+
+
+def _identity_entity(mention: str) -> tuple[int, str]:
+    """Unseen mention → identity cluster (hash of normalized form)."""
+    norm = normalize_mention(mention)
+    return (int(np.uint64(fnv64(norm)) >> np.uint64(1)), norm)
+
+
+def _canonicalize_batch(batch: pa.Table, by_mention: dict) -> pa.Table:
+    subs = batch.column("subj").to_pylist()
+    objs = batch.column("obj").to_pylist()
+    s_ids, s_canon, o_ids, o_canon = [], [], [], []
+    for s, o in zip(subs, objs):
+        e = by_mention.get(s)
+        if e is None:
+            e = _identity_entity(s)
+        s_ids.append(int(e[0]))
+        s_canon.append(e[1])
+        e = by_mention.get(o)
+        if e is None:
+            e = _identity_entity(o)
+        o_ids.append(int(e[0]))
+        o_canon.append(e[1])
+    return (
+        batch.append_column("subj_id", pa.array(s_ids, pa.int64()))
+        .append_column("subj_canonical", pa.array(s_canon, pa.string()))
+        .append_column("obj_id", pa.array(o_ids, pa.int64()))
+        .append_column("obj_canonical", pa.array(o_canon, pa.string()))
+    )
+
+
+def make_canonicalize_fn(emap_ref):
+    """Task-form broadcast join (flagship path): each task fetches the
+    broadcast map from the local object store and reuses the
+    per-process dict cache — no actor pool to spawn, same output as
+    ``CanonicalizeStage``."""
+
+    def canonicalize_batch(batch: pa.Table) -> pa.Table:
+        return _canonicalize_batch(batch, _emap_dict(emap_ref))
+
+    return canonicalize_batch
+
+
+def _apply_emap_shuffle(
+    triples: "rd.Dataset",
+    emap_ds: "rd.Dataset",
+    col: str,
+    id_col: str,
+    canon_col: str,
+    num_buckets: int = 64,
+) -> "rd.Dataset":
+    """Bucketed co-partitioned shuffle join: attach (entity_id,
+    canonical) for the mention column ``col``.
+
+    The scale fallback for when the entity map exceeds the broadcast
+    threshold (billions of distinct mentions at 10^12 documents): both
+    sides hash-partition on the mention key, the in-bucket merge is one
+    vectorized pandas left-join, and unseen mentions fall back to the
+    same identity-cluster hash as the broadcast path. The triple stream
+    ships through the exchange once per mention column (twice total) —
+    the cost the broadcast path avoids, which is why broadcast remains
+    the default below the threshold.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    import pyarrow.types as pat
+
+    def _num_kind(typ):
+        # schema types are pyarrow DataTypes for arrow blocks, numpy
+        # dtypes for pandas blocks (the second mention pass sees the
+        # first pass's pandas output)
+        if isinstance(typ, pa.DataType):
+            if pat.is_integer(typ) or pat.is_floating(typ):
+                return np.dtype(typ.to_pandas_dtype())
+            return None
+        k = getattr(typ, "kind", None)
+        return typ if k in ("i", "u", "f") else None
+
+    schema = triples.schema()
+    t_cols = schema.names
+    # numeric payload columns ride the mixed-side exchange as object
+    # (the map-side rows carry None there) and get their dtype back in
+    # the in-bucket reduce
+    restore_dtypes = {
+        name: kind
+        for name, typ in zip(schema.names, schema.types)
+        if (kind := _num_kind(typ))
+    }
+
+    def t_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c in restore_dtypes:
+            out[c] = out[c].astype(object)
+        for c in out.columns:
+            # ragged list columns arrive as Ray TensorArray extension
+            # columns; the mixed-side sort-merge cannot concat those
+            # with the map side's object Nones, and Ray re-promotes
+            # object-of-ndarray cells back to TensorArray during sort
+            # normalization — so ship plain Python lists (never
+            # promoted). Per-cell tolist is acceptable here: this is
+            # the above-broadcast-threshold fallback and the cells are
+            # short token-id lists.
+            if pd.api.types.is_extension_array_dtype(out[c].dtype) or (
+                len(out) and isinstance(out[c].iloc[0], np.ndarray)
+            ):
+                out[c] = pd.Series(
+                    [
+                        v.tolist() if isinstance(v, np.ndarray) else v
+                        for v in out[c]
+                    ],
+                    index=out.index,
+                    dtype=object,
+                )
+        out["__mkey"] = out[col]
+        out["__eid"] = pd.Series([None] * len(out), dtype="object")
+        out["__canon"] = pd.Series([None] * len(out), dtype="object")
+        out["__is_map"] = np.int8(0)
+        return out
+
+    def m_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({c: pd.Series([None] * len(df), dtype="object") for c in t_cols})
+        out["__mkey"] = df["mention"].to_numpy()
+        out["__eid"] = df["entity_id"].astype(object).to_numpy()
+        out["__canon"] = df["canonical"].to_numpy()
+        out["__is_map"] = np.int8(1)
+        return out
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        maps = g[g["__is_map"] == 1][["__mkey", "__eid", "__canon"]]
+        rows = g[g["__is_map"] == 0].drop(columns=["__eid", "__canon", "__is_map"])
+        out = rows.merge(maps, on="__mkey", how="left")
+        miss = out["__eid"].isna()
+        if miss.any():
+            # identity clusters for unseen mentions, computed once per
+            # distinct missing surface
+            uniq = {m: _identity_entity(m) for m in out.loc[miss, "__mkey"].unique()}
+            out.loc[miss, "__eid"] = out.loc[miss, "__mkey"].map(
+                lambda m: uniq[m][0]
+            )
+            out.loc[miss, "__canon"] = out.loc[miss, "__mkey"].map(
+                lambda m: uniq[m][1]
+            )
+        out[id_col] = out["__eid"].astype(np.int64)
+        out[canon_col] = out["__canon"].astype(object)
+        out = out.drop(columns=["__mkey", "__eid", "__canon"])
+        for c, t in restore_dtypes.items():
+            out[c] = out[c].astype(t)
+        return out
+
+    sides = triples.map_batches(t_rows, batch_format="pandas").union(
+        emap_ds.map_batches(m_rows, batch_format="pandas")
+    )
+    return bucketed_group_reduce(
+        sides, key_cols=["__mkey"], reduce_fn=join_bucket, num_buckets=num_buckets
+    )
+
+
+def canonicalize_triples_with_map(
+    triples: "rd.Dataset",
+    emap_ds: "rd.Dataset",
+    broadcast_limit: int = 1_000_000,
+    join: str = "auto",
+) -> "rd.Dataset":
+    """Apply an entity map to the triple stream, auto-selecting the
+    join strategy (round-3 scale fix: the broadcast join is no longer
+    the ONLY path).
+
+    - ``broadcast`` (and ``auto`` under ``broadcast_limit`` distinct
+      surface mentions): ``ray.put`` the map once, task-form map-side
+      join — hot mentions never shuffle.
+    - ``shuffle`` (and ``auto`` above the limit): two bucketed
+      co-partitioned shuffle joins on the mention key (subj then obj),
+      no driver materialization of the map anywhere — the path that
+      still works when the distinct-mention map is corpus-scale.
+    Both paths emit identical rows (parity-tested with a forced-low
+    threshold).
+    """
+    if join == "auto":
+        join = "broadcast" if emap_ds.count() <= broadcast_limit else "shuffle"
+    if join == "broadcast":
+        emap_ref = ray.put(emap_ds.to_pandas())
+        return triples.map_batches(
+            make_canonicalize_fn(emap_ref), batch_format="pyarrow"
         )
+    out = _apply_emap_shuffle(
+        triples, emap_ds, "subj", "subj_id", "subj_canonical"
+    )
+    return _apply_emap_shuffle(
+        out, emap_ds, "obj", "obj_id", "obj_canonical"
+    )
 
 
 def canonical_triples(
-    triples: "rd.Dataset", seed: int = 42, mode: str = "auto"
+    triples: "rd.Dataset",
+    seed: int = 42,
+    mode: str = "auto",
+    broadcast_limit: int = 1_000_000,
+    join: str = "auto",
 ) -> tuple["rd.Dataset", "rd.Dataset"]:
     """triples → (canonicalized triple stream, entity_map dataset)."""
     emap_ds = entity_map(triples, seed=seed, mode=mode)
-    emap_df = emap_ds.to_pandas()  # vocabulary-bounded small table
-    emap_ref = ray.put(emap_df)
-    out = triples.map_batches(
-        CanonicalizeStage,
-        fn_constructor_kwargs={"emap_ref": emap_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+    out = canonicalize_triples_with_map(
+        triples, emap_ds, broadcast_limit=broadcast_limit, join=join
     )
     return out, emap_ds

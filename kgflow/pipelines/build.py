@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from kgflow.linking.link import CanonicalizeStage, entity_map
+from kgflow.linking.link import entity_map
 from kgflow.linking.minhash import shard_of
 from kgflow.materialize.edges import dedup_edges, nodes_table
 from kgflow.materialize.manifest import Manifest, atomic_replace_dir
@@ -195,15 +195,12 @@ def build_kg(
 
     # ---- phase C: canonical edges + nodes ------------------------------
     if "edges" not in done_under_current_config("materialize"):
-        import ray
+        # auto-selects broadcast vs bucketed-shuffle join on the
+        # distinct-mention count (round-3: the broadcast join is no
+        # longer the only way to APPLY a corpus-scale entity map)
+        from kgflow.linking.link import canonicalize_triples_with_map
 
-        emap_ref = ray.put(emap_ds.to_pandas())
-        canon = triples.map_batches(
-            CanonicalizeStage,
-            fn_constructor_kwargs={"emap_ref": emap_ref},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+        canon = canonicalize_triples_with_map(triples, emap_ds)
         edges = dedup_edges(canon, num_buckets=num_buckets)
         tmp = os.path.join(out_dir, f"_tmp_edges_{os.getpid()}")
         edges.write_parquet(tmp, partition_cols=["subj_bucket"])

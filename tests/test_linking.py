@@ -186,3 +186,39 @@ def test_canonical_triples_columns(fixture_dir):
         assert c in row
     # canonical forms are normalized gold entities
     assert row["subj_canonical"] == normalize_mention(row["subj_canonical"])
+
+
+def test_shuffle_join_canonicalize_matches_broadcast(fixture_dir):
+    """Round-3 scale fix: applying the entity map via the bucketed
+    co-partitioned shuffle join (the path that works when the map
+    exceeds the broadcast threshold) must emit exactly the broadcast
+    join's rows — including identity clusters for unseen mentions."""
+    import pandas as pd
+
+    from kgflow.linking.link import canonicalize_triples_with_map, entity_map
+
+    triples = triples_ds(fixture_dir).limit(500).materialize()
+    # drop some mentions from the map so the unseen-mention identity
+    # path is exercised on BOTH join strategies
+    emap = entity_map(triples).materialize()
+    emap_small = emap.filter(lambda r: r["mention"][:1] not in ("a", "b")).materialize()
+
+    def norm(ds):
+        df = ds.to_pandas()
+        cols = ["url", "sent_id", "rel_id", "subj", "obj",
+                "subj_id", "subj_canonical", "obj_id", "obj_canonical"]
+        df = df[cols]
+        df["subj_id"] = df["subj_id"].astype("int64")
+        df["obj_id"] = df["obj_id"].astype("int64")
+        return df.sort_values(cols[:5]).reset_index(drop=True)
+
+    bro = norm(canonicalize_triples_with_map(triples, emap_small, join="broadcast"))
+    shu = norm(canonicalize_triples_with_map(triples, emap_small, join="shuffle"))
+    assert len(bro) == len(shu) == 500
+    pd.testing.assert_frame_equal(bro, shu)
+    # auto mode with a forced-low threshold takes the shuffle path and
+    # still matches
+    auto = norm(
+        canonicalize_triples_with_map(triples, emap_small, broadcast_limit=1)
+    )
+    pd.testing.assert_frame_equal(bro, auto)

@@ -66,6 +66,31 @@ class _ComputeEmulator:
             rng = np.random.RandomState(seed + hidden + layers)
             self.W = (rng.randn(hidden, hidden).astype(np.float32) / np.sqrt(hidden))
             self.x0 = rng.randn(1, hidden).astype(np.float32)
+        # KGFLOW_BURN_LOG=<dir>: append per-process burn throughput on
+        # interpreter exit (scaling-diagnosis aid; off in normal runs)
+        log_dir = os.environ.get("KGFLOW_BURN_LOG")
+        if self.enabled and log_dir:
+            self._stats = {"sec": 0.0, "tokens": 0}
+            import json
+            import time
+
+            self._clock = time.perf_counter
+            path = os.path.join(
+                log_dir, f"burn_{os.getpid()}_{hidden}x{layers}.json"
+            )
+
+            def _dump(stats=self._stats):
+                # overwrite-per-call: Ray workers are SIGKILLed at
+                # shutdown, so atexit never fires there
+                try:
+                    with open(path, "w") as f:
+                        json.dump(stats, f)
+                except OSError:
+                    pass
+
+            self._dump = _dump
+        else:
+            self._stats = None
 
     # micro-batch rows per inner matmul: [1024, 256] float32 ≈ 1 MiB —
     # cache-resident, so the burn is COMPUTE-bound. Burning the whole
@@ -78,6 +103,16 @@ class _ComputeEmulator:
     def burn(self, n_tokens: int) -> None:
         if not self.enabled or n_tokens <= 0:
             return
+        if self._stats is not None:
+            t0 = self._clock()
+            self._burn(n_tokens)
+            self._stats["sec"] += self._clock() - t0
+            self._stats["tokens"] += n_tokens
+            self._dump()
+            return
+        self._burn(n_tokens)
+
+    def _burn(self, n_tokens: int) -> None:
         done = 0
         while done < n_tokens:
             c = min(self._CHUNK, n_tokens - done)

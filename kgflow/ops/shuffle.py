@@ -50,11 +50,28 @@ def add_hash_bucket(
     return df.assign(**{col: (h % np.uint64(num_buckets)).astype(np.int32)})
 
 
+def default_num_buckets() -> int:
+    """Reduce-side parallelism default: 2× the cluster CPU count,
+    floored at 16. Buckets are the unit of reduce parallelism, so they
+    must scale with the cluster; but each extra bucket is an extra sort
+    partition + reduce task, and on small sessions that orchestration
+    is pure fixed cost (measured: a vocabulary-sized reduce takes 0.5 s
+    at 8 buckets vs 0.84 s at 64 on an 8-CPU session — the data is
+    trivial either way, the delta is task/partition overhead)."""
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(16, 2 * n)
+
+
 def bucketed_group_reduce(
     ds: "rd.Dataset",
     key_cols: list[str],
     reduce_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     keep_bucket: bool = False,
     bucket_col: str = "bucket",
 ) -> "rd.Dataset":
@@ -84,6 +101,9 @@ def bucketed_group_reduce(
     still groups by ``bucket_col`` defensively in case the executor
     bundles several ranges into one task.
     """
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         return add_hash_bucket(df, key_cols, num_buckets, bucket_col)

@@ -1,26 +1,34 @@
-"""Connected components by iterated min-label propagation on Ray Data.
+"""Connected components on Ray Data: min-label propagation (default)
+and log-round alternating star contraction.
 
 North-rule canonicalization stage (no reference counterpart — OpenUE
-emits raw surface triples only). Classic map-reduce CC (cf. PAPERS.md:
-"connected components in map-reduce in logarithmic rounds"): every node
-starts labeled with itself; each round every node sends its current
-label to its neighbors and takes the min of what it hears; stop when no
-label changes. Rounds = graph diameter (alias clusters here have
-diameter ≤ 3); for web-scale graphs swap the propagation body for
-hash-to-min / large-star-small-star — the shuffle skeleton is identical.
+emits raw surface triples only). Two algorithms behind one signature:
+
+- ``minlabel`` (default): every node starts labeled with itself; each
+  round every node sends its current label to its neighbors and takes
+  the min of what it hears. Rounds = eccentricity of each component's
+  min node — right for the alias clusters this engine links (diameter
+  ≤ 3, tested), wrong for web-scale near-dup chains.
+- ``star``: alternating large-star / small-star contraction (Kiveris
+  et al., "Connected Components in MapReduce and Beyond", MapR'14 —
+  public algorithm, reimplemented from the paper's description): each
+  round rewires every node's strictly-larger neighbors (large-star),
+  then its ≤ neighbors (small-star), onto the neighborhood minimum.
+  Converges in O(log n) rounds on ANY topology — the scale path for
+  long chains (a 64-node path converges in ~5 rounds vs 63).
 
 Implementation notes (both measured, see kgflow/ops/shuffle.py):
-- every round is TWO bucketed shuffles on the node key — propagate
-  (in-bucket vectorized pandas merge of labels onto co-partitioned
-  edges) and reduce (in-bucket groupby-min). Per-node ``map_groups``
-  was ~40× slower and made CC the pipeline's hang point;
-- convergence is detected with a cheap global aggregate: labels only
-  ever decrease, so an unchanged label hash-sum ⇒ fixpoint — no
-  driver-side materialization of the node set.
+- every round is bucketed shuffles on the node key with in-bucket
+  VECTORIZED pandas kernels (merge / transform-min). Per-node
+  ``map_groups`` was ~40× slower and made CC the pipeline hang point;
+- convergence is detected with a cheap global aggregate (an
+  order-independent hash-sum signature of the state) — no driver-side
+  materialization of the node or edge set.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -28,14 +36,24 @@ from kgflow.ops.shuffle import bucketed_group_reduce
 
 
 def connected_components(
-    edges: "rd.Dataset", max_rounds: int = 30, num_buckets: int = 32
+    edges: "rd.Dataset",
+    max_rounds: int = 30,
+    num_buckets: int = 32,
+    algorithm: str = "minlabel",
+    stats: dict | None = None,
 ) -> "rd.Dataset":
     """edges(src: str, dst: str) → (node: str, comp: str).
 
     Every node that appears in an edge gets a component; pass self-edges
     (m, m) for singleton nodes. Undirectedness is handled here (edges
-    are mirrored once).
+    are mirrored once). ``algorithm``: "minlabel" (rounds = diameter)
+    or "star" (rounds = O(log n)); identical output. ``stats`` (if
+    given) receives {"rounds": N, "algorithm": ...}.
     """
+    if algorithm == "star":
+        return _cc_star(edges, max_rounds, num_buckets, stats)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
 
     def _mirror(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -86,7 +104,9 @@ def connected_components(
     ).materialize()
 
     prev_sig = None
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         lab_rows = lab.map_batches(
             lambda df: pd.DataFrame(
                 {
@@ -117,4 +137,120 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+    if stats is not None:
+        stats.update(rounds=rounds, algorithm="minlabel")
     return lab
+
+
+def _pair_sig(ds: "rd.Dataset") -> int:
+    """Order-independent signature of an edge set: sum of row hashes.
+    Used only for fixpoint detection (max_rounds still bounds the
+    loop, so a collision can at worst cost extra rounds... it cannot —
+    a collision could only stop one round early; astronomically
+    unlikely at 64 bits and acceptable for an idempotent contraction)."""
+    return ds.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "h": [
+                    int(
+                        pd.util.hash_pandas_object(
+                            df["src"].astype(str) + "\x1f" + df["dst"].astype(str),
+                            index=False,
+                        ).sum()
+                        % (1 << 61)
+                    )
+                ]
+            }
+        ),
+        batch_format="pandas",
+    ).sum("h")
+
+
+def _cc_star(
+    edges: "rd.Dataset",
+    max_rounds: int = 30,
+    num_buckets: int = 32,
+    stats: dict | None = None,
+) -> "rd.Dataset":
+    """Alternating large-star / small-star contraction — O(log n)
+    rounds on any topology.
+
+    Per round, with m(v) = min(Γ(v) ∪ {v}) over the MIRRORED adjacency:
+    - large-star: for every node v, emit (u, m(v)) for neighbors u > v;
+    - small-star: emit (u, m(v)) for neighbors u ≤ v, plus (v, m(v)).
+    Both keep every emitted edge inside v's component, and their union
+    preserves connectivity (every original edge (v,u), u>v, is re-routed
+    through m(v) by large-star from v's group). At the joint fixpoint
+    the graph is a forest of stars rooted at each component's min node;
+    labels then read off as min over the direct neighborhood.
+    """
+
+    def _mirror(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["src"], df["dst"]], ignore_index=True),
+                "dst": pd.concat([df["dst"], df["src"]], ignore_index=True),
+            }
+        )
+
+    def _star_reduce(large: bool):
+        def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+            # m = min(neighbors ∪ self), vectorized per node
+            gm = g.groupby("src")["dst"].transform("min")
+            m = np.minimum(gm.to_numpy(dtype=object), g["src"].to_numpy(dtype=object))
+            if large:
+                keep = (g["dst"] > g["src"]).to_numpy()
+                out = pd.DataFrame({"src": g["dst"].to_numpy()[keep], "dst": m[keep]})
+            else:
+                keep = (g["dst"] <= g["src"]).to_numpy()
+                nodes = ~g.duplicated("src").to_numpy()
+                out = pd.DataFrame(
+                    {
+                        "src": np.concatenate(
+                            [g["dst"].to_numpy()[keep], g["src"].to_numpy()[nodes]]
+                        ),
+                        "dst": np.concatenate([m[keep], m[nodes]]),
+                    }
+                )
+            out = out[out["src"] != out["dst"]]
+            # keep singletons alive as self-loops of the bucket's roots
+            roots = pd.DataFrame({"src": np.unique(m), "dst": np.unique(m)})
+            return pd.concat([out, roots], ignore_index=True).drop_duplicates()
+
+        return _reduce
+
+    cur = edges.materialize()
+    prev_sig = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        for large in (True, False):
+            cur = bucketed_group_reduce(
+                cur.map_batches(_mirror, batch_format="pandas"),
+                key_cols=["src"],
+                reduce_fn=_star_reduce(large),
+                num_buckets=num_buckets,
+            ).materialize()
+        sig = _pair_sig(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    if stats is not None:
+        stats.update(rounds=rounds, algorithm="star")
+
+    # converged star forest → labels: comp(v) = min(Γ(v) ∪ {v})
+    def _labels(g: pd.DataFrame) -> pd.DataFrame:
+        both = pd.DataFrame(
+            {
+                "node": pd.concat([g["src"], g["src"]], ignore_index=True),
+                "comp": pd.concat([g["src"], g["dst"]], ignore_index=True),
+            }
+        )
+        return both.groupby("node", as_index=False).agg(comp=("comp", "min"))
+
+    return bucketed_group_reduce(
+        cur.map_batches(_mirror, batch_format="pandas"),
+        key_cols=["src"],
+        reduce_fn=_labels,
+        num_buckets=num_buckets,
+    )

@@ -69,6 +69,60 @@ def test_connected_components_long_chain(ray_session):
     assert all(got[n] == "a" for n in nodes), got
 
 
+def test_cc_star_matches_minlabel(ray_session):
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": ["a", "b", "c", "x", "q"],
+                "dst": ["b", "c", "a", "y", "q"],
+            }
+        )
+    )
+    want = {r["node"]: r["comp"] for r in connected_components(edges).take_all()}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, algorithm="star").take_all()
+    }
+    assert got == want
+
+
+def test_cc_star_long_chain_log_rounds(ray_session):
+    # 64-node path: min-label propagation needs ~63 rounds (rounds =
+    # eccentricity of the min node); star contraction must converge in
+    # O(log n) — the very reason it exists (VERDICT r2 item 4).
+    n = 64
+    nodes = [f"n{i:02d}" for i in range(n)]
+    edges = rd.from_pandas(pd.DataFrame({"src": nodes[:-1], "dst": nodes[1:]}))
+    stats = {}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            edges, algorithm="star", stats=stats
+        ).take_all()
+    }
+    assert all(got[x] == "n00" for x in nodes), got
+    assert len(got) == n
+    # log2(64) = 6; each round is one large-star + one small-star pass.
+    # Allow slack for the +1 fixpoint-confirmation round.
+    assert stats["rounds"] <= 10, stats
+
+
+def test_cc_star_singletons_and_dups(ray_session):
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": ["s", "a", "a", "b"],
+                "dst": ["s", "b", "b", "a"],
+            }
+        )
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, algorithm="star").take_all()
+    }
+    assert got == {"s": "s", "a": "a", "b": "a"}
+
+
 def test_candidate_pairs_find_typos(ray_session):
     norms = [m for m in corpus.PER[:8]] + [m + m[-1] for m in corpus.PER[:8]]
     ds = rd.from_pandas(pd.DataFrame({"norm": norms}))

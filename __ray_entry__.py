@@ -339,6 +339,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
         return ivf_topk(emb, qids, qm, k=5, n_centroids=16, nprobe=4)
 
+    def ann_ivf_stored(sf_dir: str):
+        """Stored IVF-Flat layout: build once (hive-partitioned on the
+        centroid id, centroid sidecar), then serve from a pruned read of
+        only the probed partitions. Matches ann_ivf_topk exactly for the
+        same (centroids, nprobe) — the pruning moves from an in-flight
+        filter to the storage layer (rows-only; approximate at
+        nprobe<C by design)."""
+        import tempfile
+
+        from kgflow.ops.ann import ivf_build_index, ivf_topk_stored
+        from kgflow.sources.parquet import read_parquet_clean
+
+        qids, qm = _queries_for(sf_dir)
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+        idx = os.path.join(tempfile.gettempdir(), "kgflow_ivf_index")
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        ivf_build_index(emb, idx, n_centroids=16)
+        return ivf_topk_stored(idx, qids, qm, k=5, nprobe=4)
+
     def embed_neardup(sf_dir: str):
         """Oracle-checked (round-1 fix: was vacuous — the driver's
         embeddings are random, max off-diag cosine ~0.51, so no pairs at
@@ -473,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_stored": ann_ivf_stored,
         "embed_neardup": embed_neardup,
         "q1_pricing": q1_pricing,
         "top_customers": top_customers,

@@ -177,6 +177,43 @@ def _kmeans_unit(X: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 4
     return C
 
 
+def _train_centroids(
+    emb: "rd.Dataset", n_centroids: int, sample_size: int, seed: int
+) -> np.ndarray:
+    """Shared coarse-quantizer training for the in-flight and stored IVF
+    paths. k-means seeding depends on sample ROW ORDER and Ray's
+    streaming executor does not preserve block order across runs
+    (``preserve_order`` defaults off), so the bounded sample is sorted
+    by ``vec_id`` driver-side — byte-identical centroids for the same
+    (input rows, params) regardless of block arrival order."""
+    sample = (
+        emb.select_columns(["vec_id", "embedding"])
+        .limit(sample_size)
+        .to_pandas()
+        .sort_values("vec_id", kind="mergesort")
+    )
+    return _kmeans_unit(
+        np.asarray(list(sample["embedding"]), dtype=np.float32),
+        n_centroids,
+        seed=seed,
+    )
+
+
+def _probed_partitions(
+    C: np.ndarray, query_matrix: np.ndarray, nprobe: int
+) -> set[int]:
+    """Union over queries of each query's ``nprobe`` closest centroids —
+    the partitions a query run must touch (|probed| <= nprobe * |Q|)."""
+    Qm = _unit(np.asarray(query_matrix, dtype=np.float32))
+    probe_sim = Qm @ C.T  # [Q, C]
+    nprobe = min(nprobe, C.shape[0])
+    probed: set[int] = set()
+    for qi in range(len(Qm)):
+        top = np.argpartition(-probe_sim[qi], nprobe - 1)[:nprobe]
+        probed.update(int(c) for c in top)
+    return probed
+
+
 def ivf_topk(
     emb: "rd.Dataset",
     query_ids: list[int],
@@ -195,24 +232,12 @@ def ivf_topk(
     centroids; the survivors go through the brute-force partial-top-k +
     tiny merge. ``nprobe == n_centroids`` degrades to exact brute force
     (property-tested); smaller ``nprobe`` trades recall for scan size.
-    At corpus scale the scan shrinks from |corpus| to the probed
-    partitions (classic IVF-Flat layout, centroid id doubling as the
-    storage partition key)."""
-    sample = (
-        emb.select_columns(["embedding"]).limit(sample_size).to_pandas()
-    )
-    C = _kmeans_unit(
-        np.asarray(list(sample["embedding"]), dtype=np.float32),
-        n_centroids,
-        seed=seed,
-    )
-    Qm = _unit(np.asarray(query_matrix, dtype=np.float32))
-    probe_sim = Qm @ C.T  # [Q, C]
-    nprobe = min(nprobe, C.shape[0])
-    probed = set()
-    for qi in range(len(Qm)):
-        top = np.argpartition(-probe_sim[qi], nprobe - 1)[:nprobe]
-        probed.update(int(c) for c in top)
+    At corpus scale prefer :func:`ivf_build_index` +
+    :func:`ivf_topk_stored` — the same pruning realized at the STORAGE
+    layer (read only the probed partitions) instead of a full scan with
+    an in-flight filter."""
+    C = _train_centroids(emb, n_centroids, sample_size, seed)
+    probed = _probed_partitions(C, query_matrix, nprobe)
     ref = ray.put((C, probed))
 
     class ProbeFilter:
@@ -233,4 +258,96 @@ def ivf_topk(
     )
     return brute_force_topk(
         filtered, query_ids, query_matrix, k=k, exclude_self=exclude_self
+    )
+
+
+def ivf_build_index(
+    emb: "rd.Dataset",
+    index_dir: str,
+    n_centroids: int = 16,
+    sample_size: int = 2000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF-Flat layout: every vector is assigned its
+    closest centroid (one [B, dim] x [dim, C] matmul per batch) and the
+    corpus is written hive-partitioned on that id
+    (``index_dir/centroid=<c>/``), so the centroid id IS the storage
+    partition key. The tiny [C, dim] centroid matrix is saved as a
+    sidecar parquet; a query run loads only the sidecar plus the probed
+    partition directories. Build is a one-time, embarrassingly parallel
+    write — no shuffle (hive partitioning splits each task's output by
+    key locally). Returns the centroid matrix."""
+    import pyarrow.parquet as pq
+
+    C = _train_centroids(emb, n_centroids, sample_size, seed)
+    ref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+            if len(M) == 0:
+                assign = np.array([], dtype=np.int32)
+            else:
+                assign = np.argmax(_unit(M) @ self.C.T, axis=1).astype(np.int32)
+            return batch.append_column("centroid", pa.array(assign, pa.int32()))
+
+    (
+        emb.select_columns(["vec_id", "embedding"])
+        .map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+        .write_parquet(index_dir, partition_cols=["centroid"])
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "centroid": pa.array(range(len(C)), pa.int32()),
+                "vector": pa.array([row.tolist() for row in C], pa.list_(pa.float32())),
+            }
+        ),
+        f"{index_dir}/_centroids.parquet",
+    )
+    return C
+
+
+def ivf_topk_stored(
+    index_dir: str,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> "rd.Dataset":
+    """Serve IVF top-k from the stored layout: load the [C, dim]
+    centroid sidecar (driver-side, tiny), compute the probed partition
+    set (<= nprobe * |Q| directories), and ``read_parquet`` ONLY those
+    directories — the rest of the corpus never leaves storage. The
+    survivors go through the same broadcast-matmul partial-top-k + tiny
+    bucketed merge as the brute-force baseline, so with identical
+    centroids this matches :func:`ivf_topk` exactly (tested)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    side = pq.read_table(f"{index_dir}/_centroids.parquet")
+    order = np.argsort(side.column("centroid").to_numpy())
+    C = _unit(
+        np.asarray(
+            [side.column("vector")[int(i)].as_py() for i in order], dtype=np.float32
+        )
+    )
+    probed = _probed_partitions(C, query_matrix, nprobe)
+    # Ray's read_parquet expands a single directory but not directories
+    # inside a path list — list the partition files explicitly.
+    paths = [
+        os.path.join(p, f)
+        for c in sorted(probed)
+        if os.path.isdir(p := os.path.join(index_dir, f"centroid={c}"))
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    pruned = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    return brute_force_topk(
+        pruned, query_ids, query_matrix, k=k, exclude_self=exclude_self
     )

@@ -147,6 +147,44 @@ def test_ann_ivf_exact_when_probing_everything_and_recall_when_not():
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_ann_ivf_stored_layout_prunes_and_matches_inflight(tmp_path):
+    """The stored IVF layout reads <= nprobe*|Q| partition dirs and its
+    results match the in-flight probe filter exactly (same centroids)."""
+    import os
+
+    from kgflow.ops.ann import (
+        _probed_partitions,
+        ivf_build_index,
+        ivf_topk,
+        ivf_topk_stored,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    M = np.asarray(list(emb["embedding"]), dtype=np.float32)
+    qids = emb["vec_id"].to_numpy()[:5].tolist()
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+
+    idx = str(tmp_path / "ivf_index")
+    C = ivf_build_index(ds, idx, n_centroids=8, seed=42)
+
+    # layout: one hive dir per non-empty centroid + the sidecar
+    dirs = [d for d in os.listdir(idx) if d.startswith("centroid=")]
+    assert len(dirs) > 1 and os.path.exists(f"{idx}/_centroids.parquet")
+    # index is lossless: every vector is in exactly one partition
+    assert rd.read_parquet(idx).count() == len(emb)
+
+    probed = _probed_partitions(C, M[:5], nprobe=2)
+    assert len(probed) <= 2 * len(qids)
+    assert len(probed) < len(dirs)  # genuinely pruned at this nprobe
+
+    stored = ivf_topk_stored(idx, qids, M[:5], k=5, nprobe=2).to_pandas()
+    inflight = ivf_topk(ds, qids, M[:5], k=5, n_centroids=8, nprobe=2).to_pandas()
+    key = ["query_id", "neighbor_id"]
+    s = stored.sort_values(key).reset_index(drop=True)
+    f = inflight.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, f)
+
+
 def test_embedding_neardup_self_consistent():
     from kgflow.ops.dedup import embedding_neardup_pairs
 

@@ -16,11 +16,15 @@ primitives:
   gradient contribution with two numpy matmuls and emits ONE row
   (flattened gradient + loss). No raw actors, no parameter server — the
   reduce is the engine's own aggregation.
-- **the gradient reduce is a sum over batch rows**: at this vocabulary
-  size (V×R ≈ a few thousand floats) the per-batch gradient rows are
-  tiny; the driver pulls #batches rows per epoch. At a vocabulary where
-  V×R is large, swap the pull for a tree-reduce over gradient shards
-  (same pattern as kgflow/ops/shuffle.py) — noted, not needed here.
+- **the gradient reduce is a sum over batch rows** with two paths,
+  auto-selected on the flattened gradient length (``grad_shards``
+  overrides): DENSE — the driver pulls #batches rows and sums (right
+  when V×R is a few thousand floats); SHARDED — every batch splits its
+  gradient vector into ``grad_shards`` contiguous slices keyed by shard
+  id and the sum runs distributed via ``bucketed_group_reduce`` (one
+  reduce partition per shard), so the driver receives exactly ONE
+  summed gradient (#shards rows, V×R floats total) instead of
+  #batches × V×R — the tree-reduce upgrade path for large vocabularies.
 - **eval is the A4 metric** (multilabel micro P/R, reference
   `lit_models/transformer.py:84-101` semantics) computed with a
   distributed sum.
@@ -38,6 +42,76 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+
+# flattened-gradient length above which the epoch reduce goes
+# distributed (sharded) instead of a driver pull of #batches rows
+GRAD_SHARD_THRESHOLD = 1 << 18
+GRAD_SHARDS_DEFAULT = 8
+
+
+def _resolve_shards(vec_len: int, grad_shards: int | None) -> int:
+    if grad_shards is not None:
+        return max(1, grad_shards)
+    return GRAD_SHARDS_DEFAULT if vec_len > GRAD_SHARD_THRESHOLD else 1
+
+
+def _shard_rows(gvec: np.ndarray, loss: float, n: int, shards: int) -> pa.Table:
+    """Emit a batch's flattened gradient as ``shards`` keyed rows
+    (contiguous equal-ish slices); loss/n ride on shard 0 only so the
+    reduce stays a plain per-key sum."""
+    bounds = np.linspace(0, len(gvec), shards + 1).astype(np.int64)
+    return pa.table(
+        {
+            "shard": pa.array(range(shards), pa.int64()),
+            "g": pa.array(
+                [gvec[bounds[s] : bounds[s + 1]].tolist() for s in range(shards)],
+                pa.list_(pa.float64()),
+            ),
+            "loss": pa.array(
+                [float(loss) if s == 0 else 0.0 for s in range(shards)], pa.float64()
+            ),
+            "n": pa.array([n if s == 0 else 0 for s in range(shards)], pa.int64()),
+        }
+    )
+
+
+def _reduce_grad(parts: "rd.Dataset", shards: int) -> tuple[np.ndarray, float, float]:
+    """Sum the per-batch gradient rows → (gvec_sum, loss_sum, n_sum).
+    Sharded path: one ``bucketed_group_reduce`` partition per shard id
+    sums its slice in the cluster; the driver then pulls #shards rows
+    (ONE gradient's worth of floats) and concatenates."""
+    if shards <= 1:
+        df = parts.to_pandas()
+        gvec = np.sum(np.stack([np.asarray(g) for g in df["g"]]), axis=0)
+        return gvec, float(df["loss"].sum()), float(df["n"].sum())
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for shard, grp in g.groupby("shard", sort=True):
+            out.append(
+                {
+                    "shard": int(shard),
+                    "g": np.sum(
+                        np.stack([np.asarray(v) for v in grp["g"]]), axis=0
+                    ).tolist(),
+                    "loss": float(grp["loss"].sum()),
+                    "n": int(grp["n"].sum()),
+                }
+            )
+        return pd.DataFrame(out)
+
+    df = (
+        bucketed_group_reduce(
+            parts, key_cols=["shard"], reduce_fn=shard_sum, num_buckets=shards
+        )
+        .to_pandas()
+        .sort_values("shard")
+    )
+    gvec = np.concatenate([np.asarray(g) for g in df["g"]])
+    return gvec, float(df["loss"].sum()), float(df["n"].sum())
 
 
 def _bag_matrix(input_ids: list, vocab_size: int) -> np.ndarray:
@@ -60,14 +134,18 @@ def train_seq_classifier(
     lr: float = 2.0,
     l2: float = 1e-6,
     seed: int = 42,
+    grad_shards: int | None = None,
 ) -> dict:
     """Full-batch synchronous gradient descent; returns
-    {"W": [V,R], "b": [R], "losses": [per-epoch BCE]}."""
+    {"W": [V,R], "b": [R], "losses": [per-epoch BCE]}.
+    ``grad_shards=None`` auto-selects the reduce path on V*R+R
+    (see module docstring); an explicit value forces it."""
     feats = features.select_columns(["input_ids", "label_ids_seq"]).materialize()
     rng = np.random.RandomState(seed)
     W = (rng.randn(vocab_size, num_relations) * 0.01).astype(np.float64)
     b = np.zeros(num_relations, dtype=np.float64)
     losses: list[float] = []
+    shards = _resolve_shards(vocab_size * num_relations + num_relations, grad_shards)
 
     for _ in range(epochs):
         wref = ray.put((W, b))
@@ -81,22 +159,14 @@ def train_seq_classifier(
             eps = 1e-12
             loss = -np.sum(Y * np.log(P + eps) + (1 - Y) * np.log(1 - P + eps))
             D = P - Y  # [B, R]
-            gw = (X.T @ D).ravel()  # [V*R]
-            gb = D.sum(axis=0)
-            return pa.table(
-                {
-                    "gw": pa.array([gw.tolist()], pa.list_(pa.float64())),
-                    "gb": pa.array([gb.tolist()], pa.list_(pa.float64())),
-                    "loss": pa.array([float(loss)], pa.float64()),
-                    "n": pa.array([len(X)], pa.int64()),
-                }
-            )
+            gvec = np.concatenate([(X.T @ D).ravel(), D.sum(axis=0)])  # [V*R + R]
+            return _shard_rows(gvec, loss, len(X), shards)
 
-        parts = feats.map_batches(grad_batch, batch_format="pyarrow").to_pandas()
-        n = float(parts["n"].sum())
-        gw = np.sum(np.stack([np.asarray(g) for g in parts["gw"]]), axis=0) / n
-        gb = np.sum(np.stack([np.asarray(g) for g in parts["gb"]]), axis=0) / n
-        losses.append(float(parts["loss"].sum()) / n)
+        parts = feats.map_batches(grad_batch, batch_format="pyarrow")
+        gvec, loss, n = _reduce_grad(parts, shards)
+        gw = gvec[: vocab_size * num_relations] / n
+        gb = gvec[vocab_size * num_relations :] / n
+        losses.append(loss / n)
         W -= lr * (gw.reshape(vocab_size, num_relations) + l2 * W)
         b -= lr * gb
 
@@ -185,16 +255,18 @@ def train_ner_tagger(
     epochs: int = 15,
     lr: float = 2.0,
     seed: int = 42,
+    grad_shards: int | None = None,
 ) -> dict:
     """`run_ner.sh` analogue: per-token linear tagger (token-id one-hot
     -> 8 BIO tags, softmax cross-entropy, same data-parallel
-    map_batches-gradient + driver-reduce loop as the seq trainer).
-    Attended positions only (label -100/pad excluded like the reference
-    CrossEntropyLoss(ignore_index))."""
+    map_batches-gradient loop as the seq trainer, including the
+    auto-sharded distributed reduce). Attended positions only (label
+    -100/pad excluded like the reference CrossEntropyLoss(ignore_index))."""
     feats = features.select_columns(["input_ids", "label_ids_ner"]).materialize()
     rng = np.random.RandomState(seed)
     W = (rng.randn(vocab_size, NUM_TAGS) * 0.01).astype(np.float64)
     losses: list[float] = []
+    shards = _resolve_shards(vocab_size * NUM_TAGS, grad_shards)
 
     for _ in range(epochs):
         wref = ray.put(W)
@@ -223,19 +295,12 @@ def train_ner_tagger(
                 D[np.arange(len(ids)), tags] -= 1.0
                 np.add.at(gw, ids, D)
                 n_tok += len(ids)
-            return pa.table(
-                {
-                    "gw": pa.array([gw.ravel().tolist()], pa.list_(pa.float64())),
-                    "loss": pa.array([loss], pa.float64()),
-                    "n": pa.array([n_tok], pa.int64()),
-                }
-            )
+            return _shard_rows(gw.ravel(), loss, n_tok, shards)
 
-        parts = feats.map_batches(grad_batch, batch_format="pyarrow").to_pandas()
-        n = float(parts["n"].sum())
-        gw = np.sum(np.stack([np.asarray(g) for g in parts["gw"]]), axis=0) / n
-        losses.append(float(parts["loss"].sum()) / n)
-        W -= lr * gw.reshape(vocab_size, NUM_TAGS)
+        parts = feats.map_batches(grad_batch, batch_format="pyarrow")
+        gvec, loss, n = _reduce_grad(parts, shards)
+        losses.append(loss / n)
+        W -= lr * gvec.reshape(vocab_size, NUM_TAGS) / n
 
     return {"W": W, "losses": losses}
 

@@ -77,3 +77,54 @@ def test_ner_training_beats_majority_baseline(corpus):
     row = df.iloc[0]
     assert row["loss_last4"] < row["loss_first4"]
     assert row["acc4"] / 1e4 > majority + 0.05, (row["acc4"], majority)
+
+
+def test_sharded_grad_reduce_matches_dense_at_large_vocab(ray_session):
+    """The distributed sharded gradient reduce (auto-selected when
+    V*R exceeds GRAD_SHARD_THRESHOLD) must produce the same training
+    trajectory as the dense driver reduce. Synthetic large vocab:
+    The auto threshold is unit-asserted (a 70k-vocab R=4 gradient
+    auto-shards); the parity run forces grad_shards=8 at a moderate
+    vocab to keep suite time bounded — same code path as auto. Float
+    sums are order-sensitive and Ray block order is nondeterministic,
+    so equality is at reduce-roundoff tolerance, plus exact agreement
+    of the thresholded predictions."""
+    import numpy as np
+
+    from kgflow.train.seq import (
+        _resolve_shards,
+        eval_seq_classifier,
+        train_seq_classifier,
+    )
+
+    assert _resolve_shards(70_000 * 4 + 4, None) > 1  # auto: sharded
+    assert _resolve_shards(100, None) == 1  # auto: dense
+
+    V, R = 20_000, 4
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(256):
+        rel = i % R
+        # each relation keyed to a distinct trigger-token range, spread
+        # across the whole vocab so every shard sees signal
+        trigger = (rel * (V // R) + rng.randint(0, V // R)) % V
+        ids = rng.randint(0, V, size=12).tolist() + [int(trigger)]
+        y = [0.0] * R
+        y[rel] = 1.0
+        rows.append({"input_ids": ids, "label_ids_seq": y})
+    feats = rd.from_items(rows)
+
+    dense = train_seq_classifier(feats, V, R, epochs=3, grad_shards=1)
+    shard = train_seq_classifier(feats, V, R, epochs=3, grad_shards=8)
+
+    np.testing.assert_allclose(shard["W"], dense["W"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(shard["b"], dense["b"], rtol=0, atol=1e-9)
+    np.testing.assert_allclose(shard["losses"], dense["losses"], rtol=1e-12)
+    m_d = eval_seq_classifier(feats, dense["W"], dense["b"])
+    m_s = eval_seq_classifier(feats, shard["W"], shard["b"])
+    assert (m_d["tp"], m_d["pred_one"], m_d["true_one"]) == (
+        m_s["tp"],
+        m_s["pred_one"],
+        m_s["true_one"],
+    )

@@ -82,39 +82,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_relations(sf_dir: str):
         """Stage-1 output distribution: sentences per selected relation."""
-        from kgflow.pipelines.kg import triples_ds
-
-        ds = triples_ds(_pages_dir(sf_dir))
-        return ds.groupby("rel").count()
+        return _triples_mat(sf_dir).groupby("rel").count()
 
     def kg_events(sf_dir: str):
         from kgflow.pipelines.kg import events_ds
 
         return events_ds(_pages_dir(sf_dir))
 
-    def kg_entity_map(sf_dir: str):
-        from kgflow.linking.link import entity_map
+    # kg_entity_map / kg_edges / kg_nodes all consume the SAME extracted
+    # triple set; memoize the materialized Dataset per pages dir so a
+    # driver sweep runs the extraction once, not three times (the
+    # production path stages via Parquet — kgflow/pipelines/build.py).
+    _triples_memo: dict[str, Any] = {}
+
+    def _triples_mat(sf_dir: str):
         from kgflow.pipelines.kg import triples_ds
 
-        triples = triples_ds(_pages_dir(sf_dir)).materialize()
-        return entity_map(triples)
+        key = _pages_dir(sf_dir)
+        if key not in _triples_memo:
+            _triples_memo[key] = triples_ds(key).materialize()
+        return _triples_memo[key]
+
+    def kg_entity_map(sf_dir: str):
+        from kgflow.linking.link import entity_map
+
+        return entity_map(_triples_mat(sf_dir))
 
     def kg_edges(sf_dir: str):
         from kgflow.linking.link import canonical_triples
         from kgflow.materialize.edges import dedup_edges
-        from kgflow.pipelines.kg import triples_ds
 
-        triples = triples_ds(_pages_dir(sf_dir)).materialize()
-        canon, _ = canonical_triples(triples)
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
         return dedup_edges(canon)
 
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
-        from kgflow.pipelines.kg import triples_ds
 
-        triples = triples_ds(_pages_dir(sf_dir)).materialize()
-        return nodes_table(entity_map(triples))
+        return nodes_table(entity_map(_triples_mat(sf_dir)))
 
     # --- training-feature builders over the golden corpus (rows-only;
     # semantics ≙ reference convert_examples_to_* — see

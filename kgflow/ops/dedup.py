@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from kgflow.linking.minhash import MinHasher, _P
+from kgflow.ops.ann import embed_matrix
 from kgflow.ops.text import hash_token
 
 _WORD = re.compile(r"\w+")
@@ -402,7 +403,7 @@ def embedding_neardup_pairs(
     emb(vec_id, embedding list<float>) → (vec_a, vec_b, cos)."""
 
     def bucket(batch: pa.Table) -> pa.Table:
-        M = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float32)
+        M = embed_matrix(batch)
         dim = M.shape[1]
         rng = np.random.RandomState(seed)
         planes = rng.randn(dim, num_planes).astype(np.float32)

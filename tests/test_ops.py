@@ -3,6 +3,7 @@ and crafted inputs."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -255,3 +256,18 @@ def test_neardup_clusters_planted():
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl[5] == cl[9] == cl[7] == 5  # numeric-min representative
     assert cl[2] == 2
+
+
+def test_embed_matrix_zero_copy_decode():
+    """The Arrow flatten/reshape decode must equal the to_pylist path,
+    including sliced tables (non-zero list offsets) and float64 input."""
+    from kgflow.ops.ann import embed_matrix
+
+    rng = np.random.RandomState(0)
+    M = rng.randn(7, 16).astype(np.float32)
+    t = pa.table({"embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float32()))})
+    assert np.allclose(embed_matrix(t), M)
+    assert np.allclose(embed_matrix(t.slice(2, 3)), M[2:5])
+    t64 = pa.table({"embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float64()))})
+    assert np.allclose(embed_matrix(t64), M)
+    assert embed_matrix(t.slice(0, 0)).shape == (0, 0)

@@ -55,22 +55,23 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = embed_matrix(batch)
-        ids = batch.column("vec_id").to_numpy()
+        ids = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
         S = _unit(M) @ self.Q  # [B, Q]
-        k = min(self.k + 1, len(ids))  # +1 to survive self-match removal
-        o_q, o_n, o_s = [], [], []
-        for qi, qid in enumerate(self.qids):
-            col = S[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if len(col) > k else np.arange(len(col))
-            for t in top:
-                o_q.append(int(qid))
-                o_n.append(int(ids[t]))
-                o_s.append(float(col[t]))
+        B, Q = S.shape
+        k = min(self.k + 1, B)  # +1 to survive self-match removal
+        # one argpartition across ALL queries: [k, Q] row indices
+        top = np.argpartition(-S, k - 1, axis=0)[:k] if B > k else (
+            np.tile(np.arange(B)[:, None], (1, Q))
+        )
+        rows = top.T.ravel()  # query-major
+        cols = np.repeat(np.arange(Q), top.shape[0])
         return pa.table(
             {
-                "query_id": pa.array(o_q, pa.int64()),
-                "neighbor_id": pa.array(o_n, pa.int64()),
-                "cos": pa.array(o_s, pa.float64()),
+                "query_id": pa.array(
+                    np.repeat(np.asarray(self.qids, np.int64), top.shape[0])
+                ),
+                "neighbor_id": pa.array(ids[rows]),
+                "cos": pa.array(S[rows, cols].astype(np.float64)),
             }
         )
 
@@ -157,7 +158,9 @@ def lsh_topk(
 
     class Filter:
         def __init__(self):
-            self.qids, self.Q, self.buckets = ray.get(qref)
+            self.qids, self.Q, buckets = ray.get(qref)
+            # sorted array once per actor → vectorized membership below
+            self.bucket_arr = np.sort(np.fromiter(buckets, dtype=np.int64))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             M = embed_matrix(batch)
@@ -168,9 +171,7 @@ def lsh_topk(
                 )
             keep = np.zeros(len(M), dtype=bool)
             for arr in qkeys(_unit(M)):
-                keep |= np.fromiter(
-                    (int(x) in self.buckets for x in arr), dtype=bool, count=len(arr)
-                )
+                keep |= np.isin(arr, self.bucket_arr)
             return batch.filter(pa.array(keep))
 
     filtered = emb.select_columns(["vec_id", "embedding"]).map_batches(

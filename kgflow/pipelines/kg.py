@@ -108,9 +108,13 @@ class KgConfig:
     # single-pool layout (default): min fraction of the CPU budget the
     # fused model pool pre-provisions; max is the full budget (Ray's
     # streaming resource manager still reserves task-operator shares,
-    # verified no-livelock at 2 CPUs)
+    # verified no-livelock at 2 CPUs). 0.9 measured A/B: 32-cpu sf0.1
+    # headline 16.6/17.0 s (0.5) -> 14.2/14.5 s (autoscale ramp was
+    # ~15% of the job); 8-cpu and 2-cpu legs unchanged (34.5 vs 34.9 s;
+    # 110.0 vs 110.3 s) because longer jobs amortize the ramp and
+    # int(n*min) floors coincide at tiny n.
     pool_min: float = field(
-        default_factory=lambda: float(os.environ.get("KGFLOW_POOL_MIN", "0.5"))
+        default_factory=lambda: float(os.environ.get("KGFLOW_POOL_MIN", "0.9"))
     )
     # "1" restores the round-2 two-pool layout (A/B lever; see
     # ExtractTriplesStage docstring for why single-pool is default)

@@ -277,6 +277,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
         )
 
+    def doc_jaccard_pairs(sf_dir: str):
+        """Oracle-checked (round-3): EXACT prefix-filter Jaccard
+        self-join (AllPairs/PPJoin family) — lossless candidate
+        generation, so unlike doc_minhash_pairs there is no LSH recall
+        caveat at all; the DuckDB oracle is the plain all-pairs
+        true-Jaccard predicate. sim floor-scaled 1e4 on both sides."""
+        from kgflow.ops.dedup import jaccard_pairs
+
+        return jaccard_pairs(_docs(sf_dir)).map_batches(
+            lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
+        )
+
     def doc_dup_clusters(sf_dir: str):
         """Oracle-checked (round-3): LSH pairs → connected components;
         the oracle runs the same true-Jaccard pair predicate and a
@@ -494,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
         "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_dup_clusters": doc_dup_clusters,
         "ann_topk": ann_topk,
@@ -549,6 +562,29 @@ def oracle_sql() -> dict[str, str]:
         # candidate generation (see doc_minhash_pairs docstring for the
         # recall argument).
         "doc_minhash_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, floor(jac * 10000) / 10000 AS sim
+            FROM p WHERE jac >= 0.5
+        """,
+        # Same true-Jaccard predicate as doc_minhash_pairs; the engine
+        # side here is the EXACT prefix-filter join, so the oracle
+        # equivalence needs no recall argument.
+        "doc_jaccard_pairs": r"""
             WITH tok AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
               FROM documents

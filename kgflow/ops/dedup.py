@@ -140,7 +140,23 @@ def minhash_pairs(
     # the verify stage drop_duplicates both sides, and duplicates only
     # inflate the (candidate-bounded, tiny) intermediate rows ≤ bands×
 
-    # phase 2a: one doc_id-keyed shuffle attaches text to each pair side
+    return exact_jaccard_verify(cands, docs, threshold=threshold)
+
+
+def exact_jaccard_verify(
+    cands: "rd.Dataset", docs: "rd.Dataset", threshold: float, k: int = 3
+) -> "rd.Dataset":
+    """(doc_a, doc_b) candidate pairs → verified (doc_a, doc_b, sim)
+    with EXACT word-k-gram Jaccard ≥ threshold.
+
+    Shared verify tail of every text near-dup operator (minhash LSH,
+    prefix-filter): document text never rides the candidate-generation
+    shuffle — phase A joins text onto each pair side through ONE
+    doc_id-keyed bucketed exchange (texts ship exactly once), phase B
+    brings the two sides together pair-keyed and computes shingle-set
+    Jaccard with per-bucket doc/token memoization. Candidate-pair
+    duplicates from the generation stage are dropped here."""
+    # phase A: one doc_id-keyed shuffle attaches text to each pair side
     pair_sides = cands.map_batches(
         lambda df: pd.DataFrame(
             {
@@ -177,11 +193,13 @@ def minhash_pairs(
             }
         )
 
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
     sided = bucketed_group_reduce(
         pair_sides.union(text_rows), key_cols=["key"], reduce_fn=attach_text
     )
 
-    # phase 2b: pair-keyed shuffle brings the two sides together; the
+    # phase B: pair-keyed shuffle brings the two sides together; the
     # verify computes word-shingle sets once per doc per bucket
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         cache: dict[int, set] = {}
@@ -190,7 +208,7 @@ def minhash_pairs(
         def sh(did: int, text: str) -> set:
             v = cache.get(did)
             if v is None:
-                v = set(_word_shingles(text, _cache=tok_cache).tolist())
+                v = set(_word_shingles(text, k, _cache=tok_cache).tolist())
                 cache[did] = v
             return v
 
@@ -219,6 +237,142 @@ def minhash_pairs(
     return bucketed_group_reduce(
         sided, key_cols=["doc_a", "doc_b"], reduce_fn=verify
     )
+
+
+def jaccard_pairs(
+    docs: "rd.Dataset",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 2000,
+    hot_shingles: int = 4096,
+    df_sample: int = 20000,
+) -> "rd.Dataset":
+    """EXACT n-gram Jaccard self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08): documents(doc_id, text) → ALL pairs (doc_a, doc_b, sim)
+    with word-k-gram Jaccard ≥ threshold. Unlike ``minhash_pairs``
+    this has no LSH recall gap — candidate generation is lossless.
+
+    Prefix filter: order each doc's shingle set S under one global
+    total order and keep only its first |S| − ⌈t·|S|⌉ + 1 shingles
+    (the "prefix"). Any pair with J ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉
+    elements, and the globally-smallest shared element necessarily lands in both
+    prefixes — so grouping prefix postings by shingle finds every
+    qualifying pair. Posting lists (not signatures) ride the one
+    candidate shuffle: (shingle, doc_id, set_size), ~20 bytes/row.
+
+    Global order = (is_hot, hash): a bounded sample of the corpus
+    (first ``df_sample`` docs — hot shingles are by definition corpus-
+    wide, so any slab finds them) counts shingle document-frequency on
+    the driver; the top ``hot_shingles`` are broadcast once and DEMOTED
+    to the end of the order, so prefixes are built from rare shingles
+    and posting lists stay short — the frequency-ordering trick from
+    the canonical algorithms with a broadcast instead of a full df
+    join. Any fixed total order preserves exactness; only posting-list
+    length changes. ``max_posting`` caps a pathological list (logged,
+    not silent).
+
+    Verification reuses ``exact_jaccard_verify`` (text ships once,
+    pair-keyed exact Jaccard). Length filter t·|A| ≤ |B| ≤ |A|/t
+    prunes candidates before the pair shuffle."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    # --- pass 0 (bounded): sample df → broadcast hot-shingle demotion set
+    import ray
+
+    sample = docs.select_columns(["text"]).limit(df_sample).take_all()
+    tok_cache: dict = {}
+    from collections import Counter
+
+    df_counts: Counter = Counter()
+    for row in sample:
+        df_counts.update(_word_shingles(row["text"], k, _cache=tok_cache).tolist())
+    hot = {s for s, _ in df_counts.most_common(hot_shingles)}
+    hot_ref = ray.put(np.fromiter(hot, dtype=np.uint64, count=len(hot)))
+
+    def prefix_postings(batch: pa.Table) -> pa.Table:
+        hot_arr = np.sort(ray.get(hot_ref))
+        cache: dict = {}
+        o_sh, o_id, o_sz = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            s = _word_shingles(t, k, _cache=cache)  # unique, hash-sorted
+            n = len(s)
+            plen = n - int(np.ceil(threshold * n)) + 1
+            if plen <= 0:
+                continue
+            is_hot = np.isin(s, hot_arr)
+            # stable: rare (hash order) first, hot (hash order) last
+            ordered = np.concatenate([s[~is_hot], s[is_hot]])
+            o_sh.append(ordered[:plen])
+            o_id.append(np.full(min(plen, n), did, dtype=np.int64))
+            o_sz.append(np.full(min(plen, n), n, dtype=np.int32))
+        if not o_sh:
+            return pa.table(
+                {
+                    "shingle": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "set_size": pa.array([], pa.int32()),
+                }
+            )
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(o_sh)),
+                "doc_id": pa.array(np.concatenate(o_id)),
+                "set_size": pa.array(np.concatenate(o_sz)),
+            }
+        )
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = [], []
+        for _, grp in g.groupby("shingle", sort=False):
+            if len(grp) > max_posting:
+                print(
+                    f"jaccard_pairs: capping posting list of {len(grp)} "
+                    f"docs to {max_posting} ({len(grp) - max_posting} dropped)"
+                )
+                grp = grp.sort_values("doc_id").head(max_posting)
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            sz = grp["set_size"].to_numpy(dtype=np.float64)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = (sz[ju] >= threshold * sz[iu]) & (sz[iu] >= threshold * sz[ju])
+            a.append(ids[iu[keep]])
+            b.append(ids[ju[keep]])
+        if not a:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(a).astype(np.int64),
+                "doc_b": np.concatenate(b).astype(np.int64),
+            }
+        )
+
+    postings = docs.select_columns(["doc_id", "text"]).map_batches(
+        prefix_postings, batch_format="pyarrow"
+    )
+    cands = bucketed_group_reduce(
+        postings, key_cols=["shingle"], reduce_fn=posting_pairs
+    )
+    # a pair sharing m prefix shingles is emitted m times; dedup pairs
+    # (16-byte rows) BEFORE text attaches so the doc_id-keyed text
+    # exchange isn't amplified — prefix overlap can reach plen, much
+    # larger than minhash's bands× bound, so unlike minhash_pairs this
+    # dedicated dedup shuffle pays for itself
+    cands = bucketed_group_reduce(
+        cands,
+        key_cols=["doc_a", "doc_b"],
+        reduce_fn=lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+    )
+    return exact_jaccard_verify(cands, docs, threshold=threshold, k=k)
 
 
 _SHIFTS64 = np.arange(64, dtype=np.uint64)

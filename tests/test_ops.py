@@ -271,3 +271,37 @@ def test_embed_matrix_zero_copy_decode():
     t64 = pa.table({"embedding": pa.array([r.tolist() for r in M], pa.list_(pa.float64()))})
     assert np.allclose(embed_matrix(t64), M)
     assert embed_matrix(t.slice(0, 0)).shape == (0, 0)
+
+
+def test_jaccard_pairs_exact_vs_bruteforce():
+    """Prefix-filter join must equal brute-force all-pairs Jaccard —
+    exactness is the operator's whole claim vs minhash LSH. Includes a
+    hot shingle shared by every doc (demotion path) and docs near the
+    threshold on both sides."""
+    from kgflow.ops.dedup import jaccard_pairs, word_jaccard
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(120)]
+    texts = []
+    for i in range(30):
+        toks = ["common hot shingle"] + [
+            vocab[j] for j in rng.choice(120, size=25, replace=False)
+        ]
+        texts.append(" ".join(toks))
+    # planted near-dups at varying similarity
+    texts.append(texts[0])                                  # exact dup of 0
+    texts.append(texts[1].replace("w", "x", 3))             # perturbed 1
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    expect = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            if word_jaccard(texts[a], texts[b]) >= 0.5:
+                expect.add((a, b))
+
+    out = jaccard_pairs(rd.from_pandas(df), threshold=0.5).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == expect
+    assert (0, 30) in got  # the planted exact dup was recovered
+    for _, r in out.iterrows():
+        assert abs(r["sim"] - word_jaccard(texts[int(r["doc_a"])], texts[int(r["doc_b"])])) < 1e-12

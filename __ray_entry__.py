@@ -448,6 +448,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return eh(sf_dir)
 
+    def events_sessions(sf_dir: str):
+        """Gap-based sessionization (30-min gap) per user — the
+        session-window operator; oracle is the textbook lag()/cumsum
+        window-function construction. duration_s uses date_diff's
+        boundary-crossing semantics on both sides; value sums are exact
+        fixed-point like events_hourly."""
+        import os as _os
+
+        from kgflow.ops.window import sessionize
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return sessionize(ev)
+
+    def events_asof(sf_dir: str):
+        """As-of join: each purchase event ← the most recent click by
+        the same user at or before it (ties → larger click event_id);
+        inner semantics so the output is NULL-free. Oracle is the
+        inequality-join + QUALIFY row_number construction."""
+        import os as _os
+
+        from kgflow.ops.window import asof_join
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return asof_join(
+            ev.filter(expr="event_type == 'purchase'"),
+            ev.filter(expr="event_type == 'click'"),
+        )
+
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
 
@@ -517,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": q1_pricing,
         "top_customers": top_customers,
         "events_hourly": events_hourly,
+        "events_sessions": events_sessions,
+        "events_asof": events_asof,
         "supplier_rollup": supplier_rollup,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
@@ -734,6 +772,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
                      AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "events_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('microsecond', lag(ts) OVER w, ts)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS b
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, CAST(sum(b) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM o
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   date_diff('second', min(ts), max(ts)) AS duration_s,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
+                     AS sum_value
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "events_asof": """
+            SELECT a.event_id, a.user_id, a.ts,
+                   b.event_id AS prior_event_id, b.ts AS prior_ts,
+                   date_diff('second', b.ts, a.ts) AS lag_s
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+            JOIN (SELECT * FROM events WHERE event_type = 'click') b
+              ON a.user_id = b.user_id AND b.ts <= a.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY a.event_id
+              ORDER BY b.ts DESC, b.event_id DESC) = 1
         """,
         "supplier_rollup": """
             SELECT r.r_name,

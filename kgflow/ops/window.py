@@ -1,0 +1,193 @@
+"""Event-time windowed operators over keyed streams: gap-based
+sessionization and as-of (most-recent-at-or-before) joins.
+
+Both need each key's full event history co-located and time-ordered, so
+they ride ONE bucketed shuffle on the partition key
+(`kgflow.ops.shuffle.bucketed_group_reduce`) and run vectorized inside
+the bucket — boundary detection, session numbering and the as-of merge
+are numpy/pandas column ops, never a Python loop over events. The
+tumbling-window cousin (`kgflow.ops.relational.events_hourly`) needs no
+ordering and stays a plain grouped aggregate.
+
+Skew: a hot key's whole history lands in one bucket (inherent — both
+semantics are order-dependent within the key), but the in-bucket cost
+is O(rows log rows) vectorized sort + linear scans, not per-event
+Python. At 100 TB the bucket count scales with the cluster
+(`default_num_buckets`) and a single key's history is bounded by the
+key's own traffic, not the corpus.
+
+Determinism: all orderings use (key, ts, event_id) so equal timestamps
+cannot reorder between runs or engines; value sums use the same exact
+fixed-point int64 trick as `events_hourly` (float sum order drift would
+flip low bits between engine and oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+_US = 1_000_000
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    """Timestamps → int64 microseconds (driver parquet is us-precision,
+    so the cast is exact; ns inputs truncate identically on both legs
+    of any comparison)."""
+    return s.to_numpy().astype("datetime64[us]").astype(np.int64)
+
+
+def sessionize(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_s: int = 1800,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Gap-based sessionization: a new session starts when the time
+    since the key's previous event exceeds ``gap_s`` (strictly).
+    Returns one row per session:
+    (key, session_seq, session_start, session_end, duration_s,
+    n_events, sum_value) with ``session_seq`` numbering each key's
+    sessions 1..n in time order.
+
+    The classic streaming-session-window semantics expressed as a batch
+    operator: hash-partition by key, per-bucket vectorized
+    sort → boundary flags → per-key cumsum → grouped aggregate."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    gap_us = int(gap_s) * _US
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        n = len(g)
+        ti = _ts_us(g[ts_col])
+        u = g[key].to_numpy()
+        boundary = np.ones(n, dtype=bool)
+        if n > 1:
+            boundary[1:] = (u[1:] != u[:-1]) | ((ti[1:] - ti[:-1]) > gap_us)
+        g = g.assign(
+            _b=boundary.astype(np.int64),
+            _vfp=np.round(g[value_col].to_numpy(dtype=np.float64) * 1e4).astype(
+                np.int64
+            ),
+        )
+        g["session_seq"] = g.groupby(key, sort=False)["_b"].cumsum()
+        out = (
+            g.groupby([key, "session_seq"], sort=False)
+            .agg(
+                session_start=(ts_col, "min"),
+                session_end=(ts_col, "max"),
+                n_events=(id_col, "size"),
+                _sum_fp=("_vfp", "sum"),
+            )
+            .reset_index()
+        )
+        # boundary-crossing semantics (truncate each endpoint to the
+        # second, then diff) — matches SQL date_diff('second', a, b),
+        # NOT floor(microsecond delta / 1e6)
+        out["duration_s"] = (
+            _ts_us(out["session_end"]) // _US - _ts_us(out["session_start"]) // _US
+        )
+        out["sum_value"] = out["_sum_fp"].to_numpy(dtype=np.int64) / 1e4
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["session_seq"] = out["session_seq"].astype(np.int64)
+        return out[
+            [
+                key,
+                "session_seq",
+                "session_start",
+                "session_end",
+                "duration_s",
+                "n_events",
+                "sum_value",
+            ]
+        ]
+
+    cols = [key, ts_col, id_col, value_col]
+    return bucketed_group_reduce(
+        events.select_columns(cols),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )
+
+
+def asof_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """As-of join: for every left event, the single most recent right
+    event of the SAME key with ``right.ts <= left.ts`` (inclusive);
+    ties on right ts break to the larger right ``id_col``. Inner
+    semantics — left events with no prior right event are dropped
+    (keeps the output NULL-free for cross-engine hashing). Returns
+    (event_id, key, ts, prior_event_id, prior_ts, lag_s).
+
+    One bucketed shuffle co-partitions both sides by key (sides are
+    tagged and unioned so the exchange happens once); in the bucket the
+    join is the textbook vectorized merge: sort by
+    (key, ts, side, id) with right-before-left at equal ts, group-wise
+    forward-fill of the right payload, then keep left rows. No
+    searchsorted per left row, no Python per-event work."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: df[key].astype(np.int64),
+                ts_col: df[ts_col],
+                id_col: df[id_col].astype(np.int64),
+                "_side": np.ones(len(df), dtype=np.int8),
+                "_r_id": pd.Series([np.nan] * len(df), dtype="float64"),
+                "_r_ts": pd.Series(
+                    [pd.NaT] * len(df), dtype=df[ts_col].dtype
+                ),
+            }
+        )
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: df[key].astype(np.int64),
+                ts_col: df[ts_col],
+                id_col: df[id_col].astype(np.int64),
+                "_side": np.zeros(len(df), dtype=np.int8),
+                "_r_id": df[id_col].astype("float64"),
+                "_r_ts": df[ts_col],
+            }
+        )
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # right (_side=0) sorts before left at equal ts → inclusive <=;
+        # rights at equal ts sort by id asc → ffill keeps the max id
+        g = g.sort_values([key, ts_col, "_side", id_col], kind="mergesort")
+        g[["_r_id", "_r_ts"]] = g.groupby(key, sort=False)[["_r_id", "_r_ts"]].ffill()
+        out = g[(g["_side"] == 1) & g["_r_id"].notna()]
+        # second-truncated diff, matching SQL date_diff('second', ...)
+        lag = _ts_us(out[ts_col]) // _US - _ts_us(out["_r_ts"]) // _US
+        return pd.DataFrame(
+            {
+                "event_id": out[id_col].to_numpy(dtype=np.int64),
+                key: out[key].to_numpy(dtype=np.int64),
+                ts_col: out[ts_col].to_numpy(),
+                "prior_event_id": out["_r_id"].to_numpy(dtype=np.int64),
+                "prior_ts": out["_r_ts"].to_numpy(),
+                "lag_s": lag,
+            }
+        )
+
+    return bucketed_group_reduce(
+        both, key_cols=[key], reduce_fn=reduce_fn, num_buckets=num_buckets
+    )

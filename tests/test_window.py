@@ -1,0 +1,107 @@
+"""Windowed-operator tests: gap sessionization and as-of join on
+crafted inputs covering the boundary semantics (strict gap, inclusive
+as-of, deterministic tie-breaks)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _ts(*secs):
+    return pd.to_datetime([f"2024-01-01 00:00:{s:02d}" for s in secs]).astype(
+        "datetime64[us]"
+    )
+
+
+def test_sessionize_gap_boundary_and_numbering():
+    from kgflow.ops.window import sessionize
+
+    # user 1: gaps of exactly 10 s (kept: not > gap) and 11 s (split)
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:10",  # gap == 10 → same session
+                    "2024-01-01 00:00:21",  # gap == 11 → new session
+                    "2024-01-01 00:05:00",
+                ]
+            ).astype("datetime64[us]"),
+            "event_id": [1, 2, 3, 4],
+            "value": [1.5, 2.25, 4.0, 8.0],
+        }
+    )
+    out = (
+        sessionize(rd.from_pandas(ev), gap_s=10, num_buckets=4)
+        .to_pandas()
+        .sort_values(["user_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 2]
+    assert out["session_seq"].tolist() == [1, 2, 1]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    assert out["duration_s"].tolist() == [10, 0, 0]
+    assert out["sum_value"].tolist() == [3.75, 4.0, 8.0]
+
+
+def test_asof_join_inclusive_and_tiebreak():
+    from kgflow.ops.window import asof_join
+
+    left = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "ts": _ts(5, 20, 7),
+            "event_id": [100, 101, 102],
+        }
+    )
+    # two rights at the SAME ts=5 for user 1 (tie → larger event_id),
+    # one later right the first left must not see; user 2 has no right
+    # at or before ts=7 → dropped (inner semantics)
+    right = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": _ts(5, 5, 10, 9),
+            "event_id": [7, 9, 8, 11],
+        }
+    )
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), num_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [100, 101]
+    # left@5 matches right@5 (inclusive), picking id 9 over 7;
+    # left@20 picks the latest right@10
+    assert out["prior_event_id"].tolist() == [9, 8]
+    assert out["lag_s"].tolist() == [0, 10]
+
+
+def test_window_ops_match_duckdb_at_sf0001():
+    """End-to-end parity with the driver oracle SQL on real test data —
+    the same check the driver gate runs at sf0.01."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    qs, osql = e.queries(), e.oracle_sql()
+    for name in ["events_sessions", "events_asof"]:
+        df = qs[name](sf).to_pandas()
+        o = con.sql(osql[name]).df()
+        cols = sorted(df.columns)
+        assert cols == sorted(o.columns)
+        df = df[cols].sort_values(cols).reset_index(drop=True)
+        o = o[cols].sort_values(cols).reset_index(drop=True)
+        assert len(df) == len(o)
+        for c in cols:
+            assert np.array_equal(df[c].to_numpy(), o[c].to_numpy()), (name, c)

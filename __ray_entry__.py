@@ -377,6 +377,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ivf_build_index(emb, idx, n_centroids=16)
         return ivf_topk_stored(idx, qids, qm, k=5, nprobe=4)
 
+    def ann_ivf_exact(sf_dir: str):
+        """Oracle-checked: the stored IVF layout probed with nprobe ==
+        n_centroids degrades to an exact scan (every partition is read),
+        so the result equals brute-force top-k and shares ann_topk's
+        all-pairs cosine oracle — the SQL-checkable corner of the IVF
+        surface (the nprobe<C pruned paths stay rows-only by design)."""
+        import shutil
+        import tempfile
+
+        from kgflow.ops.ann import ivf_build_index, ivf_topk_stored
+        from kgflow.sources.parquet import read_parquet_clean
+
+        qids, qm = _queries_for(sf_dir)
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+        idx = os.path.join(tempfile.gettempdir(), "kgflow_ivf_index_exact")
+        shutil.rmtree(idx, ignore_errors=True)
+        C = 8
+        ivf_build_index(emb, idx, n_centroids=C)
+        out = ivf_topk_stored(idx, qids, qm, k=5, nprobe=C)
+        return out.select_columns(["query_id", "neighbor_id"])
+
     def embed_neardup(sf_dir: str):
         """Oracle-checked (round-1 fix: was vacuous — the driver's
         embeddings are random, max off-diag cosine ~0.51, so no pairs at
@@ -549,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_stored": ann_ivf_stored,
+        "ann_ivf_exact": ann_ivf_exact,
         "embed_neardup": embed_neardup,
         "q1_pricing": q1_pricing,
         "top_customers": top_customers,
@@ -730,6 +752,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b FROM s WHERE cos >= 0.98
         """,
         "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id
+            ), r AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                     ) AS rn
+              FROM s
+            )
+            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # nprobe == n_centroids ⇒ the IVF scan is exhaustive; same
+        # oracle as ann_topk.
+        "ann_ivf_exact": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe
               FROM embeddings ORDER BY vec_id LIMIT 10

@@ -253,6 +253,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return fingerprints(_docs(sf_dir))
 
+    def doc_vocab_topk(sf_dir: str):
+        """Oracle-checked: corpus-wide top-100 token frequencies —
+        combiner + bucketed sum-reduce with per-bucket top-k; ties
+        break (n DESC, token ASC) on both sides."""
+        from kgflow.ops.text import vocab_topk
+
+        return vocab_topk(_docs(sf_dir), k=100)
+
     def doc_langid(sf_dir: str):  # heuristic → rows-only
         from kgflow.ops.text import lang_id
 
@@ -560,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
         "doc_fingerprint": doc_fingerprint,
+        "doc_vocab_topk": doc_vocab_topk,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -613,6 +622,15 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(length(regexp_extract_all(text, '\w+')), 1)
                      * 10000) / 10000 AS mean_token_len
             FROM documents
+        """,
+        "doc_vocab_topk": r"""
+            WITH t AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ), c AS (
+              SELECT token, count(*) AS n FROM t GROUP BY token
+            )
+            SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

@@ -126,6 +126,49 @@ def quality_scores(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def vocab_topk(docs: "rd.Dataset", k: int = 100, num_buckets: int | None = None) -> "rd.Dataset":
+    """Corpus-wide token vocabulary, top-``k`` by frequency — the
+    vocabulary/BPE-seed pass of a training-data pipeline. Returns
+    (token, n) ordered by n DESC, token ASC.
+
+    Scale shape: a per-batch combiner (pandas explode + value_counts,
+    both C kernels) shrinks each block to its distinct tokens BEFORE the
+    exchange, the token-keyed bucketed reduce sums partials and emits
+    only its bucket's top-k (a bucket's top-k is a superset of its
+    contribution to the global top-k), so the final global sort touches
+    ≤ num_buckets × k rows — never the vocabulary. The full-vocab
+    variant (no head) would be the same pipeline minus the .head/.limit.
+    """
+    import pandas as pd_
+
+    def partial(df: pd_.DataFrame) -> pd_.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+").explode().dropna()
+        vc = toks.value_counts()
+        return pd_.DataFrame(
+            {
+                "token": vc.index.astype(str),
+                "n": vc.to_numpy(dtype="int64"),
+            }
+        )
+
+    def bucket_topk(g: pd_.DataFrame) -> pd_.DataFrame:
+        agg = g.groupby("token", as_index=False)["n"].sum()
+        return agg.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    reduced = bucketed_group_reduce(
+        docs.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        key_cols=["token"],
+        reduce_fn=bucket_topk,
+        num_buckets=num_buckets,
+    )
+    top = reduced.sort(["n", "token"], descending=[True, False]).limit(k)
+    return top
+
+
 def fingerprints(docs: "rd.Dataset") -> "rd.Dataset":
     """doc_id, fp — md5 content fingerprint (matches DuckDB md5())."""
 

@@ -305,3 +305,23 @@ def test_jaccard_pairs_exact_vs_bruteforce():
     assert (0, 30) in got  # the planted exact dup was recovered
     for _, r in out.iterrows():
         assert abs(r["sim"] - word_jaccard(texts[int(r["doc_a"])], texts[int(r["doc_b"])])) < 1e-12
+
+
+def test_vocab_topk_counts_and_tieorder():
+    from kgflow.ops.dedup import _WORD
+    from kgflow.ops.text import vocab_topk
+
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{i:03d}" for i in range(400)]
+    texts = [
+        " ".join(vocab[j] for j in rng.zipf(1.3, size=40) % 400) for _ in range(200)
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    from collections import Counter
+
+    c = Counter(w for t in texts for w in _WORD.findall(t.lower()))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+
+    out = vocab_topk(rd.from_pandas(df), k=50, num_buckets=8).to_pandas()
+    got = list(zip(out["token"], out["n"]))
+    assert got == expect

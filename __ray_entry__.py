@@ -261,6 +261,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return vocab_topk(_docs(sf_dir), k=100)
 
+    def doc_split(sf_dir: str):
+        """Oracle-checked: deterministic md5-hex train/val/test split —
+        the same lexicographic first-hex-byte comparison in SQL."""
+        from kgflow.ops.text import hash_split
+
+        return hash_split(_docs(sf_dir))
+
     def doc_langid(sf_dir: str):  # heuristic → rows-only
         from kgflow.ops.text import lang_id
 
@@ -569,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "doc_fingerprint": doc_fingerprint,
         "doc_vocab_topk": doc_vocab_topk,
+        "doc_split": doc_split,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -631,6 +639,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT token, count(*) AS n FROM t GROUP BY token
             )
             SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100
+        """,
+        "doc_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                        WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

@@ -184,6 +184,37 @@ def fingerprints(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def hash_split(
+    docs: "rd.Dataset", boundaries: tuple[str, str] = ("cc", "e6")
+) -> "rd.Dataset":
+    """Deterministic train/val/test assignment by content hash:
+    (doc_id, split) with split decided by the first md5(text) hex byte
+    — < boundaries[0] → train, < boundaries[1] → val, else test
+    (defaults 0xcc/0xe6 ≈ 80/10/10). Content-hash splitting is the
+    standard leak-proof split for web corpora: duplicated documents
+    land in the SAME split on every run, machine and engine, with no
+    shuffle and no stored assignment table."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        h2 = np.array(
+            [
+                hashlib.md5(t.encode("utf-8")).hexdigest()[:2]
+                for t in batch.column("text").to_pylist()
+            ]
+        )
+        split = np.where(
+            h2 < boundaries[0], "train", np.where(h2 < boundaries[1], "val", "test")
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 class LangIdStage:
     """Heuristic language ID: stopword-profile scoring (en/de/fr/es),
     non-Latin scripts detected by codepoint class. Stateful stage: the

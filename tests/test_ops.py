@@ -325,3 +325,23 @@ def test_vocab_topk_counts_and_tieorder():
     out = vocab_topk(rd.from_pandas(df), k=50, num_buckets=8).to_pandas()
     got = list(zip(out["token"], out["n"]))
     assert got == expect
+
+
+def test_hash_split_deterministic_and_leakproof():
+    from kgflow.ops.text import hash_split
+
+    df = pd.DataFrame(
+        {"doc_id": range(300), "text": [f"document number {i} body" for i in range(150)] * 2}
+    )
+    out = hash_split(rd.from_pandas(df)).to_pandas()
+    assert set(out["split"].unique()) <= {"train", "val", "test"}
+    # identical text ⇒ identical split (leak-proof), regardless of doc_id
+    m = out.merge(df, on="doc_id")
+    per_text = m.groupby("text")["split"].nunique()
+    assert (per_text == 1).all()
+    # deterministic across runs
+    out2 = hash_split(rd.from_pandas(df)).to_pandas()
+    assert (
+        out.sort_values("doc_id")["split"].to_numpy()
+        == out2.sort_values("doc_id")["split"].to_numpy()
+    ).all()

@@ -243,71 +243,48 @@ def jaccard_pairs(
     docs: "rd.Dataset",
     k: int = 3,
     threshold: float = 0.5,
-    max_posting: int = 2000,
-    hot_shingles: int = 4096,
-    df_sample: int = 20000,
+    max_df: int = 2000,
+    num_buckets: int | None = None,
 ) -> "rd.Dataset":
-    """EXACT n-gram Jaccard self-join via prefix filtering (the
-    AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
-    WWW'08): documents(doc_id, text) → ALL pairs (doc_a, doc_b, sim)
-    with word-k-gram Jaccard ≥ threshold. Unlike ``minhash_pairs``
-    this has no LSH recall gap — candidate generation is lossless.
+    """EXACT n-gram Jaccard self-join as a count-join (inverted-index
+    sparse inner product): documents(doc_id, text) → ALL pairs
+    (doc_a, doc_b, sim) with word-k-gram Jaccard ≥ threshold. Unlike
+    ``minhash_pairs`` there is no LSH recall gap — and unlike a
+    prefix-filter + text-verify layout, NOTHING heavier than 16-byte
+    count rows ever rides a shuffle:
 
-    Prefix filter: order each doc's shingle set S under one global
-    total order and keep only its first |S| − ⌈t·|S|⌉ + 1 shingles
-    (the "prefix"). Any pair with J ≥ t shares ≥ ⌈t·max(|A|,|B|)⌉
-    elements, and the globally-smallest shared element necessarily lands in both
-    prefixes — so grouping prefix postings by shingle finds every
-    qualifying pair. Posting lists (not signatures) ride the one
-    candidate shuffle: (shingle, doc_id, set_size), ~20 bytes/row.
+    1. postings: one (shingle, doc_id, set_size) row per distinct
+       shingle per doc — the only pass over text;
+    2. shingle-keyed bucketed reduce: per shingle, every qualifying doc
+       pair (vectorized triu + length filter t·|A| ≤ |B| ≤ |A|/t)
+       contributes a partial-count row, COMBINED per bucket
+       (groupby-size) before leaving the task;
+    3. pair-keyed bucketed reduce: o = Σ partials = |A∩B| exactly, so
+       sim = o / (|A| + |B| − o) and the threshold filter are pure
+       integer/double arithmetic — no text, no per-pair set ops.
 
-    Global order = (is_hot, hash): a bounded sample of the corpus
-    (first ``df_sample`` docs — hot shingles are by definition corpus-
-    wide, so any slab finds them) counts shingle document-frequency on
-    the driver; the top ``hot_shingles`` are broadcast once and DEMOTED
-    to the end of the order, so prefixes are built from rare shingles
-    and posting lists stay short — the frequency-ordering trick from
-    the canonical algorithms with a broadcast instead of a full df
-    join. Any fixed total order preserves exactness; only posting-list
-    length changes. ``max_posting`` caps a pathological list (logged,
-    not silent).
-
-    Verification reuses ``exact_jaccard_verify`` (text ships once,
-    pair-keyed exact Jaccard). Length filter t·|A| ≤ |B| ≤ |A|/t
-    prunes candidates before the pair shuffle."""
+    An earlier prefix-filter implementation (AllPairs/PPJoin-style)
+    generated fewer candidates but verified them by shipping document
+    text pair-wise — ~100× text amplification on a 500k-candidate
+    corpus and a measured 106 s at sf0.1 vs ~seconds for this layout.
+    Candidate-volume cost here is Σ_shingle df² partial rows, combined
+    in-bucket; ``max_df`` caps a pathological posting list (hot
+    stop-grams at corpus scale) with a logged drop — the only
+    approximation: pairs whose overlap evidence includes a capped
+    shingle can undercount o. Driver-scale data never hits the cap, so
+    the DuckDB all-pairs oracle matches exactly."""
     from kgflow.ops.shuffle import bucketed_group_reduce
 
-    # --- pass 0 (bounded): sample df → broadcast hot-shingle demotion set
-    import ray
-
-    sample = docs.select_columns(["text"]).limit(df_sample).take_all()
-    tok_cache: dict = {}
-    from collections import Counter
-
-    df_counts: Counter = Counter()
-    for row in sample:
-        df_counts.update(_word_shingles(row["text"], k, _cache=tok_cache).tolist())
-    hot = {s for s, _ in df_counts.most_common(hot_shingles)}
-    hot_ref = ray.put(np.fromiter(hot, dtype=np.uint64, count=len(hot)))
-
-    def prefix_postings(batch: pa.Table) -> pa.Table:
-        hot_arr = np.sort(ray.get(hot_ref))
+    def postings(batch: pa.Table) -> pa.Table:
         cache: dict = {}
         o_sh, o_id, o_sz = [], [], []
         for did, t in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
-            s = _word_shingles(t, k, _cache=cache)  # unique, hash-sorted
-            n = len(s)
-            plen = n - int(np.ceil(threshold * n)) + 1
-            if plen <= 0:
-                continue
-            is_hot = np.isin(s, hot_arr)
-            # stable: rare (hash order) first, hot (hash order) last
-            ordered = np.concatenate([s[~is_hot], s[is_hot]])
-            o_sh.append(ordered[:plen])
-            o_id.append(np.full(min(plen, n), did, dtype=np.int64))
-            o_sz.append(np.full(min(plen, n), n, dtype=np.int32))
+            s = _word_shingles(t, k, _cache=cache)
+            o_sh.append(s)
+            o_id.append(np.full(len(s), did, dtype=np.int64))
+            o_sz.append(np.full(len(s), len(s), dtype=np.int32))
         if not o_sh:
             return pa.table(
                 {
@@ -324,55 +301,86 @@ def jaccard_pairs(
             }
         )
 
-    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = [], []
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, sa, sb = [], [], [], []
         for _, grp in g.groupby("shingle", sort=False):
-            if len(grp) > max_posting:
+            if len(grp) > max_df:
                 print(
                     f"jaccard_pairs: capping posting list of {len(grp)} "
-                    f"docs to {max_posting} ({len(grp) - max_posting} dropped)"
+                    f"docs to {max_df} ({len(grp) - max_df} dropped; "
+                    f"overlap counts touching this shingle are lower bounds)"
                 )
-                grp = grp.sort_values("doc_id").head(max_posting)
+                grp = grp.sort_values("doc_id").head(max_df)
             if len(grp) < 2:
                 continue
             grp = grp.sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
-            sz = grp["set_size"].to_numpy(dtype=np.float64)
+            sz = grp["set_size"].to_numpy()
             iu, ju = np.triu_indices(len(ids), k=1)
             keep = (sz[ju] >= threshold * sz[iu]) & (sz[iu] >= threshold * sz[ju])
             a.append(ids[iu[keep]])
             b.append(ids[ju[keep]])
+            sa.append(sz[iu[keep]])
+            sb.append(sz[ju[keep]])
         if not a:
             return pd.DataFrame(
                 {
                     "doc_a": pd.Series([], dtype="int64"),
                     "doc_b": pd.Series([], dtype="int64"),
+                    "size_a": pd.Series([], dtype="int32"),
+                    "size_b": pd.Series([], dtype="int32"),
+                    "c": pd.Series([], dtype="int64"),
                 }
             )
-        return pd.DataFrame(
+        raw = pd.DataFrame(
             {
                 "doc_a": np.concatenate(a).astype(np.int64),
                 "doc_b": np.concatenate(b).astype(np.int64),
+                "size_a": np.concatenate(sa).astype(np.int32),
+                "size_b": np.concatenate(sb).astype(np.int32),
+            }
+        )
+        # in-bucket combiner: one row per pair leaves the task
+        return (
+            raw.groupby(["doc_a", "doc_b", "size_a", "size_b"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["doc_a", "doc_b", "size_a", "size_b"], as_index=False)[
+            "c"
+        ].sum()
+        o = agg["c"].to_numpy(dtype=np.int64)
+        union = (
+            agg["size_a"].to_numpy(dtype=np.int64)
+            + agg["size_b"].to_numpy(dtype=np.int64)
+            - o
+        )
+        sim = o / np.maximum(union, 1)
+        hit = sim >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": agg["doc_a"].to_numpy(dtype=np.int64)[hit],
+                "doc_b": agg["doc_b"].to_numpy(dtype=np.int64)[hit],
+                "sim": sim[hit],
             }
         )
 
-    postings = docs.select_columns(["doc_id", "text"]).map_batches(
-        prefix_postings, batch_format="pyarrow"
+    partials = bucketed_group_reduce(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            postings, batch_format="pyarrow"
+        ),
+        key_cols=["shingle"],
+        reduce_fn=pair_partials,
+        num_buckets=num_buckets,
     )
-    cands = bucketed_group_reduce(
-        postings, key_cols=["shingle"], reduce_fn=posting_pairs
-    )
-    # a pair sharing m prefix shingles is emitted m times; dedup pairs
-    # (16-byte rows) BEFORE text attaches so the doc_id-keyed text
-    # exchange isn't amplified — prefix overlap can reach plen, much
-    # larger than minhash's bands× bound, so unlike minhash_pairs this
-    # dedicated dedup shuffle pays for itself
-    cands = bucketed_group_reduce(
-        cands,
+    return bucketed_group_reduce(
+        partials,
         key_cols=["doc_a", "doc_b"],
-        reduce_fn=lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+        reduce_fn=finish,
+        num_buckets=num_buckets,
     )
-    return exact_jaccard_verify(cands, docs, threshold=threshold, k=k)
 
 
 _SHIFTS64 = np.arange(64, dtype=np.uint64)

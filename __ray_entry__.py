@@ -520,6 +520,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.filter(expr="event_type == 'click'"),
         )
 
+    def events_in_sessions(sf_dir: str):
+        """Oracle-checked: generic range join (point-in-interval, same
+        key, both ends inclusive) demonstrated on the sessionization
+        output — every event matches exactly its covering session, so
+        the oracle is the session CTE + a BETWEEN join."""
+        import os as _os
+
+        from kgflow.ops.window import range_join, sessionize
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        sessions = sessionize(ev)
+        return range_join(ev, sessions)
+
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
 
@@ -594,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_asof": events_asof,
+        "events_in_sessions": events_in_sessions,
         "supplier_rollup": supplier_rollup,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
@@ -870,6 +888,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
                      AS sum_value
             FROM s GROUP BY user_id, session_seq
+        """,
+        "events_in_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('microsecond', lag(ts) OVER w, ts)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS b
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, CAST(sum(b) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM o
+            ), sess AS (
+              SELECT user_id, session_seq,
+                     min(ts) AS session_start, max(ts) AS session_end
+              FROM s GROUP BY user_id, session_seq
+            )
+            SELECT e.event_id, e.user_id, e.ts, x.session_seq
+            FROM events e
+            JOIN sess x ON e.user_id = x.user_id
+                       AND e.ts BETWEEN x.session_start AND x.session_end
         """,
         "events_asof": """
             SELECT a.event_id, a.user_id, a.ts,

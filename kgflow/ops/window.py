@@ -191,3 +191,107 @@ def asof_join(
     return bucketed_group_reduce(
         both, key_cols=[key], reduce_fn=reduce_fn, num_buckets=num_buckets
     )
+
+
+def range_join(
+    points: "rd.Dataset",
+    intervals: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    interval_id_col: str = "session_seq",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Inner range join: every (point, interval) pair with the same key
+    and ``start <= ts <= end`` (both inclusive). Intervals MAY overlap —
+    a point matches each covering interval. Returns
+    (id_col, key, ts_col, interval_id_col).
+
+    Same one-exchange layout as :func:`asof_join` (sides tagged and
+    unioned, bucketed on the key); in the bucket, points are sorted by
+    ts per key and each key's intervals locate their point range with
+    two searchsorted calls, emitting matches via the repeat/arange
+    segment trick. The loop is per KEY (an interval-owner granularity
+    the shuffle already created), never per point or per interval —
+    inner work is all numpy."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def tag_points(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: df[key].astype(np.int64),
+                "_t0": _ts_us(df[ts_col]),
+                "_t1": np.zeros(len(df), dtype=np.int64),
+                "_id": df[id_col].astype(np.int64),
+                "_side": np.ones(len(df), dtype=np.int8),
+            }
+        )
+
+    def tag_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key: df[key].astype(np.int64),
+                "_t0": _ts_us(df[start_col]),
+                "_t1": _ts_us(df[end_col]),
+                "_id": df[interval_id_col].astype(np.int64),
+                "_side": np.zeros(len(df), dtype=np.int8),
+            }
+        )
+
+    both = points.map_batches(tag_points, batch_format="pandas").union(
+        intervals.map_batches(tag_intervals, batch_format="pandas")
+    )
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_key, out_ts, out_iv = [], [], [], []
+        pts = g[g["_side"] == 1]
+        ivs = g[g["_side"] == 0]
+        if len(pts) and len(ivs):
+            pts = pts.sort_values([key, "_t0"], kind="mergesort")
+            pk = pts[key].to_numpy()
+            pt = pts["_t0"].to_numpy()
+            pid = pts["_id"].to_numpy()
+            for k_val, iv in ivs.groupby(key, sort=False):
+                ks = np.searchsorted(pk, k_val, "left")
+                ke = np.searchsorted(pk, k_val, "right")
+                if ks == ke:
+                    continue
+                seg = pt[ks:ke]
+                lo = np.searchsorted(seg, iv["_t0"].to_numpy(), "left")
+                hi = np.searchsorted(seg, iv["_t1"].to_numpy(), "right")
+                cnt = np.maximum(hi - lo, 0)
+                tot = int(cnt.sum())
+                if tot == 0:
+                    continue
+                # point index per match: arange reset per interval + lo
+                cum = np.concatenate(([0], np.cumsum(cnt)))
+                p_idx = (
+                    np.arange(tot) - np.repeat(cum[:-1], cnt) + np.repeat(lo, cnt) + ks
+                )
+                out_id.append(pid[p_idx])
+                out_key.append(np.full(tot, k_val, dtype=np.int64))
+                out_ts.append(pt[p_idx])
+                out_iv.append(np.repeat(iv["_id"].to_numpy(), cnt))
+        if not out_id:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    key: pd.Series([], dtype="int64"),
+                    ts_col: pd.Series([], dtype="datetime64[us]"),
+                    interval_id_col: pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_id),
+                key: np.concatenate(out_key),
+                ts_col: np.concatenate(out_ts).astype("datetime64[us]"),
+                interval_id_col: np.concatenate(out_iv),
+            }
+        )
+
+    return bucketed_group_reduce(
+        both, key_cols=[key], reduce_fn=reduce_fn, num_buckets=num_buckets
+    )

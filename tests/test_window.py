@@ -105,3 +105,35 @@ def test_window_ops_match_duckdb_at_sf0001():
         assert len(df) == len(o)
         for c in cols:
             assert np.array_equal(df[c].to_numpy(), o[c].to_numpy()), (name, c)
+
+
+def test_range_join_overlapping_intervals_and_key_isolation():
+    from kgflow.ops.window import range_join
+
+    pts = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": _ts(5, 10, 15, 10),
+            "event_id": [100, 101, 102, 103],
+        }
+    )
+    # overlapping intervals for user 1: [0,10] and [10,20] both cover
+    # ts=10; user 2's interval must not see user 1's points
+    ivs = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "session_start": _ts(0, 10, 0),
+            "session_end": _ts(10, 20, 5),
+            "session_seq": [1, 2, 1],
+        }
+    )
+    out = (
+        range_join(rd.from_pandas(pts), rd.from_pandas(ivs), num_buckets=4)
+        .to_pandas()
+        .sort_values(["event_id", "session_seq"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["event_id"], out["session_seq"]))
+    # 100@5 -> iv1; 101@10 -> BOTH (inclusive ends); 102@15 -> iv2;
+    # 103 (user 2 @10) -> no interval covers it
+    assert got == [(100, 1), (101, 1), (101, 2), (102, 2)]

@@ -537,6 +537,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sessions = sessionize(ev)
         return range_join(ev, sessions)
 
+    def events_quantiles(sf_dir: str):
+        """Oracle-checked: exact discrete quantiles of the quantized
+        value column — histogram combiner + one value-keyed exchange;
+        nearest-rank semantics mirror DuckDB quantile_disc (verified
+        ceil(q*N)-1 indexing). Binary-exact q fractions only."""
+        import os as _os
+
+        from kgflow.ops.profile import column_quantiles
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        )
+        return column_quantiles(ev, "value")
+
+    def events_profile(sf_dir: str):
+        """Oracle-checked: per-column numeric profile (rows, nulls,
+        exact distinct, min/max) — extrema combine per block; distinct
+        dedups per block then counts behind one (column, value)-keyed
+        exchange."""
+        import os as _os
+
+        from kgflow.ops.profile import profile_columns
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "value"],
+        )
+        return profile_columns(ev, ["event_id", "user_id", "value"])
+
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
 
@@ -612,6 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events_sessions,
         "events_asof": events_asof,
         "events_in_sessions": events_in_sessions,
+        "events_quantiles": events_quantiles,
+        "events_profile": events_profile,
         "supplier_rollup": supplier_rollup,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
@@ -912,6 +945,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             JOIN sess x ON e.user_id = x.user_id
                        AND e.ts BETWEEN x.session_start AND x.session_end
+        """,
+        "events_quantiles": """
+            WITH a AS (
+              SELECT quantile_disc(CAST(round(value * 100) AS BIGINT),
+                                   [0.25, 0.5, 0.75, 0.875]) AS l
+              FROM events
+            )
+            SELECT unnest([0.25, 0.5, 0.75, 0.875]) AS q,
+                   unnest(l) / 100.0 AS v
+            FROM a
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS "column", count(*) AS n_rows,
+                   count(*) - count(event_id) AS n_null,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS DOUBLE) AS vmin,
+                   CAST(max(event_id) AS DOUBLE) AS vmax
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value),
+                   CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+            FROM events
         """,
         "events_asof": """
             SELECT a.event_id, a.user_id, a.ts,

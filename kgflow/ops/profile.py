@@ -1,0 +1,189 @@
+"""Data-profiling operators: exact quantized quantiles and per-column
+statistics — the corpus-QA pass a training-data pipeline runs before
+(and after) every transform.
+
+Both reduce to the engine's combiner + bucketed-reduce skeleton: every
+block shrinks to its distinct values / running extrema BEFORE the
+exchange, so the shuffle carries value-domain-bounded rows, never data
+rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def column_quantiles(
+    ds: "rd.Dataset",
+    col: str = "value",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.875),
+    scale: int = 100,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """EXACT discrete quantiles of ``round(col * scale) / scale`` —
+    matches SQL ``quantile_disc`` (nearest-rank: the value at index
+    ceil(q·N) − 1 of the sorted multiset; verified empirically against
+    DuckDB). Returns a small DataFrame (q, v).
+
+    Scale shape: per-block combiner (np.unique + counts on the
+    quantized int64) → ONE value-keyed bucketed sum — the exchange
+    carries (v_fp, n) pairs bounded by the value DOMAIN × scale, not by
+    row count. The final histogram pull is driver-side but
+    domain-bounded (e.g. prices quantized to cents: ≤ a few hundred
+    thousand rows at any corpus size); quantile extraction is a cumsum
+    + searchsorted over that histogram.
+
+    ``qs`` should be binary-exact fractions (0.25, 0.5, 0.875, …) so
+    ceil(q·N) cannot straddle a float rounding difference between
+    engines."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(df[col].to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        uv, cnt = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v_fp": uv, "n": cnt.astype(np.int64)})
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("v_fp", as_index=False)["n"].sum()
+        return agg
+
+    hist = (
+        bucketed_group_reduce(
+            ds.select_columns([col]).map_batches(combiner, batch_format="pandas"),
+            key_cols=["v_fp"],
+            reduce_fn=reduce_fn,
+            num_buckets=num_buckets,
+        )
+        .to_pandas()  # domain-bounded histogram, see docstring
+        .sort_values("v_fp")
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    values = hist["v_fp"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    N = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(int(np.ceil(q * N)), 1) if N else 0
+        idx = int(np.searchsorted(cum, rank, "left")) if N else 0
+        out_q.append(q)
+        out_v.append(values[idx] / scale if N else float("nan"))
+    return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"), "v": out_v})
+
+
+def profile_columns(
+    ds: "rd.Dataset",
+    cols: list[str],
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-column profile over NUMERIC columns: (column, n_rows,
+    n_null, n_distinct, vmin, vmax). Extrema/counts combine per block
+    into one row per column (a |cols|-row shuffle); exact distinct
+    counts dedup per block first, then count distinct survivors behind
+    one (column, value)-keyed exchange."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def stat_partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            v = df[c].to_numpy(dtype=np.float64)
+            null = np.isnan(v)
+            nv = v[~null]
+            rows.append(
+                {
+                    "column": c,
+                    "n_rows": len(v),
+                    "n_null": int(null.sum()),
+                    "vmin": float(nv.min()) if len(nv) else np.inf,
+                    "vmax": float(nv.max()) if len(nv) else -np.inf,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def stat_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("column", as_index=False).agg(
+            n_rows=("n_rows", "sum"),
+            n_null=("n_null", "sum"),
+            vmin=("vmin", "min"),
+            vmax=("vmax", "max"),
+        )
+
+    stats = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(stat_partials, batch_format="pandas"),
+        key_cols=["column"],
+        reduce_fn=stat_reduce,
+        num_buckets=min(num_buckets or len(cols), len(cols)),
+    )
+
+    def distinct_partials(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in cols:
+            v = df[c].to_numpy(dtype=np.float64)
+            uv = np.unique(v[~np.isnan(v)])
+            frames.append(pd.DataFrame({"column": c, "v": uv}))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"column": pd.Series([], dtype="object"), "v": pd.Series([], dtype="float64")}
+        )
+
+    def distinct_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["column", "v"])
+        return (
+            d.groupby("column", as_index=False)
+            .size()
+            .rename(columns={"size": "n_distinct_part"})
+        )
+
+    distinct = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(distinct_partials, batch_format="pandas"),
+        key_cols=["column", "v"],
+        reduce_fn=distinct_reduce,
+        num_buckets=num_buckets,
+    )
+
+    def final_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("column", as_index=False)["n_distinct_part"]
+            .sum()
+            .rename(columns={"n_distinct_part": "n_distinct"})
+        )
+
+    distinct = bucketed_group_reduce(
+        distinct,
+        key_cols=["column"],
+        reduce_fn=final_distinct,
+        num_buckets=min(num_buckets or len(cols), len(cols)),
+    )
+
+    # join the two |cols|-row sides: both tiny — tag + union + merge in
+    # one single-bucket reduce keeps it one exchange, same as the big ops
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["n_distinct"] < 0].drop(columns=["n_distinct"])
+        right = g[g["n_distinct"] >= 0][["column", "n_distinct"]]
+        out = left.merge(right, on="column", how="inner")
+        return out[
+            ["column", "n_rows", "n_null", "n_distinct", "vmin", "vmax"]
+        ].astype({"n_rows": np.int64, "n_null": np.int64, "n_distinct": np.int64})
+
+    stats_t = stats.map_batches(
+        lambda df: df.assign(n_distinct=np.int64(-1)), batch_format="pandas"
+    )
+    distinct_t = distinct.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "column": df["column"],
+                "n_rows": np.int64(0),
+                "n_null": np.int64(0),
+                "vmin": 0.0,
+                "vmax": 0.0,
+                "n_distinct": df["n_distinct"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return bucketed_group_reduce(
+        stats_t.union(distinct_t),
+        key_cols=["column"],
+        reduce_fn=attach,
+        num_buckets=min(num_buckets or len(cols), len(cols)),
+    )

@@ -105,6 +105,21 @@ def run_bench() -> dict:
             "doc_minhash_pairs",
             lambda: minhash_pairs(rd.read_parquet(docs_path)).count(),
         )
+        from kgflow.ops.dedup import jaccard_pairs
+
+        timed(
+            "doc_jaccard_pairs",
+            lambda: jaccard_pairs(rd.read_parquet(docs_path)).count(),
+        )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(ev_path):
+        from kgflow.ops.window import sessionize
+
+        timed(
+            "events_sessions",
+            lambda: sessionize(rd.read_parquet(ev_path)).count(),
+        )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb_path):

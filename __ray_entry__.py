@@ -268,6 +268,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return hash_split(_docs(sf_dir))
 
+    def doc_sample(sf_dir: str):
+        """Oracle-checked: deterministic stratified sample — per lang,
+        the 20 docs with smallest md5(doc_id) rank; the oracle is a
+        row_number() window over the same md5 ordering."""
+        from kgflow.ops.text import grouped_sample
+
+        import os as _os
+
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        return grouped_sample(docs, group_col="lang", n_per_group=20)
+
     def doc_langid(sf_dir: str):  # heuristic → rows-only
         from kgflow.ops.text import lang_id
 
@@ -625,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_vocab_topk": doc_vocab_topk,
         "doc_split": doc_split,
+        "doc_sample": doc_sample,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -697,6 +713,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "doc_sample": """
+            SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank
+              FROM documents
+            ) WHERE rank <= 20
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

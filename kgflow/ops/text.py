@@ -215,6 +215,61 @@ def hash_split(
     return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def grouped_sample(
+    docs: "rd.Dataset",
+    group_col: str = "lang",
+    n_per_group: int = 20,
+    id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Deterministic stratified sample: the ``n_per_group`` rows of
+    each group with the smallest md5(id) rank → (group, id, rank 1..n).
+    The training-data class-balancing pass: reproducible across runs,
+    engines and partitionings (the rank is a pure content function, no
+    RNG state), and leak-aware when combined with ``hash_split``.
+
+    Combiner: each block keeps only its local per-group top-n BEFORE
+    the exchange, so the group-keyed shuffle carries ≤ blocks×groups×n
+    rows; the in-bucket reduce re-ranks the survivors."""
+    import hashlib as _hashlib
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def rank_key(df: pd.DataFrame) -> pd.DataFrame:
+        h = [
+            _hashlib.md5(str(int(v)).encode()).hexdigest()
+            for v in df[id_col].to_numpy()
+        ]
+        return pd.DataFrame(
+            {
+                group_col: df[group_col],
+                id_col: df[id_col].astype("int64"),
+                "_h": h,
+            }
+        )
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = rank_key(df)
+        return df.sort_values([group_col, "_h"], kind="mergesort").groupby(
+            group_col, sort=False
+        ).head(n_per_group)
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, "_h"], kind="mergesort")
+        top = g.groupby(group_col, sort=False).head(n_per_group).copy()
+        top["rank"] = top.groupby(group_col, sort=False).cumcount() + 1
+        return top[[group_col, id_col, "rank"]].astype({"rank": "int64"})
+
+    return bucketed_group_reduce(
+        docs.select_columns([group_col, id_col]).map_batches(
+            local_topn, batch_format="pandas"
+        ),
+        key_cols=[group_col],
+        reduce_fn=final_topn,
+        num_buckets=num_buckets,
+    )
+
+
 class LangIdStage:
     """Heuristic language ID: stopword-profile scoring (en/de/fr/es),
     non-Latin scripts detected by codepoint class. Stateful stage: the

@@ -345,3 +345,21 @@ def test_hash_split_deterministic_and_leakproof():
         out.sort_values("doc_id")["split"].to_numpy()
         == out2.sort_values("doc_id")["split"].to_numpy()
     ).all()
+
+
+def test_grouped_sample_deterministic_and_balanced():
+    from kgflow.ops.text import grouped_sample
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(1000),
+            "lang": ["en"] * 700 + ["de"] * 250 + ["fr"] * 50,
+        }
+    )
+    out = grouped_sample(rd.from_pandas(df), n_per_group=30, num_buckets=8).to_pandas()
+    sizes = out.groupby("lang")["doc_id"].count().to_dict()
+    assert sizes == {"en": 30, "de": 30, "fr": 30}
+    assert set(out["rank"]) == set(range(1, 31))
+    out2 = grouped_sample(rd.from_pandas(df), n_per_group=30, num_buckets=4).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["lang", "doc_id", "rank"]].to_numpy()))
+    assert key(out) == key(out2)  # partitioning-independent

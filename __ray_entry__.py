@@ -583,6 +583,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return profile_columns(ev, ["event_id", "user_id", "value"])
 
+    def events_sliding(sf_dir: str):
+        """Oracle-checked: sliding 3-hour (2h preceding + current) window
+        over the hourly rollup per event_type — RANGE semantics (gaps in
+        the hour grid shrink the window, matching SQL RANGE PRECEDING);
+        value sums exact fixed-point like events_hourly."""
+        from kgflow.ops.relational import events_sliding as es
+
+        return es(sf_dir)
+
+    def events_daily_users(sf_dir: str):
+        """Oracle-checked: exact grouped COUNT(DISTINCT user_id) per
+        (event_type, day) — pair-dedup combiner + (group,value)-bucketed
+        exchange so a hot group's distinct set parallelizes
+        (`kgflow.ops.shuffle.grouped_distinct_count`)."""
+        from kgflow.ops.relational import events_daily_active_users
+
+        return events_daily_active_users(sf_dir)
+
+    def customers_no_big_orders(sf_dir: str):
+        """Oracle-checked: distributed ANTI join (customers with no
+        order above 400k) — right side reduced to distinct keys by a
+        combiner before anything wide; broadcast vs bucketed-shuffle
+        auto-selected (`kgflow.ops.joins.anti_join`)."""
+        from kgflow.ops.relational import customers_without_big_orders
+
+        return customers_without_big_orders(sf_dir)
+
+    def q3_shipping(sf_dir: str):
+        """Oracle-checked: TPC-H Q3-style top-10 open orders by
+        outstanding revenue — dim semi-filter broadcast into the orders
+        scan, fact-fact orderkey equi-join via the generic hash join,
+        exact fixed-point revenue, bucketed grouped top-k."""
+        from kgflow.ops.relational import q3_shipping as q3
+
+        return q3(sf_dir)
+
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
 
@@ -661,6 +697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": events_in_sessions,
         "events_quantiles": events_quantiles,
         "events_profile": events_profile,
+        "events_sliding": events_sliding,
+        "events_daily_users": events_daily_users,
+        "customers_no_big_orders": customers_no_big_orders,
+        "q3_shipping": q3_shipping,
         "supplier_rollup": supplier_rollup,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
@@ -1009,6 +1049,45 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY a.event_id
               ORDER BY b.ts DESC, b.event_id DESC) = 1
+        """,
+        "events_sliding": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS window_start,
+                     count(*) AS n,
+                     sum(CAST(round(value * 10000) AS BIGINT)) AS sum_fp
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, window_start, n,
+                   sum(n) OVER w AS w_n,
+                   (sum(sum_fp) OVER w) / 10000.0 AS w_sum_value
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                         RANGE BETWEEN INTERVAL 2 HOURS PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "events_daily_users": """
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "customers_no_big_orders": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """,
+        "q3_shipping": """
+            SELECT o_orderkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) / 10000.0 AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
         """,
         "supplier_rollup": """
             SELECT r.r_name,

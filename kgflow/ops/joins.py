@@ -1,0 +1,267 @@
+"""Generic distributed equi-joins: broadcast hash join for small build
+sides, bucketed co-partitioned shuffle join otherwise; semi/anti
+variants whose shuffle ships ONLY distinct right-side keys.
+
+The reference has no relational joins (OpenUE is a per-sentence
+extraction pipeline); these are engine-generality operators in the same
+family as `kgflow.ops.relational` — the KG pipeline already uses both
+underlying patterns (broadcast ≙ CanonicalizeStage, co-partitioned
+shuffle ≙ `kgflow.linking.link._apply_emap_shuffle`), and this module
+generalizes them behind one API.
+
+Scale notes
+-----------
+- ``semi_join`` / ``anti_join`` reduce the right side to DISTINCT keys
+  with a per-batch combiner BEFORE anything wide happens, so the
+  decision count and (if needed) the shuffle both run over distinct
+  keys only — never the raw right table.
+- The broadcast path pulls the (distinct-key or projected right) table
+  to the driver ONLY after a distributed count proves it is under
+  ``broadcast_threshold`` rows, then ships it once via ``ray.put``.
+- The shuffle path is a single ``bucketed_group_reduce`` over the union
+  of side-tagged rows (see `kgflow/ops/shuffle.py` for why bucketed
+  beats Ray's native sort-based groupby at high key cardinality); the
+  per-bucket join is one vectorized ``pandas.merge`` (C hash join), not
+  a per-key Python loop.
+- Union requires block-schema uniformity, so both sides are aligned to
+  the full output column set with typed nulls; integer payload columns
+  ride as nullable ``Int64`` (precision-exact, unlike a float upcast)
+  and are restored to ``int64`` after the join when null-free.
+- Skew: one hot join key still lands in one bucket. For fact-fact
+  joins with a known hot key, pre-filter or salt at the call site; the
+  per-bucket cost is a vectorized merge over the bucket's rows, not a
+  Python call per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from kgflow.ops.shuffle import bucketed_group_reduce
+
+#: default driver-side materialization cap for broadcast sides, in rows.
+#: ~60 bytes/row of key+name payload → tens of MiB at this cap; at 100 TB
+#: the right side of a dim join (customers, vocab) typically fits, and a
+#: fact-fact join auto-falls-through to the shuffle path.
+BROADCAST_THRESHOLD = 2_000_000
+
+
+def _target_dtype(t: pa.DataType):
+    """Arrow type → the pandas dtype both union sides standardize on.
+
+    Nullable where a typed null must exist (ints/bools), native
+    elsewhere. Keys never carry nulls, so exactness is preserved:
+    Int64 is precision-exact for the full int64 range (unlike float64).
+    """
+    if pa.types.is_timestamp(t):
+        return np.dtype(f"datetime64[{t.unit}]")
+    if pa.types.is_integer(t):
+        return "Int64"
+    if pa.types.is_floating(t):
+        return "float64"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    return "object"
+
+
+def _np_target_dtype(d: np.dtype):
+    if np.issubdtype(d, np.datetime64):
+        return d
+    if np.issubdtype(d, np.integer):
+        return "Int64"
+    if np.issubdtype(d, np.floating):
+        return "float64"
+    if np.issubdtype(d, np.bool_):
+        return "boolean"
+    return "object"
+
+
+def _schema_dtypes(ds: "rd.Dataset", cols: list[str]) -> dict:
+    """Per-column union dtype from the dataset schema (works for both
+    Arrow-typed and pandas-typed block schemas)."""
+    sch = ds.schema()
+    m = dict(zip(sch.names, sch.types))
+    out = {}
+    for c in cols:
+        t = m[c]
+        if isinstance(t, pa.DataType):
+            out[c] = _target_dtype(t)
+        else:
+            out[c] = _np_target_dtype(np.dtype(t))
+    return out
+
+
+def _align(df: pd.DataFrame, all_cols: list[str], dtypes: dict, side: int) -> pd.DataFrame:
+    """Project/pad ``df`` to exactly ``all_cols`` (+``__side``) with the
+    agreed dtypes so every union block has an identical pandas schema."""
+    out = {}
+    for c in all_cols:
+        if c in df.columns:
+            out[c] = df[c].astype(dtypes[c])
+        else:
+            d = dtypes[c]
+            null = (
+                np.nan
+                if d == "float64"
+                else pd.NaT
+                if isinstance(d, np.dtype) and np.issubdtype(d, np.datetime64)
+                else None
+                if d == "object"
+                else pd.NA
+            )
+            out[c] = pd.Series(null, index=df.index, dtype=d)
+    out["__side"] = pd.Series(np.full(len(df), side, dtype=np.int8), index=df.index)
+    return pd.DataFrame(out)
+
+
+def _restore_ints(df: pd.DataFrame, int_cols: list[str]) -> pd.DataFrame:
+    for c in int_cols:
+        if c in df.columns and not df[c].isna().any():
+            df[c] = df[c].astype(np.int64)
+    return df
+
+
+def distinct_rows(
+    ds: "rd.Dataset", cols: list[str], num_buckets: int | None = None
+) -> "rd.Dataset":
+    """Global DISTINCT over ``cols``: per-batch combiner shrinks each
+    block to its local distinct rows, then one bucketed shuffle dedups
+    across blocks — the shuffle carries distinct-per-block rows only."""
+    combined = ds.map_batches(
+        lambda df: df[cols].drop_duplicates(), batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        combined,
+        key_cols=cols,
+        reduce_fn=lambda g: g.drop_duplicates(),
+        num_buckets=num_buckets,
+    )
+
+
+def _decide_broadcast(keys_ds: "rd.Dataset", threshold: int) -> tuple[bool, int]:
+    n = keys_ds.count()
+    return n <= threshold, n
+
+
+def semi_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: list[str] | str,
+    anti: bool = False,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Rows of ``left`` whose key does (semi) / does not (anti) appear in
+    ``right``. Right side contributes keys only; output schema == left's.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    rkeys = distinct_rows(right, on, num_buckets=num_buckets)
+    small, _n = _decide_broadcast(rkeys, broadcast_threshold)
+
+    if small:
+        ref = ray.put(rkeys.to_pandas())
+
+        class Filter:
+            def __init__(self):
+                keys = ray.get(ref)
+                self.idx = pd.MultiIndex.from_frame(keys[on])
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                mask = pd.MultiIndex.from_frame(df[on]).isin(self.idx)
+                return df[~mask] if anti else df[mask]
+
+        return left.map_batches(Filter, batch_format="pandas", concurrency=(1, 4))
+
+    # shuffle path: union (left rows, side 0) with (distinct keys, side 1)
+    left_cols = list(left.schema().names)
+    dtypes = _schema_dtypes(left, left_cols)
+    int_cols = [c for c, d in dtypes.items() if d == "Int64"]
+
+    tagged_l = left.map_batches(
+        lambda df: _align(df, left_cols, dtypes, 0), batch_format="pandas"
+    )
+    tagged_r = rkeys.map_batches(
+        lambda df: _align(df, left_cols, dtypes, 1), batch_format="pandas"
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lpart = g[g["__side"] == 0].drop(columns=["__side"])
+        ridx = pd.MultiIndex.from_frame(g.loc[g["__side"] == 1, on])
+        mask = pd.MultiIndex.from_frame(lpart[on]).isin(ridx)
+        out = lpart[~mask] if anti else lpart[mask]
+        return _restore_ints(out.copy(), int_cols)
+
+    return bucketed_group_reduce(
+        tagged_l.union(tagged_r), key_cols=on, reduce_fn=join_bucket,
+        num_buckets=num_buckets,
+    )
+
+
+def anti_join(left, right, on, **kw) -> "rd.Dataset":
+    return semi_join(left, right, on, anti=True, **kw)
+
+
+def hash_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: list[str] | str,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Inner equi-join. Payload column names must be disjoint across
+    sides (rename at the call site — keeps the operator honest about
+    output schema instead of inventing suffixes).
+
+    Broadcast path when the right side fits under ``broadcast_threshold``
+    rows (distributed count first — the driver never pulls an unproven
+    side); otherwise one bucketed co-partitioned shuffle with a
+    vectorized ``pandas.merge`` per bucket.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    overlap = (set(left_cols) & set(right_cols)) - set(on)
+    if overlap:
+        raise ValueError(f"payload column collision: {sorted(overlap)}")
+
+    small, _n = _decide_broadcast(right, broadcast_threshold)
+    if small:
+        ref = ray.put(right.to_pandas())
+
+        class Merge:
+            def __init__(self):
+                self.rt = ray.get(ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                return df.merge(self.rt, on=on, how="inner")
+
+        return left.map_batches(Merge, batch_format="pandas", concurrency=(1, 4))
+
+    all_cols = left_cols + [c for c in right_cols if c not in on]
+    dtypes = {**_schema_dtypes(left, left_cols), **_schema_dtypes(right, right_cols)}
+    int_cols = [c for c, d in dtypes.items() if d == "Int64"]
+    r_keep = right_cols
+
+    tagged_l = left.map_batches(
+        lambda df: _align(df, all_cols, dtypes, 0), batch_format="pandas"
+    )
+    tagged_r = right.map_batches(
+        lambda df: _align(df, all_cols, dtypes, 1), batch_format="pandas"
+    )
+
+    l_keep = left_cols
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lpart = g.loc[g["__side"] == 0, l_keep]
+        rpart = g.loc[g["__side"] == 1, r_keep]
+        out = lpart.merge(rpart, on=on, how="inner")
+        return _restore_ints(out, int_cols)
+
+    return bucketed_group_reduce(
+        tagged_l.union(tagged_r), key_cols=on, reduce_fn=join_bucket,
+        num_buckets=num_buckets,
+    )

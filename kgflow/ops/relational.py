@@ -115,17 +115,10 @@ def top_customers(sf_dir: str, k: int = 10) -> "rd.Dataset":
     )
 
 
-def events_hourly(sf_dir: str) -> "rd.Dataset":
-    """Tumbling 1-hour window per event_type over the events stream
-    table: window key computed vectorized per batch (floor to hour),
-    then one grouped aggregate — the batch-engine form of a streaming
-    tumbling window (SURVEY.md §2.10: the reference has no windows;
-    this is the engine's generic windowed-aggregate operator).
-
-    ``value`` is summed in exact fixed-point (int64 of round(value*1e4))
-    so the sum is associative — float summation-order drift between
-    engines flipped floor(x*1e4) boundaries on 4-decimal-quantized
-    inputs (round-1 oracle hash mismatch). One divide at the end."""
+def _events_hourly_agg(sf_dir: str) -> "rd.Dataset":
+    """Shared tumbling 1-hour pre-aggregate: (event_type, window_start,
+    n, sum_value_fp) with the value sum in exact fixed-point int64 —
+    reused by both the tumbling query and the sliding window on top."""
     from kgflow.sources.parquet import read_parquet_clean
 
     ds = read_parquet_clean(
@@ -142,9 +135,23 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
         return batch.append_column("window_start", w).append_column("value_fp", v_fp)
 
     ds = ds.map_batches(add_window, batch_format="pyarrow")
-    agg = ds.groupby(["event_type", "window_start"]).aggregate(
+    return ds.groupby(["event_type", "window_start"]).aggregate(
         Count(alias_name="n"), Sum("value_fp", alias_name="sum_value_fp")
     )
+
+
+def events_hourly(sf_dir: str) -> "rd.Dataset":
+    """Tumbling 1-hour window per event_type over the events stream
+    table: window key computed vectorized per batch (floor to hour),
+    then one grouped aggregate — the batch-engine form of a streaming
+    tumbling window (SURVEY.md §2.10: the reference has no windows;
+    this is the engine's generic windowed-aggregate operator).
+
+    ``value`` is summed in exact fixed-point (int64 of round(value*1e4))
+    so the sum is associative — float summation-order drift between
+    engines flipped floor(x*1e4) boundaries on 4-decimal-quantized
+    inputs (round-1 oracle hash mismatch). One divide at the end."""
+    agg = _events_hourly_agg(sf_dir)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["sum_value"] = df["sum_value_fp"].to_numpy(dtype=np.int64) / 1e4
@@ -181,3 +188,168 @@ def supplier_nation_rollup(sf_dir: str) -> "rd.Dataset":
         .groupby("r_name")
         .aggregate(Sum("s_acctbal", alias_name="total_acctbal"), Count(alias_name="n_suppliers"))
     )
+
+
+def events_sliding(sf_dir: str, preceding_hours: int = 2) -> "rd.Dataset":
+    """Sliding (moving) window over the hourly rollup: per event_type
+    and hour, event count and exact value sum over the trailing
+    ``preceding_hours``-hours-plus-current-hour window — the classic
+    "window over a tumbling pre-aggregate" streaming pattern. The raw
+    events are touched once (in the rollup); the slide itself runs over
+    |types| × |hours| rows, bucketed by type."""
+    from kgflow.ops.window import sliding_time_sum
+
+    hourly = _events_hourly_agg(sf_dir)
+    slid = sliding_time_sum(
+        hourly,
+        key_cols=["event_type"],
+        ts_col="window_start",
+        sum_cols=["n", "sum_value_fp"],
+        preceding_s=preceding_hours * 3600,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype(np.int64)
+        df["w_n"] = df["w_n"].astype(np.int64)
+        df["w_sum_value"] = df["w_sum_value_fp"].to_numpy(dtype=np.int64) / 1e4
+        return df[["event_type", "window_start", "n", "w_n", "w_sum_value"]]
+
+    return slid.map_batches(finish, batch_format="pandas")
+
+
+def events_daily_active_users(sf_dir: str) -> "rd.Dataset":
+    """Exact distinct-user counts per (event_type, day): the engine's
+    grouped COUNT(DISTINCT) — per-batch pair dedup combiner, a shuffle
+    bucketed on (group, user) so hot groups' distinct sets parallelize,
+    then a tiny partial-count sum (`kgflow.ops.shuffle.grouped_distinct_count`)."""
+    from kgflow.ops.shuffle import grouped_distinct_count
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "user_id"]
+    )
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "day", pc.floor_temporal(batch.column("ts"), unit="day")
+        ).drop_columns(["ts"])
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+    return grouped_distinct_count(
+        ds, group_cols=["event_type", "day"], value_col="user_id", out_col="n_users"
+    )
+
+
+def customers_without_big_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.Dataset":
+    """Anti-join demo: customers with NO order above ``min_total``.
+    The orders side is filtered and key-projected at the read, reduced
+    to distinct custkeys by the semi/anti machinery, and the join
+    auto-selects broadcast vs bucketed shuffle
+    (`kgflow.ops.joins.anti_join`)."""
+    from kgflow.ops.joins import anti_join
+    from kgflow.sources.parquet import read_parquet_clean
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    )
+    big = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = batch.filter(pc.greater(batch.column("o_totalprice"), min_total))
+        return pa.table({"c_custkey": f.column("o_custkey")})
+
+    big_keys = big.map_batches(keys, batch_format="pyarrow")
+    return anti_join(cust, big_keys, on="c_custkey")
+
+
+def q3_shipping(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> "rd.Dataset":
+    """TPC-H Q3-style shipping priority: top-k open orders of one market
+    segment by outstanding revenue. Exercises the full join ladder:
+
+    - customer is reduced to a broadcast custkey SET (semi-join filter
+      pushed into the orders scan — never a shuffle for a dim filter);
+    - orders⋈lineitem is the fact-fact equi-join on orderkey via
+      `kgflow.ops.joins.hash_join` (auto broadcast-vs-shuffle);
+    - revenue sums in exact fixed-point int64; the grouped top-k uses
+      the bucketed reduce emitting only per-bucket top-k rows.
+    """
+    import numpy as _np
+
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    cut = np.datetime64(cutoff, "us")
+
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    seg_keys = ray.put(
+        np.sort(cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy())
+    )
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    class FilterOrders:
+        def __init__(self):
+            self.keys = ray.get(seg_keys)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["o_orderdate"].to_numpy() < cut) & _np.isin(
+                df["o_custkey"].to_numpy(), self.keys, assume_unique=False
+            )
+            return df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    orders_f = orders.map_batches(
+        FilterOrders, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def line_rev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["l_shipdate"].to_numpy() > cut
+        d = df.loc[m]
+        rev_fp = np.round(
+            d["l_extendedprice"].to_numpy() * (1.0 - d["l_discount"].to_numpy()) * 1e4
+        ).astype(np.int64)
+        return pd.DataFrame({"o_orderkey": d["l_orderkey"].to_numpy(), "rev_fp": rev_fp})
+
+    line_f = line.map_batches(line_rev, batch_format="pandas")
+
+    joined = hash_join(line_f, orders_f, on="o_orderkey")
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"], as_index=False, sort=False
+        )["rev_fp"].sum()
+        return agg.sort_values(
+            ["rev_fp", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    top = bucketed_group_reduce(joined, key_cols=["o_orderkey"], reduce_fn=bucket_topk)
+    top = top.sort(["rev_fp", "o_orderkey"], descending=[True, False]).limit(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["rev_fp"].to_numpy(dtype=np.int64) / 1e4
+        return df[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+    return top.map_batches(finish, batch_format="pandas")

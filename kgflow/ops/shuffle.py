@@ -129,3 +129,46 @@ def bucketed_group_reduce(
         .sort(bucket_col, boundaries=list(range(1, num_buckets)))
         .map_batches(_reduce, batch_format="pandas", batch_size=None)
     )
+
+
+def grouped_distinct_count(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Exact ``COUNT(DISTINCT value_col) GROUP BY group_cols``, never
+    materializing a group's value set on one worker:
+
+    1. per-batch combiner drops duplicate (group, value) pairs locally;
+    2. ONE shuffle bucketed on (group, value) — a hot group's distinct
+       values SPREAD across buckets, so the dedup+count of a skewed
+       group parallelizes instead of landing on one reducer;
+    3. each bucket emits per-group PARTIAL distinct counts (disjoint by
+       construction: a (group, value) pair lives in exactly one bucket);
+    4. a second, tiny shuffle (≤ num_buckets × |groups| rows) sums the
+       partials per group.
+    """
+    pair_cols = group_cols + [value_col]
+    pairs = ds.map_batches(
+        lambda df: df[pair_cols].drop_duplicates(), batch_format="pandas"
+    )
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        out = d.groupby(group_cols, as_index=False, sort=False).size()
+        return out.rename(columns={"size": out_col})
+
+    partials = bucketed_group_reduce(
+        pairs, key_cols=pair_cols, reduce_fn=partial_counts, num_buckets=num_buckets
+    )
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(group_cols, as_index=False, sort=False)[out_col].sum()
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(
+        partials, key_cols=group_cols, reduce_fn=sum_partials, num_buckets=num_buckets
+    )

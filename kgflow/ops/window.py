@@ -295,3 +295,59 @@ def range_join(
     return bucketed_group_reduce(
         both, key_cols=[key], reduce_fn=reduce_fn, num_buckets=num_buckets
     )
+
+
+def sliding_time_sum(
+    ds: "rd.Dataset",
+    key_cols: list[str],
+    ts_col: str,
+    sum_cols: list[str],
+    preceding_s: int,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Sliding event-time window sums with RANGE semantics: for every
+    input row, each ``sum_cols`` value is summed over the key's rows
+    whose timestamp lies in ``[t - preceding_s, t]`` (the SQL
+    ``RANGE BETWEEN INTERVAL preceding_s PRECEDING AND CURRENT ROW``),
+    emitted as ``w_<col>``. Input is typically a tumbling pre-aggregate
+    (e.g. `kgflow.ops.relational.events_hourly`'s hourly rows), so the
+    wide work happened BEFORE this operator and the window never re-reads
+    raw events — the streaming-engine "window over a rollup" pattern.
+
+    One bucketed shuffle on the key; inside a bucket, keys are contiguous
+    segments after one vectorized sort, and each segment resolves all its
+    windows with two ``np.searchsorted`` calls over prefix sums — a
+    Python loop over KEYS in the bucket (cheap: segments shrink with
+    ``num_buckets``), never over rows. Sum columns must be int64
+    (exact fixed-point by convention, see module docstring).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    prec_us = int(preceding_s) * _US
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + [ts_col], kind="mergesort").reset_index(drop=True)
+        ti = _ts_us(g[ts_col])
+        sums = {c: g[c].to_numpy(dtype=np.int64) for c in sum_cols}
+        w = {c: np.empty(len(g), dtype=np.int64) for c in sum_cols}
+        if len(g):
+            # contiguous key segments after the sort
+            kf = pd.MultiIndex.from_frame(g[key_cols]) if len(key_cols) > 1 else None
+            kv = kf.to_numpy() if kf is not None else g[key_cols[0]].to_numpy()
+            seg_start = np.flatnonzero(
+                np.concatenate(([True], kv[1:] != kv[:-1]))
+            )
+            seg_bounds = np.append(seg_start, len(g))
+            for s, e in zip(seg_bounds[:-1], seg_bounds[1:]):
+                seg_t = ti[s:e]
+                lo = np.searchsorted(seg_t, seg_t - prec_us, "left")
+                for c in sum_cols:
+                    ps = np.concatenate(([0], np.cumsum(sums[c][s:e])))
+                    w[c][s:e] = ps[np.arange(1, e - s + 1)] - ps[lo]
+        for c in sum_cols:
+            g[f"w_{c}"] = w[c]
+        return g
+
+    return bucketed_group_reduce(
+        ds, key_cols=key_cols, reduce_fn=reduce_fn, num_buckets=num_buckets
+    )

@@ -1,0 +1,183 @@
+"""Generic-join tests: broadcast and shuffle paths of semi/anti/inner
+joins against pandas-merge ground truth AND Ray's native hash join,
+plus grouped distinct-count and the sliding time window."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _tables(seed=0, n=300, keys=60):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys, n),
+            "v": rng.random(n),
+            "name": [f"n{i}" for i in range(n)],
+            "ts": pd.Series(
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 500, n), unit="h")
+            ).astype("datetime64[us]"),
+        }
+    )
+    # right covers ~half the key space, with duplicate key rows
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, keys // 2, 80),
+            "rpay": rng.integers(0, 1000, 80),
+        }
+    )
+    return left, right
+
+
+def _canon(df, by=("name",)):
+    return (
+        df[sorted(df.columns)].sort_values(list(by) + sorted(df.columns)).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("broadcast_threshold", [10**6, 0])
+def test_semi_anti_inner_vs_pandas(broadcast_threshold):
+    from kgflow.ops.joins import anti_join, hash_join, semi_join
+
+    left, right = _tables()
+    lds, rds = rd.from_pandas(left).repartition(5), rd.from_pandas(right).repartition(3)
+
+    semi = semi_join(lds, rds, "k", broadcast_threshold=broadcast_threshold).to_pandas()
+    anti = anti_join(lds, rds, "k", broadcast_threshold=broadcast_threshold).to_pandas()
+    inner = hash_join(lds, rds, "k", broadcast_threshold=broadcast_threshold).to_pandas()
+
+    exp_semi = left[left["k"].isin(right["k"])]
+    exp_anti = left[~left["k"].isin(right["k"])]
+    exp_inner = left.merge(right, on="k", how="inner")
+
+    pd.testing.assert_frame_equal(_canon(semi), _canon(exp_semi), check_dtype=False)
+    pd.testing.assert_frame_equal(_canon(anti), _canon(exp_anti), check_dtype=False)
+    pd.testing.assert_frame_equal(
+        _canon(inner, by=("name", "rpay")),
+        _canon(exp_inner, by=("name", "rpay")),
+        check_dtype=False,
+    )
+    # semi+anti partition left exactly
+    assert len(semi) + len(anti) == len(left)
+    # int payloads come back as int64, not a float upcast
+    assert inner["rpay"].dtype == np.int64
+    assert str(semi["ts"].dtype).startswith("datetime64")
+
+
+def test_shuffle_join_matches_ray_native_join():
+    from kgflow.ops.joins import hash_join
+
+    left, right = _tables(seed=1)
+    lds, rds = rd.from_pandas(left).repartition(4), rd.from_pandas(right).repartition(2)
+    ours = hash_join(lds, rds, "k", broadcast_threshold=0).to_pandas()
+    native = (
+        rd.from_pandas(left)
+        .join(rd.from_pandas(right), "inner", num_partitions=4, on=("k",))
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(
+        _canon(ours, by=("name", "rpay")),
+        _canon(native, by=("name", "rpay")),
+        check_dtype=False,
+    )
+
+
+def test_hash_join_rejects_payload_collision():
+    from kgflow.ops.joins import hash_join
+
+    left, right = _tables()
+    right = right.assign(v=1.0)  # collides with left's payload column
+    with pytest.raises(ValueError, match="collision"):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k")
+
+
+def test_anti_join_empty_result():
+    from kgflow.ops.joins import anti_join
+
+    left, _ = _tables()
+    # right covers every key → anti join is empty. NOTE: Ray represents
+    # fully-empty pandas results as schema-less blocks (the round-1
+    # empty-sort-partition artifact, see kgflow/ops/shuffle.py), so only
+    # emptiness is asserted here — the broadcast path keeps columns, the
+    # shuffle path may not.
+    right = pd.DataFrame({"k": np.arange(left["k"].max() + 1)})
+    for bt in (10**6, 0):
+        out = anti_join(
+            rd.from_pandas(left), rd.from_pandas(right), "k", broadcast_threshold=bt
+        )
+        assert out.count() == 0
+
+
+def test_multi_column_key_semi_join():
+    from kgflow.ops.joins import semi_join
+
+    left = pd.DataFrame(
+        {"a": [1, 1, 2, 2, 3], "b": ["x", "y", "x", "y", "x"], "v": range(5)}
+    )
+    right = pd.DataFrame({"a": [1, 2], "b": ["y", "x"]})
+    for bt in (10**6, 0):
+        out = semi_join(
+            rd.from_pandas(left), rd.from_pandas(right), ["a", "b"], broadcast_threshold=bt
+        ).to_pandas()
+        assert sorted(out["v"]) == [1, 2]
+
+
+def test_grouped_distinct_count_exact():
+    from kgflow.ops.shuffle import grouped_distinct_count
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 7, 1000),
+            "u": rng.integers(0, 40, 1000),
+        }
+    )
+    out = (
+        grouped_distinct_count(
+            rd.from_pandas(df).repartition(6), ["g"], "u", out_col="n_users"
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("g")["u"].nunique().rename("n_users").reset_index().astype(
+            {"n_users": np.int64}
+        )
+    )
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_sliding_time_sum_range_semantics():
+    from kgflow.ops.window import sliding_time_sum
+
+    # key A: hours 0,1,2,5 (gap!); key B: hour 0 only
+    ts = pd.Series(
+        pd.to_datetime(
+            [
+                "2024-01-01 00:00",
+                "2024-01-01 01:00",
+                "2024-01-01 02:00",
+                "2024-01-01 05:00",
+                "2024-01-01 00:00",
+            ]
+        )
+    ).astype("datetime64[us]")
+    df = pd.DataFrame(
+        {"k": ["A", "A", "A", "A", "B"], "t": ts, "x": [1, 10, 100, 1000, 7]}
+    )
+    out = (
+        sliding_time_sum(rd.from_pandas(df), ["k"], "t", ["x"], preceding_s=2 * 3600)
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    # RANGE [t-2h, t]: hour2 sees 1+10+100; hour5 sees only itself (gap)
+    assert list(out["w_x"]) == [1, 11, 111, 1000, 7]

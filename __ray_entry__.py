@@ -619,6 +619,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q3(sf_dir)
 
+    def customer_orders_left(sf_dir: str):
+        """Oracle-checked: LEFT outer join — every customer with order
+        count + largest order, zeros for the order-less (combiner
+        pre-aggregate makes the right side dim-sized;
+        `kgflow.ops.joins.hash_join(how='left')` auto-selects
+        broadcast vs bucketed shuffle)."""
+        from kgflow.ops.relational import customer_order_profile
+
+        return customer_order_profile(sf_dir)
+
+    def orders_top_priority(sf_dir: str):
+        """Oracle-checked: grouped top-k (3 priciest orders per order
+        priority) via `kgflow.ops.shuffle.grouped_topk` — local top-k
+        combiner, one group-bucketed exchange; total tie order makes
+        it row_number()-equivalent and hash-exact."""
+        from kgflow.ops.relational import orders_top_per_priority
+
+        return orders_top_per_priority(sf_dir, k=3)
+
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
 
@@ -700,6 +719,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": events_sliding,
         "events_daily_users": events_daily_users,
         "customers_no_big_orders": customers_no_big_orders,
+        "customer_orders_left": customer_orders_left,
+        "orders_top_priority": orders_top_priority,
         "q3_shipping": q3_shipping,
         "supplier_rollup": supplier_rollup,
         "media_image_features": media_image_features,
@@ -1074,6 +1095,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
               SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        """,
+        "customer_orders_left": """
+            SELECT c.c_custkey, c.c_name,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   COALESCE(o.max_order, 0.0) AS max_order
+            FROM customer c
+            LEFT JOIN (
+              SELECT o_custkey, count(*) AS n_orders,
+                     max(o_totalprice) AS max_order
+              FROM orders GROUP BY o_custkey
+            ) o ON c.c_custkey = o.o_custkey
+        """,
+        "orders_top_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
         """,
         "q3_shipping": """
             SELECT o_orderkey,

@@ -209,18 +209,25 @@ def hash_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
     on: list[str] | str,
+    how: str = "inner",
     broadcast_threshold: int = BROADCAST_THRESHOLD,
     num_buckets: int | None = None,
 ) -> "rd.Dataset":
-    """Inner equi-join. Payload column names must be disjoint across
-    sides (rename at the call site — keeps the operator honest about
-    output schema instead of inventing suffixes).
+    """Equi-join (``how`` in {"inner", "left"}). Payload column names
+    must be disjoint across sides (rename at the call site — keeps the
+    operator honest about output schema instead of inventing suffixes).
 
     Broadcast path when the right side fits under ``broadcast_threshold``
     rows (distributed count first — the driver never pulls an unproven
     side); otherwise one bucketed co-partitioned shuffle with a
-    vectorized ``pandas.merge`` per bucket.
+    vectorized ``pandas.merge`` per bucket (a left row's key lives in
+    exactly one bucket together with ALL right rows of that key, so
+    left-outer null-extension is bucket-local). Unmatched right-payload
+    int columns stay nullable ``Int64`` on the left path; matched-only
+    outputs restore to ``int64``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
@@ -234,10 +241,19 @@ def hash_join(
 
         class Merge:
             def __init__(self):
-                self.rt = ray.get(ref)
+                rt = ray.get(ref)
+                if how == "left":
+                    # unmatched left rows null-extend the right payload;
+                    # without this, pandas upcasts int payloads to
+                    # float64 (precision loss) instead of nullable Int64.
+                    rt = rt.copy()
+                    for c in rt.columns:
+                        if c not in on and pd.api.types.is_integer_dtype(rt[c]):
+                            rt[c] = rt[c].astype("Int64")
+                self.rt = rt
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                return df.merge(self.rt, on=on, how="inner")
+                return df.merge(self.rt, on=on, how=how)
 
         return left.map_batches(Merge, batch_format="pandas", concurrency=(1, 4))
 
@@ -258,7 +274,7 @@ def hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g.loc[g["__side"] == 0, l_keep]
         rpart = g.loc[g["__side"] == 1, r_keep]
-        out = lpart.merge(rpart, on=on, how="inner")
+        out = lpart.merge(rpart, on=on, how=how)
         return _restore_ints(out, int_cols)
 
     return bucketed_group_reduce(

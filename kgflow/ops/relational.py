@@ -269,6 +269,73 @@ def customers_without_big_orders(sf_dir: str, min_total: float = 400_000.0) -> "
     return anti_join(cust, big_keys, on="c_custkey")
 
 
+def customer_order_profile(sf_dir: str) -> "rd.Dataset":
+    """LEFT-join demo: EVERY customer with order count and largest
+    order (0 / 0.0 for customers that never ordered). Orders are
+    pre-aggregated to one row per custkey (per-batch combiner + one
+    bucketed reduce) BEFORE the join, so the left join's right side is
+    dimension-sized and `kgflow.ops.joins.hash_join(how="left")`
+    auto-selects broadcast; count and max are order-independent, so the
+    result is hash-exact with no floor-scaling."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            n_orders=("o_totalprice", "size"), max_order=("o_totalprice", "max")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"), max_order=("max_order", "max")
+        )
+        return out.rename(columns={"o_custkey": "c_custkey"})
+
+    agg = bucketed_group_reduce(
+        orders.map_batches(partial, batch_format="pandas"),
+        key_cols=["o_custkey"],
+        reduce_fn=final,
+    )
+    joined = hash_join(cust, agg, on="c_custkey", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].fillna(0).astype(np.int64)
+        df["max_order"] = df["max_order"].astype("float64").fillna(0.0)
+        return df[["c_custkey", "c_name", "n_orders", "max_order"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def orders_top_per_priority(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Grouped top-k demo: the k highest-value orders per order
+    priority (`kgflow.ops.shuffle.grouped_topk` — per-block combiner,
+    one group-bucketed shuffle of ≤ blocks×groups×k rows). Tie order
+    (price DESC, orderkey ASC) is total, so output is deterministic and
+    hash-exact — prices pass through unmodified."""
+    from kgflow.ops.shuffle import grouped_topk
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    return grouped_topk(
+        orders,
+        group_cols=["o_orderpriority"],
+        sort_cols=["o_totalprice", "o_orderkey"],
+        ascending=[False, True],
+        k=k,
+    )
+
+
 def q3_shipping(
     sf_dir: str,
     segment: str = "BUILDING",

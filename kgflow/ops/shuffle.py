@@ -131,6 +131,39 @@ def bucketed_group_reduce(
     )
 
 
+def grouped_topk(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    sort_cols: list[str],
+    ascending: list[bool],
+    k: int,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group top-k ROWS by ``sort_cols`` order (row_number() OVER
+    (PARTITION BY group ORDER BY ...) <= k semantics; make the order
+    total — include a unique tiebreak column — for deterministic
+    output).
+
+    Top-k is a semigroup: topk(A ∪ B) = topk(topk(A) ∪ topk(B)), so a
+    per-batch combiner first shrinks every block to its local per-group
+    top-k (one vectorized whole-block sort + groupby().head — no
+    per-group Python), and the single group-bucketed shuffle then
+    carries at most |blocks| × |groups-per-block| × k rows instead of
+    the full table; the per-bucket reduce applies the same kernel."""
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+
+    combined = ds.map_batches(local_topk, batch_format="pandas")
+    return bucketed_group_reduce(
+        combined, key_cols=group_cols, reduce_fn=local_topk, num_buckets=num_buckets
+    )
+
+
 def grouped_distinct_count(
     ds: "rd.Dataset",
     group_cols: list[str],

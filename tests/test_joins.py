@@ -89,6 +89,72 @@ def test_shuffle_join_matches_ray_native_join():
     )
 
 
+@pytest.mark.parametrize("broadcast_threshold", [10**6, 0])
+def test_left_join_vs_pandas(broadcast_threshold):
+    from kgflow.ops.joins import hash_join
+
+    left, right = _tables(seed=2)
+    lds, rds = rd.from_pandas(left).repartition(5), rd.from_pandas(right).repartition(3)
+    out = hash_join(
+        lds, rds, "k", how="left", broadcast_threshold=broadcast_threshold
+    ).to_pandas()
+    exp = left.merge(right, on="k", how="left")
+
+    assert len(out) == len(exp)
+    # unmatched left rows survive with a NULL right payload (not float64 NaN-upcast)
+    assert int(out["rpay"].isna().sum()) == int(exp["rpay"].isna().sum()) > 0
+    pd.testing.assert_frame_equal(
+        _canon(out, by=("name", "rpay")),
+        _canon(exp, by=("name", "rpay")),
+        check_dtype=False,
+    )
+    # matched values stay precision-exact integers (nullable Int64, not floats)
+    matched = out["rpay"].dropna()
+    assert (matched == matched.astype(np.int64)).all()
+
+
+def test_hash_join_rejects_bad_how():
+    from kgflow.ops.joins import hash_join
+
+    left, right = _tables()
+    with pytest.raises(ValueError, match="how"):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", how="outer")
+
+
+def test_grouped_topk_matches_row_number():
+    from kgflow.ops.shuffle import grouped_topk
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 9, 400),
+            "uid": np.arange(400),
+            # duplicate values force the uid tiebreak to matter
+            "score": rng.integers(0, 30, 400).astype(np.float64),
+        }
+    )
+    out = (
+        grouped_topk(
+            rd.from_pandas(df).repartition(6),
+            group_cols=["g"],
+            sort_cols=["score", "uid"],
+            ascending=[False, True],
+            k=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "uid"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["score", "uid"], ascending=[False, True], kind="mergesort")
+        .groupby("g", sort=False)
+        .head(4)
+        .sort_values(["g", "uid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[exp.columns], exp, check_dtype=False)
+
+
 def test_hash_join_rejects_payload_collision():
     from kgflow.ops.joins import hash_join
 

@@ -601,6 +601,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return events_daily_active_users(sf_dir)
 
+    def events_pivot(sf_dir: str):
+        """Oracle-checked: per-day counts pivoted wide by event type
+        (`kgflow.ops.reshape.pivot_agg`; oracle is SQL conditional
+        aggregation with the same static value list)."""
+        from kgflow.ops.relational import events_type_pivot
+
+        return events_type_pivot(sf_dir)
+
+    def events_quantiles_by_type(sf_dir: str):
+        """Oracle-checked: exact per-event_type quantile_disc of the
+        quantized value column (`kgflow.ops.profile.grouped_quantiles`
+        — distributed histogram, no driver pull)."""
+        from kgflow.ops.relational import events_value_quantiles_by_type
+
+        return events_value_quantiles_by_type(sf_dir)
+
     def customers_no_big_orders(sf_dir: str):
         """Oracle-checked: distributed ANTI join (customers with no
         order above 400k) — right side reduced to distinct keys by a
@@ -718,6 +734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": events_profile,
         "events_sliding": events_sliding,
         "events_daily_users": events_daily_users,
+        "events_pivot": events_pivot,
+        "events_quantiles_by_type": events_quantiles_by_type,
         "customers_no_big_orders": customers_no_big_orders,
         "customer_orders_left": customer_orders_left,
         "orders_top_priority": orders_top_priority,
@@ -1089,6 +1107,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('day', ts) AS day,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "events_pivot": """
+            SELECT date_trunc('day', ts) AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                     AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     AS n_view
+            FROM events GROUP BY 1
+        """,
+        "events_quantiles_by_type": """
+            WITH a AS (
+              SELECT event_type,
+                     quantile_disc(CAST(round(value * 100) AS BIGINT),
+                                   [0.25, 0.5, 0.75, 0.875]) AS l
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   unnest([0.25, 0.5, 0.75, 0.875]) AS q,
+                   unnest(l) / 100.0 AS v
+            FROM a
         """,
         "customers_no_big_orders": """
             SELECT c_custkey, c_name, c_acctbal FROM customer c

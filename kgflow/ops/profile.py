@@ -72,6 +72,77 @@ def column_quantiles(
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"), "v": out_v})
 
 
+def grouped_quantiles(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.875),
+    scale: int = 100,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """EXACT per-group discrete quantiles of ``round(col*scale)/scale``
+    (``quantile_disc ... GROUP BY`` semantics, same nearest-rank rule as
+    `column_quantiles`). Fully distributed — no driver pull:
+
+    1. per-block combiner collapses rows to (group, v_fp, n) counts;
+    2. exchange A bucketed on (group, v_fp) merges partial counts — a
+       hot group's histogram build SPREADS across buckets;
+    3. exchange B bucketed on group assembles each group's (tiny,
+       domain-bounded) histogram in one bucket, where extraction runs
+       vectorized across all groups (cumsum + first-hit per group, one
+       pass per quantile — no per-group Python).
+
+    ``qs`` must be binary-exact fractions (see `column_quantiles`)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    gcols = list(group_cols)
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(df[col].to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        out = (
+            df[gcols]
+            .assign(v_fp=v)
+            .groupby(gcols + ["v_fp"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(gcols + ["v_fp"], as_index=False, sort=False)["n"].sum()
+
+    hist = bucketed_group_reduce(
+        ds.select_columns(gcols + [col]).map_batches(combiner, batch_format="pandas"),
+        key_cols=gcols + ["v_fp"],
+        reduce_fn=merge_counts,
+        num_buckets=num_buckets,
+    )
+
+    def extract(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in gcols}
+                | {"q": pd.Series([], dtype="float64"), "v": pd.Series([], dtype="float64")}
+            )
+        g = g.sort_values(gcols + ["v_fp"], kind="mergesort")
+        grp = g.groupby(gcols, sort=False)
+        cum = grp["n"].cumsum().to_numpy(dtype=np.int64)
+        N = grp["n"].transform("sum").to_numpy(dtype=np.int64)
+        outs = []
+        for q in qs:
+            rank = np.maximum(np.ceil(q * N).astype(np.int64), 1)
+            hit = g.loc[cum >= rank, gcols + ["v_fp"]]
+            first = hit.groupby(gcols, as_index=False, sort=False).first()
+            first["q"] = float(q)
+            first["v"] = first.pop("v_fp").to_numpy(dtype=np.float64) / scale
+            outs.append(first)
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_reduce(
+        hist, key_cols=gcols, reduce_fn=extract, num_buckets=num_buckets
+    )
+
+
 def profile_columns(
     ds: "rd.Dataset",
     cols: list[str],

@@ -242,6 +242,50 @@ def events_daily_active_users(sf_dir: str) -> "rd.Dataset":
     )
 
 
+#: the events fixture's closed event-type vocabulary — pivots take the
+#: value list explicitly (discovery over 10^12 rows is a wasted pass).
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str) -> "rd.Dataset":
+    """Pivot demo: per-day event counts widened to one column per event
+    type (`kgflow.ops.reshape.pivot_agg` — long combiner partials, ONE
+    group-bucketed exchange, vectorized in-bucket widening). Counts are
+    integer-exact, so the result is hash-exact vs the conditional-
+    aggregation oracle."""
+    from kgflow.ops.reshape import pivot_agg
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "day", pc.floor_temporal(batch.column("ts"), unit="day")
+        ).drop_columns(["ts"])
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+    return pivot_agg(
+        ds, group_cols=["day"], pivot_col="event_type", values=EVENT_TYPES
+    )
+
+
+def events_value_quantiles_by_type(sf_dir: str) -> "rd.Dataset":
+    """Per-group exact quantiles demo: quantile_disc of the quantized
+    value column PER event_type (`kgflow.ops.profile.grouped_quantiles`
+    — fully distributed, no driver histogram pull)."""
+    from kgflow.ops.profile import grouped_quantiles
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return grouped_quantiles(ev, group_cols=["event_type"], col="value")
+
+
 def customers_without_big_orders(sf_dir: str, min_total: float = 400_000.0) -> "rd.Dataset":
     """Anti-join demo: customers with NO order above ``min_total``.
     The orders side is filtered and key-projected at the read, reduced

@@ -1,0 +1,129 @@
+"""Reshape operators: wide conditional aggregation (pivot) and its
+inverse (melt/unpivot).
+
+The reference (OpenUE) has no relational reshape; these are
+engine-generality operators in the `kgflow.ops.relational` family,
+built on the same combiner + bucketed-reduce skeleton
+(`kgflow.ops.shuffle.bucketed_group_reduce`).
+
+Scale notes
+-----------
+- ``pivot_agg`` takes the pivot VALUES explicitly (the scale-correct
+  form — Spark's pivot docs recommend the same): discovering column
+  names from 10^12 rows costs a full extra distinct pass. When
+  ``values=None`` a distributed DISTINCT discovers them (documented
+  extra exchange; fails fast above ``max_discovered`` — wide schemas
+  with unbounded column counts are a modeling bug, not a pivot).
+- The per-batch combiner aggregates to LONG partial rows
+  (group, pivot, x) — at most |groups-per-block| × |values| rows leave
+  any block — and ONE group-bucketed exchange finishes; widening is a
+  vectorized in-bucket ``pivot_table``.
+- ``melt`` is stateless per-batch (zero exchanges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from kgflow.ops.shuffle import bucketed_group_reduce
+
+
+def pivot_agg(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    pivot_col: str,
+    values: list[str] | None = None,
+    value_col: str | None = None,
+    agg: str = "count",
+    prefix: str = "n_",
+    num_buckets: int | None = None,
+    max_discovered: int = 10_000,
+) -> "rd.Dataset":
+    """One output row per ``group_cols`` key with a ``{prefix}{value}``
+    column per pivot value (``agg`` of ``value_col``, or row count when
+    ``agg="count"``; absent (group, value) combinations are 0).
+    Pivot values outside ``values`` are dropped (SQL conditional-
+    aggregation semantics)."""
+    if agg not in ("count", "sum"):
+        raise ValueError(f"agg must be 'count' or 'sum', got {agg!r}")
+    if agg == "sum" and value_col is None:
+        raise ValueError("agg='sum' requires value_col")
+    gcols = list(group_cols)
+
+    if values is None:
+        from kgflow.ops.joins import distinct_rows
+
+        vals_df = distinct_rows(ds, [pivot_col], num_buckets=num_buckets).to_pandas()
+        if len(vals_df) > max_discovered:
+            raise ValueError(
+                f"pivot_col {pivot_col!r} has {len(vals_df)} distinct values"
+                f" (> max_discovered={max_discovered}); pass values= explicitly"
+            )
+        values = sorted(map(str, vals_df[pivot_col]))
+    values = list(values)
+    out_cols = [f"{prefix}{v}" for v in values]
+
+    read_cols = gcols + [pivot_col] + ([value_col] if value_col else [])
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[pivot_col].astype(str).isin(values)]
+        if agg == "count":
+            out = (
+                df.groupby(gcols + [pivot_col], as_index=False, sort=False)
+                .size()
+                .rename(columns={"size": "x"})
+            )
+        else:
+            out = (
+                df.groupby(gcols + [pivot_col], as_index=False, sort=False)[value_col]
+                .sum()
+                .rename(columns={value_col: "x"})
+            )
+        return out
+
+    partials = ds.select_columns(read_cols).map_batches(
+        combiner, batch_format="pandas"
+    )
+
+    def widen(g: pd.DataFrame) -> pd.DataFrame:
+        wide = pd.pivot_table(
+            g,
+            index=gcols,
+            columns=pivot_col,
+            values="x",
+            aggfunc="sum",
+            fill_value=0,
+        )
+        wide.columns = [f"{prefix}{c}" for c in wide.columns]
+        wide = wide.reindex(columns=out_cols, fill_value=0).reset_index()
+        for c in out_cols:
+            wide[c] = wide[c].astype(np.int64 if agg == "count" else np.float64)
+        return wide
+
+    return bucketed_group_reduce(
+        partials, key_cols=gcols, reduce_fn=widen, num_buckets=num_buckets
+    )
+
+
+def melt(
+    ds: "rd.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> "rd.Dataset":
+    """Unpivot ``value_cols`` into (``var_name``, ``value_name``) long
+    rows — embarrassingly parallel per batch, zero exchanges."""
+
+    def _melt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.melt(
+            df,
+            id_vars=id_cols,
+            value_vars=value_cols,
+            var_name=var_name,
+            value_name=value_name,
+        )
+
+    return ds.map_batches(_melt, batch_format="pandas")

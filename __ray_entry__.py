@@ -283,6 +283,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grouped_sample(docs, group_col="lang", n_per_group=20)
 
+    def doc_top_terms(sf_dir: str):
+        """Oracle-checked: per-doc top-3 distinctive terms ranked
+        (tf DESC, df ASC, token ASC) — integer-exact keys, so
+        hash-exact; the float-scored TF-IDF variant is pytest-gated
+        (`kgflow.ops.text.tfidf_terms`)."""
+        from kgflow.ops.text import top_terms
+
+        return top_terms(_docs(sf_dir), k=3)
+
     def doc_langid(sf_dir: str):  # heuristic → rows-only
         from kgflow.ops.text import lang_id
 
@@ -712,6 +721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": doc_vocab_topk,
         "doc_split": doc_split,
         "doc_sample": doc_sample,
+        "doc_top_terms": doc_top_terms,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -804,6 +814,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "doc_top_terms": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT doc_id, token, tf, df FROM (
+              SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfreq.df, tf.token) AS rn
+              FROM tf JOIN dfreq USING (token)
+            ) WHERE rn <= 3
         """,
         # True word-trigram Jaccard over all pairs — the same exact
         # predicate the engine's verify stage applies after LSH

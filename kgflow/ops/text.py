@@ -169,6 +169,137 @@ def vocab_topk(docs: "rd.Dataset", k: int = 100, num_buckets: int | None = None)
     return top
 
 
+def doc_term_freqs(docs: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, token, tf) — exact per-document term frequencies. A
+    document is ONE row, so the per-batch groupby is globally exact with
+    zero exchanges (same lower + ``\\w+`` tokenization as `vocab_topk`)."""
+    import pandas as pd_
+
+    def per_doc(df: pd_.DataFrame) -> pd_.DataFrame:
+        toks = df.set_index("doc_id")["text"].str.lower().str.findall(r"\w+").explode().dropna()
+        out = (
+            toks.rename("token")
+            .reset_index()
+            .groupby(["doc_id", "token"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "tf"})
+        )
+        out["tf"] = out["tf"].astype("int64")
+        return out
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pandas"
+    )
+
+
+def top_terms(
+    docs: "rd.Dataset", k: int = 3, num_buckets: int | None = None
+) -> "rd.Dataset":
+    """Per-document top-``k`` DISTINCTIVE terms: ranked by
+    (tf DESC, df ASC, token ASC) — frequency first, corpus rarity as
+    the discriminator. The rank keys are all integers/strings, so the
+    result is hash-exact across engines (the float-scored TF-IDF
+    variant is `tfidf_terms`, pytest-gated — float products rank
+    differently across libm implementations in the last ulp).
+
+    Scale shape: tf is exchange-free (`doc_term_freqs`); document
+    frequency reduces the tf rows per-batch to (token, partial-df)
+    before ONE token-keyed bucketed sum (vocab-bounded output); the
+    df attach reuses `kgflow.ops.joins.hash_join` (auto broadcast vs
+    co-partitioned shuffle — web-scale vocabularies exceed broadcast);
+    the final per-doc top-k is `kgflow.ops.shuffle.grouped_topk`
+    (local-topk combiner, one doc-keyed exchange)."""
+    import pandas as pd_
+
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce, grouped_topk
+
+    tf = doc_term_freqs(docs)
+
+    def df_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        vc = d["token"].value_counts()
+        return pd_.DataFrame(
+            {"token": vc.index.astype(str), "df": vc.to_numpy(dtype="int64")}
+        )
+
+    def df_sum(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby("token", as_index=False)["df"].sum()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    dfreq = bucketed_group_reduce(
+        tf.map_batches(df_partial, batch_format="pandas"),
+        key_cols=["token"],
+        reduce_fn=df_sum,
+        num_buckets=num_buckets,
+    )
+
+    joined = hash_join(tf, dfreq, on="token", num_buckets=num_buckets)
+    return grouped_topk(
+        joined,
+        group_cols=["doc_id"],
+        sort_cols=["tf", "df", "token"],
+        ascending=[False, True, True],
+        k=k,
+        num_buckets=num_buckets,
+    )
+
+
+def tfidf_terms(
+    docs: "rd.Dataset",
+    n_docs: int,
+    k: int = 3,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-document top-``k`` terms by true TF-IDF
+    (tf · ln(n_docs / df); token ASC tiebreak). Same distributed shape
+    as `top_terms` plus a vectorized score column; gated by pytest
+    rather than a SQL oracle because float score ordering is
+    libm-sensitive at the last ulp."""
+    import numpy as np_
+    import pandas as pd_
+
+    from kgflow.ops.shuffle import grouped_topk
+
+    # reuse top_terms' tf/df machinery up to the join by recomputing the
+    # same frames (the join result is what we score)
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    tf = doc_term_freqs(docs)
+
+    def df_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        vc = d["token"].value_counts()
+        return pd_.DataFrame(
+            {"token": vc.index.astype(str), "df": vc.to_numpy(dtype="int64")}
+        )
+
+    dfreq = bucketed_group_reduce(
+        tf.map_batches(df_partial, batch_format="pandas"),
+        key_cols=["token"],
+        reduce_fn=lambda g: g.groupby("token", as_index=False)["df"].sum(),
+        num_buckets=num_buckets,
+    )
+    joined = hash_join(tf, dfreq, on="token", num_buckets=num_buckets)
+
+    def score(d: pd_.DataFrame) -> pd_.DataFrame:
+        d = d.copy()
+        d["tfidf"] = d["tf"].to_numpy(dtype=np_.float64) * np_.log(
+            float(n_docs) / d["df"].to_numpy(dtype=np_.float64)
+        )
+        return d
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return grouped_topk(
+        scored,
+        group_cols=["doc_id"],
+        sort_cols=["tfidf", "token"],
+        ascending=[False, True],
+        k=k,
+        num_buckets=num_buckets,
+    )
+
+
 def fingerprints(docs: "rd.Dataset") -> "rd.Dataset":
     """doc_id, fp — md5 content fingerprint (matches DuckDB md5())."""
 

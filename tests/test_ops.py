@@ -363,3 +363,61 @@ def test_grouped_sample_deterministic_and_balanced():
     out2 = grouped_sample(rd.from_pandas(df), n_per_group=30, num_buckets=4).to_pandas()
     key = lambda d: sorted(map(tuple, d[["lang", "doc_id", "rank"]].to_numpy()))
     assert key(out) == key(out2)  # partitioning-independent
+
+
+def test_top_terms_and_tfidf_vs_local():
+    from kgflow.ops.text import tfidf_terms, top_terms
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "apple apple banana common common common",
+                "banana cherry cherry common common",
+                "apple cherry durian durian common",
+                "common common common elderberry",
+            ],
+        }
+    )
+    # local ground truth
+    rows = []
+    for _, r in docs.iterrows():
+        toks = r["text"].split()
+        for t in set(toks):
+            rows.append({"doc_id": r["doc_id"], "token": t, "tf": toks.count(t)})
+    tf = pd.DataFrame(rows)
+    dfreq = tf.groupby("token").size().rename("df").reset_index()
+    j = tf.merge(dfreq, on="token")
+
+    out = (
+        top_terms(rd.from_pandas(docs).repartition(3), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        j.sort_values(["tf", "df", "token"], ascending=[False, True, True], kind="mergesort")
+        .groupby("doc_id", sort=False)
+        .head(2)
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[exp.columns], exp, check_dtype=False)
+
+    # float TF-IDF variant vs the same formula locally
+    j2 = j.assign(tfidf=j["tf"] * np.log(len(docs) / j["df"]))
+    out2 = (
+        tfidf_terms(rd.from_pandas(docs).repartition(3), n_docs=len(docs), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    exp2 = (
+        j2.sort_values(["tfidf", "token"], ascending=[False, True], kind="mergesort")
+        .groupby("doc_id", sort=False)
+        .head(2)
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out2[exp2.columns], exp2, check_dtype=False)
+    assert np.allclose(out2["tfidf"], exp2["tfidf"])

@@ -159,7 +159,12 @@ def semi_join(
     ``right``. Right side contributes keys only; output schema == left's.
     """
     on = [on] if isinstance(on, str) else list(on)
-    rkeys = distinct_rows(right, on, num_buckets=num_buckets)
+    # materialize the ALREADY-REDUCED distinct keyset (bounded by the key
+    # domain, never the raw right table) so the broadcast decision count
+    # is block metadata and the winning path reuses the same blocks —
+    # without this the distinct pipeline executes twice (once for the
+    # count, once for to_pandas / the tagged shuffle).
+    rkeys = distinct_rows(right, on, num_buckets=num_buckets).materialize()
     small, _n = _decide_broadcast(rkeys, broadcast_threshold)
 
     if small:
@@ -212,6 +217,7 @@ def hash_join(
     how: str = "inner",
     broadcast_threshold: int = BROADCAST_THRESHOLD,
     num_buckets: int | None = None,
+    right_small: bool | None = None,
 ) -> "rd.Dataset":
     """Equi-join (``how`` in {"inner", "left"}). Payload column names
     must be disjoint across sides (rename at the call site — keeps the
@@ -225,6 +231,13 @@ def hash_join(
     left-outer null-extension is bucket-local). Unmatched right-payload
     int columns stay nullable ``Int64`` on the left path; matched-only
     outputs restore to ``int64``.
+
+    ``right_small``: caller hint that skips the decision count — the
+    count is a full execution of the right-side pipeline, so a caller
+    that KNOWS its side is dimension-bounded (True) or fact-sized
+    (False) saves one whole pass. For a computed right side of unknown
+    size, ``right.materialize()`` at the call site makes the count
+    metadata-free and lets the winning path reuse the blocks.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -235,7 +248,10 @@ def hash_join(
     if overlap:
         raise ValueError(f"payload column collision: {sorted(overlap)}")
 
-    small, _n = _decide_broadcast(right, broadcast_threshold)
+    if right_small is None:
+        small, _n = _decide_broadcast(right, broadcast_threshold)
+    else:
+        small = right_small
     if small:
         ref = ray.put(right.to_pandas())
 

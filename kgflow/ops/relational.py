@@ -343,11 +343,14 @@ def customer_order_profile(sf_dir: str) -> "rd.Dataset":
         )
         return out.rename(columns={"o_custkey": "c_custkey"})
 
+    # custkey-bounded aggregate: materialize so the join's broadcast
+    # decision count is metadata and the blocks are reused (not a second
+    # execution of the orders scan + reduce)
     agg = bucketed_group_reduce(
         orders.map_batches(partial, batch_format="pandas"),
         key_cols=["o_custkey"],
         reduce_fn=final,
-    )
+    ).materialize()
     joined = hash_join(cust, agg, on="c_custkey", how="left")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

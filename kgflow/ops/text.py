@@ -202,7 +202,11 @@ def top_terms(
     variant is `tfidf_terms`, pytest-gated — float products rank
     differently across libm implementations in the last ulp).
 
-    Scale shape: tf is exchange-free (`doc_term_freqs`); document
+    Scale shape: tf is exchange-free (`doc_term_freqs`) and is
+    consumed by two branches (df reduce, join left side) — it RECOMPUTES
+    rather than materializes, since the exploded (doc, token) corpus is
+    larger than the input text and tokenization is a cheap streaming
+    kernel; document
     frequency reduces the tf rows per-batch to (token, partial-df)
     before ONE token-keyed bucketed sum (vocab-bounded output); the
     df attach reuses `kgflow.ops.joins.hash_join` (auto broadcast vs
@@ -227,12 +231,15 @@ def top_terms(
         out["df"] = out["df"].astype("int64")
         return out
 
+    # vocab-bounded: materialize so hash_join's broadcast decision count
+    # is metadata-free and the winning path reuses the blocks (otherwise
+    # the df reduce pipeline executes twice)
     dfreq = bucketed_group_reduce(
         tf.map_batches(df_partial, batch_format="pandas"),
         key_cols=["token"],
         reduce_fn=df_sum,
         num_buckets=num_buckets,
-    )
+    ).materialize()
 
     joined = hash_join(tf, dfreq, on="token", num_buckets=num_buckets)
     return grouped_topk(
@@ -279,7 +286,7 @@ def tfidf_terms(
         key_cols=["token"],
         reduce_fn=lambda g: g.groupby("token", as_index=False)["df"].sum(),
         num_buckets=num_buckets,
-    )
+    ).materialize()  # vocab-bounded; see top_terms
     joined = hash_join(tf, dfreq, on="token", num_buckets=num_buckets)
 
     def score(d: pd_.DataFrame) -> pd_.DataFrame:

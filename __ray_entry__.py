@@ -626,6 +626,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return events_value_quantiles_by_type(sf_dir)
 
+    def events_users_hll(sf_dir: str):
+        """Rows-only (sketch — deterministic but not SQL-reproducible;
+        pytest gates the ±4σ error bound vs exact): HyperLogLog
+        approximate distinct users per event_type. Exchange size is
+        constant in the data (≤ groups × 2^p register rows)."""
+        import os as _os
+
+        from kgflow.ops.sketch import hll_distinct
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+        )
+        return hll_distinct(ev, "user_id", group_cols=["event_type"])
+
+    def doc_heavy_tokens(sf_dir: str):
+        """Rows-only (sketch): count-min heavy hitters — top-10 tokens
+        by frequency with constant-size mergeable sketch state; pytest
+        gates top-k recovery + never-underestimate on zipf data."""
+        import pandas as pd
+
+        from kgflow.ops.sketch import heavy_hitters
+
+        toks = _docs(sf_dir).map_batches(
+            lambda df: pd.DataFrame(
+                {"token": df["text"].str.lower().str.findall(r"\w+").explode().dropna()}
+            ),
+            batch_format="pandas",
+        )
+        return heavy_hitters(toks, "token", k=10)
+
     def customers_no_big_orders(sf_dir: str):
         """Oracle-checked: distributed ANTI join (customers with no
         order above 400k) — right side reduced to distinct keys by a
@@ -746,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_users": events_daily_users,
         "events_pivot": events_pivot,
         "events_quantiles_by_type": events_quantiles_by_type,
+        "events_users_hll": events_users_hll,
+        "doc_heavy_tokens": doc_heavy_tokens,
         "customers_no_big_orders": customers_no_big_orders,
         "customer_orders_left": customer_orders_left,
         "orders_top_priority": orders_top_priority,

@@ -1,0 +1,240 @@
+"""Sketch operators: HyperLogLog approximate distinct counts and
+count-min-sketch heavy hitters — the bounded-memory primitives a
+100 TB pipeline uses where exact answers would shuffle the full key
+domain.
+
+Both follow the engine's combiner + tiny-exchange skeleton, with the
+crucial sketch property that the EXCHANGE SIZE IS CONSTANT in the data:
+
+- HLL: every block collapses to ≤ 2^p (register, max-rho) pairs; the
+  register-keyed reduce maxes them; the final estimate reads 2^p rows
+  (4 KiB at p=12) regardless of input size. Standard bias-corrected
+  estimator (Flajolet et al. 2007, public formula) with the small-range
+  linear-counting correction.
+- CMS heavy hitters: every block collapses to its depth×width count
+  array plus a local candidate top-m; arrays merge by elementwise sum
+  (sketch size is constant), candidates by union; final counts are the
+  CMS point queries (overestimates by ≤ εN with prob 1-δ, ε=e/width,
+  δ=e^-depth — Cormode & Muthukrishnan 2005, public formula).
+
+Hashing is deterministic (splitmix-finalized FNV over the string form,
+same family as `kgflow.ops.shuffle.add_hash_bucket`), so results are
+run-to-run and partitioning-independent — required for the driver's
+hash-compare and for resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from kgflow.ops.shuffle import bucketed_group_reduce
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_OFFSET = np.uint64(14695981039346656037)
+
+
+def _hash64(s: pd.Series) -> np.ndarray:
+    """Deterministic 64-bit hash of the series' string form —
+    `pd.util.hash_pandas_object` (stable across processes for a fixed
+    key) + splitmix avalanche, matching the engine's bucket hashing."""
+    h = pd.util.hash_pandas_object(s.astype(str), index=False).to_numpy(
+        dtype=np.uint64
+    )
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _hll_partial(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rho) per hash: top ``p`` bits pick the register,
+    rho = position (1-based) of the leftmost 1-bit in the remaining
+    bits. A sentinel bit planted at position p-1 caps rho at 64-p+1, so
+    the vectorized leading-zero loop below terminates in ≤ 64-p+1
+    numpy passes (expected ~log2(batch) — a float-cast clz would be
+    unsafe above 2^53)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    v = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    lz = np.zeros(len(v), dtype=np.int64)
+    remaining = np.ones(len(v), dtype=bool)
+    while remaining.any():
+        remaining &= (v >> np.uint64(63)) == 0
+        lz[remaining] += 1
+        v = v << np.uint64(1)
+    return idx, lz + 1
+
+
+def hll_registers(
+    ds: "rd.Dataset",
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """(group…, register, rho) max-merged HLL registers — the mergeable
+    sketch state. Exchange carries ≤ blocks × groups-per-block × 2^p
+    rows of 3 ints."""
+    gcols = list(group_cols or [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        idx, rho = _hll_partial(_hash64(df[value_col]), p)
+        out = df[gcols].copy() if gcols else pd.DataFrame(index=df.index)
+        out["register"] = idx
+        out["rho"] = rho
+        return out.groupby(gcols + ["register"], as_index=False, sort=False)[
+            "rho"
+        ].max()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(gcols + ["register"], as_index=False, sort=False)[
+            "rho"
+        ].max()
+
+    cols = gcols + [value_col]
+    return bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(partial, batch_format="pandas"),
+        key_cols=gcols + ["register"],
+        reduce_fn=merge,
+        num_buckets=num_buckets,
+    )
+
+
+def _hll_estimate(rho_by_register: np.ndarray, p: int) -> float:
+    """Bias-corrected harmonic-mean estimate over dense registers
+    (``rho_by_register``: compact (register, rho) pairs; absent
+    registers are zero)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.float64)
+    regs[rho_by_register[:, 0].astype(np.int64)] = rho_by_register[:, 1]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def hll_distinct(
+    ds: "rd.Dataset",
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT value_col) [GROUP BY group_cols] with
+    relative error ~1.04/sqrt(2^p) (≈1.6% at p=12). The driver pull is
+    |groups| × ≤2^p register rows — constant in the DATA size; the
+    estimate itself is a tiny numpy fold per group."""
+    gcols = list(group_cols or [])
+    regs = hll_registers(
+        ds, value_col, group_cols=gcols, p=p, num_buckets=num_buckets
+    ).to_pandas()  # ≤ |groups| × 2^p rows, data-size-independent
+    if not gcols:
+        n = _hll_estimate(regs[["register", "rho"]].to_numpy(), p)
+        return pd.DataFrame({"n_distinct_approx": [int(round(n))]})
+    rows = []
+    for key, g in regs.groupby(gcols, sort=False):
+        key = key if isinstance(key, tuple) else (key,)
+        n = _hll_estimate(g[["register", "rho"]].to_numpy(), p)
+        rows.append(dict(zip(gcols, key)) | {"n_distinct_approx": int(round(n))})
+    return pd.DataFrame(rows).sort_values(gcols).reset_index(drop=True)
+
+
+def heavy_hitters(
+    ds: "rd.Dataset",
+    value_col: str,
+    k: int = 10,
+    width: int = 2048,
+    depth: int = 4,
+    candidates_per_block: int = 64,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Approximate top-``k`` most frequent values. Every block emits its
+    count-min array (depth×width int64, CONSTANT size) and its local
+    top-``candidates_per_block`` values; arrays merge by sum, candidates
+    by union; final counts are CMS point queries (min over depth rows —
+    overestimate ≤ εN, never under). A true heavy hitter (freq > n/
+    candidates_per_block·blocks share) appears in some block's local
+    top-m with overwhelming probability; the classic streaming guarantee
+    holds when candidates_per_block ≥ k (Charikar et al. / CM-sketch
+    heavy-hitter construction).
+
+    Returns (value, n_approx) ordered n DESC, value ASC."""
+    seeds = [
+        np.uint64((0x9E3779B97F4A7C15 * (d + 1)) & 0xFFFFFFFFFFFFFFFF)
+        for d in range(depth)
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[value_col].astype(str).value_counts()
+        vals = pd.Series(vc.index)
+        cnts = vc.to_numpy(dtype=np.int64)
+        h = _hash64(vals)
+        rows = []
+        for d, seed in enumerate(seeds):
+            hd = h * seed
+            hd ^= hd >> np.uint64(29)
+            slot = (hd % np.uint64(width)).astype(np.int64)
+            cell = pd.DataFrame({"slot": slot, "n": cnts}).groupby(
+                "slot", as_index=False
+            )["n"].sum()
+            cell["row"] = d
+            rows.append(cell)
+        cms = pd.concat(rows, ignore_index=True)
+        cms["value"] = ""
+        cms["kind"] = np.int8(0)
+        cand = pd.DataFrame(
+            {
+                "row": np.int64(-1),
+                "slot": np.int64(-1),
+                "n": cnts[:candidates_per_block],
+                "value": vals.iloc[:candidates_per_block].to_numpy(),
+                "kind": np.int8(1),
+            }
+        )
+        return pd.concat([cms, cand], ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        cms = g[g["kind"] == 0]
+        out = cms.groupby(["row", "slot"], as_index=False, sort=False)["n"].sum()
+        out["value"] = ""
+        out["kind"] = np.int8(0)
+        cand = g.loc[g["kind"] == 1, ["row", "slot", "n", "value", "kind"]]
+        cand = cand.drop_duplicates("value")
+        return pd.concat([out, cand], ignore_index=True)
+
+    # the sketch state is constant-size; one bucketed exchange keyed on
+    # (kind,row,slot) for cells and (kind,value) for candidates merges it
+    tagged = ds.select_columns([value_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = bucketed_group_reduce(
+        tagged,
+        key_cols=["kind", "row", "slot", "value"],
+        reduce_fn=merge,
+        num_buckets=num_buckets,
+    ).to_pandas()  # depth×width cells + ≤ blocks×m candidates
+
+    cms = np.zeros((depth, width), dtype=np.int64)
+    cells = merged[merged["kind"] == 0]
+    cms[cells["row"].to_numpy(), cells["slot"].to_numpy()] = cells["n"].to_numpy()
+    cand_vals = pd.Series(sorted(set(merged.loc[merged["kind"] == 1, "value"])))
+    if not len(cand_vals):
+        return pd.DataFrame({"value": [], "n_approx": []})
+    h = _hash64(cand_vals)
+    ests = np.full(len(cand_vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for d, seed in enumerate(seeds):
+        hd = h * seed
+        hd ^= hd >> np.uint64(29)
+        slot = (hd % np.uint64(width)).astype(np.int64)
+        ests = np.minimum(ests, cms[d, slot])
+    out = pd.DataFrame({"value": cand_vals, "n_approx": ests})
+    return (
+        out.sort_values(["n_approx", "value"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

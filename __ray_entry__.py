@@ -283,6 +283,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grouped_sample(docs, group_col="lang", n_per_group=20)
 
+    def doc_pii_redact(sf_dir: str):
+        """Oracle-checked: PII redaction (email/IP/phone → typed
+        placeholders) with deterministically PLANTED PII on engine AND
+        oracle sides — the driver corpus has none, so an unplanted
+        oracle would be vacuous (the embed_neardup lesson). Patterns
+        are RE2-compatible strings shared verbatim with the SQL side;
+        n_redactions counts hits per pattern on the progressively
+        redacted text, mirrored by the oracle's CTE chain."""
+        import pandas as pd
+
+        from kgflow.ops.clean import redact_pii
+
+        def plant(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["doc_id", "text"]].copy()
+            m = df["doc_id"] % 10 == 0
+            df.loc[m, "text"] = (
+                df.loc[m, "text"]
+                + " contact user@example.com at 10.0.0.1 or call 555-123-4567"
+            )
+            return df
+
+        return redact_pii(_docs(sf_dir).map_batches(plant, batch_format="pandas"))
+
+    def doc_repetition(sf_dir: str):
+        """Oracle-checked: Gopher-style duplicate-bigram fraction per
+        doc (floor-scaled 1e4; integer set/len arithmetic so the float
+        divide is bit-identical across engines)."""
+        from kgflow.ops.clean import repetition_stats
+
+        return repetition_stats(_docs(sf_dir))
+
+    def doc_contamination(sf_dir: str):
+        """Oracle-checked: benchmark-contamination screen — flags docs
+        sharing any word 8-gram with a 'benchmark suite' (the texts of
+        doc_id < 5, so planted positives exist: those docs flag
+        themselves, plus any true overlaps). Engine compares 64-bit
+        shingle fingerprints (collision ~1e-9); oracle intersects the
+        string shingle lists."""
+        import pyarrow.parquet as pq
+
+        from kgflow.ops.clean import contamination_screen
+
+        bench = (
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+                filters=[("doc_id", "<", 5)],
+            )
+            .column("text")
+            .to_pylist()
+        )
+        return contamination_screen(_docs(sf_dir), bench, n=8)
+
     def doc_top_terms(sf_dir: str):
         """Oracle-checked: per-doc top-3 distinctive terms ranked
         (tf DESC, df ASC, token ASC) — integer-exact keys, so
@@ -752,6 +805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": doc_vocab_topk,
         "doc_split": doc_split,
         "doc_sample": doc_sample,
+        "doc_pii_redact": doc_pii_redact,
+        "doc_repetition": doc_repetition,
+        "doc_contamination": doc_contamination,
         "doc_top_terms": doc_top_terms,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
@@ -847,6 +903,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        # Same planted suffix and the same RE2 pattern strings as the
+        # engine (kgflow/ops/clean.py PII_PATTERNS); hit counts are per
+        # pattern on the progressively redacted text, engine order
+        # email → ip → phone.
+        "doc_pii_redact": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0
+                          THEN text || ' contact user@example.com at'
+                                    || ' 10.0.0.1 or call 555-123-4567'
+                          ELSE text END AS t0
+              FROM documents
+            ), r1 AS (
+              SELECT doc_id, t0,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM planted
+            ), r2 AS (
+              SELECT doc_id, t0, t1,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM r1
+            )
+            SELECT doc_id,
+                   regexp_replace(t2, '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b',
+                                  '<PHONE>', 'g') AS text,
+                   length(regexp_extract_all(t0,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + length(regexp_extract_all(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                   + length(regexp_extract_all(t2,
+                     '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b')) AS n_redactions
+            FROM r2
+        """,
+        "doc_repetition": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(w) < 2 THEN 0.0
+                        ELSE floor((1.0
+                               - len(list_distinct(list_transform(
+                                   range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i+1])))::DOUBLE
+                               / (len(w) - 1)) * 10000) / 10000
+                   END AS dup_bigram_frac
+            FROM tok
+        """,
+        "doc_contamination": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 6),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                            || w[i+3] || ' ' || w[i+4] || ' ' || w[i+5]
+                            || ' ' || w[i+6] || ' ' || w[i+7])) AS s
+              FROM tok
+            ), bench AS (
+              SELECT list_distinct(flatten(list(s))) AS bs
+              FROM sh WHERE doc_id < 5
+            )
+            SELECT t.doc_id,
+                   CAST(len(list_intersect(t.s, b.bs)) > 0 AS BIGINT)
+                     AS contaminated
+            FROM sh t CROSS JOIN bench b
         """,
         "doc_top_terms": r"""
             WITH tok AS (

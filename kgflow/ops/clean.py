@@ -1,0 +1,136 @@
+"""Corpus-cleaning operators: PII redaction, repetition statistics,
+benchmark-contamination screening — the safety/quality passes a
+training-data pipeline runs between crawl and tokenizer.
+
+All three are per-document and therefore exchange-free: compiled-regex
+/ vectorized-numpy `map_batches` stages that stream. The contamination
+screen's benchmark side is broadcast once via ``ray.put`` (benchmark
+suites are MB-scale — tiny next to the corpus; a shuffle join on
+shingles would move the CORPUS, the broadcast moves the benchmark).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+#: redaction patterns, applied in order. Kept RE2-compatible (no
+#: lookaround, no backrefs) so the same pattern strings run verbatim in
+#: DuckDB's regexp_replace for oracle checking.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+class RedactPII:
+    """Actor-pool stage: regexes compiled once per actor, applied
+    vectorized (`pandas.Series.str.replace` → C loop over rows with a
+    compiled pattern)."""
+
+    def __init__(self, patterns: list[tuple[str, str]] | None = None):
+        import re
+
+        self.compiled = [
+            (re.compile(p), repl) for p, repl in (patterns or PII_PATTERNS)
+        ]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"]
+        n_hits = np.zeros(len(df), dtype=np.int64)
+        for pat, repl in self.compiled:
+            n_hits += text.str.count(pat).to_numpy(dtype=np.int64)
+            text = text.str.replace(pat, repl, regex=True)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "text": text, "n_redactions": n_hits}
+        )
+
+
+def redact_pii(docs: "rd.Dataset", concurrency=(1, 4)) -> "rd.Dataset":
+    """(doc_id, text, n_redactions) with emails/IPs/phones replaced by
+    typed placeholders."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        RedactPII, batch_format="pandas", concurrency=concurrency
+    )
+
+
+def repetition_stats(docs: "rd.Dataset") -> "rd.Dataset":
+    """Gopher-style repetition signal per document: the fraction of
+    word-bigram occurrences that are duplicates
+    (1 − distinct/total; 0 for docs with <2 words). Used as a
+    boilerplate/spam filter threshold at corpus scale. Floor-scaled
+    1e4 so the float is oracle-hash-stable."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+")
+        frac = np.zeros(len(df), dtype=np.float64)
+        for i, w in enumerate(toks):
+            if len(w) < 2:
+                continue
+            grams = [f"{a} {b}" for a, b in zip(w, w[1:])]
+            frac[i] = 1.0 - len(set(grams)) / len(grams)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "dup_bigram_frac": np.floor(frac * 1e4) / 1e4,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def _doc_shingles(text: str, n: int, cache: dict) -> np.ndarray:
+    """Word n-gram fingerprints for contamination (empty for docs with
+    <n words — no padding, unlike the dedup variant's short-doc pad)."""
+    import re
+
+    from kgflow.ops.dedup import _word_shingles
+
+    if len(re.findall(r"\w+", text)) < n:
+        return np.empty(0, dtype=np.uint64)
+    return _word_shingles(text, k=n, _cache=cache)
+
+
+def contamination_screen(
+    docs: "rd.Dataset",
+    benchmark_texts: list[str],
+    n: int = 8,
+    concurrency=(1, 4),
+) -> "rd.Dataset":
+    """(doc_id, contaminated 0/1) — flags documents sharing ANY word
+    ``n``-gram with the benchmark suite (the decontamination pass run
+    before training). The benchmark's shingle-hash set is broadcast
+    once (``ray.put``; benchmark suites are MBs — the corpus never
+    shuffles); per-doc membership is a vectorized ``np.isin`` over the
+    same memoized vectorized shingle fingerprints the dedup family uses
+    (`kgflow.ops.dedup._word_shingles`; 64-bit collisions are ~1e-9 at
+    suite scale — documented here rather than hidden)."""
+    bench_cache: dict = {}
+    arrs = [_doc_shingles(t, n, bench_cache) for t in benchmark_texts]
+    bench_arr = (
+        np.unique(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.uint64)
+    )
+    ref = ray.put(bench_arr)  # np.unique output is sorted
+
+    class Screen:
+        def __init__(self):
+            self.bench = ray.get(ref)
+            self.cache: dict = {}  # token-hash memo shared across batches
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            flags = np.zeros(len(df), dtype=np.int64)
+            for i, t in enumerate(df["text"]):
+                h = _doc_shingles(t, n, self.cache)
+                if len(h):
+                    flags[i] = int(np.isin(h, self.bench).any())
+            return pd.DataFrame({"doc_id": df["doc_id"], "contaminated": flags})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        Screen, batch_format="pandas", concurrency=concurrency
+    )

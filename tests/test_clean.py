@@ -1,0 +1,86 @@
+"""Cleaning-op unit tests: PII redaction fires and counts, repetition
+fraction on crafted docs, contamination screen with known overlap."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_redact_pii_fires_and_counts():
+    from kgflow.ops.clean import redact_pii
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail bob@corp.io and alice@x.org now",
+                "server at 192.168.0.1 port 80",
+                "nothing sensitive here",
+            ],
+        }
+    )
+    out = redact_pii(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(out["text"]) == [
+        "mail <EMAIL> and <EMAIL> now",
+        "server at <IP> port 80",
+        "nothing sensitive here",
+    ]
+    assert list(out["n_redactions"]) == [2, 1, 0]
+
+
+def test_repetition_stats_values():
+    from kgflow.ops.clean import repetition_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "a b a b a b",  # bigrams: ab ba ab ba ab -> 5 total 2 distinct
+                "all words distinct here",
+                "one",  # <2 words -> 0
+            ],
+        }
+    )
+    out = (
+        repetition_stats(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "dup_bigram_frac"] == np.floor((1 - 2 / 5) * 1e4) / 1e4
+    assert out.loc[1, "dup_bigram_frac"] == 0.0
+    assert out.loc[2, "dup_bigram_frac"] == 0.0
+
+
+def test_contamination_screen_overlap_and_short_docs():
+    from kgflow.ops.clean import contamination_screen
+
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                # shares the 8-gram "quick brown fox jumps over the lazy dog"
+                "she saw the quick brown fox jumps over the lazy dog yesterday",
+                "completely unrelated words that never appeared in any benchmark suite",
+                "quick brown fox",  # <8 words -> never flagged
+                # shares "the quick brown fox jumps over the lazy"
+                "the quick brown fox jumps over the lazy cat tonight",
+                # longest shared run is 7 words -> clean at n=8
+                "a quick brown fox jumps over the lazy cat sometimes maybe",
+            ],
+        }
+    )
+    out = (
+        contamination_screen(rd.from_pandas(df).repartition(2), bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["contaminated"]) == [1, 0, 0, 1, 0]

@@ -597,6 +597,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.filter(expr="event_type == 'click'"),
         )
 
+    def events_window(sf_dir: str):
+        """Oracle-checked: per-user ordered window functions —
+        row_number, integer lag seconds (first event → -1), exact
+        fixed-point running value sum — one bucketed exchange
+        (`kgflow.ops.window.keyed_window`); oracle is the standard SQL
+        window-function triple."""
+        import os as _os
+
+        from kgflow.ops.window import keyed_window
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return keyed_window(ev)
+
     def events_in_sessions(sf_dir: str):
         """Oracle-checked: generic range join (point-in-interval, same
         key, both ends inclusive) demonstrated on the sessionization
@@ -826,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "events_sessions": events_sessions,
         "events_asof": events_asof,
+        "events_window": events_window,
         "events_in_sessions": events_in_sessions,
         "events_quantiles": events_quantiles,
         "events_profile": events_profile,
@@ -1214,6 +1232,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
                      AS sum_value
             FROM s GROUP BY user_id, session_seq
+        """,
+        "events_window": """
+            SELECT user_id, event_id, ts,
+                   CAST(row_number() OVER w AS BIGINT) AS row_number,
+                   CAST(COALESCE(
+                     date_diff('second', lag(ts) OVER w, ts), -1)
+                     AS BIGINT) AS lag_s,
+                   (sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)) / 10000.0 AS run_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "events_in_sessions": """
             WITH o AS (

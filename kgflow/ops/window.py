@@ -351,3 +351,63 @@ def sliding_time_sum(
     return bucketed_group_reduce(
         ds, key_cols=key_cols, reduce_fn=reduce_fn, num_buckets=num_buckets
     )
+
+
+def keyed_window(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key ordered window functions in ONE exchange: row_number
+    (1..n per key in (ts, id) order), lag seconds since the key's
+    previous event (NULL→-1 for the first, kept integer so the column
+    stays hash-exact), and the running value sum (exact fixed-point
+    int64 accumulation, divided once — cumulative float sums would
+    drift between engines).
+
+    Same shape as `sessionize`: hash-partition on the key, in-bucket
+    vectorized sort + groupby shift/cumcount/cumsum (all pandas C
+    kernels). Returns (key, id, ts, row_number, lag_s, run_value)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        rn = (grp.cumcount() + 1).to_numpy(dtype=np.int64)
+        # date_diff('second', …) boundary-crossing semantics: truncate
+        # each endpoint to seconds BEFORE subtracting (same convention
+        # as sessionize's duration_s)
+        ti = _ts_us(g[ts_col])
+        prev = grp[ts_col].shift(1)
+        lag_s = np.where(
+            prev.isna().to_numpy(),
+            np.int64(-1),
+            ti // _US - _ts_us(prev.fillna(g[ts_col])) // _US,
+        ).astype(np.int64)
+        v_fp = np.round(g[value_col].to_numpy(dtype=np.float64) * 1e4).astype(
+            np.int64
+        )
+        run = (
+            pd.Series(v_fp, index=g.index).groupby(g[key], sort=False).cumsum()
+        ).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                ts_col: g[ts_col].to_numpy(),
+                "row_number": rn,
+                "lag_s": lag_s,
+                "run_value": run / 1e4,
+            }
+        )
+
+    cols = [key, ts_col, id_col, value_col]
+    return bucketed_group_reduce(
+        events.select_columns(cols),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

@@ -764,6 +764,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return orders_top_per_priority(sf_dir, k=3)
 
+    def supplier_rollup_levels(sf_dir: str):
+        """Oracle-checked: GROUP BY ROLLUP(region, nation) — subtotals
+        at every level from one data pass
+        (`kgflow.ops.reshape.rollup_sum`); fixed-point integer sums
+        keep every level hash-exact."""
+        from kgflow.ops.relational import supplier_region_rollup_levels
+
+        return supplier_region_rollup_levels(sf_dir)
+
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
 
@@ -858,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_priority": orders_top_priority,
         "q3_shipping": q3_shipping,
         "supplier_rollup": supplier_rollup,
+        "supplier_rollup_levels": supplier_rollup_levels,
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
         "media_video_features": media_video_features,
@@ -1392,6 +1402,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
+        """,
+        "supplier_rollup_levels": """
+            SELECT r.r_name, n.n_name,
+                   sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) / 100.0
+                     AS total_acctbal,
+                   count(*) AS n
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
         """,
         "supplier_rollup": """
             SELECT r.r_name,

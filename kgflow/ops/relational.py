@@ -190,6 +190,54 @@ def supplier_nation_rollup(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def supplier_region_rollup_levels(sf_dir: str) -> "rd.Dataset":
+    """ROLLUP demo: supplier account balances summed at (region,
+    nation), (region) and grand-total levels
+    (`kgflow.ops.reshape.rollup_sum` — one data pass, subtotals
+    re-aggregate the aggregate). Balances quantized to fixed-point
+    cents BEFORE the rollup so every subtotal is an order-independent
+    integer sum; divided once at the end."""
+    from kgflow.ops.reshape import rollup_sum
+    from kgflow.sources.parquet import read_parquet_clean
+
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, n2name, r2name))
+
+    supp = read_parquet_clean(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey", "s_acctbal"]
+    )
+
+    class Attach:
+        def __init__(self):
+            self.n2r, self.n2name, self.r2name = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["s_nationkey"]
+            return pd.DataFrame(
+                {
+                    "r_name": [self.r2name[self.n2r[n]] for n in nk],
+                    "n_name": [self.n2name[n] for n in nk],
+                    "bal_fp": np.round(
+                        df["s_acctbal"].to_numpy(dtype=np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+
+    tagged = supp.map_batches(Attach, batch_format="pandas", concurrency=(1, 2))
+    rolled = rollup_sum(tagged, level_cols=["r_name", "n_name"], sum_cols=["bal_fp"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_acctbal"] = df["bal_fp"].to_numpy(dtype=np.int64) / 100.0
+        df["n"] = df["n"].astype(np.int64)
+        return df[["r_name", "n_name", "total_acctbal", "n"]]
+
+    return rolled.map_batches(finish, batch_format="pandas")
+
+
 def events_sliding(sf_dir: str, preceding_hours: int = 2) -> "rd.Dataset":
     """Sliding (moving) window over the hourly rollup: per event_type
     and hour, event count and exact value sum over the trailing

@@ -107,6 +107,105 @@ def pivot_agg(
     )
 
 
+def rollup_sum(
+    ds: "rd.Dataset",
+    level_cols: list[str],
+    sum_cols: list[str],
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """``GROUP BY ROLLUP(level_cols)`` semantics: integer sums + row
+    count at every prefix of ``level_cols`` down to the grand total,
+    rolled-up columns emitted as typed NULLs (SQL convention).
+
+    Scale shape: the DATA is touched once — a per-batch combiner plus
+    one bucketed exchange produce the finest-level aggregate; every
+    coarser level re-aggregates the PREVIOUS level's output (each is
+    strictly smaller, the grand total is one row), so subtotals cost
+    |finest aggregate| rows of exchange, never a second data pass.
+    ``sum_cols`` must be integer-exact (pre-quantize floats to
+    fixed-point at the call site) so subtotal sums are
+    order-independent."""
+    lv = list(level_cols)
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(lv, as_index=False, sort=False)[sum_cols].sum()
+        g["n"] = df.groupby(lv, sort=False).size().to_numpy()
+        return g
+
+    def re_agg(cols: list[str]):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(cols, as_index=False, sort=False)[
+                sum_cols + ["n"]
+            ].sum()
+            for c in sum_cols + ["n"]:
+                out[c] = out[c].astype(np.int64)
+            return out
+
+        return f
+
+    levels = []
+    cur = bucketed_group_reduce(
+        ds.select_columns(lv + sum_cols).map_batches(combiner, batch_format="pandas"),
+        key_cols=lv,
+        reduce_fn=re_agg(lv),
+        num_buckets=num_buckets,
+    )
+    levels.append(cur)
+    for k in range(len(lv) - 1, 0, -1):
+        cur = bucketed_group_reduce(
+            cur.map_batches(
+                lambda df, _c=lv[:k]: df[_c + sum_cols + ["n"]],
+                batch_format="pandas",
+            ),
+            key_cols=lv[:k],
+            reduce_fn=re_agg(lv[:k]),
+            num_buckets=num_buckets,
+        )
+        levels.append(cur)
+
+    def grand(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame([{c: int(df[c].sum()) for c in sum_cols + ["n"]}])
+        return out
+
+    # grand total: a single-group reduce over the coarsest level (tiny)
+    coarsest = levels[-1].map_batches(
+        lambda df: df[sum_cols + ["n"]].assign(__g=np.int8(0)),
+        batch_format="pandas",
+    )
+    total = bucketed_group_reduce(
+        coarsest,
+        key_cols=["__g"],
+        reduce_fn=lambda g: grand(g),
+        num_buckets=1,
+    )
+    levels.append(total)
+
+    # align every level to the full column set with object-typed NULLs
+    # for rolled-up group columns (block-schema uniformity for union)
+    all_cols = lv + sum_cols + ["n"]
+
+    def align(df: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for c in all_cols:
+            if c in lv:
+                # group columns ride as object on EVERY level so all
+                # union blocks share one pandas schema (NULL subtotals)
+                out[c] = (
+                    df[c].astype("object")
+                    if c in df.columns
+                    else pd.Series([None] * len(df), index=df.index, dtype="object")
+                )
+            else:
+                out[c] = df[c]
+        return pd.DataFrame(out)
+
+    aligned = [l.map_batches(align, batch_format="pandas") for l in levels]
+    out = aligned[0]
+    for a in aligned[1:]:
+        out = out.union(a)
+    return out
+
+
 def melt(
     ds: "rd.Dataset",
     id_cols: list[str],

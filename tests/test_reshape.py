@@ -153,3 +153,33 @@ def test_grouped_quantiles_single_row_groups():
         .reset_index(drop=True)
     )
     assert list(out["v"]) == [1.25, 9.5]
+
+
+def test_rollup_sum_levels_vs_pandas():
+    from kgflow.ops.reshape import rollup_sum
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["r1", "r2"], 300),
+            "b": rng.choice(["x", "y", "z"], 300),
+            "v": rng.integers(0, 100, 300),
+        }
+    )
+    out = rollup_sum(
+        rd.from_pandas(df).repartition(4), level_cols=["a", "b"], sum_cols=["v"]
+    ).to_pandas()
+
+    fine = df.groupby(["a", "b"], as_index=False).agg(v=("v", "sum"), n=("v", "size"))
+    mid = df.groupby(["a"], as_index=False).agg(v=("v", "sum"), n=("v", "size"))
+    mid["b"] = None
+    grand = pd.DataFrame([{"a": None, "b": None, "v": df["v"].sum(), "n": len(df)}])
+    exp = pd.concat([fine, mid, grand], ignore_index=True)[["a", "b", "v", "n"]]
+
+    key = lambda d: sorted(
+        (str(r["a"]), str(r["b"]), int(r["v"]), int(r["n"]))
+        for _, r in d.iterrows()
+    )
+    assert key(out) == key(exp)
+    # exactly fine + |a| + 1 rows
+    assert len(out) == len(fine) + 2 + 1

@@ -336,6 +336,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return contamination_screen(_docs(sf_dir), bench, n=8)
 
+    def doc_incremental_new(sf_dir: str):
+        """Oracle-checked: Bloom-filter incremental dedup — 'yesterday's
+        crawl' (doc_id < 250) builds the filter, today's corpus keeps
+        only definitely-new texts. At this load factor (250 keys in 2^22
+        bits) the false-positive probability is ~1e-12, so the output
+        equals the exact NOT IN oracle; the guarantee direction (no old
+        text ever survives) is unconditional."""
+        import pandas as pd
+
+        from kgflow.ops.sketch import bloom_build, bloom_filter_new
+
+        docs = _docs(sf_dir)
+        old = docs.filter(expr="doc_id < 250")
+        words = bloom_build(old, "text")
+        out = bloom_filter_new(docs, "text", words)
+        return out.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["doc_id"]}), batch_format="pandas"
+        )
+
     def doc_top_terms(sf_dir: str):
         """Oracle-checked: per-doc top-3 distinctive terms ranked
         (tf DESC, df ASC, token ASC) — integer-exact keys, so
@@ -834,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
         "doc_contamination": doc_contamination,
+        "doc_incremental_new": doc_incremental_new,
         "doc_top_terms": doc_top_terms,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
@@ -1003,6 +1023,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(t.s, b.bs)) > 0 AS BIGINT)
                      AS contaminated
             FROM sh t CROSS JOIN bench b
+        """,
+        "doc_incremental_new": """
+            SELECT doc_id FROM documents
+            WHERE text NOT IN (
+              SELECT text FROM documents WHERE doc_id < 250)
         """,
         "doc_top_terms": r"""
             WITH tok AS (

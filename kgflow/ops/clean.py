@@ -66,16 +66,25 @@ def repetition_stats(docs: "rd.Dataset") -> "rd.Dataset":
     1e4 so the float is oracle-hash-stable."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
         toks = df["text"].str.lower().str.findall(r"\w+")
+        # vectorized bigram build: explode tokens once, pair each token
+        # with its successor inside the same doc (C kernels throughout —
+        # no Python loop over documents)
+        ex = toks.explode()
+        grams = pd.DataFrame(
+            {
+                "doc": ex.index,
+                "gram": ex.astype(str) + " " + ex.groupby(level=0).shift(-1),
+            }
+        ).dropna(subset=["gram"])
+        agg = grams.groupby("doc")["gram"].agg(total="size", distinct="nunique")
         frac = np.zeros(len(df), dtype=np.float64)
-        for i, w in enumerate(toks):
-            if len(w) < 2:
-                continue
-            grams = [f"{a} {b}" for a, b in zip(w, w[1:])]
-            frac[i] = 1.0 - len(set(grams)) / len(grams)
+        idx = df.index.get_indexer(agg.index)
+        frac[idx] = 1.0 - agg["distinct"].to_numpy() / agg["total"].to_numpy()
         return pd.DataFrame(
             {
-                "doc_id": df["doc_id"],
+                "doc_id": df["doc_id"].to_numpy(),
                 "dup_bigram_frac": np.floor(frac * 1e4) / 1e4,
             }
         )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 from kgflow.ops.shuffle import bucketed_group_reduce
@@ -142,6 +143,91 @@ def hll_distinct(
         n = _hll_estimate(g[["register", "rho"]].to_numpy(), p)
         rows.append(dict(zip(gcols, key)) | {"n_distinct_approx": int(round(n))})
     return pd.DataFrame(rows).sort_values(gcols).reset_index(drop=True)
+
+
+def bloom_build(
+    ds: "rd.Dataset",
+    value_col: str,
+    n_bits: int = 1 << 22,
+    k: int = 4,
+    num_buckets: int | None = None,
+) -> np.ndarray:
+    """Bloom filter over ``value_col`` as a packed uint64 word array —
+    the incremental-crawl membership structure (filter today's corpus
+    against yesterday's, no join). Per-block SPARSE (word, bits)
+    partials OR-merge behind one bucketed exchange; the driver pull is
+    ≤ n_bits/64 rows (constant in the data). Double hashing
+    h1 + i·h2 gives the k probe positions (Kirsch–Mitzenmacher)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h1 = _hash64(df[value_col])
+        h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+        h2 ^= h2 >> np.uint64(29)
+        h2 |= np.uint64(1)  # odd stride
+        words = np.zeros(n_bits >> 6, dtype=np.uint64)
+        for i in range(k):
+            idx = ((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+            np.bitwise_or.at(
+                words, idx >> 6, np.uint64(1) << (idx & np.int64(63)).astype(np.uint64)
+            )
+        nz = np.nonzero(words)[0]
+        return pd.DataFrame(
+            {"word": nz, "bits": words[nz].view(np.int64)}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False)["bits"].agg(np.bitwise_or.reduce)
+
+    sparse = bucketed_group_reduce(
+        ds.select_columns([value_col]).map_batches(partial, batch_format="pandas"),
+        key_cols=["word"],
+        reduce_fn=merge,
+        num_buckets=num_buckets,
+    ).to_pandas()  # ≤ n_bits/64 rows, data-size-independent
+    words = np.zeros(n_bits >> 6, dtype=np.uint64)
+    words[sparse["word"].to_numpy(dtype=np.int64)] = (
+        sparse["bits"].to_numpy(dtype=np.int64).view(np.uint64)
+    )
+    return words
+
+
+def bloom_filter_new(
+    ds: "rd.Dataset",
+    value_col: str,
+    bloom_words: np.ndarray,
+    n_bits: int | None = None,
+    k: int = 4,
+    concurrency=(1, 4),
+) -> "rd.Dataset":
+    """Rows of ``ds`` whose ``value_col`` is DEFINITELY NOT in the
+    filter — nothing previously seen survives; a false positive drops a
+    genuinely-new row with probability ≈ (k·n/n_bits)^k (size n_bits
+    for the expected corpus so this is negligible; the build-side FP
+    rate is the documented trade of Bloom-based incremental dedup).
+    The word array is broadcast once; membership is fully vectorized."""
+    nb = n_bits if n_bits is not None else len(bloom_words) << 6
+    ref = ray.put(bloom_words)
+
+    class Filter:
+        def __init__(self):
+            self.words = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            h1 = _hash64(df[value_col])
+            h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+            h2 ^= h2 >> np.uint64(29)
+            h2 |= np.uint64(1)
+            hit = np.ones(len(df), dtype=bool)
+            for i in range(k):
+                idx = ((h1 + np.uint64(i) * h2) % np.uint64(nb)).astype(np.int64)
+                bit = (
+                    self.words[idx >> 6]
+                    >> (idx & np.int64(63)).astype(np.uint64)
+                ) & np.uint64(1)
+                hit &= bit.astype(bool)
+            return df[~hit]
+
+    return ds.map_batches(Filter, batch_format="pandas", concurrency=concurrency)
 
 
 def heavy_hitters(

@@ -72,3 +72,20 @@ def test_heavy_hitters_partition_independent():
     a = heavy_hitters(rd.from_pandas(df).repartition(3), "v", k=10)
     b = heavy_hitters(rd.from_pandas(df).repartition(11), "v", k=10)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_bloom_incremental_filter():
+    from kgflow.ops.sketch import bloom_build, bloom_filter_new
+
+    old = pd.DataFrame({"t": [f"doc-{i}" for i in range(500)]})
+    new = pd.DataFrame({"t": [f"doc-{i}" for i in range(400, 900)]})
+    words = bloom_build(rd.from_pandas(old).repartition(4), "t", n_bits=1 << 20)
+    out = (
+        bloom_filter_new(rd.from_pandas(new).repartition(3), "t", words)
+        .to_pandas()["t"]
+        .tolist()
+    )
+    # hard guarantee: nothing old survives
+    assert not (set(out) & set(old["t"]))
+    # at this load factor there are no false positives: exactly the new half
+    assert sorted(out) == sorted(f"doc-{i}" for i in range(500, 900))

@@ -509,6 +509,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ivf_topk_stored(idx, qids, qm, k=5, nprobe=C)
         return out.select_columns(["query_id", "neighbor_id"])
 
+    def embed_pca(sf_dir: str):
+        """Rows-only (float-heavy; gated by the low-rank-recovery
+        pytest): distributed PCA — constant-size moment partials,
+        driver eig of the dim×dim covariance, streamed projection with
+        broadcast components."""
+        from kgflow.ops.ann import embedding_pca
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        return embedding_pca(emb, k=8)
+
     def embed_neardup(sf_dir: str):
         """Oracle-checked (round-1 fix: was vacuous — the driver's
         embeddings are random, max off-diag cosine ~0.51, so no pairs at
@@ -755,6 +768,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return customers_without_big_orders(sf_dir)
 
+    def orders_quality(sf_dir: str):
+        """Oracle-checked: the data-quality gate — vectorized rule
+        violation counts (negative price, null date, dates past the
+        generator horizon) plus an FK orphan check (orders.o_custkey →
+        customer) via the distributed anti join
+        (`kgflow.ops.checks`). Exact integer counts."""
+        import numpy as np
+        import pandas as pd
+
+        from kgflow.ops.checks import fk_violation_count, rule_violation_counts
+        from kgflow.sources.parquet import read_parquet_clean
+
+        orders = read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        cust = read_parquet_clean(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+        )
+        horizon = np.datetime64("1997-01-01", "us")
+        rules = {
+            "nonpositive_price": lambda df: df["o_totalprice"].to_numpy() <= 0,
+            "null_orderdate": lambda df: df["o_orderdate"].isna().to_numpy(),
+            "date_past_horizon": lambda df: df["o_orderdate"].to_numpy() >= horizon,
+        }
+        counts = rule_violation_counts(orders, rules).to_pandas()
+        fk = fk_violation_count(orders, cust, "o_custkey", "c_custkey", "fk_orphan_custkey")
+        return (
+            pd.concat([counts, fk], ignore_index=True)
+            .sort_values("rule")
+            .reset_index(drop=True)
+        )
+
     def q3_shipping(sf_dir: str):
         """Oracle-checked: TPC-H Q3-style top-10 open orders by
         outstanding revenue — dim semi-filter broadcast into the orders
@@ -866,6 +912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_stored": ann_ivf_stored,
         "ann_ivf_exact": ann_ivf_exact,
+        "embed_pca": embed_pca,
         "embed_neardup": embed_neardup,
         "q1_pricing": q1_pricing,
         "top_customers": top_customers,
@@ -885,6 +932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_orders": customers_no_big_orders,
         "customer_orders_left": customer_orders_left,
         "orders_top_priority": orders_top_priority,
+        "orders_quality": orders_quality,
         "q3_shipping": q3_shipping,
         "supplier_rollup": supplier_rollup,
         "supplier_rollup_levels": supplier_rollup_levels,
@@ -1413,6 +1461,25 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders
             ) WHERE rn <= 3
+        """,
+        "orders_quality": """
+            SELECT rule, n_violations FROM (
+              SELECT 'date_past_horizon' AS rule,
+                     count(*) FILTER (
+                       o_orderdate >= TIMESTAMP '1997-01-01') AS n_violations
+              FROM orders
+              UNION ALL
+              SELECT 'fk_orphan_custkey',
+                     count(*) FILTER (o_custkey NOT IN (
+                       SELECT c_custkey FROM customer))
+              FROM orders
+              UNION ALL
+              SELECT 'nonpositive_price',
+                     count(*) FILTER (o_totalprice <= 0) FROM orders
+              UNION ALL
+              SELECT 'null_orderdate',
+                     count(*) FILTER (o_orderdate IS NULL) FROM orders
+            ) ORDER BY rule
         """,
         "q3_shipping": """
             SELECT o_orderkey,

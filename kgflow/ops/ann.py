@@ -373,3 +373,69 @@ def ivf_topk_stored(
     return brute_force_topk(
         pruned, query_ids, query_matrix, k=k, exclude_self=exclude_self
     )
+
+
+def embedding_pca(
+    emb: "rd.Dataset",
+    k: int = 8,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "rd.Dataset":
+    """Distributed PCA over an embedding column: per-batch moment
+    partials (n, Σx, XᵀX — each dim- or dim²-bounded, CONSTANT in the
+    row count) fold on the driver into the covariance, whose
+    eigendecomposition (dim×dim — trivial) yields the top-``k``
+    components; the projection then streams with the components
+    broadcast once. Two passes over the data, zero shuffles.
+
+    Sign convention: each component is flipped so its
+    largest-|coordinate| entry is positive (eigenvector sign is
+    arbitrary — this pins it for run-to-run determinism).
+    Returns (id_col, pc0..pc{k-1})."""
+    import pandas as pd
+
+    def moments(batch: pa.Table) -> pd.DataFrame:
+        M = embed_matrix(batch, col).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n": [M.shape[0]],
+                "s": [M.sum(axis=0).tobytes()],
+                "xtx": [(M.T @ M).tobytes()],
+                "d": [M.shape[1]],
+            }
+        )
+
+    parts = emb.select_columns([col]).map_batches(
+        moments, batch_format="pyarrow"
+    ).to_pandas()  # one tiny row per block — constant per block
+    d = int(parts["d"].iloc[0])
+    n = int(parts["n"].sum())
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for _, r in parts.iterrows():
+        s += np.frombuffer(r["s"], dtype=np.float64)
+        xtx += np.frombuffer(r["xtx"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    comps = v[:, ::-1][:, :k]  # top-k by eigenvalue
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    ref = ray.put((mean, comps))
+
+    class Project:
+        def __init__(self):
+            self.mean, self.comps = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> "pd.DataFrame":
+            M = embed_matrix(batch, col).astype(np.float64)
+            P = (M - self.mean) @ self.comps
+            out = {id_col: batch.column(id_col).to_numpy()}
+            for j in range(P.shape[1]):
+                out[f"pc{j}"] = P[:, j]
+            return pd.DataFrame(out)
+
+    return emb.select_columns([id_col, col]).map_batches(
+        Project, batch_format="pyarrow", concurrency=(1, 4)
+    )

@@ -1,0 +1,76 @@
+"""Data-quality gate: vectorized rule-violation counts and referential
+integrity — the validation pass a pipeline runs on every ingest before
+promoting a partition (pairs with the lineage manifest's per-partition
+metrics, `kgflow/materialize/manifest.py`).
+
+Rule checks are per-batch boolean kernels (one partial count row per
+rule per block — the exchange carries |rules| × |blocks| ints); FK
+checks reuse the distinct-key semi/anti machinery
+(`kgflow.ops.joins.anti_join`), so the parent side ships distinct keys
+only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from kgflow.ops.shuffle import bucketed_group_reduce
+
+
+def rule_violation_counts(
+    ds: "rd.Dataset",
+    rules: dict[str, Callable[[pd.DataFrame], np.ndarray]],
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """(rule, n_violations) — each rule maps a batch to a boolean
+    VIOLATION mask (True = bad row); partial counts per block, one tiny
+    rule-keyed reduce."""
+    names = list(rules)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rule": names,
+                "n_violations": [
+                    int(np.asarray(rules[n](df), dtype=bool).sum()) for n in names
+                ],
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("rule", as_index=False)["n_violations"].sum()
+        out["n_violations"] = out["n_violations"].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_cols=["rule"],
+        reduce_fn=merge,
+        num_buckets=min(num_buckets or len(names), len(names)),
+    )
+
+
+def fk_violation_count(
+    child: "rd.Dataset",
+    parent: "rd.Dataset",
+    child_key: str,
+    parent_key: str,
+    rule: str,
+) -> pd.DataFrame:
+    """One (rule, n_violations) row: child rows whose key has no parent
+    (distributed anti join — parent reduces to distinct keys first)."""
+    from kgflow.ops.joins import anti_join
+
+    orphans = anti_join(
+        child.select_columns([child_key]).map_batches(
+            lambda df: df.rename(columns={child_key: parent_key}),
+            batch_format="pandas",
+        ),
+        parent.select_columns([parent_key]),
+        on=parent_key,
+    )
+    return pd.DataFrame({"rule": [rule], "n_violations": [int(orphans.count())]})

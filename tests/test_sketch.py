@@ -89,3 +89,45 @@ def test_bloom_incremental_filter():
     assert not (set(out) & set(old["t"]))
     # at this load factor there are no false positives: exactly the new half
     assert sorted(out) == sorted(f"doc-{i}" for i in range(500, 900))
+
+
+def test_embedding_pca_recovers_low_rank():
+    import pyarrow as pa
+
+    from kgflow.ops.ann import embedding_pca
+
+    rng = np.random.default_rng(11)
+    # rank-3 structure in 16 dims + small noise
+    Z = rng.normal(size=(600, 3)) * np.array([5.0, 3.0, 1.5])
+    W = np.linalg.qr(rng.normal(size=(16, 3)))[0].T
+    X = Z @ W + rng.normal(scale=0.01, size=(600, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(600), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in X],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = (
+        embedding_pca(rd.from_arrow(t).repartition(5), k=3)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    P = out[["pc0", "pc1", "pc2"]].to_numpy()
+    # top-3 components capture essentially all variance
+    total_var = ((X - X.mean(axis=0)) ** 2).sum()
+    assert P.var(axis=0).sum() * len(X) / total_var > 0.99
+    # matches local PCA on the same float32-quantized data up to sign pin
+    Xq = np.asarray(
+        [np.asarray(r, dtype=np.float32) for r in t.column("embedding").to_pylist()]
+    ).astype(np.float64)
+    cov = np.cov(Xq, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :3]
+    flip = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(3)])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    exp = (Xq - Xq.mean(axis=0)) @ comps
+    assert np.allclose(P, exp, atol=1e-6)

@@ -101,5 +101,12 @@ def _register_builtins() -> None:
     )
     register("tag_decode", StageSpec(TagDecodeStage, is_actor=True))
 
+    # corpus-cleaning stages (per-batch; see kgflow/ops/clean.py)
+    from kgflow.ops.clean import RedactPII
+
+    register(
+        "redact_pii", StageSpec(RedactPII, is_actor=True, batch_format="pandas")
+    )
+
 
 _register_builtins()

@@ -768,6 +768,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return customers_without_big_orders(sf_dir)
 
+    def _user_days(sf_dir: str, event_type: str):
+        import pyarrow as pa
+
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = batch.filter(pc.equal(batch.column("event_type"), event_type))
+            return pa.table(
+                {
+                    "user_id": b.column("user_id"),
+                    "day": pc.floor_temporal(b.column("ts"), unit="day"),
+                }
+            )
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    def events_intersect(sf_dir: str):
+        """Oracle-checked: SQL INTERSECT — (user, day) pairs with BOTH
+        a purchase and an error (`kgflow.ops.joins.intersect_rows`:
+        distinct-reduce both sides, then the semi machinery)."""
+        from kgflow.ops.joins import intersect_rows
+
+        return intersect_rows(
+            _user_days(sf_dir, "purchase"),
+            _user_days(sf_dir, "error"),
+            ["user_id", "day"],
+        )
+
+    def events_except(sf_dir: str):
+        """Oracle-checked: SQL EXCEPT — purchase (user, day) pairs with
+        no error that day (`kgflow.ops.joins.except_rows`)."""
+        from kgflow.ops.joins import except_rows
+
+        return except_rows(
+            _user_days(sf_dir, "purchase"),
+            _user_days(sf_dir, "error"),
+            ["user_id", "day"],
+        )
+
     def orders_quality(sf_dir: str):
         """Oracle-checked: the data-quality gate — vectorized rule
         violation counts (negative price, null date, dates past the
@@ -932,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_orders": customers_no_big_orders,
         "customer_orders_left": customer_orders_left,
         "orders_top_priority": orders_top_priority,
+        "events_intersect": events_intersect,
+        "events_except": events_except,
         "orders_quality": orders_quality,
         "q3_shipping": q3_shipping,
         "supplier_rollup": supplier_rollup,
@@ -1461,6 +1509,20 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
               FROM orders
             ) WHERE rn <= 3
+        """,
+        "events_intersect": """
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'error'
+        """,
+        "events_except": """
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'error'
         """,
         "orders_quality": """
             SELECT rule, n_violations FROM (

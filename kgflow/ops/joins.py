@@ -210,6 +210,25 @@ def anti_join(left, right, on, **kw) -> "rd.Dataset":
     return semi_join(left, right, on, anti=True, **kw)
 
 
+def intersect_rows(
+    left: "rd.Dataset", right: "rd.Dataset", cols: list[str] | str, **kw
+) -> "rd.Dataset":
+    """SQL ``INTERSECT`` over ``cols``: distinct left rows whose key
+    appears in right — distinct-reduce first (both sides shrink to
+    their key sets before anything wide), then the semi machinery."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return semi_join(distinct_rows(left, cols), right, cols, **kw)
+
+
+def except_rows(
+    left: "rd.Dataset", right: "rd.Dataset", cols: list[str] | str, **kw
+) -> "rd.Dataset":
+    """SQL ``EXCEPT`` over ``cols``: distinct left rows absent from
+    right (same shape as `intersect_rows`, anti variant)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return semi_join(distinct_rows(left, cols), right, cols, anti=True, **kw)
+
+
 def hash_join(
     left: "rd.Dataset",
     right: "rd.Dataset",

@@ -694,6 +694,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return profile_columns(ev, ["event_id", "user_id", "value"])
 
+    def events_histogram(sf_dir: str):
+        """Oracle-checked: fixed-width 20-bin histogram of the event
+        value over [0, 100) — one bincount per block, one tiny
+        bin-keyed reduce (`kgflow.ops.profile.column_histogram`);
+        integer counts, hash-exact."""
+        import os as _os
+
+        from kgflow.ops.profile import column_histogram
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        )
+        return column_histogram(ev, "value", lo=0.0, hi=100.0, n_bins=20)
+
     def events_sliding(sf_dir: str):
         """Oracle-checked: sliding 3-hour (2h preceding + current) window
         over the hourly rollup per event_type — RANGE semantics (gaps in
@@ -969,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": events_in_sessions,
         "events_quantiles": events_quantiles,
         "events_profile": events_profile,
+        "events_histogram": events_histogram,
         "events_sliding": events_sliding,
         "events_daily_users": events_daily_users,
         "events_pivot": events_pivot,
@@ -1427,6 +1443,12 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT value),
                    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
             FROM events
+        """,
+        "events_histogram": """
+            SELECT CAST(least(greatest(floor(value / 5.0), 0), 19)
+                        AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM events GROUP BY 1
         """,
         "events_asof": """
             SELECT a.event_id, a.user_id, a.ts,

@@ -72,6 +72,43 @@ def column_quantiles(
     return pd.DataFrame({"q": pd.Series(out_q, dtype="float64"), "v": out_v})
 
 
+def column_histogram(
+    ds: "rd.Dataset",
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Fixed-width histogram of ``col`` over [lo, hi): (bin, n) with
+    bin = floor((v − lo) / width), values clamped into the edge bins
+    (SQL width_bucket-1 with explicit clamping so both engines bin
+    identically at the boundaries). Per-block combiner = one bincount;
+    the exchange carries ≤ blocks × n_bins rows."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    width = (hi - lo) / n_bins
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame({"bin": nz.astype(np.int64), "n": cnt[nz].astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bin", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(
+        ds.select_columns([col]).map_batches(combiner, batch_format="pandas"),
+        key_cols=["bin"],
+        reduce_fn=merge,
+        num_buckets=min(num_buckets or n_bins, n_bins),
+    )
+
+
 def grouped_quantiles(
     ds: "rd.Dataset",
     group_cols: list[str],

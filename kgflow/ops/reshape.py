@@ -55,12 +55,17 @@ def pivot_agg(
     if values is None:
         from kgflow.ops.joins import distinct_rows
 
-        vals_df = distinct_rows(ds, [pivot_col], num_buckets=num_buckets).to_pandas()
-        if len(vals_df) > max_discovered:
+        # materialize so the guard count is free metadata and the pull
+        # reuses blocks — and so an over-wide pivot fails BEFORE any
+        # driver materialization of the distinct set
+        vals = distinct_rows(ds, [pivot_col], num_buckets=num_buckets).materialize()
+        n_vals = vals.count()
+        if n_vals > max_discovered:
             raise ValueError(
-                f"pivot_col {pivot_col!r} has {len(vals_df)} distinct values"
+                f"pivot_col {pivot_col!r} has {n_vals} distinct values"
                 f" (> max_discovered={max_discovered}); pass values= explicitly"
             )
+        vals_df = vals.to_pandas()
         values = sorted(map(str, vals_df[pivot_col]))
     values = list(values)
     out_cols = [f"{prefix}{v}" for v in values]

@@ -899,6 +899,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return supplier_region_rollup_levels(sf_dir)
 
+    def customer_orders_full(sf_dir: str):
+        """Oracle-checked: FULL outer join — per-customer order counts
+        in 1995 vs 1996 (`kgflow.ops.joins.hash_join(how='full')`,
+        shuffle-only by construction); one-year-only customers exercise
+        both null-extension directions; COALESCE-to-0 both sides keeps
+        the columns int64-exact."""
+        from kgflow.ops.relational import customer_year_activity_full
+
+        return customer_year_activity_full(sf_dir)
+
+    def events_cube(sf_dir: str):
+        """Oracle-checked: GROUP BY CUBE(event_type, isodow) — all four
+        grouping sets from one events pass
+        (`kgflow.ops.reshape.cube_sum`); fixed-point integer value sums
+        keep every set hash-exact."""
+        from kgflow.ops.relational import events_type_dow_cube
+
+        return events_type_dow_cube(sf_dir)
+
+    def events_ranked(sf_dir: str):
+        """Oracle-checked: rank-family window functions per user —
+        RANK/DENSE_RANK over fixed-point value DESC (ties share ranks,
+        so no tie-break column is needed for determinism), integer lead
+        seconds (last event → -1), and a 3-row moving value sum as the
+        difference of two exact int64 cumsums
+        (`kgflow.ops.window.ranked_window`, one bucketed exchange)."""
+        import os as _os
+
+        from kgflow.ops.window import ranked_window
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return ranked_window(ev)
+
+    def doc_normalize(sf_dir: str):
+        """Oracle-checked: canonical text form — NFC unicode
+        normalization + whitespace-run collapse + space trim
+        (`kgflow.ops.clean.normalize_text`, exchange-free actor pool).
+        The whitespace class is an explicit ASCII set shared verbatim
+        with the SQL regexp_replace (Python's \\s is unicode-wide,
+        RE2's is ASCII-only); planted NFD/whitespace variants on both
+        sides keep the check non-vacuous on an ASCII-clean corpus."""
+        import os as _os
+
+        import pandas as pd
+
+        from kgflow.ops.clean import normalize_text
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            _os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+
+        def plant(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[["doc_id", "text"]].copy()
+            m = (df["doc_id"] % 7 == 0).to_numpy()
+            # decomposed e + combining acute, NBSP-free tab/newline runs
+            df.loc[m, "text"] = (
+                "  Cafe\u0301 \t menu:\n\n" + df.loc[m, "text"] + " \t "
+            )
+            return df
+
+        return normalize_text(docs.map_batches(plant, batch_format="pandas"))
+
     def supplier_rollup(sf_dir: str):
         from kgflow.ops.relational import supplier_nation_rollup
 
@@ -993,7 +1061,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heavy_tokens": doc_heavy_tokens,
         "customers_no_big_orders": customers_no_big_orders,
         "customer_orders_left": customer_orders_left,
+        "customer_orders_full": customer_orders_full,
         "orders_top_priority": orders_top_priority,
+        "events_cube": events_cube,
+        "events_ranked": events_ranked,
+        "doc_normalize": doc_normalize,
         "events_intersect": events_intersect,
         "events_except": events_except,
         "orders_quality": orders_quality,
@@ -1522,6 +1594,65 @@ def oracle_sql() -> dict[str, str]:
                      max(o_totalprice) AS max_order
               FROM orders GROUP BY o_custkey
             ) o ON c.c_custkey = o.o_custkey
+        """,
+        "customer_orders_full": """
+            WITH a AS (
+              SELECT o_custkey, count(*) AS n_y1 FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                AND o_orderdate < TIMESTAMP '1996-01-01'
+              GROUP BY o_custkey
+            ), b AS (
+              SELECT o_custkey, count(*) AS n_y2 FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY o_custkey
+            )
+            SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+                   COALESCE(a.n_y1, 0) AS n_y1,
+                   COALESCE(b.n_y2, 0) AS n_y2
+            FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+        """,
+        "events_cube": """
+            SELECT event_type, CAST(isodow(ts) AS VARCHAR) AS dow,
+                   sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
+                     AS sum_value,
+                   count(*) AS n
+            FROM events
+            GROUP BY CUBE(event_type, CAST(isodow(ts) AS VARCHAR))
+        """,
+        "events_ranked": """
+            SELECT user_id, event_id, ts,
+                   CAST(rank() OVER v AS BIGINT) AS val_rank,
+                   CAST(dense_rank() OVER v AS BIGINT) AS val_dense_rank,
+                   CAST(COALESCE(
+                     date_diff('second', ts, lead(ts) OVER w), -1)
+                     AS BIGINT) AS lead_s,
+                   (sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) / 10000.0
+                     AS mov3_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   v AS (PARTITION BY user_id
+                         ORDER BY CAST(round(value * 10000) AS BIGINT) DESC)
+        """,
+        "doc_normalize": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN '  Caf' || chr(101) || chr(769) || ' '
+                               || chr(9) || ' menu:' || chr(10) || chr(10)
+                               || text || ' ' || chr(9) || ' '
+                          ELSE text END AS text
+              FROM documents
+            ), norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(nfc_normalize(text),
+                                         '[ \t\n\r\f\v]+', ' ', 'g'),
+                          ' ') AS text
+              FROM planted
+            )
+            SELECT doc_id, text, length(text) AS n_chars FROM norm
         """,
         "orders_top_priority": """
             SELECT o_orderpriority, o_orderkey, o_totalprice FROM (

@@ -58,6 +58,50 @@ def redact_pii(docs: "rd.Dataset", concurrency=(1, 4)) -> "rd.Dataset":
     )
 
 
+#: whitespace-run pattern shared VERBATIM with the SQL oracle. An
+#: explicit ASCII class, not ``\s``: Python's ``\s`` is unicode-wide
+#: (\xa0,  , …) while RE2's is ASCII-only — the explicit class is
+#: the intersection both engines agree on.
+WS_PATTERN = r"[ \t\n\r\f\v]+"
+
+
+class NormalizeText:
+    """Actor-pool stage: NFC unicode normalization + whitespace-run
+    collapse + space trim. Pattern compiled once per actor; all three
+    steps are vectorized `pandas.Series.str` kernels."""
+
+    def __init__(self):
+        import re
+
+        self.ws = re.compile(WS_PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            df["text"]
+            .str.normalize("NFC")
+            .str.replace(self.ws, " ", regex=True)
+            .str.strip(" ")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": t,
+                "n_chars": t.str.len().astype(np.int64),
+            }
+        )
+
+
+def normalize_text(docs: "rd.Dataset", concurrency=(1, 4)) -> "rd.Dataset":
+    """(doc_id, text, n_chars): canonical text form ahead of hashing /
+    dedup — NFC so visually-identical composed/decomposed sequences
+    fingerprint identically, whitespace collapsed so formatting
+    variants do too. Exchange-free streaming stage; n_chars counts code
+    points (Python len == SQL length semantics)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        NormalizeText, batch_format="pandas", concurrency=concurrency
+    )
+
+
 def repetition_stats(docs: "rd.Dataset") -> "rd.Dataset":
     """Gopher-style repetition signal per document: the fraction of
     word-bigram occurrences that are duplicates

@@ -238,7 +238,7 @@ def hash_join(
     num_buckets: int | None = None,
     right_small: bool | None = None,
 ) -> "rd.Dataset":
-    """Equi-join (``how`` in {"inner", "left"}). Payload column names
+    """Equi-join (``how`` in {"inner", "left", "full"}). Payload column names
     must be disjoint across sides (rename at the call site — keeps the
     operator honest about output schema instead of inventing suffixes).
 
@@ -257,9 +257,15 @@ def hash_join(
     (False) saves one whole pass. For a computed right side of unknown
     size, ``right.materialize()`` at the call site makes the count
     metadata-free and lets the winning path reuse the blocks.
+
+    ``how="full"`` always takes the shuffle path: emitting right-side
+    rows that matched NO left row requires global matched-key knowledge,
+    which the per-block broadcast merge cannot have — but a key's left
+    and right rows co-bucket, so full-outer null-extension (both
+    directions) is bucket-local, exactly like the left case.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
@@ -267,7 +273,9 @@ def hash_join(
     if overlap:
         raise ValueError(f"payload column collision: {sorted(overlap)}")
 
-    if right_small is None:
+    if how == "full":
+        small = False  # see docstring: full outer is shuffle-only
+    elif right_small is None:
         small, _n = _decide_broadcast(right, broadcast_threshold)
     else:
         small = right_small
@@ -306,10 +314,12 @@ def hash_join(
 
     l_keep = left_cols
 
+    pd_how = "outer" if how == "full" else how
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g.loc[g["__side"] == 0, l_keep]
         rpart = g.loc[g["__side"] == 1, r_keep]
-        out = lpart.merge(rpart, on=on, how=how)
+        out = lpart.merge(rpart, on=on, how=pd_how)
         return _restore_ints(out, int_cols)
 
     return bucketed_group_reduce(

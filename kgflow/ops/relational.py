@@ -515,3 +515,100 @@ def q3_shipping(
         return df[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
 
     return top.map_batches(finish, batch_format="pandas")
+
+
+def customer_year_activity_full(
+    sf_dir: str, y1: int = 1995, y2: int = 1996
+) -> "rd.Dataset":
+    """FULL-outer-join demo: per-customer order counts in ``y1`` vs
+    ``y2``. Customers active in only one of the years exercise BOTH
+    null-extension directions non-vacuously (TPC-H-shaped data has no
+    orphan custkeys, so a full join of raw tables would degenerate to a
+    left join). Both sides are custkey-bounded aggregates (per-batch
+    combiner + one bucketed reduce each); `hash_join(how="full")` is
+    shuffle-only by construction — unmatched-right emission needs global
+    matched-key knowledge no broadcast block can have. Counts COALESCE
+    to 0 on both the engine and SQL side, keeping every column int64
+    and hash-exact."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+
+    def year_count(year: int, out_col: str) -> "rd.Dataset":
+        lo, hi = pd.Timestamp(f"{year}-01-01"), pd.Timestamp(f"{year + 1}-01-01")
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[(df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)]
+            g = d.groupby("o_custkey", as_index=False).size()
+            return g.rename(columns={"size": out_col})
+
+        def final(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("o_custkey", as_index=False)[out_col].sum()
+            out[out_col] = out[out_col].astype(np.int64)
+            return out
+
+        return bucketed_group_reduce(
+            orders.map_batches(partial, batch_format="pandas"),
+            key_cols=["o_custkey"],
+            reduce_fn=final,
+        )
+
+    joined = hash_join(
+        year_count(y1, "n_y1"), year_count(y2, "n_y2"), on="o_custkey", how="full"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"].astype(np.int64),
+                "n_y1": df["n_y1"].fillna(0).astype(np.int64),
+                "n_y2": df["n_y2"].fillna(0).astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def events_type_dow_cube(sf_dir: str) -> "rd.Dataset":
+    """CUBE demo: event count + exact fixed-point value sum grouped by
+    CUBE(event_type, ISO day-of-week) — all four grouping sets from ONE
+    events pass (`kgflow.ops.reshape.cube_sum`). The day-of-week rides
+    as a VARCHAR so the rolled-up typed-NULL convention matches the
+    group column's SQL type exactly."""
+    from kgflow.ops.reshape import cube_sum
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                # isodow semantics (Mon=1..Sun=7) shared with the oracle
+                "dow": (df["ts"].dt.dayofweek + 1).astype(str),
+                "value_fp": np.round(
+                    df["value"].to_numpy(dtype=np.float64) * 1e4
+                ).astype(np.int64),
+            }
+        )
+
+    cubed = cube_sum(
+        ev.map_batches(tag, batch_format="pandas"),
+        level_cols=["event_type", "dow"],
+        sum_cols=["value_fp"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["value_fp"].to_numpy(dtype=np.int64) / 1e4
+        df["n"] = df["n"].astype(np.int64)
+        return df[["event_type", "dow", "sum_value", "n"]]
+
+    return cubed.map_batches(finish, batch_format="pandas")

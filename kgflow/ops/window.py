@@ -411,3 +411,79 @@ def keyed_window(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def ranked_window(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Rank-family window functions per key, ONE exchange (the
+    complement of `keyed_window`'s offset family):
+
+    - ``val_rank`` / ``val_dense_rank``: RANK() / DENSE_RANK() over the
+      key partition ordered by fixed-point value DESC — ties share a
+      rank, so the output is deterministic without a tie-break column;
+    - ``lead_s``: seconds until the key's NEXT event in (ts, id) order
+      (-1 for the last; date_diff boundary-crossing semantics — truncate
+      both endpoints to seconds before subtracting);
+    - ``mov3_value``: SUM(value) OVER (... ROWS BETWEEN 2 PRECEDING AND
+      CURRENT ROW) — computed as the difference of two exact int64
+      fixed-point cumsums, divided once at emit.
+
+    Same scale shape as `keyed_window`: hash-partition on the key, all
+    in-bucket work is pandas/numpy C kernels (sort, grouped rank, shift,
+    cumsum)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        vfp = pd.Series(
+            np.round(g[value_col].to_numpy(dtype=np.float64) * 1e4).astype(
+                np.int64
+            ),
+            index=g.index,
+        )
+        by_key = vfp.groupby(g[key], sort=False)
+        rnk = by_key.rank(method="min", ascending=False).to_numpy(np.int64)
+        drnk = by_key.rank(method="dense", ascending=False).to_numpy(np.int64)
+        ti = _ts_us(g[ts_col])
+        nxt = grp[ts_col].shift(-1)
+        lead_s = np.where(
+            nxt.isna().to_numpy(),
+            np.int64(-1),
+            _ts_us(nxt.fillna(g[ts_col])) // _US - ti // _US,
+        ).astype(np.int64)
+        run = by_key.cumsum().to_numpy(np.int64)
+        # cumsum shifted 3 within the key = sum through row i-3, so the
+        # difference is exactly rows i-2..i (2 PRECEDING .. CURRENT ROW)
+        prev3 = (
+            pd.Series(run, index=g.index)
+            .groupby(g[key], sort=False)
+            .shift(3)
+            .fillna(0)
+            .to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                ts_col: g[ts_col].to_numpy(),
+                "val_rank": rnk,
+                "val_dense_rank": drnk,
+                "lead_s": lead_s,
+                "mov3_value": (run - prev3) / 1e4,
+            }
+        )
+
+    cols = [key, ts_col, id_col, value_col]
+    return bucketed_group_reduce(
+        events.select_columns(cols),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

@@ -84,3 +84,27 @@ def test_contamination_screen_overlap_and_short_docs():
         .reset_index(drop=True)
     )
     assert list(out["contaminated"]) == [1, 0, 0, 1, 0]
+
+
+def test_normalize_text_nfc_and_whitespace():
+    from kgflow.ops.clean import normalize_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "Café  menu",        # NFD → NFC composes to é
+                " \t hello\n\nworld \t ",  # runs collapse, ends trim
+                "already clean",
+            ],
+        }
+    )
+    out = (
+        normalize_text(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == ["Café menu", "hello world", "already clean"]
+    # n_chars counts code points of the NORMALIZED text (é is 1)
+    assert out["n_chars"].tolist() == [9, 11, 13]

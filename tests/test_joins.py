@@ -247,3 +247,34 @@ def test_sliding_time_sum_range_semantics():
     )
     # RANGE [t-2h, t]: hour2 sees 1+10+100; hour5 sees only itself (gap)
     assert list(out["w_x"]) == [1, 11, 111, 1000, 7]
+
+
+@pytest.mark.parametrize("broadcast_threshold", [10**6, 0])
+def test_full_join_vs_pandas(broadcast_threshold):
+    """Full outer join against pandas ground truth — keys exist on the
+    left only, right only, and both (with duplicate right rows), so both
+    null-extension directions are exercised; broadcast_threshold is
+    irrelevant (full is shuffle-only) but parametrized to prove that."""
+    from kgflow.ops.joins import hash_join
+
+    left, right = _tables(seed=7)
+    # push part of the right key space out of the left's range so some
+    # right rows match NO left row
+    right = right.copy()
+    right.loc[right.index[:20], "k"] = right.loc[right.index[:20], "k"] + 1000
+    lds, rds = rd.from_pandas(left).repartition(5), rd.from_pandas(right).repartition(3)
+
+    out = hash_join(
+        lds, rds, "k", how="full", broadcast_threshold=broadcast_threshold
+    ).to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+
+    assert len(out) == len(exp)
+    # both directions non-vacuous
+    assert out["rpay"].isna().sum() > 0  # left-only rows
+    assert out["name"].isna().sum() > 0  # right-only rows
+    pd.testing.assert_frame_equal(
+        _canon(out, by=("k", "name", "rpay")),
+        _canon(exp, by=("k", "name", "rpay")),
+        check_dtype=False,
+    )

@@ -183,3 +183,39 @@ def test_rollup_sum_levels_vs_pandas():
     assert key(out) == key(exp)
     # exactly fine + |a| + 1 rows
     assert len(out) == len(fine) + 2 + 1
+
+
+def test_cube_sum_vs_pandas():
+    from kgflow.ops.reshape import cube_sum
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["r1", "r2", "r3"], 400),
+            "b": rng.choice(["x", "y"], 400),
+            "v": rng.integers(0, 100, 400),
+        }
+    )
+    out = cube_sum(
+        rd.from_pandas(df).repartition(4), level_cols=["a", "b"], sum_cols=["v"]
+    ).to_pandas()
+
+    sets = [["a", "b"], ["a"], ["b"]]
+    parts = []
+    for cols in sets:
+        g = df.groupby(cols, as_index=False).agg(v=("v", "sum"), n=("v", "size"))
+        for c in ["a", "b"]:
+            if c not in cols:
+                g[c] = None
+        parts.append(g[["a", "b", "v", "n"]])
+    parts.append(
+        pd.DataFrame([{"a": None, "b": None, "v": df["v"].sum(), "n": len(df)}])
+    )
+    exp = pd.concat(parts, ignore_index=True)
+
+    key = lambda d: sorted(
+        (str(r["a"]), str(r["b"]), int(r["v"]), int(r["n"]))
+        for _, r in d.iterrows()
+    )
+    assert len(out) == len(exp)
+    assert key(out) == key(exp)

@@ -137,3 +137,39 @@ def test_range_join_overlapping_intervals_and_key_isolation():
     # 100@5 -> iv1; 101@10 -> BOTH (inclusive ends); 102@15 -> iv2;
     # 103 (user 2 @10) -> no interval covers it
     assert got == [(100, 1), (101, 1), (101, 2), (102, 2)]
+
+
+def test_ranked_window_semantics():
+    """Hand-checkable frame: value ties share RANK (with a gap) and
+    DENSE_RANK (no gap); lead_s is -1 on each key's last event; mov3 is
+    the 3-row trailing sum in (ts, id) order."""
+    from kgflow.ops.window import ranked_window
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2],
+            "event_id": [10, 11, 12, 13, 20],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:30",
+                    "2024-01-01 00:02:00",
+                    "2024-01-01 00:02:05",
+                    "2024-01-01 09:00:00",
+                ]
+            ).astype("datetime64[us]"),
+            "value": [5.0, 2.0, 5.0, 1.0, 3.0],
+        }
+    )
+    out = (
+        ranked_window(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    # user 1 values [5, 2, 5, 1] desc-ranked: 5→rank 1 (both), 2→rank 3,
+    # 1→rank 4; dense: 5→1, 2→2, 1→3
+    assert out["val_rank"].tolist() == [1, 3, 1, 4, 1]
+    assert out["val_dense_rank"].tolist() == [1, 2, 1, 3, 1]
+    assert out["lead_s"].tolist() == [30, 90, 5, -1, -1]
+    assert out["mov3_value"].tolist() == [5.0, 7.0, 12.0, 8.0, 3.0]

@@ -121,6 +121,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nodes_table(entity_map(_triples_mat(sf_dir)))
 
+    def kg_pagerank(sf_dir: str):
+        """Rows-only (iterative, not SQL-expressible): PageRank over the
+        canonical deduplicated KG edges (`kgflow.ops.graph.pagerank` —
+        per-iteration O(E) exchange, V-bounded state, dangling-mass
+        redistribution); pinned against a dense NumPy power iteration in
+        tests/test_graph.py. Ranks quantized to 1e-12 so the row payload
+        is stable across partial-sum orderings."""
+        import pandas as pd
+
+        from kgflow.linking.link import canonical_triples
+        from kgflow.materialize.edges import dedup_edges
+        from kgflow.ops.graph import pagerank
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        edges = dedup_edges(canon)
+        pr = pagerank(edges, src_col="subj_id", dst_col="obj_id", iters=5)
+
+        def quantize(df: pd.DataFrame) -> pd.DataFrame:
+            df["rank"] = df["rank"].round(12)
+            return df
+
+        return pr.map_batches(quantize, batch_format="pandas")
+
     # --- training-feature builders over the golden corpus (rows-only;
     # semantics ≙ reference convert_examples_to_* — see
     # kgflow/stages/features.py citations)
@@ -936,6 +959,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ranked_window(ev)
 
+    def events_intervals(sf_dir: str):
+        """Oracle-checked: gaps-and-islands interval coalescing — every
+        event opens a 10-minute interval; overlapping/touching intervals
+        per user merge into maximal spans
+        (`kgflow.ops.window.merge_intervals`, one bucketed exchange +
+        vectorized island scan). Oracle is the classic shifted-cummax
+        window construction."""
+        import os as _os
+
+        import pandas as pd
+
+        from kgflow.ops.window import merge_intervals
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts"],
+        )
+
+        def mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "s": df["ts"],
+                    "e": df["ts"] + pd.Timedelta(minutes=10),
+                }
+            )
+
+        return merge_intervals(ev.map_batches(mk, batch_format="pandas"))
+
     def doc_normalize(sf_dir: str):
         """Oracle-checked: canonical text form — NFC unicode
         normalization + whitespace-run collapse + space trim
@@ -1010,6 +1063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_map": kg_entity_map,
         "kg_edges": kg_edges,
         "kg_nodes": kg_nodes,
+        "kg_pagerank": kg_pagerank,
         "kg_triple_prf": kg_triple_prf,
         "feat_seq": feat_seq,
         "feat_ner": feat_ner,
@@ -1065,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_priority": orders_top_priority,
         "events_cube": events_cube,
         "events_ranked": events_ranked,
+        "events_intervals": events_intervals,
         "doc_normalize": doc_normalize,
         "events_intersect": events_intersect,
         "events_except": events_except,
@@ -1635,6 +1690,30 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                    v AS (PARTITION BY user_id
                          ORDER BY CAST(round(value * 10000) AS BIGINT) DESC)
+        """,
+        "events_intervals": """
+            WITH iv AS (
+              SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+              FROM events
+            ), flagged AS (
+              SELECT user_id, s, e,
+                     CASE WHEN s > COALESCE(max(e) OVER prev,
+                                            TIMESTAMP '0001-01-01')
+                          THEN 1 ELSE 0 END AS f
+              FROM iv
+              WINDOW prev AS (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+            ), isl AS (
+              SELECT user_id, s, e,
+                     sum(f) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS UNBOUNDED PRECEDING) AS island
+              FROM flagged
+            )
+            SELECT user_id, min(s) AS interval_start,
+                   max(e) AS interval_end,
+                   count(*) AS n_merged
+            FROM isl GROUP BY user_id, island
         """,
         "doc_normalize": """
             WITH planted AS (

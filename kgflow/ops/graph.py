@@ -1,0 +1,151 @@
+"""Iterative graph algorithms over (src, dst) edge datasets: PageRank.
+
+The reference has no graph analytics (OpenUE stops at triple
+extraction); this gives the constructed KG a first-class ranking
+operator in the same family as `kgflow.linking.cc` (connected
+components) — and it exercises the engine's iterative-computation
+shape: a driver loop over FULLY distributed per-iteration passes.
+
+Scale shape (per iteration, E = edges, V = nodes):
+- the node-state table (node, outdeg, rank) is V-bounded and
+  MATERIALIZED each iteration — iterative algorithms are the documented
+  exception to "never materialize mid-pipeline": without pinning, Ray's
+  lazy graph would re-execute the whole iteration chain once per
+  consumer, turning O(iters) into O(iters²);
+- the edge pass is ONE co-partitioned join of edges against the
+  V-bounded weight table (`kgflow.ops.joins.hash_join` auto-selects
+  broadcast while V fits, bucketed shuffle beyond) plus ONE
+  dst-keyed bucketed sum-reduce — O(E) exchange, the PageRank floor;
+- dangling mass (rank parked on nodes with no out-edges) folds to a
+  scalar via a distributed filtered sum and redistributes uniformly,
+  the standard Brin–Page correction, so ranks stay a probability
+  distribution (asserted in tests).
+
+Ranks are float64 and partial-sum order varies run to run, so outputs
+carry ~1e-15 relative noise — callers that need cross-engine hashing
+should quantize; the tests gate on tolerance vs a dense NumPy power
+iteration instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from kgflow.ops.joins import hash_join
+from kgflow.ops.shuffle import bucketed_group_reduce
+
+#: node tables at or under this row count broadcast; larger co-partition.
+NODE_BROADCAST_LIMIT = 2_000_000
+
+
+def pagerank(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """PageRank over a directed edge list (parallel edges count once
+    per row). Returns (node, rank) with ranks summing to 1.
+
+    rank'(v) = (1-d)/V + d * (Σ_{u→v} rank(u)/outdeg(u) + dangling/V)
+    """
+    e = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda df: df.rename(columns={src_col: "src", dst_col: "dst"}),
+        batch_format="pandas",
+    ).materialize()
+
+    # node universe = distinct(src) ∪ distinct(dst) with per-src
+    # out-degree: per-batch combiner, one node-keyed reduce
+    def degree_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_d = df.groupby("src", as_index=False).size()
+        out_d.columns = ["node", "outdeg"]
+        in_d = pd.DataFrame({"node": df["dst"].unique(), "outdeg": 0})
+        return pd.concat([out_d, in_d], ignore_index=True)
+
+    def degree_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["outdeg"].sum()
+        out["outdeg"] = out["outdeg"].astype(np.int64)
+        return out
+
+    nodes = bucketed_group_reduce(
+        e.map_batches(degree_partial, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=degree_final,
+        num_buckets=num_buckets,
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({"node": [], "rank": []}),
+            batch_format="pandas",
+        )
+    small = n_nodes <= NODE_BROADCAST_LIMIT
+
+    r0 = 1.0 / n_nodes
+    state = nodes.map_batches(
+        lambda df: df.assign(rank=r0), batch_format="pandas"
+    ).materialize()
+
+    for _ in range(iters):
+        # rank parked on dangling nodes, redistributed uniformly
+        dangling = (
+            state.map_batches(
+                lambda df: pd.DataFrame(
+                    {"s": [df.loc[df["outdeg"] == 0, "rank"].sum()]}
+                ),
+                batch_format="pandas",
+            ).sum("s")
+            or 0.0
+        )
+
+        def to_weight(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["outdeg"] > 0]
+            return pd.DataFrame(
+                {
+                    "src": d["node"],
+                    "w": d["rank"].to_numpy() / d["outdeg"].to_numpy(),
+                }
+            )
+
+        weights = state.map_batches(to_weight, batch_format="pandas").materialize()
+        contrib_rows = hash_join(e, weights, on="src", right_small=small)
+
+        def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("dst", as_index=False)["w"].sum()
+            g.columns = ["node", "contrib"]
+            return g
+
+        contrib = bucketed_group_reduce(
+            contrib_rows.map_batches(contrib_partial, batch_format="pandas"),
+            key_cols=["node"],
+            reduce_fn=lambda g: g.groupby("node", as_index=False)["contrib"].sum(),
+            num_buckets=num_buckets,
+        ).materialize()
+
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["contrib"].astype("float64").fillna(0.0).to_numpy()
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "outdeg": df["outdeg"].astype(np.int64),
+                    "rank": base + damping * c,
+                }
+            )
+
+        state = (
+            hash_join(
+                nodes, contrib, on="node", how="left", right_small=small
+            )
+            .map_batches(update, batch_format="pandas")
+            .materialize()
+        )
+
+    return state.map_batches(
+        lambda df: df[["node", "rank"]], batch_format="pandas"
+    )

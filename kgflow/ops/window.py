@@ -487,3 +487,66 @@ def ranked_window(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def merge_intervals(
+    intervals: "rd.Dataset",
+    key: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Coalesce overlapping/touching [start, end] intervals per key
+    (SQL's gaps-and-islands): ONE bucketed exchange on the key, then a
+    vectorized in-bucket island scan — sort by (start, end), a new
+    island begins where start exceeds the running max of all PREVIOUS
+    ends in the key (grouped shifted cummax, a pandas C kernel over
+    exact int64 microseconds), island ids are the flag cumsum, and one
+    grouped aggregate emits (key, interval_start, interval_end,
+    n_merged).
+
+    Touching intervals (start == previous max end) MERGE — the island
+    test is strict ``>``, mirrored by the oracle. Timestamps and counts
+    are integer-exact, so the output is hash-checkable with no float
+    scaling."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, start_col, end_col], kind="mergesort")
+        s = _ts_us(g[start_col])
+        e = _ts_us(g[end_col])
+        keys = g[key].to_numpy()
+        by_key = pd.Series(e, index=g.index).groupby(g[key], sort=False)
+        prev_max_e = by_key.cummax().shift(1)
+        first_of_key = np.empty(len(g), dtype=bool)
+        if len(g):
+            first_of_key[0] = True
+        first_of_key[1:] = keys[1:] != keys[:-1]
+        # shift(1) crosses key boundaries; the first row of each key is
+        # an island start unconditionally, so mask it rather than trust
+        # the leaked value
+        island_start = first_of_key | (
+            s > prev_max_e.fillna(np.iinfo(np.int64).min).to_numpy(np.int64)
+        )
+        out = pd.DataFrame(
+            {
+                key: keys,
+                "__island": np.cumsum(island_start),
+                start_col: g[start_col].to_numpy(),
+                end_col: g[end_col].to_numpy(),
+            }
+        )
+        agg = out.groupby([key, "__island"], as_index=False, sort=False).agg(
+            interval_start=(start_col, "min"),
+            interval_end=(end_col, "max"),
+            n_merged=(start_col, "size"),
+        )
+        agg["n_merged"] = agg["n_merged"].astype(np.int64)
+        return agg[[key, "interval_start", "interval_end", "n_merged"]]
+
+    return bucketed_group_reduce(
+        intervals.select_columns([key, start_col, end_col]),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

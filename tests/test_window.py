@@ -173,3 +173,48 @@ def test_ranked_window_semantics():
     assert out["val_dense_rank"].tolist() == [1, 2, 1, 3, 1]
     assert out["lead_s"].tolist() == [30, 90, 5, -1, -1]
     assert out["mov3_value"].tolist() == [5.0, 7.0, 12.0, 8.0, 3.0]
+
+
+def test_merge_intervals_islands():
+    """Overlap chains merge transitively; touching endpoints merge
+    (strict > test); a containing interval absorbs later short ones;
+    keys are isolated."""
+    from kgflow.ops.window import merge_intervals
+
+    t = lambda s: pd.Timestamp(s)
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 1, 2],
+            "s": [
+                t("2024-01-01 00:00"),
+                t("2024-01-01 00:05"),  # overlaps first
+                t("2024-01-01 00:08"),  # touches merged end → merges
+                t("2024-01-01 01:00"),  # gap → new island
+                t("2024-01-01 01:01"),  # inside previous (contained)
+                t("2024-01-01 00:00"),  # other key
+            ],
+            "e": [
+                t("2024-01-01 00:06"),
+                t("2024-01-01 00:08"),
+                t("2024-01-01 00:20"),
+                t("2024-01-01 02:00"),
+                t("2024-01-01 01:02"),
+                t("2024-01-01 00:30"),
+            ],
+        }
+    )
+    df["s"] = df["s"].astype("datetime64[us]")
+    df["e"] = df["e"].astype("datetime64[us]")
+    out = (
+        merge_intervals(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["user_id", "interval_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out["n_merged"].tolist() == [3, 2, 1]
+    assert out["interval_end"].astype(str).tolist() == [
+        "2024-01-01 00:20:00",
+        "2024-01-01 02:00:00",
+        "2024-01-01 00:30:00",
+    ]

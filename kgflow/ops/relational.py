@@ -552,11 +552,14 @@ def customer_year_activity_full(
             out[out_col] = out[out_col].astype(np.int64)
             return out
 
+        # custkey-bounded aggregate: materialize so the join's schema
+        # probe and side-tagging reuse the blocks instead of re-running
+        # the orders scan + reduce (measured 24.8 s → ~5 s at sf0.1)
         return bucketed_group_reduce(
             orders.map_batches(partial, batch_format="pandas"),
             key_cols=["o_custkey"],
             reduce_fn=final,
-        )
+        ).materialize()
 
     joined = hash_join(
         year_count(y1, "n_y1"), year_count(y2, "n_y2"), on="o_custkey", how="full"
@@ -600,10 +603,13 @@ def events_type_dow_cube(sf_dir: str) -> "rd.Dataset":
             }
         )
 
+    # the group domain is |event types| × 7 — a handful of reduce
+    # buckets; the default cluster-scaled count would be pure fixed cost
     cubed = cube_sum(
         ev.map_batches(tag, batch_format="pandas"),
         level_cols=["event_type", "dow"],
         sum_cols=["value_fp"],
+        num_buckets=16,
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -959,6 +959,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ranked_window(ev)
 
+    def doc_freq_score(sf_dir: str):
+        """Oracle-checked: corpus-frequency document scoring — the
+        train-a-statistic-on-the-corpus-then-score-the-corpus pattern
+        (CCNet/RefinedWeb's perplexity filter, with an integer unigram
+        statistic so the oracle hashes exactly;
+        `kgflow.ops.text.corpus_freq_score`)."""
+        import os as _os
+
+        from kgflow.ops.text import corpus_freq_score
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            _os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return corpus_freq_score(docs)
+
     def events_intervals(sf_dir: str):
         """Oracle-checked: gaps-and-islands interval coalescing — every
         event opens a 10-minute interval; overlapping/touching intervals
@@ -1121,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ranked": events_ranked,
         "events_intervals": events_intervals,
         "doc_normalize": doc_normalize,
+        "doc_freq_score": doc_freq_score,
         "events_intersect": events_intersect,
         "events_except": events_except,
         "orders_quality": orders_quality,
@@ -1690,6 +1708,22 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                    v AS (PARTITION BY user_id
                          ORDER BY CAST(round(value * 10000) AS BIGINT) DESC)
+        """,
+        "doc_freq_score": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+            ), cf AS (
+              SELECT token, sum(tf) AS cf FROM tf GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(tf.tf * cf.cf) AS BIGINT) AS freq_sum
+            FROM tf JOIN cf USING (token)
+            GROUP BY tf.doc_id
         """,
         "events_intervals": """
             WITH iv AS (

@@ -493,3 +493,111 @@ def hash_token(w: str) -> int:
     for b in w.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def corpus_freq_score(
+    docs: "rd.Dataset",
+    num_buckets: int | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> "rd.Dataset":
+    """Per-document corpus-frequency score — the CCNet/RefinedWeb
+    "score each document by a statistic trained on the corpus itself"
+    pattern (there a KenLM perplexity; here an exactly-checkable unigram
+    statistic: everything stays integer, so the oracle is hash-exact
+    where a log-prob would drift in the last float ulp). Returns
+    (doc_id, n_tokens, freq_sum) where ``freq_sum`` sums, over every
+    token INSTANCE in the document, the corpus-wide count of that
+    token; freq_sum/n_tokens is the mean-frequency quality signal
+    (high = stopword soup, low = rare-token noise — both filter tails).
+    Token-less documents drop (inner join semantics, mirrored in SQL).
+
+    Scale shape (two passes over the exploded tokens, zero passes over
+    raw text beyond tokenization): corpus counts reduce per-batch to
+    (token, partial) before ONE token-keyed bucketed sum (vocab-bounded,
+    materialized so the join decision is metadata-free); the attach
+    reuses `kgflow.ops.joins.hash_join` (auto broadcast vs
+    co-partitioned shuffle); the per-doc aggregate is a combiner + one
+    doc-keyed exchange of 3-int rows."""
+    import pandas as pd_
+
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    tf = doc_term_freqs(docs)
+
+    def cf_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        g = d.groupby("token", as_index=False)["tf"].sum()
+        return g.rename(columns={"tf": "cf"})
+
+    def cf_sum(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby("token", as_index=False)["cf"].sum()
+        out["cf"] = out["cf"].astype("int64")
+        return out
+
+    cfreq = bucketed_group_reduce(
+        tf.map_batches(cf_partial, batch_format="pandas"),
+        key_cols=["token"],
+        reduce_fn=cf_sum,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    # fast path: a broadcastable vocabulary makes the scoring pass
+    # exchange-free — ship the count table once, re-tokenize each doc
+    # (cheap streaming kernel; re-exploding through a join shuffled the
+    # 500×-larger token rows and measured 22 s vs 9.5 s at sf0.1). The
+    # join path remains for web-scale vocabularies and is parity-tested
+    # against this one with a forced-zero threshold.
+    if cfreq.count() <= broadcast_limit:
+        import ray
+
+        ref = ray.put(cfreq.to_pandas().set_index("token")["cf"])
+
+        class Score:
+            def __init__(self):
+                self.cf = ray.get(ref)
+
+            def __call__(self, df: pd_.DataFrame) -> pd_.DataFrame:
+                toks = (
+                    df.set_index("doc_id")["text"]
+                    .str.lower()
+                    .str.findall(r"\w+")
+                    .explode()
+                    .dropna()
+                )
+                fs = toks.map(self.cf).astype("int64")
+                g = (
+                    pd_.DataFrame({"doc_id": toks.index, "fs": fs.to_numpy()})
+                    .groupby("doc_id", as_index=False)
+                    .agg(n_tokens=("fs", "size"), freq_sum=("fs", "sum"))
+                )
+                g["n_tokens"] = g["n_tokens"].astype(np.int64)
+                g["freq_sum"] = g["freq_sum"].astype(np.int64)
+                return g
+
+        return docs.select_columns(["doc_id", "text"]).map_batches(
+            Score, batch_format="pandas", concurrency=(1, 4)
+        )
+
+    joined = hash_join(tf, cfreq, on="token", num_buckets=num_buckets)
+
+    def doc_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        fs = d["tf"].to_numpy(dtype=np.int64) * d["cf"].to_numpy(dtype=np.int64)
+        g = d.assign(fs=fs).groupby("doc_id", as_index=False).agg(
+            n_tokens=("tf", "sum"), freq_sum=("fs", "sum")
+        )
+        return g
+
+    def doc_final(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"), freq_sum=("freq_sum", "sum")
+        )
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        out["freq_sum"] = out["freq_sum"].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(
+        joined.map_batches(doc_partial, batch_format="pandas"),
+        key_cols=["doc_id"],
+        reduce_fn=doc_final,
+        num_buckets=num_buckets,
+    )

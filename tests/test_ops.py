@@ -421,3 +421,49 @@ def test_top_terms_and_tfidf_vs_local():
     )
     pd.testing.assert_frame_equal(out2[exp2.columns], exp2, check_dtype=False)
     assert np.allclose(out2["tfidf"], exp2["tfidf"])
+
+
+def test_corpus_freq_score_hand_case():
+    """cf: a=2, b=2, c=1 → doc1 (a a b): n=3, freq_sum=2+2+2=6;
+    doc2 (b c): n=2, freq_sum=2+1=3; a token-less doc drops."""
+    from kgflow.ops.text import corpus_freq_score
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a a b", "b c", "  ...  "]}
+    )
+    out = (
+        corpus_freq_score(rd.from_pandas(docs).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out["freq_sum"].tolist() == [6, 3]
+
+
+def test_corpus_freq_score_paths_agree():
+    """Broadcast scoring pass == join path (forced with a zero
+    broadcast limit) on a corpus with shared and unique tokens."""
+    from kgflow.ops.text import corpus_freq_score
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [
+                " ".join(rng.choice(vocab, rng.integers(3, 25)))
+                for _ in range(30)
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    fast = corpus_freq_score(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    slow = (
+        corpus_freq_score(ds, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)

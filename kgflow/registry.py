@@ -102,10 +102,14 @@ def _register_builtins() -> None:
     register("tag_decode", StageSpec(TagDecodeStage, is_actor=True))
 
     # corpus-cleaning stages (per-batch; see kgflow/ops/clean.py)
-    from kgflow.ops.clean import RedactPII
+    from kgflow.ops.clean import NormalizeText, RedactPII
 
     register(
         "redact_pii", StageSpec(RedactPII, is_actor=True, batch_format="pandas")
+    )
+    register(
+        "normalize_text",
+        StageSpec(NormalizeText, is_actor=True, batch_format="pandas"),
     )
 
 

@@ -136,7 +136,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         canon, _ = canonical_triples(_triples_mat(sf_dir))
         edges = dedup_edges(canon)
-        pr = pagerank(edges, src_col="subj_id", dst_col="obj_id", iters=5)
+        # evidence-weighted: the walk follows edges in proportion to
+        # their dedup weight (= observation count across pages)
+        pr = pagerank(
+            edges,
+            src_col="subj_id",
+            dst_col="obj_id",
+            weight_col="weight",
+            iters=5,
+        )
 
         def quantize(df: pd.DataFrame) -> pd.DataFrame:
             df["rank"] = df["rank"].round(12)

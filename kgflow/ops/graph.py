@@ -44,31 +44,46 @@ def pagerank(
     edges: "rd.Dataset",
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
     damping: float = 0.85,
     iters: int = 10,
     num_buckets: int | None = None,
 ) -> "rd.Dataset":
-    """PageRank over a directed edge list (parallel edges count once
-    per row). Returns (node, rank) with ranks summing to 1.
+    """PageRank over a directed edge list. Returns (node, rank) with
+    ranks summing to 1. With ``weight_col`` the walk follows edges in
+    proportion to weight (evidence-weighted KG ranking); without it
+    every edge row counts 1, so parallel rows add up either way.
 
-    rank'(v) = (1-d)/V + d * (Σ_{u→v} rank(u)/outdeg(u) + dangling/V)
+    rank'(v) = (1-d)/V + d * (Σ_{u→v} rank(u)·w(u→v)/outw(u) + dangling/V)
     """
-    e = edges.select_columns([src_col, dst_col]).map_batches(
-        lambda df: df.rename(columns={src_col: "src", dst_col: "dst"}),
-        batch_format="pandas",
+    keep = [src_col, dst_col] + ([weight_col] if weight_col else [])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df[src_col],
+                "dst": df[dst_col],
+                "ew": df[weight_col].astype("float64")
+                if weight_col
+                else np.ones(len(df)),
+            }
+        )
+
+    e = edges.select_columns(keep).map_batches(
+        prep, batch_format="pandas"
     ).materialize()
 
     # node universe = distinct(src) ∪ distinct(dst) with per-src
-    # out-degree: per-batch combiner, one node-keyed reduce
+    # out-weight (out-degree when unweighted): combiner + one reduce
     def degree_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out_d = df.groupby("src", as_index=False).size()
-        out_d.columns = ["node", "outdeg"]
-        in_d = pd.DataFrame({"node": df["dst"].unique(), "outdeg": 0})
+        out_d = df.groupby("src", as_index=False)["ew"].sum()
+        out_d.columns = ["node", "outw"]
+        in_d = pd.DataFrame({"node": df["dst"].unique(), "outw": 0.0})
         return pd.concat([out_d, in_d], ignore_index=True)
 
     def degree_final(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("node", as_index=False)["outdeg"].sum()
-        out["outdeg"] = out["outdeg"].astype(np.int64)
+        out = g.groupby("node", as_index=False)["outw"].sum()
+        out["outw"] = out["outw"].astype("float64")
         return out
 
     nodes = bucketed_group_reduce(
@@ -95,7 +110,7 @@ def pagerank(
         dangling = (
             state.map_batches(
                 lambda df: pd.DataFrame(
-                    {"s": [df.loc[df["outdeg"] == 0, "rank"].sum()]}
+                    {"s": [df.loc[df["outw"] == 0.0, "rank"].sum()]}
                 ),
                 batch_format="pandas",
             ).sum("s")
@@ -103,11 +118,11 @@ def pagerank(
         )
 
         def to_weight(df: pd.DataFrame) -> pd.DataFrame:
-            d = df[df["outdeg"] > 0]
+            d = df[df["outw"] > 0.0]
             return pd.DataFrame(
                 {
                     "src": d["node"],
-                    "w": d["rank"].to_numpy() / d["outdeg"].to_numpy(),
+                    "w": d["rank"].to_numpy() / d["outw"].to_numpy(),
                 }
             )
 
@@ -115,7 +130,8 @@ def pagerank(
         contrib_rows = hash_join(e, weights, on="src", right_small=small)
 
         def contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("dst", as_index=False)["w"].sum()
+            c = df["ew"].to_numpy() * df["w"].to_numpy()
+            g = df.assign(c=c).groupby("dst", as_index=False)["c"].sum()
             g.columns = ["node", "contrib"]
             return g
 
@@ -133,7 +149,7 @@ def pagerank(
             return pd.DataFrame(
                 {
                     "node": df["node"],
-                    "outdeg": df["outdeg"].astype(np.int64),
+                    "outw": df["outw"].astype("float64"),
                     "rank": base + damping * c,
                 }
             )

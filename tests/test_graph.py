@@ -67,3 +67,39 @@ def test_pagerank_prefers_indegree_sink():
     )
     assert got[0] == max(got.values())
     assert all(abs(got[i] - got[1]) < 1e-12 for i in range(2, 8))
+
+
+def test_weighted_pagerank_matches_dense():
+    from kgflow.ops.graph import pagerank
+
+    edges = [
+        (1, 2, 3.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0), (3, 4, 4.0),
+        (4, 2, 1.0), (5, 3, 2.5),
+    ]
+    df = pd.DataFrame(edges, columns=["src", "dst", "weight"])
+    got = (
+        pagerank(rd.from_pandas(df).repartition(2), weight_col="weight", iters=8)
+        .to_pandas()
+        .set_index("node")["rank"]
+        .to_dict()
+    )
+
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    V, d = len(nodes), 0.85
+    outw = np.zeros(V)
+    for u, _, w in edges:
+        outw[idx[u]] += w
+    r = np.full(V, 1.0 / V)
+    for _ in range(8):
+        dm = r[outw == 0].sum()
+        contrib = np.zeros(V)
+        for u, v, w in edges:
+            contrib[idx[v]] += r[idx[u]] * w / outw[idx[u]]
+        r = (1 - d) / V + d * (contrib + dm / V)
+    want = dict(zip(nodes, r))
+
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -984,6 +984,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return corpus_freq_score(docs)
 
+    def doc_quality_filter(sf_dir: str):
+        """Oracle-checked: quantile-thresholded quality filtering — the
+        canonical crawl-curation step: keep documents whose token count
+        lies within the corpus's own [p12.5, p87.5] band. A COMPOSITION
+        of shipped operators: `token_counts` (exchange-free) feeds
+        `column_quantiles` (value-keyed histogram reduce, domain-bounded
+        2-scalar driver pull) and the same materialized counts are then
+        threshold-filtered — the corpus streams once per pass, never
+        through a driver loop. Binary-exact quantile fractions keep
+        nearest-rank identical across engines."""
+        import os as _os
+
+        from kgflow.ops.profile import column_quantiles
+        from kgflow.ops.text import token_counts
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            _os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        tc = token_counts(docs).materialize()  # reused by both passes
+        qv = column_quantiles(tc, col="n_tokens", qs=(0.125, 0.875), scale=1)
+        lo, hi = int(qv["v"].iloc[0]), int(qv["v"].iloc[1])
+        return tc.filter(expr=f"n_tokens >= {lo} and n_tokens <= {hi}")
+
     def events_intervals(sf_dir: str):
         """Oracle-checked: gaps-and-islands interval coalescing — every
         event opens a 10-minute interval; overlapping/touching intervals
@@ -1147,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_intervals": events_intervals,
         "doc_normalize": doc_normalize,
         "doc_freq_score": doc_freq_score,
+        "doc_quality_filter": doc_quality_filter,
         "events_intersect": events_intersect,
         "events_except": events_except,
         "orders_quality": orders_quality,
@@ -1716,6 +1742,20 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                    v AS (PARTITION BY user_id
                          ORDER BY CAST(round(value * 10000) AS BIGINT) DESC)
+        """,
+        "doc_quality_filter": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ), b AS (
+              SELECT quantile_disc(n_tokens, 0.125) AS lo,
+                     quantile_disc(n_tokens, 0.875) AS hi
+              FROM t
+            )
+            SELECT t.doc_id, t.n_tokens FROM t, b
+            WHERE t.n_tokens >= b.lo AND t.n_tokens <= b.hi
         """,
         "doc_freq_score": r"""
             WITH tok AS (

@@ -238,7 +238,7 @@ def hash_join(
     num_buckets: int | None = None,
     right_small: bool | None = None,
 ) -> "rd.Dataset":
-    """Equi-join (``how`` in {"inner", "left", "full"}). Payload column names
+    """Equi-join (``how`` in {"inner", "left", "right", "full"}). Payload column names
     must be disjoint across sides (rename at the call site — keeps the
     operator honest about output schema instead of inventing suffixes).
 
@@ -263,9 +263,26 @@ def hash_join(
     which the per-block broadcast merge cannot have — but a key's left
     and right rows co-bucket, so full-outer null-extension (both
     directions) is bucket-local, exactly like the left case.
+
+    ``how="right"`` delegates to the flipped left join (the preserved
+    side must be the streaming side, so the flip also swaps which side
+    the broadcast decision probes — pass the hint accordingly: a
+    caller's ``right_small`` describes the ORIGINAL right side and is
+    therefore ignored on this path).
     """
+    if how == "right":
+        return hash_join(
+            right,
+            left,
+            on,
+            how="left",
+            broadcast_threshold=broadcast_threshold,
+            num_buckets=num_buckets,
+        )
     if how not in ("inner", "left", "full"):
-        raise ValueError(f"how must be 'inner', 'left' or 'full', got {how!r}")
+        raise ValueError(
+            f"how must be 'inner', 'left', 'right' or 'full', got {how!r}"
+        )
     on = [on] if isinstance(on, str) else list(on)
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)

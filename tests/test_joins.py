@@ -278,3 +278,23 @@ def test_full_join_vs_pandas(broadcast_threshold):
         _canon(exp, by=("k", "name", "rpay")),
         check_dtype=False,
     )
+
+
+def test_right_join_is_flipped_left():
+    from kgflow.ops.joins import hash_join
+
+    left, right = _tables(seed=9)
+    right = right.copy()
+    right.loc[right.index[:15], "k"] = right.loc[right.index[:15], "k"] + 500
+    lds, rds = rd.from_pandas(left).repartition(4), rd.from_pandas(right).repartition(2)
+
+    out = hash_join(lds, rds, "k", how="right").to_pandas()
+    exp = left.merge(right, on="k", how="right")
+
+    assert len(out) == len(exp)
+    assert out["name"].isna().sum() > 0  # right-only rows survive
+    pd.testing.assert_frame_equal(
+        _canon(out, by=("k", "name", "rpay")),
+        _canon(exp, by=("k", "name", "rpay")),
+        check_dtype=False,
+    )

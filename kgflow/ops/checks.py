@@ -29,6 +29,8 @@ def rule_violation_counts(
     """(rule, n_violations) — each rule maps a batch to a boolean
     VIOLATION mask (True = bad row); partial counts per block, one tiny
     rule-keyed reduce."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
     names = list(rules)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

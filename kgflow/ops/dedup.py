@@ -366,6 +366,13 @@ def jaccard_pairs(
         sh = g["shingle"].to_numpy()
         ids = g["doc_id"].to_numpy(dtype=np.int64)
         sz = g["set_size"].to_numpy(dtype=np.int64)
+        # Pair keys pack into (a << 32) | b — out-of-range ids would
+        # silently collide and corrupt counts, so fail loudly instead.
+        if len(ids) and (ids.min() < 0 or ids.max() >= 1 << 32):
+            raise ValueError(
+                "jaccard_pairs requires 0 <= doc_id < 2**32 "
+                f"(got range [{ids.min()}, {ids.max()}]); relabel ids upstream"
+            )
         new_seg = np.empty(n, dtype=bool)
         new_seg[0] = True
         new_seg[1:] = sh[1:] != sh[:-1]

@@ -268,7 +268,10 @@ def profile_columns(
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["n_distinct"] < 0].drop(columns=["n_distinct"])
         right = g[g["n_distinct"] >= 0][["column", "n_distinct"]]
-        out = left.merge(right, on="column", how="inner")
+        # left merge: an all-null column has no distinct rows at all, but
+        # its stats row (n_rows/n_null) must still appear with n_distinct=0
+        out = left.merge(right, on="column", how="left")
+        out["n_distinct"] = out["n_distinct"].fillna(0)
         return out[
             ["column", "n_rows", "n_null", "n_distinct", "vmin", "vmax"]
         ].astype({"n_rows": np.int64, "n_null": np.int64, "n_distinct": np.int64})

@@ -334,11 +334,14 @@ def hash_split(
     shuffle and no stored assignment table."""
 
     def f(batch: pa.Table) -> pa.Table:
+        # Explicit string dtype: an empty batch would otherwise default to
+        # float64 and the `< boundaries[0]` comparison raises UFuncTypeError.
         h2 = np.array(
             [
                 hashlib.md5(t.encode("utf-8")).hexdigest()[:2]
                 for t in batch.column("text").to_pylist()
-            ]
+            ],
+            dtype="<U2",
         )
         split = np.where(
             h2 < boundaries[0], "train", np.where(h2 < boundaries[1], "val", "test")

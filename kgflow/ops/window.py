@@ -146,7 +146,9 @@ def asof_join(
                 ts_col: df[ts_col],
                 id_col: df[id_col].astype(np.int64),
                 "_side": np.ones(len(df), dtype=np.int8),
-                "_r_id": pd.Series([np.nan] * len(df), dtype="float64"),
+                # nullable Int64 (not float64): ids above 2^53 would lose
+                # precision riding a float column through the exchange
+                "_r_id": pd.Series([pd.NA] * len(df), dtype="Int64"),
                 "_r_ts": pd.Series(
                     [pd.NaT] * len(df), dtype=df[ts_col].dtype
                 ),
@@ -160,7 +162,7 @@ def asof_join(
                 ts_col: df[ts_col],
                 id_col: df[id_col].astype(np.int64),
                 "_side": np.zeros(len(df), dtype=np.int8),
-                "_r_id": df[id_col].astype("float64"),
+                "_r_id": df[id_col].astype("Int64"),
                 "_r_ts": df[ts_col],
             }
         )

@@ -42,7 +42,10 @@ def connected_components(
     algorithm: str = "minlabel",
     stats: dict | None = None,
 ) -> "rd.Dataset":
-    """edges(src: str, dst: str) → (node: str, comp: str).
+    """edges(src, dst) → (node, comp); node type is GENERIC — str or
+    int64 both work end-to-end (every kernel is dtype-preserving; no
+    object upcast, no string formatting), and int64 nodes shuffle ~2-3×
+    fewer bytes per round, so id-keyed callers should pass ints raw.
 
     Every node that appears in an edge gets a component; pass self-edges
     (m, m) for singleton nodes. Undirectedness is handled here (edges
@@ -96,9 +99,12 @@ def connected_components(
     def _min_reduce(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", as_index=False).agg(comp=("comp", "min"))
 
+    # placeholder columns carry a same-typed dummy value (never read for
+    # that side) instead of None: None would force object dtype and break
+    # int64 node ids — CC is generic over str AND int64 nodes
     edge_rows = und.map_batches(
         lambda df: pd.DataFrame(
-            {"node": df["src"], "dst": df["dst"], "comp": None, "is_label": 0}
+            {"node": df["src"], "dst": df["dst"], "comp": df["src"], "is_label": 0}
         ),
         batch_format="pandas",
     ).materialize()
@@ -111,7 +117,7 @@ def connected_components(
             lambda df: pd.DataFrame(
                 {
                     "node": df["node"],
-                    "dst": [None] * len(df),
+                    "dst": df["node"],
                     "comp": df["comp"],
                     "is_label": 1,
                 }
@@ -154,8 +160,7 @@ def _pair_sig(ds: "rd.Dataset") -> int:
                 "h": [
                     int(
                         pd.util.hash_pandas_object(
-                            df["src"].astype(str) + "\x1f" + df["dst"].astype(str),
-                            index=False,
+                            df[["src", "dst"]], index=False
                         ).sum()
                         % (1 << 61)
                     )
@@ -195,9 +200,10 @@ def _cc_star(
 
     def _star_reduce(large: bool):
         def _reduce(g: pd.DataFrame) -> pd.DataFrame:
-            # m = min(neighbors ∪ self), vectorized per node
+            # m = min(neighbors ∪ self), vectorized per node; native dtype
+            # (no object upcast) so int64 nodes stay int64 on every round
             gm = g.groupby("src")["dst"].transform("min")
-            m = np.minimum(gm.to_numpy(dtype=object), g["src"].to_numpy(dtype=object))
+            m = np.minimum(gm.to_numpy(), g["src"].to_numpy())
             if large:
                 keep = (g["dst"] > g["src"]).to_numpy()
                 out = pd.DataFrame({"src": g["dst"].to_numpy()[keep], "dst": m[keep]})

@@ -2,6 +2,7 @@
 components, and the full mention→entity map against gold clusters
 (SURVEY.md §5.2 test #6 + FIXTURES.md §5)."""
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -104,6 +105,38 @@ def test_cc_star_long_chain_log_rounds(ray_session):
     assert len(got) == n
     # log2(64) = 6; each round is one large-star + one small-star pass.
     # Allow slack for the +1 fixpoint-confirmation round.
+    assert stats["rounds"] <= 10, stats
+
+
+def test_cc_int64_nodes_both_algorithms(ray_session):
+    # CC is dtype-generic: int64 node ids must survive every round with
+    # no object upcast — and the star path must still be log-round
+    def chain_edges(n):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "src": np.arange(n - 1, dtype=np.int64) + 100,
+                    "dst": np.arange(1, n, dtype=np.int64) + 100,
+                }
+            )
+        )
+
+    # minlabel needs rounds = chain length, so keep its chain short
+    got_ml = {
+        r["node"]: r["comp"]
+        for r in connected_components(chain_edges(12)).take_all()
+    }
+    assert all(isinstance(k, (int, np.integer)) for k in got_ml)
+    assert all(got_ml[i] == 100 for i in range(100, 112))
+    # star must handle the 64-chain in O(log n) rounds with int64 nodes
+    stats = {}
+    got_star = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            chain_edges(64), algorithm="star", stats=stats
+        ).take_all()
+    }
+    assert all(got_star[i] == 100 for i in range(100, 164))
     assert stats["rounds"] <= 10, stats
 
 

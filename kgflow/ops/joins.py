@@ -27,10 +27,13 @@ Scale notes
   the full output column set with typed nulls; integer payload columns
   ride as nullable ``Int64`` (precision-exact, unlike a float upcast)
   and are restored to ``int64`` after the join when null-free.
-- Skew: one hot join key still lands in one bucket. For fact-fact
-  joins with a known hot key, pre-filter or salt at the call site; the
-  per-bucket cost is a vectorized merge over the bucket's rows, not a
-  Python call per key.
+- Skew: one hot join key still lands in one bucket, but never silently —
+  ``hash_join`` guards each bucket with a per-key output-size check
+  (``max_key_rows``) and fails loudly naming the hot key. For fact-fact
+  joins with a known hot key, pre-filter or salt at the call site; for
+  partial-aggregatable reductions use
+  ``kgflow.ops.shuffle.salted_group_reduce``. The per-bucket cost is a
+  vectorized merge over the bucket's rows, not a Python call per key.
 """
 
 from __future__ import annotations
@@ -237,10 +240,18 @@ def hash_join(
     broadcast_threshold: int = BROADCAST_THRESHOLD,
     num_buckets: int | None = None,
     right_small: bool | None = None,
+    max_key_rows: int = 50_000_000,
 ) -> "rd.Dataset":
     """Equi-join (``how`` in {"inner", "left", "right", "full"}). Payload column names
     must be disjoint across sides (rename at the call site — keeps the
     operator honest about output schema instead of inventing suffixes).
+
+    Skew guard: on the shuffle path, a single key whose left×right match
+    product exceeds ``max_key_rows`` output rows fails LOUDLY naming the
+    key (the per-bucket check is two vectorized value_counts — cheap
+    relative to the merge) instead of silently building a worker-OOMing
+    frame. An irreducibly hot fact-fact key needs a call-site fix:
+    pre-filter, pre-aggregate one side, or salt+replicate.
 
     Broadcast path when the right side fits under ``broadcast_threshold``
     rows (distributed count first — the driver never pulls an unproven
@@ -336,6 +347,17 @@ def hash_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g.loc[g["__side"] == 0, l_keep]
         rpart = g.loc[g["__side"] == 1, r_keep]
+        if len(lpart) and len(rpart):
+            lc = lpart.groupby(on, sort=False).size()
+            rc = rpart.groupby(on, sort=False).size()
+            prod = lc.mul(rc, fill_value=0)
+            if len(prod) and int(prod.max()) > max_key_rows:
+                key = prod.idxmax()
+                raise ValueError(
+                    f"hash_join: key {key!r} would emit {int(prod.max())} "
+                    f"rows (> max_key_rows={max_key_rows}). Pre-filter or "
+                    f"pre-aggregate the hot key, or raise max_key_rows."
+                )
         out = lpart.merge(rpart, on=on, how=pd_how)
         return _restore_ints(out, int_cols)
 

@@ -74,6 +74,7 @@ def bucketed_group_reduce(
     num_buckets: int | None = None,
     keep_bucket: bool = False,
     bucket_col: str = "bucket",
+    max_bucket_rows: int | None = None,
 ) -> "rd.Dataset":
     """Hash-partition ``ds`` on ``key_cols`` into ``num_buckets`` buckets
     and apply ``reduce_fn`` (a vectorized whole-bucket pandas reduction;
@@ -100,6 +101,12 @@ def bucketed_group_reduce(
     block, so a bucket never spans batches; the in-batch loop below
     still groups by ``bucket_col`` defensively in case the executor
     bundles several ranges into one task.
+
+    ``max_bucket_rows`` (skew guard): when set, a bucket whose row count
+    exceeds the cap fails LOUDLY, naming the hottest keys it contains —
+    instead of silently building one giant pandas frame and OOMing the
+    worker at scale. For partial-aggregatable reductions, use
+    :func:`salted_group_reduce` to spread a hot key instead.
     """
 
     if num_buckets is None:
@@ -111,6 +118,19 @@ def bucketed_group_reduce(
     def _reduce(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for b, g in df.groupby(bucket_col, sort=False):
+            if max_bucket_rows is not None and len(g) > max_bucket_rows:
+                hot = (
+                    g.groupby(key_cols, sort=False)
+                    .size()
+                    .nlargest(3)
+                    .to_dict()
+                )
+                raise ValueError(
+                    f"bucketed_group_reduce: bucket {b} has {len(g)} rows "
+                    f"(> max_bucket_rows={max_bucket_rows}); hottest keys: "
+                    f"{hot}. Pre-aggregate with a combiner, salt the key "
+                    f"(salted_group_reduce), or raise the cap."
+                )
             out = reduce_fn(g.drop(columns=[bucket_col]))
             if keep_bucket:
                 out[bucket_col] = b
@@ -128,6 +148,52 @@ def bucketed_group_reduce(
         ds.map_batches(_bucket, batch_format="pandas")
         .sort(bucket_col, boundaries=list(range(1, num_buckets)))
         .map_batches(_reduce, batch_format="pandas", batch_size=None)
+    )
+
+
+def salted_group_reduce(
+    ds: "rd.Dataset",
+    key_cols: list[str],
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    final_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    salt: int = 16,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Two-round reduce for PARTIAL-AGGREGATABLE reductions under key
+    skew: a Zipf-head key's rows spread across ``salt`` sub-buckets in
+    round 1 (keyed on key_cols + a deterministic row-hash salt), where
+    ``partial_fn`` shrinks them to one partial row per (key, salt);
+    round 2 merges the ≤ ``salt`` partials per key with ``final_fn``.
+
+    Requires the reduction to decompose as final(∪ partial(Sᵢ)) =
+    reduce(∪ Sᵢ) — true for sums/counts/min/max/top-k/distinct-style
+    aggregates. The salt is content-deterministic (hash of the full
+    row), so reruns and engine comparisons are stable; no RNG state.
+
+    Round-1 exchange carries the full input (same as the unsalted
+    reduce); what changes is that no single reduce task ever holds more
+    than ~1/salt of a hot key's rows. Round-2 exchange carries
+    ≤ salt × |keys| partial rows.
+    """
+    if salt < 2:
+        raise ValueError("salt must be >= 2 (use bucketed_group_reduce for 1)")
+    SALT_COL = "__salt"
+
+    def _add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+        return df.assign(**{SALT_COL: (h % np.uint64(salt)).astype(np.int32)})
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        return partial_fn(g.drop(columns=[SALT_COL]))
+
+    partials = bucketed_group_reduce(
+        ds.map_batches(_add_salt, batch_format="pandas"),
+        key_cols=key_cols + [SALT_COL],
+        reduce_fn=_partial,
+        num_buckets=num_buckets,
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=key_cols, reduce_fn=final_fn, num_buckets=num_buckets
     )
 
 

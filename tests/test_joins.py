@@ -298,3 +298,79 @@ def test_right_join_is_flipped_left():
         _canon(exp, by=("k", "name", "rpay")),
         check_dtype=False,
     )
+
+
+def test_hash_join_hot_key_fails_loudly():
+    # one Zipf-head key whose l x r product exceeds the cap must raise the
+    # documented error (naming the key), not silently build a giant frame
+    from kgflow.ops.joins import hash_join
+
+    left = pd.DataFrame({"k": [7] * 200 + [1, 2], "v": range(202)})
+    right = pd.DataFrame({"k": [7] * 200 + [2, 3], "rpay": range(202)})
+    with pytest.raises(Exception, match="max_key_rows"):
+        hash_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="k",
+            broadcast_threshold=0,  # force the shuffle path
+            max_key_rows=10_000,
+        ).to_pandas()
+    # under the cap: same inputs complete and match pandas
+    out = hash_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="k",
+        broadcast_threshold=0,
+        max_key_rows=100_000,
+    ).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(out) == len(want) == 200 * 200 + 1
+
+
+def test_bucketed_group_reduce_bucket_cap():
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    df = pd.DataFrame({"k": [5] * 1000, "v": np.arange(1000)})
+    with pytest.raises(Exception, match="max_bucket_rows"):
+        bucketed_group_reduce(
+            rd.from_pandas(df),
+            key_cols=["k"],
+            reduce_fn=lambda g: g.groupby("k", as_index=False)["v"].sum(),
+            num_buckets=8,
+            max_bucket_rows=100,
+        ).to_pandas()
+
+
+def test_salted_group_reduce_matches_unsalted_on_hot_key():
+    from kgflow.ops.shuffle import salted_group_reduce
+
+    rng = np.random.default_rng(3)
+    # Zipf-ish: key 0 holds half the rows
+    k = np.where(rng.random(4000) < 0.5, 0, rng.integers(1, 50, 4000))
+    df = pd.DataFrame({"k": k.astype(np.int64), "v": rng.integers(0, 100, 4000)})
+
+    def partial(g):
+        out = g.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        return out
+
+    def final(g):
+        out = g.groupby("k", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+        return out
+
+    got = (
+        salted_group_reduce(
+            rd.from_pandas(df), ["k"], partial, final, salt=8, num_buckets=8
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(s=("v", "sum"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["s"].tolist() == want["s"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()

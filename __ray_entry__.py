@@ -967,6 +967,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ranked_window(ev)
 
+    def events_distribution(sf_dir: str):
+        """Oracle-checked: distribution-family window functions per
+        user — NTILE(4) / PERCENT_RANK / CUME_DIST over a TOTAL ordering
+        (value DESC, event_id), so rank == row_number and both ratios
+        are single IEEE divisions of exact integers — bit-identical to
+        the SQL engine (`kgflow.ops.window.distribution_window`, one
+        bucketed exchange)."""
+        import os as _os
+
+        from kgflow.ops.window import distribution_window
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "value"],
+        )
+        return distribution_window(ev)
+
     def doc_freq_score(sf_dir: str):
         """Oracle-checked: corpus-frequency document scoring — the
         train-a-statistic-on-the-corpus-then-score-the-corpus pattern
@@ -1169,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_priority": orders_top_priority,
         "events_cube": events_cube,
         "events_ranked": events_ranked,
+        "events_distribution": events_distribution,
         "events_intervals": events_intervals,
         "doc_normalize": doc_normalize,
         "doc_freq_score": doc_freq_score,
@@ -1742,6 +1761,14 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                    v AS (PARTITION BY user_id
                          ORDER BY CAST(round(value * 10000) AS BIGINT) DESC)
+        """,
+        "events_distribution": """
+            SELECT user_id, event_id,
+                   CAST(ntile(4) OVER w AS BIGINT) AS tile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume_dist
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
         """,
         "doc_quality_filter": r"""
             WITH t AS (

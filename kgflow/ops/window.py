@@ -491,6 +491,72 @@ def ranked_window(
     )
 
 
+def distribution_window(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    tiles: int = 4,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Distribution-family window functions per key, ONE exchange (the
+    third member of the `keyed_window` / `ranked_window` family):
+    NTILE(tiles), PERCENT_RANK() and CUME_DIST() over
+    (PARTITION BY key ORDER BY value DESC, id) →
+    (key, id, tile, pct_rank, cume_dist).
+
+    The ordering includes ``id_col`` so it is TOTAL: no peers means
+    rank == row_number, so pct_rank = (rn−1)/(n−1) and cume_dist = rn/n
+    are single IEEE divisions of exact integers — bit-identical to any
+    SQL engine evaluating the same window. The sort compares RAW float
+    values (comparison is exact; no fixed-point rounding that could
+    reorder near-ties differently from SQL). NTILE uses the standard
+    front-loaded split: the first n % tiles groups get ⌈n/tiles⌉ rows.
+
+    Same scale shape as the siblings: hash-partition on the key, all
+    in-bucket work vectorized (sort, transform-size, cumcount, integer
+    arithmetic)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key, value_col, id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        grp = g.groupby(key, sort=False)
+        n = grp[id_col].transform("size").to_numpy(np.int64)
+        rn = grp.cumcount().to_numpy(np.int64) + 1
+        pct_rank = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        cume_dist = rn / n
+        q, r = n // tiles, n % tiles
+        cut = r * (q + 1)
+        tile = (
+            np.where(
+                rn <= cut,
+                (rn - 1) // np.maximum(q + 1, 1),
+                r + (rn - 1 - cut) // np.maximum(q, 1),
+            ).astype(np.int64)
+            + 1
+        )
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                "tile": tile,
+                "pct_rank": pct_rank,
+                "cume_dist": cume_dist,
+            }
+        )
+
+    return bucketed_group_reduce(
+        events.select_columns([key, id_col, value_col]),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )
+
+
 def merge_intervals(
     intervals: "rd.Dataset",
     key: str = "user_id",

@@ -218,3 +218,32 @@ def test_merge_intervals_islands():
         "2024-01-01 02:00:00",
         "2024-01-01 00:30:00",
     ]
+
+
+def test_distribution_window_ntile_boundaries():
+    from kgflow.ops.window import distribution_window
+
+    # user 1: n=5, tiles=4 -> front-loaded sizes 2,1,1,1
+    # user 2: n=2 < tiles -> each row its own tile
+    ev = pd.DataFrame(
+        {
+            "user_id": [1] * 5 + [2] * 2,
+            "event_id": [10, 11, 12, 13, 14, 20, 21],
+            "value": [5.0, 4.0, 3.0, 2.0, 1.0, 9.0, 9.0],  # user 2 ties
+        }
+    )
+    out = (
+        distribution_window(rd.from_pandas(ev), num_buckets=4)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    u1 = out[out["user_id"] == 1]
+    assert u1["tile"].tolist() == [1, 1, 2, 3, 4]
+    assert u1["pct_rank"].tolist() == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert u1["cume_dist"].tolist() == [0.2, 0.4, 0.6, 0.8, 1.0]
+    u2 = out[out["user_id"] == 2]
+    # equal values order by event_id (total order), each its own tile
+    assert u2["tile"].tolist() == [1, 2]
+    assert u2["pct_rank"].tolist() == [0.0, 1.0]
+    assert u2["cume_dist"].tolist() == [0.5, 1.0]

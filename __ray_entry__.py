@@ -395,12 +395,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return top_terms(_docs(sf_dir), k=3)
 
-    def doc_langid(sf_dir: str):  # heuristic → rows-only
+    def doc_langid(sf_dir: str):
+        """Oracle-checked (round-4): the stopword-profile heuristic is
+        pure counting + argmax-with-first-wins tie-break, restated in
+        SQL as per-doc stopword counts and an ordered CASE chain (same
+        denominator ⇒ comparing raw counts equals comparing ratios);
+        CJK detection is the same codepoint-class regex."""
         from kgflow.ops.text import lang_id
 
-        return lang_id(_docs(sf_dir))
+        return lang_id(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
 
-    def doc_rolling_fp(sf_dir: str):  # rows-only
+    def doc_rolling_fp(sf_dir: str):
+        """Oracle-checked (round-4): the Rabin-Karp rolling fingerprint
+        is wrapping-uint64 FNV token hashes + a window-16 polynomial
+        min — restated EXACTLY in SQL with HUGEINT modular arithmetic
+        (the doc_simhash_pairs FNV-in-SQL trick, plus list_slice windows
+        and list_min). Driver text is ASCII, so codepoint == byte."""
         from kgflow.ops.text import rolling_fingerprint
 
         return rolling_fingerprint(_docs(sf_dir))
@@ -486,6 +496,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
         return lsh_topk(emb, qids, qm, k=5)
+
+    def ann_lsh_exact(sf_dir: str):
+        """Oracle-checked (round-4): the SQL-checkable corner of the
+        LSH surface (the ann_ivf_exact pattern): num_planes=1 with 16
+        independent tables. A corpus vector is pruned only if its sign
+        differs from ALL queries' signs in EVERY table; for a true
+        top-5 neighbor (cos ≥ ~0.5, angle ≤ π/3) the per-table
+        separation probability is ≤ 1/3, so the miss bound is
+        (1/3)^16 ≈ 2e-8 — the same epistemic grade as
+        doc_minhash_pairs' banding bound. Shares ann_topk's all-pairs
+        cosine oracle; the pruned default variant stays rows-only."""
+        from kgflow.ops.ann import lsh_topk
+        from kgflow.sources.parquet import read_parquet_clean
+
+        qids, qm = _queries_for(sf_dir)
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+        out = lsh_topk(emb, qids, qm, k=5, num_planes=1, num_tables=16)
+        return out.select_columns(["query_id", "neighbor_id"])
+
+    def embed_gram(sf_dir: str):
+        """Oracle-checked (round-4): the distributed heart of
+        embed_pca — the exact fixed-point second-moment matrix
+        (quantize-first, so every sum is int64 with no float
+        accumulation-order drift; `kgflow.ops.ann.embedding_gram`).
+        The eigendecomposition itself is a driver-side dim×dim op not
+        expressible in SQL, so embed_pca stays pytest-gated."""
+        from kgflow.ops.ann import embedding_gram
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        return embedding_gram(emb)
 
     def ann_ivf_topk(sf_dir: str):  # approximate (nprobe<C) → rows-only
         import ray.data as rd
@@ -1160,6 +1203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": doc_dup_clusters,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_lsh_exact": ann_lsh_exact,
+        "embed_gram": embed_gram,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_stored": ann_ivf_stored,
         "ann_ivf_exact": ann_ivf_exact,
@@ -1433,6 +1478,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
+        # Stopword-profile heuristic restated: per-doc stopword counts
+        # share the token-count denominator, so comparing raw counts ==
+        # comparing ratios; the CASE chain encodes first-wins ties
+        # (en > de > fr > es) exactly like the Python loop.
+        "doc_langid": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     lower(unnest(regexp_extract_all(text, '[a-zA-Z]+'))) AS w
+              FROM documents
+            ), sc AS (
+              SELECT doc_id, count(*) AS n,
+                sum(CASE WHEN w IN ('the','and','of','to','a','in','is',
+                                    'was','for','with')
+                         THEN 1 ELSE 0 END) AS en,
+                sum(CASE WHEN w IN ('der','die','das','und','ist','nicht',
+                                    'mit','von','zu','den')
+                         THEN 1 ELSE 0 END) AS de,
+                sum(CASE WHEN w IN ('le','la','les','et','est','pas','pour',
+                                    'dans','une','que')
+                         THEN 1 ELSE 0 END) AS fr,
+                sum(CASE WHEN w IN ('el','la','los','y','es','no','por',
+                                    'para','una','con')
+                         THEN 1 ELSE 0 END) AS es
+              FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CASE WHEN regexp_matches(d.text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                   WHEN sc.n IS NULL THEN 'und'
+                   WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                   WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de >= fr AND de >= es THEN 'de'
+                   WHEN fr >= es THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # Wrapping-uint64 rolling fingerprint in SQL: FNV-1a-64 per
+        # token (HUGEINT modular arithmetic — the doc_simhash_pairs
+        # trick), then min over window-16 polynomial hashes via
+        # list_slice + list_reduce; sign bit masked like the engine.
+        "doc_rolling_fp": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_transform(regexp_extract_all(text, '\w+'),
+                  w -> CAST(list_reduce(
+                         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                                          i -> CAST(unicode(w[i]) AS HUGEINT))),
+                         (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                               CAST(c AS UBIGINT)) AS HUGEINT)
+                                      * 1099511628211)
+                                     % 18446744073709551616
+                       ) AS HUGEINT)) AS hs
+              FROM documents
+            ), fp AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) = 0 THEN CAST(0 AS HUGEINT)
+                     WHEN len(hs) < 16 THEN list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT), hs),
+                       (acc, h) -> (acc * 1099511628211 + h)
+                                   % 18446744073709551616)
+                     ELSE list_min(list_transform(range(1, len(hs) - 14),
+                       j -> list_reduce(
+                         list_prepend(CAST(0 AS HUGEINT),
+                                      list_slice(hs, j, j + 15)),
+                         (acc, h) -> (acc * 1099511628211 + h)
+                                     % 18446744073709551616)))
+                END AS v
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(CAST(v AS UBIGINT) &
+                        CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS rfp
+            FROM fp
+        """,
         # Exact SQL reimplementation of kgflow.ops.dedup.simhash64:
         # FNV-1a-64 per token (list_reduce over codepoints; driver text
         # is ASCII so codepoint == byte; HUGEINT modular arithmetic for
@@ -1508,6 +1627,42 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # num_planes=1 × 16 tables ⇒ pruning a true neighbor needs 16
+        # independent sign separations (miss ≤ (1/3)^16); same oracle
+        # as ann_topk.
+        "ann_lsh_exact": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id
+            ), r AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                     ) AS rn
+              FROM s
+            )
+            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # Exact fixed-point Gram matrix: quantize-first (floor, matching
+        # numpy floor bit-for-bit on the same doubles), then pure int64
+        # sums — no float accumulation-order drift on either side.
+        "embed_gram": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                          AS BIGINT) AS xq
+              FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxx
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
         """,
         # nprobe == n_centroids ⇒ the IVF scan is exhaustive; same
         # oracle as ann_topk.

@@ -375,6 +375,55 @@ def ivf_topk_stored(
     )
 
 
+def embedding_gram(
+    emb: "rd.Dataset",
+    col: str = "embedding",
+    scale: float = 1e4,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Exact fixed-point second-moment (Gram) matrix of an embedding
+    column: (i, j, sxx) for i ≤ j with sxx = Σ_rows ⌊x_i·scale⌋·⌊x_j·scale⌋
+    — the distributed heart of :func:`embedding_pca` (whose driver-side
+    eigendecomposition is not SQL-expressible), made integer-exact so a
+    SQL oracle hashes identically: quantize FIRST, then all sums are
+    int64 arithmetic with no float accumulation-order drift.
+
+    Scale shape: one pass, per-block dim×dim int64 partials (constant in
+    the row count) → one tiny (i, j)-keyed sum reduce (dim² rows total).
+    int64 bound: |x|·scale ≤ 1e4-ish ⇒ row products ≤ 1e8; overflow
+    needs > 9e10 rows per partial — raise ``scale`` awareness / switch
+    partials to object/hugeint before that."""
+    import pandas as pd
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        M = embed_matrix(batch, col).astype(np.float64)
+        Q = np.floor(M * scale).astype(np.int64)
+        G = Q.T @ Q  # [d, d] int64
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame(
+            {
+                "i": iu.astype(np.int64) + 1,  # 1-based, matches SQL unnest
+                "j": ju.astype(np.int64) + 1,
+                "sxx": G[iu, ju],
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["i", "j"], as_index=False)["sxx"].sum()
+        out["sxx"] = out["sxx"].astype(np.int64)
+        return out
+
+    return bucketed_group_reduce(
+        emb.select_columns([col]).map_batches(partials, batch_format="pyarrow"),
+        key_cols=["i", "j"],
+        reduce_fn=merge,
+        num_buckets=num_buckets,
+    )
+
+
 def embedding_pca(
     emb: "rd.Dataset",
     k: int = 8,

@@ -470,17 +470,18 @@ def rolling_fingerprint(docs: "rd.Dataset", window: int = 16) -> "rd.Dataset":
                 dtype=np.uint64,
                 count=len(toks),
             )
-            if len(hs) < window:
-                acc = np.uint64(0)
-                for h in hs:
-                    acc = acc * B + h
-                out[i] = acc
-            else:
-                # rolling windows via cumulative powers
-                acc = np.zeros(len(hs) - window + 1, dtype=np.uint64)
-                for w in range(window):
-                    acc = acc * B + hs[w : w + len(acc)]
-                out[i] = acc.min()
+            with np.errstate(over="ignore"):  # wrapping uint64 by design
+                if len(hs) < window:
+                    acc = np.uint64(0)
+                    for h in hs:
+                        acc = acc * B + h
+                    out[i] = acc
+                else:
+                    # rolling windows via cumulative powers
+                    acc = np.zeros(len(hs) - window + 1, dtype=np.uint64)
+                    for w in range(window):
+                        acc = acc * B + hs[w : w + len(acc)]
+                    out[i] = acc.min()
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

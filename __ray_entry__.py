@@ -1142,29 +1142,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return supplier_nation_rollup(sf_dir).map_batches(fix, batch_format="pandas")
 
     # --- multimodal plumbing (rows-only; deterministic fake codec)
-    def media_image_features(sf_dir: str):
+    def _media(n_fake=200, n_real=100):
+        """Fake-codec rows (raw-byte plumbing path) + REAL-codec rows
+        (BMP / 16-bit PCM WAV / KGV1 container — round-4: every byte
+        round-trips through an actual encoder, so the stages parse real
+        containers, not raw casts)."""
+        import pyarrow as pa
         import ray.data as rd
 
-        from kgflow.ops.multimodal import image_features, synth_media_table
+        from kgflow.ops.multimodal import real_media_table, synth_media_table
 
-        media = rd.from_arrow(synth_media_table(200))
-        return image_features(media)
+        return rd.from_arrow(
+            pa.concat_tables([synth_media_table(n_fake), real_media_table(n_real)])
+        )
+
+    def media_image_features(sf_dir: str):
+        from kgflow.ops.multimodal import image_features
+
+        return image_features(_media())
 
     def media_audio_features(sf_dir: str):
-        import ray.data as rd
+        from kgflow.ops.multimodal import audio_features
 
-        from kgflow.ops.multimodal import audio_features, synth_media_table
-
-        media = rd.from_arrow(synth_media_table(200))
-        return audio_features(media)
+        return audio_features(_media())
 
     def media_video_features(sf_dir: str):
-        import ray.data as rd
+        from kgflow.ops.multimodal import video_frame_features
 
-        from kgflow.ops.multimodal import synth_media_table, video_frame_features
-
-        media = rd.from_arrow(synth_media_table(200))
-        return video_frame_features(media)
+        return video_frame_features(_media())
 
     return {
         "kg_sentences": kg_sentences,

@@ -78,3 +78,66 @@ def test_rule_violation_counts_rejects_empty_rules():
     ds = rd.from_pandas(pd.DataFrame({"x": [1, 2]}))
     with pytest.raises(ValueError, match="non-empty"):
         rule_violation_counts(ds, {})
+
+
+def test_real_codecs_roundtrip():
+    import numpy as np
+
+    from kgflow.ops.multimodal import (
+        decode_bmp,
+        decode_kgv1,
+        decode_wav,
+        encode_bmp,
+        encode_kgv1,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(0)
+    # BMP: odd width exercises the 4-byte row padding
+    img = rng.randint(0, 256, (13, 7, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    # WAV: 16-bit PCM exact roundtrip
+    tone = (np.sin(np.arange(500) / 7.0) * 20000).astype(np.int16)
+    got, sr = decode_wav(encode_wav(tone, 16000))
+    assert sr == 16000
+    assert np.array_equal((got * 32768.0).astype(np.int16), tone)
+    # KGV1: multi-frame container
+    frames = rng.randint(0, 256, (5, 9, 11, 3)).astype(np.uint8)
+    assert np.array_equal(decode_kgv1(encode_kgv1(frames)), frames)
+
+
+def test_media_stages_decode_real_codecs():
+    import ray.data as rd
+
+    from kgflow.ops.multimodal import (
+        audio_features,
+        image_features,
+        real_media_table,
+        video_frame_features,
+    )
+
+    media = rd.from_arrow(real_media_table(30))
+    img = image_features(media).to_pandas()
+    aud = audio_features(media).to_pandas()
+    vid = video_frame_features(media).to_pandas()
+    assert len(img) == 10 and img["mean_intensity"].between(0, 1).all()
+    assert len(aud) == 10 and (aud["rms"] > 0).all()
+    # every video contributes >= 1 sampled frame
+    assert vid["media_id"].nunique() == 10
+    assert (vid["frame_idx"] % 4 == 0).all()
+
+
+def test_unknown_codec_still_raises():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kgflow.ops.multimodal import image_features, synth_media_table
+
+    t = synth_media_table(3)
+    t = t.set_column(
+        t.schema.get_field_index("codec"),
+        "codec",
+        pa.array(["jpeg"] * 3, pa.string()),
+    )
+    with pytest.raises(Exception, match="NotImplemented|jpeg"):
+        image_features(rd.from_arrow(t)).to_pandas()

@@ -464,12 +464,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- embeddings
     def _queries_for(sf_dir: str, n=10):
+        """Pick the n smallest vec_ids as demo queries. Two pruned reads
+        instead of one full-table driver pull (round-4 fix): first the
+        8-byte id column only, then a predicate-pushed read of exactly
+        the n chosen rows — the driver never holds the embedding matrix."""
         import pyarrow.parquet as pq
 
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        ids = pq.read_table(path, columns=["vec_id"]).column("vec_id").to_numpy()
+        qids = sorted(int(x) for x in np.partition(ids, min(n, len(ids)) - 1)[:n])
         t = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+            path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", qids)],
         )
-        df = t.to_pandas().sort_values("vec_id").head(n)
+        df = t.to_pandas().sort_values("vec_id")
         return df["vec_id"].tolist(), np.asarray(list(df["embedding"]), dtype=np.float32)
 
     def ann_topk(sf_dir: str):

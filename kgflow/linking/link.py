@@ -64,16 +64,29 @@ def mention_partials(
     whole map_batches operator on the entity_map path)."""
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        vals = batch.column("subj").to_pylist() + batch.column("obj").to_pylist()
-        s = pd.Series(vals, dtype="object").value_counts()
-        mentions = s.index.to_numpy(dtype=object)
-        out = pd.DataFrame({"mention": mentions, "n": s.to_numpy(dtype=np.int64)})
+        # Arrow value_counts over the chunked subj+obj concat: zero-copy
+        # C kernel instead of to_pylist + pandas object hashing (round-4:
+        # the old layout was the single biggest linking-phase cost, ~2.3 s
+        # of the 32-cpu 300k-page job's ~6 s post-extract tail)
+        import pyarrow.compute as pc
+
+        both = pa.chunked_array(
+            batch.column("subj").chunks + batch.column("obj").chunks
+        )
+        vc = pc.value_counts(both)
+        mentions = vc.field("values").to_pylist()
+        out = pd.DataFrame(
+            {
+                "mention": pd.Series(mentions, dtype="object"),
+                "n": vc.field("counts").to_numpy(zero_copy_only=False),
+            }
+        )
         if with_norm:
             out["norm"] = [normalize_mention(m) for m in mentions]
         # batch-varying nonce so the SAME mention draws different salts
         # in different batches (value_counts rank alone would pin the
         # hot mention to rank 0 → salt 0 in every batch)
-        nonce = fnv64(str(vals[0])) + len(vals) if vals else 0
+        nonce = fnv64(mentions[0]) + len(both) if mentions else 0
         out["salt"] = (np.arange(len(out), dtype=np.int64) + nonce) % salt_buckets
         return out
 

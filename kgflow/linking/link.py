@@ -70,9 +70,12 @@ def mention_partials(
         # of the 32-cpu 300k-page job's ~6 s post-extract tail)
         import pyarrow.compute as pc
 
-        both = pa.chunked_array(
-            batch.column("subj").chunks + batch.column("obj").chunks
-        )
+        chunks = batch.column("subj").chunks + batch.column("obj").chunks
+        if not chunks:  # zero-chunk empty block: chunked_array([]) raises
+            chunks = [pa.array([], pa.string())]
+        # drop_null mirrors the pandas value_counts the kernel replaced
+        # (Arrow's value_counts counts null as a value)
+        both = pc.drop_null(pa.chunked_array(chunks))
         vc = pc.value_counts(both)
         mentions = vc.field("values").to_pylist()
         out = pd.DataFrame(

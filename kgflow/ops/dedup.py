@@ -251,7 +251,10 @@ def exact_jaccard_verify(
     # arrays are sorted unique, so within a (pair, value) run a value
     # appears at most twice and the duplicate count IS the overlap.
     # Replaces the per-pair Python set-intersection loop (the last
-    # per-pair Python in the dedup family).
+    # per-pair Python in the dedup family). Memory: the concatenated
+    # shingle arrays repeat a doc once per pair, but the exchange
+    # already ships text once per pair side (phase A), so the verify's
+    # working set stays proportional to the bucket frame it was handed.
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         a_rows = g[g["is_a"] == 1].drop_duplicates(["doc_a", "doc_b"])
         b_rows = g[g["is_a"] == 0].drop_duplicates(["doc_a", "doc_b"])

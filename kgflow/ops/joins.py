@@ -289,6 +289,7 @@ def hash_join(
             how="left",
             broadcast_threshold=broadcast_threshold,
             num_buckets=num_buckets,
+            max_key_rows=max_key_rows,
         )
     if how not in ("inner", "left", "full"):
         raise ValueError(

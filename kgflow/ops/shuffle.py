@@ -103,10 +103,13 @@ def bucketed_group_reduce(
     bundles several ranges into one task.
 
     ``max_bucket_rows`` (skew guard): when set, a bucket whose row count
-    exceeds the cap fails LOUDLY, naming the hottest keys it contains —
-    instead of silently building one giant pandas frame and OOMing the
-    worker at scale. For partial-aggregatable reductions, use
-    :func:`salted_group_reduce` to spread a hot key instead.
+    exceeds the cap fails LOUDLY, naming the hottest keys it contains.
+    The check runs AFTER the exchange assembles the bucket (bucket sizes
+    aren't knowable pre-shuffle), so it guards the reduce's working set
+    and output amplification — if the raw bucket rows alone exceed
+    worker memory, the exchange itself is the failure point. For
+    partial-aggregatable reductions, use :func:`salted_group_reduce` to
+    spread a hot key instead of capping it.
     """
 
     if num_buckets is None:
@@ -167,8 +170,11 @@ def salted_group_reduce(
 
     Requires the reduction to decompose as final(∪ partial(Sᵢ)) =
     reduce(∪ Sᵢ) — true for sums/counts/min/max/top-k/distinct-style
-    aggregates. The salt is content-deterministic (hash of the full
-    row), so reruns and engine comparisons are stable; no RNG state.
+    aggregates. The salt is row-hash PLUS within-batch position: a hot
+    key of EXACT-duplicate rows (the canonical count-aggregation skew)
+    would all hash to one salt, so the positional rotation spreads it;
+    no RNG state, and the salt never affects output values (the final
+    merge is salt-independent), only placement.
 
     Round-1 exchange carries the full input (same as the unsalted
     reduce); what changes is that no single reduce task ever holds more
@@ -181,6 +187,7 @@ def salted_group_reduce(
 
     def _add_salt(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+        h = h + np.arange(len(df), dtype=np.uint64)  # spread exact-dup rows
         return df.assign(**{SALT_COL: (h % np.uint64(salt)).astype(np.int32)})
 
     def _partial(g: pd.DataFrame) -> pd.DataFrame:

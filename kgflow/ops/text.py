@@ -453,8 +453,10 @@ def lang_id(docs: "rd.Dataset", concurrency=(1, 4)) -> "rd.Dataset":
 
 def rolling_fingerprint(docs: "rd.Dataset", window: int = 16) -> "rd.Dataset":
     """doc_id, rfp — 64-bit rolling (Rabin-Karp style) document
-    fingerprint: min of window-hashes over the token stream. Not
-    SQL-expressible; checked rows-only."""
+    fingerprint: min of window-hashes over the token stream. Oracle:
+    restated exactly in SQL (HUGEINT modular FNV + list_slice window
+    polynomials, `__ray_entry__.py` doc_rolling_fp) — keep the two in
+    lockstep when changing the hash or window logic."""
     B = np.uint64(1099511628211)
 
     def f(batch: pa.Table) -> pa.Table:

@@ -141,3 +141,21 @@ def test_unknown_codec_still_raises():
     )
     with pytest.raises(Exception, match="NotImplemented|jpeg"):
         image_features(rd.from_arrow(t)).to_pandas()
+
+
+def test_mention_partials_handles_nulls_and_empty_blocks():
+    import pyarrow as pa
+
+    from kgflow.linking.link import mention_partials
+
+    t = pa.table(
+        {
+            "subj": pa.array(["alice", None, "alice"], pa.string()),
+            "obj": pa.array(["osaka", "osaka", None], pa.string()),
+        }
+    )
+    out = mention_partials(rd.from_arrow(t), with_norm=True).to_pandas()
+    got = dict(zip(out["mention"], out["n"]))
+    assert got == {"alice": 2, "osaka": 2}  # nulls dropped, like pandas
+    empty = rd.from_arrow(t).filter(lambda r: False)
+    assert len(mention_partials(empty, with_norm=True).to_pandas()) == 0

@@ -374,3 +374,41 @@ def test_salted_group_reduce_matches_unsalted_on_hot_key():
     assert got["k"].tolist() == want["k"].tolist()
     assert got["s"].tolist() == want["s"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_right_join_forwards_skew_guard():
+    from kgflow.ops.joins import hash_join
+
+    left = pd.DataFrame({"k": [7] * 150, "v": range(150)})
+    right = pd.DataFrame({"k": [7] * 150, "rpay": range(150)})
+    with pytest.raises(Exception, match="max_key_rows"):
+        hash_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="k",
+            how="right",
+            broadcast_threshold=0,
+            max_key_rows=10_000,
+        ).to_pandas()
+
+
+def test_salted_group_reduce_spreads_exact_duplicate_rows():
+    from kgflow.ops.shuffle import salted_group_reduce
+
+    # the canonical count-aggregation skew: every row identical — the
+    # positional salt must still spread them and the count stay exact
+    df = pd.DataFrame({"k": [0] * 5000, "v": [1] * 5000})
+
+    seen_sizes = []
+
+    def partial(g):
+        seen_sizes.append(len(g))
+        return g.groupby("k", as_index=False).agg(n=("v", "size"))
+
+    def final(g):
+        return g.groupby("k", as_index=False).agg(n=("n", "sum"))
+
+    out = salted_group_reduce(
+        rd.from_pandas(df), ["k"], partial, final, salt=8, num_buckets=8
+    ).to_pandas()
+    assert out["n"].tolist() == [5000]

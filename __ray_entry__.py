@@ -415,6 +415,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolling_fingerprint(_docs(sf_dir))
 
+    def doc_boilerplate_strip(sf_dir: str):
+        """Oracle-checked (round-4): cross-document repeated-span
+        (boilerplate) removal — any word 8-gram with > 20 corpus-wide
+        occurrences is stripped from every covering position
+        (`kgflow.ops.clean.strip_hot_spans`; CCNet repeated-paragraph /
+        Lee et al. substring-dedup family). The query plants a fixed
+        10-word boilerplate tail on doc_id % 5 == 0 on BOTH sides (the
+        embed_neardup planting pattern) so the threshold is non-vacuous;
+        clean_text strings compare byte-exact."""
+        import pandas as pd
+
+        from kgflow.ops.clean import strip_hot_spans
+
+        BOILER = (
+            "subscribe to our newsletter for updates terms of service apply"
+        )
+
+        def plant(df):
+            df = df[["doc_id", "text"]].copy()
+            m = df["doc_id"] % 5 == 0
+            df.loc[m, "text"] = df.loc[m, "text"] + " " + BOILER
+            return df
+
+        planted = _docs(sf_dir).map_batches(plant, batch_format="pandas")
+        return strip_hot_spans(planted, k=8, max_df=20)
+
     def doc_minhash_pairs(sf_dir: str):
         """Oracle-checked (round-3): the verify stage computes EXACT
         word-trigram Jaccard, so the DuckDB oracle recomputes true
@@ -1211,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
+        "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_simhash_pairs": doc_simhash_pairs,
@@ -1491,6 +1518,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        # Repeated-span removal: k-grams via list slices (the rolling_fp
+        # trick), corpus-wide HAVING threshold, coverage positions by
+        # unnesting a 0..7 offset range, rebuild via ordered string_agg.
+        "doc_boilerplate_strip": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' subscribe to our newsletter for updates terms of service apply'
+                          ELSE text END AS text
+              FROM documents
+            ), lst AS (
+              SELECT doc_id, regexp_extract_all(text, '\w+') AS toks FROM base
+            ), gs AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 6, 1))) AS j
+              FROM lst
+            ), grams AS (
+              SELECT doc_id, CAST(j AS BIGINT) AS s,
+                     array_to_string(toks[j:j+7], ' ') AS gram
+              FROM gs
+            ), hot AS (
+              SELECT gram FROM grams GROUP BY gram HAVING count(*) > 20
+            ), hits AS (
+              SELECT g.doc_id, g.s FROM grams g JOIN hot USING (gram)
+            ), cov AS (
+              SELECT DISTINCT doc_id, s + o AS pos
+              FROM (SELECT doc_id, s, unnest(range(0, 8)) AS o FROM hits) q
+            ), tok AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     generate_subscripts(toks, 1) AS pos
+              FROM lst
+            ), keep AS (
+              SELECT t.doc_id, t.pos, t.w
+              FROM tok t LEFT JOIN cov c
+                ON c.doc_id = t.doc_id AND c.pos = t.pos
+              WHERE c.pos IS NULL
+            )
+            SELECT b.doc_id,
+                   COALESCE(k.clean_text, '') AS clean_text,
+                   CAST(l.n_total - COALESCE(k.n_keep, 0) AS BIGINT)
+                     AS n_removed
+            FROM base b
+            JOIN (SELECT doc_id, len(toks) AS n_total FROM lst) l
+              USING (doc_id)
+            LEFT JOIN (
+              SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+                     count(*) AS n_keep
+              FROM keep GROUP BY doc_id
+            ) k USING (doc_id)
         """,
         # Stopword-profile heuristic restated: per-doc stopword counts
         # share the token-count denominator, so comparing raw counts ==

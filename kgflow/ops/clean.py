@@ -187,3 +187,110 @@ def contamination_screen(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         Screen, batch_format="pandas", concurrency=concurrency
     )
+
+
+def strip_hot_spans(
+    docs: "rd.Dataset",
+    k: int = 8,
+    max_df: int = 20,
+    hot_limit: int = 5_000_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Cross-document repeated-span (boilerplate) removal — the
+    dedup-within-documents pass of the web-curation canon (CCNet's
+    repeated-paragraph drop; Lee et al. 2021 "Deduplicating Training
+    Data Makes Language Models Better" substring family, restated at
+    word-k-gram granularity): any word k-gram occurring more than
+    ``max_df`` times corpus-wide is boilerplate, and every token covered
+    by an occurrence of a hot k-gram is dropped from its document.
+    documents(doc_id, text) → (doc_id, clean_text, n_removed).
+
+    Two passes, one exchange:
+
+    1. count: per-batch combiner pre-aggregates k-gram occurrence counts
+       (one row per distinct gram per batch), ONE gram-keyed bucketed
+       sum keeps only grams with count > max_df. The hot-gram table is
+       bounded by the volume of actual boilerplate — it is pulled to the
+       driver behind a distributed count with a LOUD ``hot_limit`` guard
+       and broadcast once via ``ray.put``.
+    2. rewrite: exchange-free map — retokenize, mark positions covered
+       by any hot-gram occurrence (vectorized sliding window), emit the
+       uncovered tokens space-joined.
+
+    Grams are keyed by their literal string so the SQL oracle matches
+    hash-exactly; at 100 TB, fingerprint grams (uint64 FNV) in pass 1
+    and resolve only the hot fingerprints' strings — same shape, ~6×
+    smaller exchange rows (documented tradeoff, not a silent cap).
+    """
+    import re as _re
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    word_re = _re.compile(r"\w+")
+
+    def gram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in df["text"]:
+            toks = word_re.findall(t)
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i : i + k])
+                counts[g] = counts.get(g, 0) + 1
+        return pd.DataFrame(
+            {
+                "gram": pd.Series(list(counts), dtype="object"),
+                "n": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    def hot_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("gram", as_index=False)["n"].sum()
+        return out[out["n"] > max_df]
+
+    hot = bucketed_group_reduce(
+        docs.select_columns(["text"]).map_batches(
+            gram_partials, batch_format="pandas"
+        ),
+        key_cols=["gram"],
+        reduce_fn=hot_reduce,
+        num_buckets=num_buckets,
+    ).materialize()
+    n_hot = hot.count()
+    if n_hot > hot_limit:
+        raise ValueError(
+            f"strip_hot_spans: {n_hot} hot grams exceed hot_limit="
+            f"{hot_limit} — raise max_df or the limit (the hot table is "
+            "broadcast and must stay driver-bounded)"
+        )
+    hot_ref = ray.put(frozenset(hot.to_pandas()["gram"]))
+
+    class Strip:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+            self.word_re = _re.compile(r"\w+")
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            clean, removed = [], np.zeros(len(df), dtype=np.int64)
+            for row_i, t in enumerate(df["text"]):
+                toks = self.word_re.findall(t)
+                n = len(toks)
+                if n < k or not self.hot:
+                    clean.append(" ".join(toks))
+                    continue
+                cover = np.zeros(n, dtype=bool)
+                for i in range(n - k + 1):
+                    if " ".join(toks[i : i + k]) in self.hot:
+                        cover[i : i + k] = True
+                kept = [w for w, c in zip(toks, cover) if not c]
+                removed[row_i] = int(cover.sum())
+                clean.append(" ".join(kept))
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "clean_text": pd.Series(clean, dtype="object"),
+                    "n_removed": removed,
+                }
+            )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        Strip, batch_format="pandas", concurrency=(1, 4)
+    )

@@ -108,3 +108,45 @@ def test_normalize_text_nfc_and_whitespace():
     assert out["text"].tolist() == ["Café menu", "hello world", "already clean"]
     # n_chars counts code points of the NORMALIZED text (é is 1)
     assert out["n_chars"].tolist() == [9, 11, 13]
+
+
+def test_strip_hot_spans_crafted():
+    import ray.data as rd
+
+    from kgflow.ops.clean import strip_hot_spans
+
+    boiler = "a1 a2 a3 a4 a5 a6 a7 a8"  # exactly one 8-gram
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [f"unique{i} words here {boiler} tail{i}" for i in range(5)]
+            + ["no boilerplate in this one at all"],
+        }
+    )
+    out = (
+        strip_hot_spans(rd.from_pandas(docs), k=8, max_df=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # hot grams: every 8-window not touching unique{i}/tail{i} repeats
+    # across the 5 docs ("words here a1..a6", "here a1..a7", "a1..a8"),
+    # covering positions 1..10 — only the per-doc unique tokens survive
+    for i in range(5):
+        assert out.loc[i, "clean_text"] == f"unique{i} tail{i}"
+        assert out.loc[i, "n_removed"] == 10
+    assert out.loc[5, "clean_text"] == "no boilerplate in this one at all"
+    assert out.loc[5, "n_removed"] == 0
+
+
+def test_strip_hot_spans_hot_limit_guard():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from kgflow.ops.clean import strip_hot_spans
+
+    docs = pd.DataFrame(
+        {"doc_id": range(10), "text": ["w1 w2 w3 w4 w5 w6 w7 w8"] * 10}
+    )
+    with _pytest.raises(ValueError, match="hot_limit"):
+        strip_hot_spans(rd.from_pandas(docs), k=8, max_df=2, hot_limit=0).to_pandas()

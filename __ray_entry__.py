@@ -980,6 +980,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q3(sf_dir)
 
+    def q5_region_volume(sf_dir: str):
+        """Oracle-checked (round-4): TPC-H Q5-style six-table join —
+        revenue per nation of one region for one order year, counting
+        only local-supplier lineitems (c_nationkey == s_nationkey).
+        Dim filters pushed ahead of the ladder, ONE fact-fact orderkey
+        exchange, broadcast supplier twist, 25-row final reduce
+        (`kgflow.ops.relational.q5_region_volume`)."""
+        from kgflow.ops.relational import q5_region_volume as q5
+
+        return q5(sf_dir)
+
     def customer_orders_left(sf_dir: str):
         """Oracle-checked: LEFT outer join — every customer with order
         count + largest order, zeros for the order-less (combiner
@@ -1274,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": events_cube,
         "events_ranked": events_ranked,
         "events_distribution": events_distribution,
+        "q5_region_volume": q5_region_volume,
         "events_intervals": events_intervals,
         "doc_normalize": doc_normalize,
         "doc_freq_score": doc_freq_score,
@@ -2007,6 +2019,22 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                    v AS (PARTITION BY user_id
                          ORDER BY CAST(round(value * 10000) AS BIGINT) DESC)
+        """,
+        "q5_region_volume": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) / 10000.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
         """,
         "events_distribution": """
             SELECT user_id, event_id,

@@ -618,3 +618,152 @@ def events_type_dow_cube(sf_dir: str) -> "rd.Dataset":
         return df[["event_type", "dow", "sum_value", "n"]]
 
     return cubed.map_batches(finish, batch_format="pandas")
+
+
+def q5_region_volume(
+    sf_dir: str, region: str = "ASIA", year: int = 1996
+) -> "rd.Dataset":
+    """TPC-H Q5-style local-supplier volume: revenue per nation of one
+    region, for orders of one year, counting only lineitems whose
+    SUPPLIER sits in the customer's own nation (the Q5 twist that makes
+    this a six-table join). → (n_name, revenue).
+
+    Join ladder, sized by table role (the 100-TB shape):
+
+    - region/nation are driver-tiny (5/25 rows) — read locally, the
+      region's nation set broadcasts inside the customer filter;
+    - customer → (c_custkey, c_nationkey) pre-filtered to the region's
+      nations BEFORE any join (dim filter pushed ahead of the ladder);
+    - orders is year-filtered at the scan, then joined to the filtered
+      customer via `hash_join` (auto-broadcast: the filtered customer
+      side is dim-bounded);
+    - lineitem reduces per batch to (l_orderkey, l_suppkey, rev_fp
+      int64 fixed-point) — the only fact-fact exchange is the orderkey
+      join against the year's orders;
+    - supplier → (s_suppkey, s_nationkey) broadcast-joins on suppkey,
+      the c_nationkey == s_nationkey twist filters in the same batch;
+    - final revenue is a per-batch combiner + one nation-keyed reduce
+      (25-row exchange), names attached from the driver-side table.
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    reg = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nat = nat.loc[nat["n_regionkey"] == rkey, ["n_nationkey", "n_name"]]
+    nat_keys = ray.put(np.sort(nat["n_nationkey"].to_numpy(dtype=np.int64)))
+
+    class FilterCustomers:
+        def __init__(self):
+            self.keys = ray.get(nat_keys)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(df["c_nationkey"].to_numpy(), self.keys)
+            return df.loc[m, ["c_custkey", "c_nationkey"]]
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(FilterCustomers, batch_format="pandas", concurrency=(1, 4))
+
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    def year_orders(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        out = df.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_custkey"]]
+        return out.rename(columns={"o_custkey": "c_custkey"})
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(year_orders, batch_format="pandas")
+
+    # orders ⋈ region-filtered customer (right side dim-bounded)
+    oc = hash_join(orders, cust, on="c_custkey", right_small=True).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+
+    def line_rev(df: pd.DataFrame) -> pd.DataFrame:
+        rev_fp = np.round(
+            df["l_extendedprice"].to_numpy(dtype=np.float64)
+            * (1.0 - df["l_discount"].to_numpy(dtype=np.float64))
+            * 1e4
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype(np.int64),
+                "l_suppkey": df["l_suppkey"].astype(np.int64),
+                "rev_fp": rev_fp,
+            }
+        )
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rev, batch_format="pandas")
+
+    # the one fact-fact exchange: lineitem ⋈ (year orders + cust nation).
+    # materialize the computed key-bounded side so the join's decision
+    # probe doesn't re-execute its pipeline (measured lesson, round 3)
+    ol = hash_join(line, oc.materialize(), on="l_orderkey", right_small=False)
+
+    supp = ray.put(
+        pd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey"],
+        )
+    )
+
+    class LocalSupplierRev:
+        """Broadcast supplier join + the c_nation == s_nation twist +
+        per-batch revenue combiner, all in one pass."""
+
+        def __init__(self):
+            s = ray.get(supp)
+            self.by_supp = dict(
+                zip(s["s_suppkey"].to_numpy(), s["s_nationkey"].to_numpy())
+            )
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            s_nat = df["l_suppkey"].map(self.by_supp).to_numpy(dtype=np.int64)
+            m = s_nat == df["c_nationkey"].to_numpy()
+            d = df.loc[m]
+            out = (
+                pd.DataFrame(
+                    {
+                        "n_nationkey": d["c_nationkey"].to_numpy(dtype=np.int64),
+                        "rev_fp": d["rev_fp"].to_numpy(dtype=np.int64),
+                    }
+                )
+                .groupby("n_nationkey", as_index=False)["rev_fp"]
+                .sum()
+            )
+            return out
+
+    partials = ol.map_batches(
+        LocalSupplierRev, batch_format="pandas", concurrency=(1, 4)
+    )
+    name_ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_nationkey", as_index=False)["rev_fp"].sum()
+        names = ray.get(name_ref)
+        return pd.DataFrame(
+            {
+                "n_name": out["n_nationkey"].map(names),
+                "revenue": out["rev_fp"].to_numpy(dtype=np.int64) / 1e4,
+            }
+        )
+
+    return bucketed_group_reduce(
+        partials, key_cols=["n_nationkey"], reduce_fn=finish, num_buckets=4
+    )

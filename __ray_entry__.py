@@ -1074,6 +1074,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return distribution_window(ev)
 
+    def events_boundary(sf_dir: str):
+        """Oracle-checked (round-4): FIRST_VALUE/LAST_VALUE per user over
+        the (ts, event_id) total order — semigroup combiner shrinks each
+        block to ≤ one row per key before the exchange; raw value picks
+        (no arithmetic) hash exactly against SQL arg_min/arg_max
+        (`kgflow.ops.window.boundary_window`)."""
+        import os as _os
+
+        from kgflow.ops.window import boundary_window
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return boundary_window(ev)
+
     def doc_freq_score(sf_dir: str):
         """Oracle-checked: corpus-frequency document scoring — the
         train-a-statistic-on-the-corpus-then-score-the-corpus pattern
@@ -1285,6 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": events_cube,
         "events_ranked": events_ranked,
         "events_distribution": events_distribution,
+        "events_boundary": events_boundary,
         "q5_region_volume": q5_region_volume,
         "events_intervals": events_intervals,
         "doc_normalize": doc_normalize,
@@ -2019,6 +2037,24 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                    v AS (PARTITION BY user_id
                          ORDER BY CAST(round(value * 10000) AS BIGINT) DESC)
+        """,
+        "events_boundary": """
+            WITH r AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ) AS rn_d
+              FROM events
+            )
+            SELECT user_id,
+                   max(CASE WHEN rn_a = 1 THEN event_id END) AS first_event_id,
+                   max(CASE WHEN rn_d = 1 THEN event_id END) AS last_event_id,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+                   count(*) AS n_events
+            FROM r GROUP BY user_id
         """,
         "q5_region_volume": """
             SELECT n_name,

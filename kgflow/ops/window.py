@@ -557,6 +557,94 @@ def distribution_window(
     )
 
 
+def boundary_window(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """FIRST_VALUE / LAST_VALUE per key over the (ts, id) total order —
+    (key, first_event_id, last_event_id, first_value, last_value,
+    n_events). The values are picked raw (no arithmetic), so the output
+    hashes exactly against SQL arg_min/arg_max on the same struct key.
+
+    Combiner shape: first/last is a semigroup, so each block reduces to
+    ≤ one row per key BEFORE the exchange — the shuffle carries
+    blocks × keys-per-block rows, never the event stream."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def fl(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        first = grp.first().reset_index()
+        last = grp.last().reset_index()
+        n = grp.size().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                key: first[key].to_numpy(),
+                ts_col + "_first": first[ts_col].to_numpy(),
+                id_col + "_first": first[id_col].to_numpy(dtype=np.int64),
+                value_col + "_first": first[value_col].to_numpy(),
+                ts_col + "_last": last[ts_col].to_numpy(),
+                id_col + "_last": last[id_col].to_numpy(dtype=np.int64),
+                value_col + "_last": last[value_col].to_numpy(),
+                "n_events": n,
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return fl(df)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # partials carry (first*, last*) halves; re-pick across partials
+        firsts = g[
+            [key, ts_col + "_first", id_col + "_first", value_col + "_first"]
+        ].rename(
+            columns={
+                ts_col + "_first": ts_col,
+                id_col + "_first": id_col,
+                value_col + "_first": value_col,
+            }
+        )
+        lasts = g[
+            [key, ts_col + "_last", id_col + "_last", value_col + "_last"]
+        ].rename(
+            columns={
+                ts_col + "_last": ts_col,
+                id_col + "_last": id_col,
+                value_col + "_last": value_col,
+            }
+        )
+        fs = firsts.sort_values([key, ts_col, id_col], kind="mergesort")
+        ls = lasts.sort_values([key, ts_col, id_col], kind="mergesort")
+        f1 = fs.groupby(key, sort=False).first().reset_index()
+        l1 = ls.groupby(key, sort=False).last().reset_index()
+        # sort=True: f1/l1 are key-ascending (mergesort on [key, ...]),
+        # so the count series must be key-ascending too, not
+        # first-appearance order
+        n = g.groupby(key)["n_events"].sum().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                key: f1[key].to_numpy(),
+                "first_event_id": f1[id_col].to_numpy(dtype=np.int64),
+                "last_event_id": l1[id_col].to_numpy(dtype=np.int64),
+                "first_value": f1[value_col].to_numpy(),
+                "last_value": l1[value_col].to_numpy(),
+                "n_events": n,
+            }
+        )
+
+    cols = [key, ts_col, id_col, value_col]
+    partials = events.select_columns(cols).map_batches(
+        combine, batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=[key], reduce_fn=merge, num_buckets=num_buckets
+    )
+
+
 def merge_intervals(
     intervals: "rd.Dataset",
     key: str = "user_id",

@@ -43,6 +43,11 @@ def _docs(sf_dir: str):
     return read_parquet_clean(os.path.join(sf_dir, "documents.parquet"))
 
 
+# fixed BM25 demo query (mid-frequency corpus terms); shared verbatim
+# between the engine call and the SQL oracle
+_BM25_TERMS = ("hash", "merge", "vector", "window")
+
+
 def _floor_scale_pd(df, col, scale):
     df[col] = np.floor(df[col].to_numpy(dtype=np.float64) * scale) / scale
     return df
@@ -313,6 +318,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
         )
         return grouped_sample(docs, group_col="lang", n_per_group=20)
+
+    def doc_collocations(sf_dir: str):
+        """Oracle-checked: top-50 adjacent-bigram collocations by the
+        PMI ratio c_ab·N/(c_a·c_b) — a RATIONAL score (int64 products
+        cast to double, one division), so the ranking and the hash are
+        libm-free exact against the SQL oracle."""
+        from kgflow.ops.text import collocations
+
+        return collocations(_docs(sf_dir), min_count=5, k=50)
+
+    def doc_bm25(sf_dir: str):
+        """Oracle-checked: BM25 top-20 docs for a fixed 4-term query
+        (log-free idf variant — every op is a correctly-rounded IEEE
+        +,−,×,÷ sequenced identically on both sides, so the float
+        scores are bit-identical; terms summed in fixed order)."""
+        from kgflow.ops.text import bm25_topk
+
+        return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=20)
+
+    def events_user_paths(sf_dir: str):
+        """Oracle-checked: per-user ORDERED event-type path —
+        string_agg(event_type, '>' ORDER BY ts, event_id) truncated at
+        50 items, plus the total count. One group-keyed exchange (the
+        op's irreducible cost; ordered concat has no pre-shrink
+        combiner)."""
+        import os as _os
+
+        from kgflow.ops.relational import ordered_collect
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return ordered_collect(
+            ev, "user_id", ["ts", "event_id"], "event_type", max_items=50
+        )
+
+    def events_outliers(sf_dir: str):
+        """Oracle-checked: per-event-type robust outliers
+        |v − median| > 3·MAD with EXACT nearest-rank median/MAD at
+        fixed-point scale 100 (the grouped_quantiles semantics the
+        events_quantiles oracle already pins)."""
+        import os as _os
+
+        from kgflow.ops.profile import mad_outliers
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        return mad_outliers(ev, ["event_type"], "value", k=3.0)
 
     def doc_pii_redact(sf_dir: str):
         """Oracle-checked: PII redaction (email/IP/phone → typed
@@ -1258,6 +1316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": doc_vocab_topk,
         "doc_split": doc_split,
         "doc_sample": doc_sample,
+        "doc_collocations": doc_collocations,
+        "doc_bm25": doc_bm25,
+        "events_user_paths": events_user_paths,
+        "events_outliers": events_outliers,
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
         "doc_contamination": doc_contamination,
@@ -1374,6 +1436,95 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rank
               FROM documents
             ) WHERE rank <= 20
+        """,
+        # PMI ratio is kept RATIONAL (BIGINT products → one double
+        # division) so the float column is bit-identical to the engine
+        "doc_collocations": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS l FROM documents
+            ), uni AS (
+              SELECT t AS token, count(*)::BIGINT AS c
+              FROM (SELECT unnest(l) AS t FROM toks) GROUP BY 1
+            ), n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+            big AS (
+              SELECT unnest(list_transform(range(1, len(l)), i -> l[i])) AS a,
+                     unnest(list_transform(range(1, len(l)), i -> l[i+1])) AS b
+              FROM toks
+            ), pairs AS (
+              SELECT a, b, count(*)::BIGINT AS c_ab FROM big
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT p.a, p.b, p.c_ab,
+                   CAST(p.c_ab * (SELECT n FROM n) AS DOUBLE)
+                     / CAST(ua.c * ub.c AS DOUBLE) AS ratio
+            FROM pairs p
+            JOIN uni ua ON ua.token = p.a
+            JOIN uni ub ON ub.token = p.b
+            ORDER BY ratio DESC, a, b LIMIT 50
+        """,
+        # log-free idf; every constant is an e0 DOUBLE literal (a bare
+        # 2.2 parses as DECIMAL and takes an exact-decimal arithmetic
+        # path that rounds differently from the engine's IEEE doubles);
+        # term order and association mirror the engine's summation
+        "doc_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS l
+              FROM documents
+            ), stats AS (
+              SELECT doc_id, len(l) AS dl,
+                     len(list_filter(l, x -> x = 'hash'))   AS tf0,
+                     len(list_filter(l, x -> x = 'merge'))  AS tf1,
+                     len(list_filter(l, x -> x = 'vector')) AS tf2,
+                     len(list_filter(l, x -> x = 'window')) AS tf3
+              FROM toks
+            ), g AS (
+              SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl,
+                     sum(CASE WHEN tf0>0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1>0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2>0 THEN 1 ELSE 0 END) AS df2,
+                     sum(CASE WHEN tf3>0 THEN 1 ELSE 0 END) AS df3
+              FROM stats
+            )
+            SELECT doc_id, score FROM (
+              SELECT doc_id,
+                (CAST(n - df0 AS DOUBLE) + 0.5e0)/(CAST(df0 AS DOUBLE) + 0.5e0)
+                  * (tf0*2.2e0) / (tf0 + 1.2e0*(0.25e0 + 0.75e0*(dl/avgdl)))
+              + (CAST(n - df1 AS DOUBLE) + 0.5e0)/(CAST(df1 AS DOUBLE) + 0.5e0)
+                  * (tf1*2.2e0) / (tf1 + 1.2e0*(0.25e0 + 0.75e0*(dl/avgdl)))
+              + (CAST(n - df2 AS DOUBLE) + 0.5e0)/(CAST(df2 AS DOUBLE) + 0.5e0)
+                  * (tf2*2.2e0) / (tf2 + 1.2e0*(0.25e0 + 0.75e0*(dl/avgdl)))
+              + (CAST(n - df3 AS DOUBLE) + 0.5e0)/(CAST(df3 AS DOUBLE) + 0.5e0)
+                  * (tf3*2.2e0) / (tf3 + 1.2e0*(0.25e0 + 0.75e0*(dl/avgdl)))
+                AS score
+              FROM stats, g
+            ) WHERE score > 0e0
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "events_user_paths": """
+            SELECT user_id, count(*) AS n_events,
+                   array_to_string(
+                     list_slice(list(event_type ORDER BY ts, event_id), 1, 50),
+                     '>') AS path
+            FROM events GROUP BY user_id
+        """,
+        "events_outliers": """
+            WITH med AS (
+              SELECT event_type,
+                     quantile_disc(CAST(round(value*100) AS BIGINT), 0.5)/100.0 AS med
+              FROM events GROUP BY event_type
+            ), dev AS (
+              SELECT e.event_id, e.event_type, e.value,
+                     abs(e.value - m.med) AS dv
+              FROM events e JOIN med m USING(event_type)
+            ), mad AS (
+              SELECT event_type,
+                     quantile_disc(CAST(round(dv*100) AS BIGINT), 0.5)/100.0 AS mad
+              FROM dev GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, d.value
+            FROM dev d JOIN mad m USING(event_type)
+            WHERE d.dv > 3.0e0 * m.mad
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

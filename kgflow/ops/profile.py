@@ -298,3 +298,64 @@ def profile_columns(
         reduce_fn=attach,
         num_buckets=min(num_buckets or len(cols), len(cols)),
     )
+
+
+def mad_outliers(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    col: str,
+    k: float = 3.0,
+    scale: int = 100,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group robust outlier detection: rows where
+    |v − median(v)| > k · MAD(v), with median and MAD both the EXACT
+    per-group discrete (nearest-rank) quantile at fixed-point ``scale``
+    — the `grouped_quantiles` semantics, so both statistics reproduce
+    bit-identically in the SQL oracle (quantile_disc over
+    round(x·scale)/scale). The residual comparison runs on raw doubles:
+    v − med, k·mad and the > are each single correctly-rounded IEEE
+    ops, identical across engines.
+
+    Returns the outlier rows (group_cols…, id column(s) untouched —
+    the op passes through every input column).
+
+    Scale shape: two `grouped_quantiles` passes (each fully combiner-
+    reduced, group×domain-bounded histograms) + two broadcast-or-shuffle
+    `hash_join` attaches; the corpus streams through twice and never
+    materializes.
+    """
+    from kgflow.ops.joins import hash_join
+
+    gcols = list(group_cols)
+
+    med = grouped_quantiles(ds, gcols, col, qs=(0.5,), scale=scale,
+                            num_buckets=num_buckets)
+    med = med.map_batches(
+        lambda d: d.drop(columns=["q"]).rename(columns={"v": "_med"}),
+        batch_format="pandas",
+    ).materialize()  # group-bounded; reused by both attach joins
+
+    with_med = hash_join(ds, med, on=gcols, num_buckets=num_buckets)
+
+    def add_dev(d: pd.DataFrame) -> pd.DataFrame:
+        return d.assign(
+            _dev=np.abs(d[col].to_numpy(np.float64) - d["_med"].to_numpy(np.float64))
+        )
+
+    dev = with_med.map_batches(add_dev, batch_format="pandas")
+
+    mad = grouped_quantiles(dev, gcols, "_dev", qs=(0.5,), scale=scale,
+                            num_buckets=num_buckets)
+    mad = mad.map_batches(
+        lambda d: d.drop(columns=["q"]).rename(columns={"v": "_mad"}),
+        batch_format="pandas",
+    ).materialize()
+
+    flagged = hash_join(dev, mad, on=gcols, num_buckets=num_buckets)
+
+    def pick(d: pd.DataFrame) -> pd.DataFrame:
+        keep = d["_dev"].to_numpy(np.float64) > k * d["_mad"].to_numpy(np.float64)
+        return d.loc[keep].drop(columns=["_med", "_dev", "_mad"])
+
+    return flagged.map_batches(pick, batch_format="pandas")

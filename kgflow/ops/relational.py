@@ -767,3 +767,51 @@ def q5_region_volume(
     return bucketed_group_reduce(
         partials, key_cols=["n_nationkey"], reduce_fn=finish, num_buckets=4
     )
+
+
+def ordered_collect(
+    ds: "rd.Dataset",
+    group_col: str,
+    order_cols: list[str],
+    val_col: str,
+    sep: str = ">",
+    max_items: int = 50,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group ORDERED collect:
+    (group, n_events, path = first ``max_items`` ``val_col`` values in
+    ``order_cols`` order joined by ``sep``) — string_agg(v ORDER BY …)
+    semantics with a deterministic truncation so a hot group's output
+    row stays bounded.
+
+    Ordered concat is NOT a semigroup over unsorted runs, so unlike the
+    count/top-k reduces there is no pre-shrink combiner: each group's
+    (order, value) pairs must co-locate once. The exchange therefore
+    carries (group, order_cols, val) rows — the op's irreducible cost —
+    through ONE group-keyed `bucketed_group_reduce`; inside a bucket
+    the sort + head(max_items) + join run as whole-bucket vectorized
+    kernels (one sort, one groupby-cumcount mask, one str.agg). A
+    pathologically hot group is bounded by the bucket's
+    ``max_bucket_rows`` guard upstream if configured.
+    """
+
+    cols = [group_col, *order_cols, val_col]
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_col, *order_cols], kind="mergesort")
+        grp = g.groupby(group_col, sort=False)
+        n = grp.size().rename("n_events")
+        head = g.loc[grp.cumcount() < max_items]
+        path = head.groupby(group_col, sort=False)[val_col].agg(sep.join)
+        out = pd.concat([n, path.rename("path")], axis=1).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    return bucketed_group_reduce(
+        ds.select_columns(cols),
+        key_cols=[group_col],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

@@ -237,6 +237,36 @@ def grouped_topk(
     )
 
 
+def global_topk(
+    ds: "rd.Dataset",
+    sort_cols: list[str],
+    ascending: list[bool],
+    k: int,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """GLOBAL top-k rows by ``sort_cols`` (ORDER BY … LIMIT k). Same
+    semigroup combiner as `grouped_topk` with a constant key: every
+    block shrinks to its local top-k BEFORE the exchange, so the single
+    reduce bucket sees ≤ blocks×k rows — never a full-table sort."""
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(sort_cols, ascending=ascending, kind="mergesort").head(k)
+        return out.assign(_g=np.int64(0))
+
+    combined = ds.map_batches(local_topk, batch_format="pandas")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+            .head(k)
+            .drop(columns=["_g"])
+        )
+
+    return bucketed_group_reduce(
+        combined, key_cols=["_g"], reduce_fn=reduce_fn, num_buckets=num_buckets
+    )
+
+
 def grouped_distinct_count(
     ds: "rd.Dataset",
     group_cols: list[str],

@@ -607,3 +607,218 @@ def corpus_freq_score(
         reduce_fn=doc_final,
         num_buckets=num_buckets,
     )
+
+
+def collocations(
+    docs: "rd.Dataset",
+    min_count: int = 5,
+    k: int = 50,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Top-``k`` adjacent-token bigram collocations ranked by the PMI
+    *ratio* P(ab)/(P(a)P(b)) = c_ab·N / (c_a·c_b) — the standard
+    corpus-linguistics collocation extractor (log-PMI is monotone in
+    this ratio, so the ranking is identical while the score stays a
+    RATIONAL number: an int64 product cast to double divided by an
+    int64 product cast to double is correctly rounded identically in
+    every IEEE engine, which makes the output hash-exact against the
+    SQL oracle with no libm dependence).
+
+    Output: (a, b, c_ab, ratio), ratio DESC / a / b order, c_ab ≥
+    ``min_count``.
+
+    Scale shape: bigram and unigram counts are combiner-reduced before
+    their (pair- resp. vocab-keyed) exchanges; the unigram table is
+    vocab-bounded and materialized once (reused by two joins + the
+    total); the two count-attach joins go through `hash_join`'s auto
+    broadcast-vs-shuffle; the final global top-k is a `grouped_topk`
+    with a constant key, so only ≤ blocks×k local survivors reach the
+    single reduce bucket. Nothing heavier than count rows rides any
+    exchange.
+    """
+    import pandas as pd_
+
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_topk
+
+    toks = docs.select_columns(["text"])
+
+    def bigram_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        ls = d["text"].str.lower().str.findall(_WORD_RE)
+        a = ls.map(lambda l: l[:-1]).explode().dropna()
+        b = ls.map(lambda l: l[1:]).explode().dropna()
+        vc = (
+            pd_.DataFrame({"a": a.to_numpy(), "b": b.to_numpy()})
+            .groupby(["a", "b"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "c_ab"})
+        )
+        vc["c_ab"] = vc["c_ab"].astype("int64")
+        return vc
+
+    def bigram_sum(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False, sort=False)["c_ab"].sum()
+        out = out[out["c_ab"] >= min_count].copy()
+        out["c_ab"] = out["c_ab"].astype("int64")
+        return out
+
+    pairs = bucketed_group_reduce(
+        toks.map_batches(bigram_partial, batch_format="pandas"),
+        key_cols=["a", "b"],
+        reduce_fn=bigram_sum,
+        num_buckets=num_buckets,
+    )
+
+    def uni_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        t = d["text"].str.lower().str.findall(_WORD_RE).explode().dropna()
+        vc = t.value_counts()
+        return pd_.DataFrame(
+            {"token": vc.index.astype(str), "c": vc.to_numpy(dtype="int64")}
+        )
+
+    def uni_sum(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby("token", as_index=False, sort=False)["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    # vocab-bounded: reused by two joins and the N-total aggregate
+    uni = bucketed_group_reduce(
+        toks.map_batches(uni_partial, batch_format="pandas"),
+        key_cols=["token"],
+        reduce_fn=uni_sum,
+        num_buckets=num_buckets,
+    ).materialize()
+    n_total = int(uni.sum("c"))
+
+    ua = uni.map_batches(
+        lambda d: d.rename(columns={"token": "a", "c": "c_a"}),
+        batch_format="pandas",
+    )
+    ub = uni.map_batches(
+        lambda d: d.rename(columns={"token": "b", "c": "c_b"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(
+        hash_join(pairs, ua, on="a", num_buckets=num_buckets),
+        ub,
+        on="b",
+        num_buckets=num_buckets,
+    )
+
+    def score(d: pd_.DataFrame) -> pd_.DataFrame:
+        c_ab = d["c_ab"].to_numpy(dtype=np.int64)
+        c_a = d["c_a"].to_numpy(dtype=np.int64)
+        c_b = d["c_b"].to_numpy(dtype=np.int64)
+        # exact int64 products cast to double — identical to the SQL
+        # oracle's BIGINT arithmetic; fail loudly on overflow instead
+        # of silently wrapping (same guard pattern as jaccard_pairs)
+        if len(c_ab) and (
+            c_ab.max() > (2**63 - 1) // max(n_total, 1)
+            or (c_a.astype(np.float64) * c_b.astype(np.float64)).max() > 2**62
+        ):
+            raise ValueError(
+                "collocations: count product exceeds int64 — rescale counts"
+            )
+        num = c_ab * np.int64(n_total)
+        den = c_a * c_b
+        ratio = num.astype(np.float64) / den.astype(np.float64)
+        return d.assign(ratio=ratio)[["a", "b", "c_ab", "ratio"]]
+
+    scored = joined.map_batches(score, batch_format="pandas")
+    return global_topk(
+        scored,
+        sort_cols=["ratio", "a", "b"],
+        ascending=[False, True, True],
+        k=k,
+        num_buckets=num_buckets,
+    )
+
+
+def bm25_topk(
+    docs: "rd.Dataset",
+    terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Top-``k`` documents by BM25 against a fixed ``terms`` query,
+    using the LOG-FREE idf variant idf(t) = (N − df + 0.5)/(df + 0.5)
+    (monotone in the standard Robertson–Sparck-Jones idf, so the doc
+    ranking for a single-term query is identical; chosen because every
+    remaining operation is IEEE +,−,×,÷ — each correctly rounded — so
+    the engine and the SQL oracle produce BIT-IDENTICAL doubles when
+    they sequence the operations identically, with no libm log() in
+    the path).
+
+    score(d) = Σ_t idf(t) · (tf·(k1+1)) / (tf + k1·(0.25 + 0.75·dl/avgdl))
+    summed in fixed ``terms`` order (left-associated, mirrored by the
+    oracle — float addition is not associative). Docs with score 0 are
+    dropped. Output: (doc_id, score), score DESC / doc_id order.
+
+    Scale shape: ONE exchange-free tokenize pass emits a fixed-width
+    per-doc stats row (dl + one tf column per query term); the corpus
+    scalars (N, avgdl, per-term df) come from a constant-size partial
+    → single-bucket reduce (the only driver pull is that one row); the
+    scoring pass recomputes the stats stream (cheaper than
+    materializing a per-doc table at corpus scale — same recompute
+    rationale as `top_terms`) and the global top-k ships ≤ blocks×k
+    survivor rows.
+    """
+    import pandas as pd_
+
+    from kgflow.ops.shuffle import global_topk
+
+    terms = tuple(terms)
+    tf_cols = [f"tf{i}" for i in range(len(terms))]
+
+    def stats(d: pd_.DataFrame) -> pd_.DataFrame:
+        d = d.reset_index(drop=True)  # positional np.add.at below
+        ls = d["text"].str.lower().str.findall(_WORD_RE)
+        out = pd_.DataFrame({"doc_id": d["doc_id"].to_numpy()})
+        out["dl"] = ls.map(len).to_numpy(dtype=np.int64)
+        toks = ls.explode().dropna()
+        idx = toks.index.to_numpy()
+        tok = toks.to_numpy()
+        for i, t in enumerate(terms):
+            cnt = np.zeros(len(d), dtype=np.int64)
+            np.add.at(cnt, idx[tok == t], 1)
+            out[tf_cols[i]] = cnt
+        return out
+
+    stats_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pandas"
+    )
+
+    def scalar_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        row = {"n_docs": np.int64(len(d)), "sum_dl": d["dl"].sum()}
+        for c in tf_cols:
+            row[f"df_{c}"] = np.int64((d[c].to_numpy() > 0).sum())
+        return pd_.DataFrame([row])
+
+    parts = stats_ds.map_batches(scalar_partial, batch_format="pandas")
+    tot = parts.to_pandas().sum()  # ≤ one row per block — tiny
+    n_docs = int(tot["n_docs"])
+    avgdl = float(int(tot["sum_dl"])) / float(n_docs)
+    dfs = [int(tot[f"df_{c}"]) for c in tf_cols]
+
+    def score(d: pd_.DataFrame) -> pd_.DataFrame:
+        dl = d["dl"].to_numpy(dtype=np.float64)
+        denom_norm = k1 * (0.25 + 0.75 * (dl / avgdl))
+        s = np.zeros(len(d), dtype=np.float64)
+        # fixed left-associated term order — mirrored by the oracle
+        for c, df_t in zip(tf_cols, dfs):
+            tf = d[c].to_numpy(dtype=np.float64)
+            idf = (float(n_docs - df_t) + 0.5) / (float(df_t) + 0.5)
+            s = s + idf * (tf * (k1 + 1.0)) / (tf + denom_norm)
+        out = pd_.DataFrame({"doc_id": d["doc_id"].to_numpy(), "score": s})
+        return out[out["score"] > 0.0]
+
+    scored = stats_ds.map_batches(score, batch_format="pandas")
+    return global_topk(
+        scored,
+        sort_cols=["score", "doc_id"],
+        ascending=[False, True],
+        k=k,
+        num_buckets=num_buckets,
+    )

@@ -1,0 +1,130 @@
+"""Wave-7 operator tests: global top-k combiner, ordered collect
+truncation, MAD outliers on planted anomalies, collocation/BM25 edge
+semantics (the full-corpus parity vs DuckDB is in test_entry.py via
+oracle_sql auto-parametrization)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_global_topk_matches_sorted_head_across_blocks():
+    from kgflow.ops.shuffle import global_topk
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {"x": rng.randint(0, 50, size=2000), "id": np.arange(2000, dtype=np.int64)}
+    )
+    ds = rd.from_pandas(df).repartition(13)  # force multi-block combiner path
+    out = (
+        global_topk(ds, sort_cols=["x", "id"], ascending=[False, True], k=25)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["x", "id"], ascending=[False, True])
+        .head(25)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values(["x", "id"], ascending=[False, True]).reset_index(drop=True),
+        exp,
+    )
+
+
+def test_ordered_collect_orders_and_truncates():
+    from kgflow.ops.relational import ordered_collect
+
+    # group 1: 5 items shuffled across blocks; group 2: exceeds max_items
+    rows = []
+    for i in range(5):
+        rows.append({"g": 1, "o": 5 - i, "id": i, "v": f"a{5 - i}"})
+    for i in range(8):
+        rows.append({"g": 2, "o": i, "id": i, "v": f"b{i}"})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = rd.from_pandas(df).repartition(4)
+    out = (
+        ordered_collect(ds, "g", ["o", "id"], "v", sep=">", max_items=3)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "n_events"] == 5
+    assert out.loc[0, "path"] == "a1>a2>a3"  # sorted by o, truncated at 3
+    assert out.loc[1, "n_events"] == 8
+    assert out.loc[1, "path"] == "b0>b1>b2"
+
+
+def test_mad_outliers_flags_planted_anomalies_only():
+    from kgflow.ops.profile import mad_outliers
+
+    rng = np.random.RandomState(5)
+    base = np.round(rng.normal(50.0, 2.0, size=1000), 2)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(1004, dtype=np.int64),
+            "event_type": ["a"] * 1000 + ["a"] * 2 + ["b"] * 2,
+            "value": np.concatenate([base, [500.0, -400.0], [1.0, 1.0]]),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    out = mad_outliers(ds, ["event_type"], "value", k=3.0).to_pandas()
+    flagged = set(out["event_id"].tolist())
+    assert {1000, 1001} <= flagged  # the planted a-group anomalies
+    # group b is constant → median = value, MAD = 0, 0 > 0 is false
+    assert not any(e in flagged for e in (1002, 1003))
+    # 3·MAD ≈ 2.02σ for a normal → ~4.6% two-sided tail of the 1000
+    # a-group rows flags; allow that plus slack, reject gross blowups
+    assert len(flagged) <= 2 + 80
+
+
+def test_collocations_min_count_and_rational_ratio():
+    from kgflow.ops.text import collocations
+
+    # "x y" appears 6×, "y z" 2× (below min_count); vocabulary tiny so
+    # the exact ratio is checkable by hand
+    texts = ["x y"] * 6 + ["y z"] * 2
+    df = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64), "text": texts})
+    out = (
+        collocations(rd.from_pandas(df).repartition(3), min_count=5, k=10)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    # N = 16 tokens; c_xy=6, c_x=6, c_y=8 → ratio = 6*16/(6*8) = 2.0
+    assert (r["a"], r["b"], r["c_ab"]) == ("x", "y", 6)
+    assert r["ratio"] == 2.0
+
+
+def test_bm25_zero_hit_docs_dropped_and_df_term_ranks_higher():
+    from kgflow.ops.text import bm25_topk
+
+    # doc 0 mentions the rare term, doc 1 the common one, doc 2 neither
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": [
+                "rare filler filler filler",
+                "common filler filler filler",
+                "filler filler filler filler",
+            ],
+        }
+    )
+    # 'common' also appears in a fourth doc → higher df → lower idf
+    df = pd.concat(
+        [df, pd.DataFrame({"doc_id": [3], "text": ["common pad pad pad"]})],
+        ignore_index=True,
+    )
+    out = bm25_topk(
+        rd.from_pandas(df).repartition(2), ("rare", "common"), k=10
+    ).to_pandas()
+    assert set(out["doc_id"]) == {0, 1, 3}  # doc 2 has score 0 → dropped
+    top = out.sort_values(["score", "doc_id"], ascending=[False, True]).iloc[0]
+    assert top["doc_id"] == 0  # rare term outranks common at equal tf/dl

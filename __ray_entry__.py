@@ -372,6 +372,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mad_outliers(ev, ["event_type"], "value", k=3.0)
 
+    def events_funnel(sf_dir: str):
+        """Oracle-checked: sequential view→click→purchase conversion
+        funnel (min-timestamp chaining with (ts, event_id) total-order
+        tiebreaks), over the value>60 event slice so the step counts
+        actually discriminate (148 > 139 > 119 at sf0.01 — the
+        non-vacuous-oracle rule)."""
+        import os as _os
+
+        import pyarrow.compute as _pc
+
+        from kgflow.ops.window import funnel_counts
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type", "value"],
+        )
+
+        def thin(batch):
+            out = batch.filter(_pc.greater(batch.column("value"), 60.0))
+            return out.select(["user_id", "ts", "event_id", "event_type"])
+
+        ev = ev.map_batches(thin, batch_format="pyarrow")
+        return funnel_counts(ev, ["view", "click", "purchase"])
+
+    def events_cohorts(sf_dir: str):
+        """Oracle-checked: weekly cohort retention triangle — users
+        cohorted by the Monday week of their first event; integer-exact
+        week arithmetic (floor_temporal ≙ date_trunc('week'), //7)."""
+        import os as _os
+
+        from kgflow.ops.window import cohort_retention
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+        )
+        return cohort_retention(ev)
+
     def doc_pii_redact(sf_dir: str):
         """Oracle-checked: PII redaction (email/IP/phone → typed
         placeholders) with deterministically PLANTED PII on engine AND
@@ -1320,6 +1359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": doc_bm25,
         "events_user_paths": events_user_paths,
         "events_outliers": events_outliers,
+        "events_funnel": events_funnel,
+        "events_cohorts": events_cohorts,
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
         "doc_contamination": doc_contamination,
@@ -1525,6 +1566,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.event_type, d.value
             FROM dev d JOIN mad m USING(event_type)
             WHERE d.dv > 3.0e0 * m.mad
+        """,
+        # strictly-after uses the (ts, event_id) total order on both
+        # sides; the value>60 slice keeps the step counts non-vacuous
+        "events_funnel": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type FROM events
+              WHERE value > 60.0e0
+            ),
+            s1 AS (
+              SELECT user_id, ts AS t, event_id AS i FROM (
+                SELECT user_id, ts, event_id,
+                       row_number() OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM e WHERE event_type = 'view') WHERE rn = 1
+            ),
+            s2 AS (
+              SELECT user_id, ts AS t, event_id AS i FROM (
+                SELECT e.user_id, e.ts, e.event_id,
+                       row_number() OVER (
+                         PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+                FROM e JOIN s1 USING(user_id)
+                WHERE e.event_type = 'click'
+                  AND (e.ts > s1.t OR (e.ts = s1.t AND e.event_id > s1.i))
+              ) WHERE rn = 1
+            ),
+            s3 AS (
+              SELECT user_id, ts AS t, event_id AS i FROM (
+                SELECT e.user_id, e.ts, e.event_id,
+                       row_number() OVER (
+                         PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+                FROM e JOIN s2 USING(user_id)
+                WHERE e.event_type = 'purchase'
+                  AND (e.ts > s2.t OR (e.ts = s2.t AND e.event_id > s2.i))
+              ) WHERE rn = 1
+            )
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+                     count(*) AS n_users FROM s1
+              UNION ALL SELECT 2, 'click', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+            )
+        """,
+        "events_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events
+            ), coh AS (
+              SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1
+            )
+            SELECT c.cohort_week,
+                   date_diff('day', c.cohort_week, a.week) // 7 AS week_no,
+                   count(*) AS n_users
+            FROM act a JOIN coh c USING(user_id)
+            GROUP BY 1, 2
         """,
         "doc_fingerprint": """
             SELECT doc_id, md5(text) AS fp FROM documents

@@ -706,3 +706,166 @@ def merge_intervals(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def funnel_counts(
+    events: "rd.Dataset",
+    steps: list[str],
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """Sequential conversion funnel: how many users performed
+    steps[0], then steps[1] STRICTLY AFTER their first steps[0], then
+    steps[2] strictly after that first qualifying steps[1], … (the
+    classic min-timestamp-chaining funnel). Returns the tiny
+    (step_no, step, n_users) summary frame — one row per step.
+
+    Scale shape: each stage is (vectorized type filter) → attach the
+    previous stage's first-qualifying timestamp via `hash_join`
+    (user-bounded right side, auto broadcast-vs-shuffle) → strict-after
+    filter → per-user MIN through ONE user-keyed bucketed reduce with
+    a per-block min combiner. The stage frontier (user, t) is
+    user-bounded and materialized so the next join's size probe and the
+    count reuse its blocks; the raw event stream is never materialized.
+    Ties on ts break by event id, so "strictly after" is a total-order
+    comparison on (ts, id) — deterministic under equal timestamps.
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def first_per_user(ds: "rd.Dataset") -> "rd.Dataset":
+        def combiner(d: pd.DataFrame) -> pd.DataFrame:
+            return (
+                d.sort_values([user_col, ts_col, id_col], kind="mergesort")
+                .groupby(user_col, as_index=False, sort=False)
+                .first()
+            )
+
+        return bucketed_group_reduce(
+            ds.map_batches(combiner, batch_format="pandas"),
+            key_cols=[user_col],
+            reduce_fn=combiner,
+            num_buckets=num_buckets,
+        )
+
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    def type_filter(step: str):
+        def f(batch: "pa.Table") -> "pa.Table":
+            out = batch.filter(pc_.equal(batch.column(type_col), step))
+            return out.select([user_col, ts_col, id_col])
+
+        return f
+
+    rows = []
+    cur = None  # (user_col, _t, _i): first qualifying event of the prior step
+    for step_no, step in enumerate(steps, start=1):
+        ev = events.select_columns(
+            [user_col, ts_col, id_col, type_col]
+        ).map_batches(type_filter(step), batch_format="pyarrow")
+        if cur is not None:
+            ev = hash_join(ev, cur, on=user_col, num_buckets=num_buckets)
+
+            def after(d: pd.DataFrame) -> pd.DataFrame:
+                ts = d[ts_col]
+                keep = (ts > d["_t"]) | ((ts == d["_t"]) & (d[id_col] > d["_i"]))
+                return d.loc[keep, [user_col, ts_col, id_col]]
+
+            ev = ev.map_batches(after, batch_format="pandas")
+        cur = first_per_user(ev).map_batches(
+            lambda d: d.rename(columns={ts_col: "_t", id_col: "_i"}),
+            batch_format="pandas",
+        ).materialize()  # user-bounded frontier, reused by join + count
+        rows.append(
+            {"step_no": np.int64(step_no), "step": step, "n_users": np.int64(cur.count())}
+        )
+    return pd.DataFrame(rows)
+
+
+def cohort_retention(
+    events: "rd.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Weekly cohort retention: users are cohorted by the Monday-start
+    week of their FIRST event; the output counts, for every
+    (cohort_week, week_no) cell, how many of that cohort's users were
+    active week_no weeks after their cohort week — the standard
+    retention triangle.
+
+    Scale shape: (user, week) activity pairs are deduped with a
+    per-block drop_duplicates combiner before ONE user-week-keyed
+    exchange; the per-user MIN cohort week rides a second user-keyed
+    reduce (user-bounded output, materialized for the join probe); the
+    cohort attach is `hash_join` auto broadcast-vs-shuffle; the final
+    (cohort_week, week_no) count is combiner-reduced. Week arithmetic
+    is integer-exact (truncated timestamps differ by whole days; //7),
+    so the oracle comparison has no float in it.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def add_week(batch: "pa.Table") -> "pa.Table":
+        w = pc_.floor_temporal(batch.column(ts_col), unit="week")
+        return pa.table({user_col: batch.column(user_col), "week": w})
+
+    weekly = events.select_columns([user_col, ts_col]).map_batches(
+        add_week, batch_format="pyarrow"
+    )
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates([user_col, "week"])
+
+    act = bucketed_group_reduce(
+        weekly.map_batches(dedup, batch_format="pandas"),
+        key_cols=[user_col, "week"],
+        reduce_fn=dedup,
+        num_buckets=num_buckets,
+    )
+
+    def min_week_partial(d: pd.DataFrame) -> pd.DataFrame:
+        out = d.groupby(user_col, as_index=False)["week"].min()
+        return out.rename(columns={"week": "cohort_week"})
+
+    def min_week_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(user_col, as_index=False)["cohort_week"].min()
+
+    cohort = bucketed_group_reduce(
+        act.map_batches(min_week_partial, batch_format="pandas"),
+        key_cols=[user_col],
+        reduce_fn=min_week_final,
+        num_buckets=num_buckets,
+    ).materialize()  # user-bounded; reused by the join's size probe
+
+    joined = hash_join(act, cohort, on=user_col, num_buckets=num_buckets)
+
+    def cell_partial(d: pd.DataFrame) -> pd.DataFrame:
+        wn = ((d["week"] - d["cohort_week"]).dt.days // 7).astype("int64")
+        out = (
+            d.assign(week_no=wn)
+            .groupby(["cohort_week", "week_no"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    def cell_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["cohort_week", "week_no"], as_index=False)["n_users"].sum()
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        joined.map_batches(cell_partial, batch_format="pandas"),
+        key_cols=["cohort_week", "week_no"],
+        reduce_fn=cell_sum,
+        num_buckets=num_buckets,
+    )

@@ -128,3 +128,50 @@ def test_bm25_zero_hit_docs_dropped_and_df_term_ranks_higher():
     assert set(out["doc_id"]) == {0, 1, 3}  # doc 2 has score 0 → dropped
     top = out.sort_values(["score", "doc_id"], ascending=[False, True]).iloc[0]
     assert top["doc_id"] == 0  # rare term outranks common at equal tf/dl
+
+
+def test_funnel_requires_strict_order():
+    from kgflow.ops.window import funnel_counts
+
+    # user 1: A then B (converts); user 2: B then A (step 2 NOT reached
+    # by the pre-A B, but a later B is absent → stops at step 1);
+    # user 3: A only; user 4: A and B at the SAME ts — event_id breaks
+    # the tie (B's id is higher → counts)
+    t = pd.Timestamp("2024-01-01")
+    h = pd.Timedelta(hours=1)
+    df = pd.DataFrame(
+        [
+            (1, t, 1, "A"), (1, t + h, 2, "B"),
+            (2, t, 3, "B"), (2, t + h, 4, "A"),
+            (3, t, 5, "A"),
+            (4, t, 6, "A"), (4, t, 7, "B"),
+        ],
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = funnel_counts(rd.from_pandas(df).repartition(3), ["A", "B"])
+    got = dict(zip(out["step"], out["n_users"]))
+    assert got == {"A": 4, "B": 2}  # users 1 and 4 convert
+
+
+def test_cohort_retention_triangle():
+    from kgflow.ops.window import cohort_retention
+
+    # user 1 first active week 0, active weeks 0 and 2;
+    # user 2 first active week 1, active week 1 only (two events,
+    # deduped to one (user, week) pair)
+    w0 = pd.Timestamp("2024-01-01")  # a Monday
+    wk = pd.Timedelta(days=7)
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "ts": [w0 + pd.Timedelta(days=2), w0 + 2 * wk, w0 + wk, w0 + wk + pd.Timedelta(hours=5)],
+        }
+    )
+    out = (
+        cohort_retention(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_no"])
+        .reset_index(drop=True)
+    )
+    rows = {(r.cohort_week, int(r.week_no)): int(r.n_users) for r in out.itertuples()}
+    assert rows == {(w0, 0): 1, (w0, 2): 1, (w0 + wk, 0): 1}

@@ -372,6 +372,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mad_outliers(ev, ["event_type"], "value", k=3.0)
 
+    def events_triangles(sf_dir: str):
+        """Oracle-checked: exact triangle count of the user co-activity
+        graph (edge = two users active in the same (event_type, hour)
+        cell) — degree-oriented wedge join, each triangle counted
+        once. Non-vacuous: the hour graph is NOT the complete graph
+        (7,788 of 11,175 possible edges at sf0.01)."""
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from kgflow.ops.graph import cooccurrence_edges, triangle_count
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts"],
+        )
+
+        def add_hour(batch: "_pa.Table") -> "_pa.Table":
+            w = _pc.floor_temporal(batch.column("ts"), unit="hour")
+            return _pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "event_type": batch.column("event_type"),
+                    "w": w,
+                }
+            )
+
+        cells = ev.map_batches(add_hour, batch_format="pyarrow")
+        edges = cooccurrence_edges(cells, "user_id", ["event_type", "w"])
+        return triangle_count(edges)
+
+    def doc_inverted_index(sf_dir: str):
+        """Oracle-checked: inverted index — per token, document
+        frequency + the first 20 ascending posting doc_ids (bounded row
+        size even for web-scale stop-tokens)."""
+        from kgflow.ops.text import inverted_index
+
+        return inverted_index(_docs(sf_dir), max_postings=20)
+
     def events_funnel(sf_dir: str):
         """Oracle-checked: sequential view→click→purchase conversion
         funnel (min-timestamp chaining with (ts, event_id) total-order
@@ -1361,6 +1402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": events_outliers,
         "events_funnel": events_funnel,
         "events_cohorts": events_cohorts,
+        "doc_inverted_index": doc_inverted_index,
+        "events_triangles": events_triangles,
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
         "doc_contamination": doc_contamination,
@@ -1566,6 +1609,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.event_type, d.value
             FROM dev d JOIN mad m USING(event_type)
             WHERE d.dv > 3.0e0 * m.mad
+        """,
+        "events_triangles": """
+            WITH cells AS (
+              SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS w
+              FROM events
+            ), e AS (
+              SELECT DISTINCT c1.user_id AS u, c2.user_id AS v
+              FROM cells c1 JOIN cells c2
+                ON c1.event_type = c2.event_type AND c1.w = c2.w
+               AND c1.user_id < c2.user_id
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        "doc_inverted_index": r"""
+            WITH tf AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ), pairs AS (
+              SELECT DISTINCT doc_id, token FROM tf
+            )
+            SELECT token, count(*) AS df,
+                   array_to_string(
+                     list_slice(
+                       list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), 1, 20),
+                     ',') AS postings
+            FROM pairs GROUP BY token
         """,
         # strictly-after uses the (ts, event_id) total order on both
         # sides; the value>60 slice keeps the step counts non-vacuous

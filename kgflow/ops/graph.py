@@ -165,3 +165,159 @@ def pagerank(
     return state.map_batches(
         lambda df: df[["node", "rank"]], batch_format="pandas"
     )
+
+
+def cooccurrence_edges(
+    ds: "rd.Dataset",
+    entity_col: str,
+    cell_cols: list[str],
+    max_cell: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Entity co-occurrence graph: an undirected edge (u, v), u < v,
+    for every pair of entities that share at least one cell (the
+    distinct ``cell_cols`` tuple) — the standard interaction-graph
+    builder (users co-active in the same hour, terms sharing a
+    document, …).
+
+    Scale shape: (entity, cell) pairs are deduped with a per-block
+    combiner before ONE cell-keyed exchange; pair generation runs as a
+    whole-bucket pandas self-merge (C kernel, no per-cell Python) and
+    is quadratic in the CELL size only — a cell over ``max_cell``
+    entities fails LOUDLY naming the cell (the LSH bucket-cap rule:
+    a hot cell means the cell definition is too coarse, and silently
+    emitting its n² pairs would OOM a worker at scale); the resulting
+    (u, v) candidates dedup through one pair-keyed exchange.
+    """
+
+    cols = [entity_col, *cell_cols]
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates(cols)
+
+    cells = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(dedup, batch_format="pandas"),
+        key_cols=cell_cols,
+        reduce_fn=dedup,
+        num_buckets=num_buckets,
+    )
+
+    def pairs(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=d[entity_col].dtype),
+                    "v": pd.Series([], dtype=d[entity_col].dtype),
+                }
+            )
+        sizes = d.groupby(cell_cols, sort=False)[entity_col].transform("size")
+        if int(sizes.max()) > max_cell:
+            hot = d.loc[sizes.idxmax(), cell_cols].to_dict()
+            raise ValueError(
+                f"cooccurrence_edges: cell {hot} has {int(sizes.max())} entities "
+                f"(max_cell={max_cell}); refine cell_cols or raise the cap"
+            )
+        m = d.merge(d, on=cell_cols, suffixes=("_a", "_b"))
+        ca, cb = f"{entity_col}_a", f"{entity_col}_b"
+        m = m.loc[m[ca] < m[cb], [ca, cb]].rename(columns={ca: "u", cb: "v"})
+        return m.drop_duplicates()
+
+    candidates = cells.map_batches(pairs, batch_format="pandas")
+    # a pair found in many cells must still appear once
+    def pair_dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates(["u", "v"])
+
+    return bucketed_group_reduce(
+        candidates.map_batches(pair_dedup, batch_format="pandas"),
+        key_cols=["u", "v"],
+        reduce_fn=pair_dedup,
+        num_buckets=num_buckets,
+    )
+
+
+def triangle_count(
+    edges: "rd.Dataset",
+    num_buckets: int | None = None,
+) -> "pd.DataFrame":
+    """EXACT global triangle count over an undirected (u, v) edge set
+    (u < v, distinct) — the classic degree-oriented wedge-join
+    algorithm (each triangle counted once).
+
+    Scale shape: degrees come from a per-block endpoint-count combiner
+    + one vertex-keyed reduce (V-bounded, materialized for the two
+    attach joins); every edge is then ORIENTED from its lower-
+    (degree, id) endpoint to the higher, which bounds any vertex's
+    out-degree by O(√E) on any graph — so the wedge set (out-neighbor
+    pairs per source, generated by a whole-bucket self-merge) is
+    O(E^1.5) worst-case instead of Σ deg², the standard arboricity
+    argument; wedges then probe the original edge set through ONE
+    co-partitioned (u, v)-keyed join, and matched rows fold to a
+    per-block count → scalar sum. Returns a one-row (n_triangles)
+    frame.
+    """
+
+    edges = edges.select_columns(["u", "v"])
+
+    def deg_partial(d: pd.DataFrame) -> pd.DataFrame:
+        x = pd.concat([d["u"], d["v"]], ignore_index=True)
+        vc = x.value_counts()
+        return pd.DataFrame({"x": vc.index, "deg": vc.to_numpy(dtype="int64")})
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("x", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    deg = bucketed_group_reduce(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        key_cols=["x"],
+        reduce_fn=deg_final,
+        num_buckets=num_buckets,
+    ).materialize()  # V-bounded; reused by both attach joins
+
+    du = deg.map_batches(
+        lambda d: d.rename(columns={"x": "u", "deg": "_du"}), batch_format="pandas"
+    )
+    dv = deg.map_batches(
+        lambda d: d.rename(columns={"x": "v", "deg": "_dv"}), batch_format="pandas"
+    )
+    with_deg = hash_join(
+        hash_join(edges, du, on="u", num_buckets=num_buckets),
+        dv,
+        on="v",
+        num_buckets=num_buckets,
+    )
+
+    def orient(d: pd.DataFrame) -> pd.DataFrame:
+        # direct from lower (deg, id) to higher — total order, no ties
+        u_first = (d["_du"] < d["_dv"]) | ((d["_du"] == d["_dv"]) & (d["u"] < d["v"]))
+        src = d["u"].where(u_first, d["v"])
+        dst = d["v"].where(u_first, d["u"])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    directed = with_deg.map_batches(orient, batch_format="pandas")
+
+    def wedges(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=d["dst"].dtype),
+                    "v": pd.Series([], dtype=d["dst"].dtype),
+                }
+            )
+        m = d.merge(d, on="src", suffixes=("_a", "_b"))
+        m = m.loc[m["dst_a"] < m["dst_b"], ["dst_a", "dst_b"]]
+        return m.rename(columns={"dst_a": "u", "dst_b": "v"})
+
+    wedge_ds = bucketed_group_reduce(
+        directed, key_cols=["src"], reduce_fn=wedges, num_buckets=num_buckets
+    )
+
+    closed = hash_join(
+        wedge_ds,
+        edges.map_batches(lambda d: d.assign(_e=np.int64(1)), batch_format="pandas"),
+        on=["u", "v"],
+        num_buckets=num_buckets,
+    )
+    n = int(closed.count())
+    return pd.DataFrame([{"n_triangles": np.int64(n)}])

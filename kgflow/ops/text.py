@@ -822,3 +822,55 @@ def bm25_topk(
         k=k,
         num_buckets=num_buckets,
     )
+
+
+def inverted_index(
+    docs: "rd.Dataset",
+    max_postings: int = 20,
+    min_df: int = 1,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Search-engine inverted index: per token, its document frequency
+    and the FIRST ``max_postings`` posting doc_ids in ascending order
+    (comma-joined string — bounded row size for hot stop-tokens; the
+    full postings of a web-scale stopword would be a one-row gigabyte).
+
+    Output: (token, df, postings).
+
+    Scale shape: `doc_term_freqs` is exchange-free (one doc per row);
+    distinct (token, doc_id) postings then ride ONE token-keyed
+    exchange where each bucket computes df (exact, from all postings)
+    and the truncated sorted posting string in whole-bucket vectorized
+    kernels. A per-block combiner cannot shrink the df count (distinct
+    doc_ids must meet once) but per-block `drop_duplicates` already
+    holds: (doc, token) pairs are unique by construction upstream.
+    """
+    import pandas as pd_
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    tf = doc_term_freqs(docs)  # (doc_id, token, tf) — unique pairs
+
+    def reduce_fn(g: pd_.DataFrame) -> pd_.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        grp = g.groupby("token", sort=False)
+        df_ = grp.size().rename("df")
+        head = g.loc[grp.cumcount() < max_postings]
+        postings = (
+            head.assign(_s=head["doc_id"].astype(str))
+            .groupby("token", sort=False)["_s"]
+            .agg(",".join)
+            .rename("postings")
+        )
+        out = pd_.concat([df_, postings], axis=1).reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out[out["df"] >= min_df]
+
+    return bucketed_group_reduce(
+        tf.map_batches(
+            lambda d: d[["token", "doc_id"]], batch_format="pandas"
+        ),
+        key_cols=["token"],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

@@ -175,3 +175,40 @@ def test_cohort_retention_triangle():
     )
     rows = {(r.cohort_week, int(r.week_no)): int(r.n_users) for r in out.itertuples()}
     assert rows == {(w0, 0): 1, (w0, 2): 1, (w0 + wk, 0): 1}
+
+
+def test_triangle_count_known_graph():
+    from kgflow.ops.graph import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles) + dangling edge (3,9) + isolated
+    # edge (10,11): total 4
+    import itertools
+
+    e = list(itertools.combinations(range(4), 2)) + [(3, 9), (10, 11)]
+    df = pd.DataFrame(e, columns=["u", "v"]).astype("int64")
+    out = triangle_count(rd.from_pandas(df).repartition(3))
+    assert out.iloc[0]["n_triangles"] == 4
+
+
+def test_cooccurrence_edges_and_hot_cell_guard():
+    from kgflow.ops.graph import cooccurrence_edges
+
+    df = pd.DataFrame(
+        {
+            "who": [1, 2, 3, 1, 2, 1],
+            "cell": ["a", "a", "a", "b", "b", "c"],
+        }
+    )
+    out = (
+        cooccurrence_edges(rd.from_pandas(df).repartition(2), "who", ["cell"])
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    # cell a: (1,2),(1,3),(2,3); cell b adds nothing new beyond (1,2)
+    assert [tuple(r) for r in out.to_numpy()] == [(1, 2), (1, 3), (2, 3)]
+
+    with pytest.raises(Exception, match="max_cell"):
+        cooccurrence_edges(
+            rd.from_pandas(df), "who", ["cell"], max_cell=2
+        ).materialize()

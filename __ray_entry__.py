@@ -372,6 +372,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mad_outliers(ev, ["event_type"], "value", k=3.0)
 
+    def doc_diversity(sf_dir: str):
+        """Oracle-checked: per-doc Simpson lexical concentration
+        Σtf²/n² — exact int64 moments, ONE correctly-rounded double
+        division (the rational cousin of entropy; exchange-free)."""
+        from kgflow.ops.text import simpson_diversity
+
+        return simpson_diversity(_docs(sf_dir))
+
+    def events_path_trigrams(sf_dir: str):
+        """Oracle-checked: top-25 most frequent consecutive 3-step
+        event sequences across per-user ordered streams — sequence
+        mining via one user-keyed exchange + shifted-array gram masks,
+        then a count reduce and the global_topk semigroup."""
+        import os as _os
+
+        from kgflow.ops.window import path_ngrams
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return path_ngrams(ev, n=3, k=25)
+
     def events_triangles(sf_dir: str):
         """Oracle-checked: exact triangle count of the user co-activity
         graph (edge = two users active in the same (event_type, hour)
@@ -1404,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": events_cohorts,
         "doc_inverted_index": doc_inverted_index,
         "events_triangles": events_triangles,
+        "doc_diversity": doc_diversity,
+        "events_path_trigrams": events_path_trigrams,
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
         "doc_contamination": doc_contamination,
@@ -1609,6 +1635,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_id, d.event_type, d.value
             FROM dev d JOIN mad m USING(event_type)
             WHERE d.dv > 3.0e0 * m.mad
+        """,
+        # Σtf² and n² are exact int64 on the engine side and exact
+        # HUGEINT sums here; the one double division rounds identically
+        "doc_diversity": r"""
+            WITH tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\w+')) AS token
+                FROM documents
+              ) GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(tf*tf) AS DOUBLE)
+                     / CAST(sum(tf)*sum(tf) AS DOUBLE) AS simpson
+            FROM tf GROUP BY doc_id
+        """,
+        "events_path_trigrams": """
+            WITH seq AS (
+              SELECT user_id,
+                     list(event_type ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id
+            ), tg AS (
+              SELECT unnest(list_transform(range(1, len(l)-1), i -> l[i]))   AS g0,
+                     unnest(list_transform(range(1, len(l)-1), i -> l[i+1])) AS g1,
+                     unnest(list_transform(range(1, len(l)-1), i -> l[i+2])) AS g2
+              FROM seq
+            )
+            SELECT g0, g1, g2, count(*) AS cnt FROM tg
+            GROUP BY 1, 2, 3
+            ORDER BY cnt DESC, g0, g1, g2 LIMIT 25
         """,
         "events_triangles": """
             WITH cells AS (

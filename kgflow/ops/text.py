@@ -874,3 +874,48 @@ def inverted_index(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def simpson_diversity(docs: "rd.Dataset") -> "rd.Dataset":
+    """Per-document lexical diversity: Simpson concentration index
+    Σ tf² / n² (the repeated-token probability — 1/types for a
+    uniform doc, →1 for a one-token loop; the rational cousin of
+    token entropy, chosen because Σtf² and n² are exact int64 and the
+    single double division is correctly rounded identically in every
+    IEEE engine — hash-exact with no libm log()).
+
+    Output: (doc_id, n_tokens, simpson). Exchange-FREE: a document is
+    one row, so the per-batch tokenize + groupby is globally exact.
+    """
+    import pandas as pd_
+
+    def f(d: pd_.DataFrame) -> pd_.DataFrame:
+        toks = (
+            d.set_index("doc_id")["text"].str.lower().str.findall(_WORD_RE).explode().dropna()
+        )
+        tf = (
+            toks.rename("token")
+            .reset_index()
+            .groupby(["doc_id", "token"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        agg = tf.assign(sq=tf["tf"].to_numpy(dtype=np.int64) ** 2).groupby(
+            "doc_id", as_index=False
+        ).agg(n_tokens=("tf", "sum"), sq=("sq", "sum"))
+        n = agg["n_tokens"].to_numpy(dtype=np.int64)
+        sq = agg["sq"].to_numpy(dtype=np.int64)
+        if len(n) and n.max() > 2**31:
+            raise ValueError("simpson_diversity: n² exceeds int64 — rescale")
+        return pd_.DataFrame(
+            {
+                "doc_id": agg["doc_id"],
+                "n_tokens": n,
+                "simpson": sq.astype(np.float64) / (n * n).astype(np.float64),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

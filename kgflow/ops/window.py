@@ -869,3 +869,77 @@ def cohort_retention(
         reduce_fn=cell_sum,
         num_buckets=num_buckets,
     )
+
+
+def path_ngrams(
+    events: "rd.Dataset",
+    n: int = 3,
+    k: int = 25,
+    group_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    val_col: str = "event_type",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Sequence mining: the top-``k`` most frequent length-``n``
+    CONSECUTIVE event subsequences across all per-key ordered event
+    streams (the "common user journey" query). Output columns
+    g0..g{n-1} (the gram) + count ``cnt``, (cnt DESC, gram ASC) order.
+
+    Scale shape: like `ordered_collect`, the per-key ordered stream
+    must co-locate once (order-dependence admits no pre-shrink
+    combiner), so the raw (key, order, val) rows ride ONE key-bucketed
+    exchange; inside a bucket ONE whole-bucket sort + shifted-array
+    masks emit every gram vectorized (key boundaries masked out — no
+    per-key Python), pre-counted per bucket before the (gram)-keyed
+    count reduce; the final global top-k is the `global_topk`
+    semigroup.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_topk
+
+    gcols = [f"g{i}" for i in range(n)]
+
+    def grams(d: pd.DataFrame) -> pd.DataFrame:
+        if len(d) < n:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in gcols}
+                | {"cnt": pd.Series([], dtype="int64")}
+            )
+        d = d.sort_values([group_col, *order_cols], kind="mergesort")
+        u = d[group_col].to_numpy()
+        v = d[val_col].to_numpy()
+        m = len(d) - (n - 1)
+        same = np.ones(m, dtype=bool)
+        for i in range(1, n):
+            same &= u[:m] == u[i : i + m]
+        cols = {f"g{i}": v[i : i + m][same] for i in range(n)}
+        out = (
+            pd.DataFrame(cols)
+            .groupby(gcols, as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    per_key = bucketed_group_reduce(
+        events.select_columns([group_col, *order_cols, val_col]),
+        key_cols=[group_col],
+        reduce_fn=grams,
+        num_buckets=num_buckets,
+    )
+
+    def cnt_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(gcols, as_index=False)["cnt"].sum()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    counts = bucketed_group_reduce(
+        per_key, key_cols=gcols, reduce_fn=cnt_sum, num_buckets=num_buckets
+    )
+    return global_topk(
+        counts,
+        sort_cols=["cnt", *gcols],
+        ascending=[False] + [True] * n,
+        k=k,
+        num_buckets=num_buckets,
+    )

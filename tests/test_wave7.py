@@ -212,3 +212,49 @@ def test_cooccurrence_edges_and_hot_cell_guard():
         cooccurrence_edges(
             rd.from_pandas(df), "who", ["cell"], max_cell=2
         ).materialize()
+
+
+def test_path_ngrams_respects_user_boundaries():
+    from kgflow.ops.window import path_ngrams
+
+    # user 1: A B C A B C → (A,B,C)×2, (B,C,A)×1, (C,A,B)×1
+    # user 2: C A B → (C,A,B)×1 — and NO cross-user gram bridges
+    t = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = []
+    for i, e in enumerate("ABCABC"):
+        rows.append((1, t + i * s, i, e))
+    for i, e in enumerate("CAB"):
+        rows.append((2, t + i * s, 10 + i, e))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    out = (
+        path_ngrams(rd.from_pandas(df).repartition(3), n=3, k=10)
+        .to_pandas()
+        .sort_values(["cnt", "g0", "g1", "g2"], ascending=[False, True, True, True])
+        .reset_index(drop=True)
+    )
+    got = {(r.g0, r.g1, r.g2): int(r.cnt) for r in out.itertuples()}
+    assert got == {
+        ("A", "B", "C"): 2,
+        ("B", "C", "A"): 1,
+        ("C", "A", "B"): 2,
+    }
+
+
+def test_simpson_diversity_hand_values():
+    from kgflow.ops.text import simpson_diversity
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 1, 2], dtype=np.int64),
+            "text": ["a a a a", "a b c d", ""],
+        }
+    )
+    out = (
+        simpson_diversity(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "simpson"] == 1.0  # one token repeated: 16/16
+    assert out.loc[1, "simpson"] == 0.25  # uniform over 4: 4/16
+    assert 2 not in out.index  # zero-token doc absent (matches SQL)

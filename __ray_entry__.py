@@ -356,6 +356,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, "user_id", ["ts", "event_id"], "event_type", max_items=50
         )
 
+    def events_type_gini(sf_dir: str):
+        """Oracle-checked: per-user Gini impurity of the event-type
+        distribution — rational-exact (n² − Σc²)/n², int64 moments,
+        one correctly-rounded double division; combiner + ONE
+        user-keyed exchange of category-bounded count rows."""
+        import os as _os
+
+        from kgflow.ops.profile import grouped_gini
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        return grouped_gini(ev, "user_id", "event_type")
+
+    def events_mode_props(sf_dir: str):
+        """Oracle-checked: per-event-type mode of props with the
+        deterministic tie-break (max count, then lexicographically
+        smallest value) — grouped argmax as a combiner + one
+        exchange; the oracle uses a row_number() window with the
+        identical ordering."""
+        import os as _os
+
+        from kgflow.ops.profile import grouped_mode
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "props"],
+        )
+        return grouped_mode(ev, "event_type", "props")
+
     def events_outliers(sf_dir: str):
         """Oracle-checked: per-event-type robust outliers
         |v − median| > 3·MAD with EXACT nearest-rank median/MAD at
@@ -371,6 +404,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             columns=["event_id", "event_type", "value"],
         )
         return mad_outliers(ev, ["event_type"], "value", k=3.0)
+
+    def doc_readability(sf_dir: str):
+        """Oracle-checked: per-doc Flesch reading-ease — vowel-group
+        syllable heuristic, sentence floor 1, score computed in the
+        same left-to-right float64 order as the SQL e0 literals so the
+        doubles are bit-identical (no tolerance). Exchange-free."""
+        from kgflow.ops.text import flesch_scores
+
+        return flesch_scores(_docs(sf_dir))
 
     def doc_diversity(sf_dir: str):
         """Oracle-checked: per-doc Simpson lexical concentration
@@ -626,6 +668,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from kgflow.ops.dedup import jaccard_pairs
 
         return jaccard_pairs(_docs(sf_dir)).map_batches(
+            lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
+        )
+
+    def doc_containment(sf_dir: str):
+        """Oracle-checked (round-4): EXACT n-gram containment
+        (overlap-coefficient) self-join — |A∩B| / min(|A|,|B|) ≥ 0.8,
+        the quote/inclusion detector Jaccard structurally misses. The
+        query plants excerpt docs on BOTH sides (first 40 tokens of
+        every doc_id % 7 == 3 source plus five novel qa..qe{id} tokens,
+        ids offset +1e6 — the boilerplate planting pattern), so the
+        result contains pairs strictly between 0.8 and 1.0 whose true
+        Jaccard is ~0.35, i.e. the measure is exercised non-vacuously.
+        sim floor-scaled 1e4 on both sides."""
+        import re as _re
+
+        from kgflow.ops.dedup import containment_pairs
+
+        tok_re = _re.compile(r"\w+")
+
+        def plant(df):
+            df = df[["doc_id", "text"]]
+            src = df[df["doc_id"] % 7 == 3]
+            rows = []
+            for did, t in zip(src["doc_id"], src["text"]):
+                toks = tok_re.findall(t.lower())[:40]
+                toks += [f"q{c}{did}" for c in "abcde"]
+                rows.append((did + 1_000_000, " ".join(toks)))
+            import pandas as pd
+
+            exc = pd.DataFrame(rows, columns=["doc_id", "text"])
+            return pd.concat([df, exc], ignore_index=True)
+
+        planted = _docs(sf_dir).map_batches(plant, batch_format="pandas")
+        return containment_pairs(planted, threshold=0.8).map_batches(
             lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
         )
 
@@ -1424,11 +1500,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": doc_bm25,
         "events_user_paths": events_user_paths,
         "events_outliers": events_outliers,
+        "events_type_gini": events_type_gini,
+        "events_mode_props": events_mode_props,
         "events_funnel": events_funnel,
         "events_cohorts": events_cohorts,
         "doc_inverted_index": doc_inverted_index,
         "events_triangles": events_triangles,
         "doc_diversity": doc_diversity,
+        "doc_readability": doc_readability,
         "events_path_trigrams": events_path_trigrams,
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
@@ -1440,6 +1519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_jaccard_pairs": doc_jaccard_pairs,
+        "doc_containment": doc_containment,
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_dup_clusters": doc_dup_clusters,
         "ann_topk": ann_topk,
@@ -1618,6 +1698,30 @@ def oracle_sql() -> dict[str, str]:
                      '>') AS path
             FROM events GROUP BY user_id
         """,
+        "events_type_gini": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(sum(c)*sum(c) - sum(c*c) AS DOUBLE)
+                     / CAST(sum(c)*sum(c) AS DOUBLE) AS gini
+            FROM c GROUP BY user_id
+        """,
+        "events_mode_props": """
+            WITH c AS (
+              SELECT event_type, props, count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT event_type, props, c,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY c DESC, props ASC) AS rn
+              FROM c
+            )
+            SELECT event_type, props AS mode, c AS mode_count
+            FROM r WHERE rn = 1
+        """,
         "events_outliers": """
             WITH med AS (
               SELECT event_type,
@@ -1638,6 +1742,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Σtf² and n² are exact int64 on the engine side and exact
         # HUGEINT sums here; the one double division rounds identically
+        # e0 float literals force DOUBLE (not DECIMAL) arithmetic so
+        # DuckDB rounds identically to numpy; see the BM25 oracle note.
+        "doc_readability": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(greatest(
+                       len(regexp_extract_all(w, '[aeiouy]+')), 1
+                     ))::BIGINT AS n_syllables
+              FROM tok GROUP BY doc_id
+            ), sen AS (
+              SELECT doc_id,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')),
+                              1)::BIGINT AS n_sentences
+              FROM documents
+            )
+            SELECT a.doc_id, n_words, n_sentences, n_syllables,
+                   206.835e0
+                     - 1.015e0 * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+                     - 84.6e0 * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE)) AS flesch
+            FROM agg a JOIN sen s ON a.doc_id = s.doc_id
+        """,
         "doc_diversity": r"""
             WITH tf AS (
               SELECT doc_id, token, count(*)::BIGINT AS tf FROM (
@@ -1876,6 +2007,39 @@ def oracle_sql() -> dict[str, str]:
         # Same true-Jaccard predicate as doc_minhash_pairs; the engine
         # side here is the EXACT prefix-filter join, so the oracle
         # equivalence needs no recall argument.
+        # Same shingle pipeline as doc_jaccard_pairs, but the score is
+        # the overlap coefficient and the corpus gains planted excerpt
+        # docs (first-40-token prefix + 5 novel tokens, ids +1e6) so
+        # non-1.0 containment pairs exist. doc_id2 alias avoids DuckDB
+        # lateral-alias capture of the shifted id in the suffix tokens.
+        "doc_containment": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), exc AS (
+              SELECT doc_id + 1000000 AS doc_id2,
+                     list_concat(w[1:40],
+                       ['qa'||doc_id, 'qb'||doc_id, 'qc'||doc_id,
+                        'qd'||doc_id, 'qe'||doc_id]) AS w
+              FROM tok WHERE doc_id % 7 = 3
+            ), allw AS (
+              SELECT doc_id, w FROM tok
+              UNION ALL SELECT doc_id2 AS doc_id, w FROM exc
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM allw
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / least(len(a.s), len(b.s)) AS c
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, floor(c * 10000) / 10000 AS sim
+            FROM p WHERE c >= 0.8
+        """,
         "doc_jaccard_pairs": r"""
             WITH tok AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w

@@ -306,6 +306,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 2000,
     num_buckets: int | None = None,
+    measure: str = "jaccard",
 ) -> "rd.Dataset":
     """EXACT n-gram Jaccard self-join as a count-join (inverted-index
     sparse inner product): documents(doc_id, text) → ALL pairs
@@ -337,8 +338,20 @@ def jaccard_pairs(
 
     Pair keys are packed (doc_a << 32 | doc_b) for single-array
     np.unique combining — doc ids must be non-negative and < 2^32
-    (relabel upstream for wider id spaces)."""
+    (relabel upstream for wider id spaces).
+
+    ``measure="containment"`` reuses the identical exchange layout but
+    scores o / min(|A|, |B|) — the asymmetric overlap coefficient that
+    flags a small document quoted/embedded inside a larger one, which
+    Jaccard structurally misses (a 50-shingle doc fully contained in a
+    5000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). The
+    Jaccard length-ratio prune is UNSOUND for containment (any size
+    pair can reach containment 1), so that mode keeps every
+    within-shingle pair and leans on ``max_df`` alone."""
     from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if measure not in ("jaccard", "containment"):
+        raise ValueError(f"measure must be jaccard|containment, got {measure!r}")
 
     def postings(batch: pa.Table) -> pa.Table:
         cache: dict = {}
@@ -407,8 +420,9 @@ def jaccard_pairs(
             ids, sz = ids[keep_rows], sz[keep_rows]
         da, db = ids[i_idx], ids[j_idx]  # doc_id-sorted ⇒ da < db
         sa, sb = sz[i_idx], sz[j_idx]
-        keep = (sb >= threshold * sa) & (sa >= threshold * sb)
-        da, db, sa, sb = da[keep], db[keep], sa[keep], sb[keep]
+        if measure == "jaccard":
+            keep = (sb >= threshold * sa) & (sa >= threshold * sb)
+            da, db, sa, sb = da[keep], db[keep], sa[keep], sb[keep]
         key = (da.astype(np.uint64) << np.uint64(32)) | db.astype(np.uint64)
         uk, first, counts = np.unique(key, return_index=True, return_counts=True)
         return pd.DataFrame(
@@ -431,8 +445,11 @@ def jaccard_pairs(
         )
         sa = g["size_a"].to_numpy(dtype=np.int64)[first]
         sb = g["size_b"].to_numpy(dtype=np.int64)[first]
-        union = np.maximum(sa + sb - o, 1)
-        sim = o / union
+        if measure == "jaccard":
+            denom = np.maximum(sa + sb - o, 1)
+        else:  # containment: overlap coefficient o / min(|A|, |B|)
+            denom = np.maximum(np.minimum(sa, sb), 1)
+        sim = o / denom
         hit = sim >= threshold
         return pd.DataFrame(
             {
@@ -455,6 +472,29 @@ def jaccard_pairs(
         key_cols=["doc_a", "doc_b"],
         reduce_fn=finish,
         num_buckets=num_buckets,
+    )
+
+
+def containment_pairs(
+    docs: "rd.Dataset",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 2000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """EXACT n-gram containment self-join: (doc_a, doc_b, sim) with
+    overlap coefficient |A∩B| / min(|A|, |B|) ≥ threshold — the
+    quote/inclusion detector for web corpora (a page embedding another
+    page's paragraphs scores ~1.0 here while Jaccard stays near 0).
+    Same ids-only count-join exchange as ``jaccard_pairs``; see its
+    docstring for the layout and the ``max_df`` cap semantics."""
+    return jaccard_pairs(
+        docs,
+        k=k,
+        threshold=threshold,
+        max_df=max_df,
+        num_buckets=num_buckets,
+        measure="containment",
     )
 
 

@@ -359,3 +359,112 @@ def mad_outliers(
         return d.loc[keep].drop(columns=["_med", "_dev", "_mad"])
 
     return flagged.map_batches(pick, batch_format="pandas")
+
+
+def grouped_gini(
+    ds: "rd.Dataset",
+    key: str,
+    cat_col: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key Gini impurity of a categorical column's distribution:
+    gini = 1 − Σ_c (n_c/n)² = (n² − Σ n_c²) / n² — the rational-exact
+    diversity statistic (the entropy stand-in with no libm log(), so
+    the single double division is correctly rounded identically in
+    every IEEE engine; same trick as ``simpson_diversity``).
+
+    Output: (key, n_events, gini). Scale shape: each batch shrinks to
+    partial (key, cat, c) counts BEFORE the exchange (combiner), then
+    ONE key-bucketed reduce sums counts and the int64 moments — the
+    shuffle carries category-domain-bounded rows, never event rows.
+    Guard: n > 2³¹ per key would overflow n² — fail loudly.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.groupby([key, cat_col], sort=False, observed=True)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby([key, cat_col], sort=False, observed=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        c = tot["c"].to_numpy(dtype=np.int64)
+        agg = tot.assign(sq=c * c).groupby(key, as_index=False).agg(
+            n=("c", "sum"), sq=("sq", "sum")
+        )
+        n = agg["n"].to_numpy(dtype=np.int64)
+        sq = agg["sq"].to_numpy(dtype=np.int64)
+        if len(n) and n.max() > 2**31:
+            raise ValueError("grouped_gini: n² exceeds int64 — rescale")
+        nn = n * n
+        return pd.DataFrame(
+            {
+                key: agg[key],
+                "n_events": n,
+                "gini": (nn - sq).astype(np.float64) / nn.astype(np.float64),
+            }
+        )
+
+    partials = ds.select_columns([key, cat_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=[key], reduce_fn=finish, num_buckets=num_buckets
+    )
+
+
+def grouped_mode(
+    ds: "rd.Dataset",
+    key: str,
+    cat_col: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key mode of a categorical column with a DETERMINISTIC
+    tie-break (highest count, then lexicographically smallest value) —
+    the grouped argmax every engine needs but few make reproducible.
+
+    Output: (key, mode, mode_count). Same combiner + one-exchange
+    shape as ``grouped_gini``: batches shrink to partial (key, cat, c)
+    counts, the bucketed reduce sums them and takes the per-key argmax
+    via a sort + drop_duplicates (C kernels, no Python per group).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.groupby([key, cat_col], sort=False, observed=True)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby([key, cat_col], sort=False, observed=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        best = tot.sort_values(
+            [key, "c", cat_col], ascending=[True, False, True], kind="mergesort"
+        ).drop_duplicates(key)
+        return pd.DataFrame(
+            {
+                key: best[key].to_numpy(),
+                "mode": best[cat_col].to_numpy(),
+                "mode_count": best["c"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    partials = ds.select_columns([key, cat_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=[key], reduce_fn=finish, num_buckets=num_buckets
+    )

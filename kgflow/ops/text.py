@@ -876,6 +876,58 @@ def inverted_index(
     )
 
 
+def flesch_scores(docs: "rd.Dataset") -> "rd.Dataset":
+    """Per-document Flesch reading-ease with a deterministic
+    vowel-group syllable counter: syllables(word) = max(1, number of
+    [aeiouy]+ runs) — the standard heuristic used by readability
+    filters over web corpora (exact enough to rank, cheap enough to
+    stream). Sentences = [.!?]+ runs, floored at 1 so punctuation-free
+    text still scores.
+
+    score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    computed left-to-right in float64 — every engine (numpy, DuckDB
+    with e0 literals) rounds this identically, so the oracle is
+    hash-exact with no tolerance.
+
+    Output: (doc_id, n_words, n_sentences, n_syllables, flesch).
+    Exchange-FREE: one row per document, all counts local to a batch.
+    """
+
+    def f(d: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            d.set_index("doc_id")["text"].str.lower().str.findall(_WORD_RE).explode().dropna()
+        )
+        vg = toks.str.count("[aeiouy]+")
+        per_doc = pd.DataFrame(
+            {
+                "n_words": 1,
+                # zero-vowel tokens still carry one spoken syllable
+                "syl": np.maximum(vg.to_numpy(dtype=np.int64), 1),
+            },
+            index=toks.index,
+        ).groupby(level=0).sum()
+        sent = (
+            d.set_index("doc_id")["text"].str.count(r"[.!?]+").clip(lower=1)
+        )
+        out = per_doc.join(sent.rename("n_sentences"))
+        w = out["n_words"].to_numpy(dtype=np.float64)
+        s = out["n_sentences"].to_numpy(dtype=np.float64)
+        sy = out["syl"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": out.index.to_numpy(dtype=np.int64),
+                "n_words": out["n_words"].to_numpy(dtype=np.int64),
+                "n_sentences": out["n_sentences"].to_numpy(dtype=np.int64),
+                "n_syllables": out["syl"].to_numpy(dtype=np.int64),
+                "flesch": 206.835 - 1.015 * (w / s) - 84.6 * (sy / w),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
 def simpson_diversity(docs: "rd.Dataset") -> "rd.Dataset":
     """Per-document lexical diversity: Simpson concentration index
     Σ tf² / n² (the repeated-token probability — 1/types for a

@@ -1,0 +1,110 @@
+"""Wave-8 operator tests: containment vs Jaccard asymmetry, Flesch
+syllable/sentence edge semantics, grouped Gini moments, grouped-mode
+tie-break determinism (full-corpus parity vs DuckDB is in
+test_entry.py via oracle_sql auto-parametrization)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_containment_finds_quote_jaccard_misses():
+    from kgflow.ops.dedup import containment_pairs, jaccard_pairs
+
+    big = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(40)) + " zz1 zz2 zz3 zz4 zz5"
+    other = " ".join(f"x{i}" for i in range(100))
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [big, quote, other]}
+        )
+    ).repartition(3)
+
+    cont = containment_pairs(docs, threshold=0.8).to_pandas()
+    assert len(cont) == 1
+    assert (cont.loc[0, "doc_a"], cont.loc[0, "doc_b"]) == (1, 2)
+    # 38 of the quote's 43 shingles are the big doc's prefix shingles
+    assert cont.loc[0, "sim"] == pytest.approx(38 / 43)
+
+    jac = jaccard_pairs(docs, threshold=0.5).to_pandas()
+    assert len(jac) == 0  # Jaccard of the quote pair is 38/203 ≈ 0.19
+
+
+def test_containment_identical_docs_score_one():
+    from kgflow.ops.dedup import containment_pairs
+
+    t = "alpha beta gamma delta epsilon zeta"
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [10, 11], "text": [t, t]})
+    )
+    out = containment_pairs(docs, threshold=0.8).to_pandas()
+    assert len(out) == 1 and out.loc[0, "sim"] == 1.0
+
+
+def test_flesch_counts_and_score():
+    from kgflow.ops.text import flesch_scores
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                # doc 1: 4 words, 2 sentences, syllables 2+1+3+1 = 7
+                # ("table" -> a,e = 2; "js" zero-vowel run floors to 1;
+                #  "elephant" -> e,e,a = 3; "by" -> y = 1)
+                "text": ["table js. elephant by!", "zz zz zz"],
+            }
+        )
+    ).repartition(2)
+    out = (
+        flesch_scores(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out.loc[0, ["n_words", "n_sentences", "n_syllables"]].tolist() == [4, 2, 7]
+    assert out.loc[0, "flesch"] == pytest.approx(
+        206.835 - 1.015 * (4 / 2) - 84.6 * (7 / 4)
+    )
+    # doc 2: no punctuation -> sentence floor 1; zero-vowel words -> 1 each
+    assert out.loc[1, ["n_words", "n_sentences", "n_syllables"]].tolist() == [3, 1, 3]
+
+
+def test_grouped_gini_exact_rational():
+    from kgflow.ops.profile import grouped_gini
+
+    # user 1: counts {a: 3, b: 1} -> gini = (16 - 10)/16 = 0.375
+    # user 2: uniform single type -> gini 0
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_type": ["a", "a", "a", "b", "c", "c"],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)  # partial counts must combine
+    out = (
+        grouped_gini(ds, "user_id", "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_events"].tolist() == [4, 2]
+    assert out["gini"].tolist() == [0.375, 0.0]
+
+
+def test_grouped_mode_tie_breaks_lexicographically():
+    from kgflow.ops.profile import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 4 + ["y"] * 3,
+            "v": ["b", "a", "a", "b", "q", "p", "q"],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    out = grouped_mode(ds, "g", "v").to_pandas().sort_values("g").reset_index(drop=True)
+    # x: a and b both count 2 -> lexicographic min "a" wins
+    assert out["mode"].tolist() == ["a", "q"]
+    assert out["mode_count"].tolist() == [2, 2]

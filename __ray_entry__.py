@@ -705,6 +705,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
         )
 
+    def doc_typo_pairs(sf_dir: str):
+        """Oracle-checked (round-4): prefix-blocked edit-distance
+        near-dup join — pairs sharing a 16-char prefix with
+        Levenshtein ≤ 3 (typo/OCR-variant detection; prefix equality
+        is part of the predicate, so blocking is recall-complete).
+        The query plants a one-substitution typo copy (char 21 flipped,
+        ids +2e6) of every doc_id % 11 == 5 source on BOTH sides, so
+        dist-1 pairs exist beyond the planted exact dupes' dist-0."""
+        from kgflow.ops.dedup import edit_distance_pairs
+
+        def plant(df):
+            import pandas as pd
+
+            df = df[["doc_id", "text"]]
+            src = df[(df["doc_id"] % 11 == 5) & (df["text"].str.len() >= 21)]
+            mut = src["text"].str[:20] + np.where(
+                src["text"].str[20] == "z", "y", "z"
+            ) + src["text"].str[21:]
+            typo = pd.DataFrame(
+                {"doc_id": src["doc_id"] + 2_000_000, "text": mut}
+            )
+            return pd.concat([df, typo], ignore_index=True)
+
+        planted = _docs(sf_dir).map_batches(plant, batch_format="pandas")
+        return edit_distance_pairs(planted)
+
+    def events_winsorized(sf_dir: str):
+        """Oracle-checked: per-event-type winsorization — clip value
+        into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
+        scale 100, the events_quantiles semantics); output doubles are
+        raw values or band edges, hash-exact."""
+        import os as _os
+
+        from kgflow.ops.clean import winsorize
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        return winsorize(ev, ["event_type"], "value")
+
     def doc_dup_clusters(sf_dir: str):
         """Oracle-checked (round-3): LSH pairs → connected components;
         the oracle runs the same true-Jaccard pair predicate and a
@@ -1520,6 +1562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_containment": doc_containment,
+        "doc_typo_pairs": doc_typo_pairs,
+        "events_winsorized": events_winsorized,
         "doc_simhash_pairs": doc_simhash_pairs,
         "doc_dup_clusters": doc_dup_clusters,
         "ann_topk": ann_topk,
@@ -2007,6 +2051,41 @@ def oracle_sql() -> dict[str, str]:
         # Same true-Jaccard predicate as doc_minhash_pairs; the engine
         # side here is the EXACT prefix-filter join, so the oracle
         # equivalence needs no recall argument.
+        # Prefix equality is part of the predicate, so the engine's
+        # prefix blocking is recall-complete; the planted typo (char 21
+        # flipped z<->y, ids +2e6) mirrors the engine's plant exactly.
+        "doc_typo_pairs": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 2000000,
+                     substr(text, 1, 20)
+                       || CASE WHEN substr(text, 21, 1) = 'z'
+                               THEN 'y' ELSE 'z' END
+                       || substr(text, 22)
+              FROM documents
+              WHERE doc_id % 11 = 5 AND length(text) >= 21
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.text, b.text)::BIGINT AS dist
+            FROM aug a JOIN aug b
+              ON a.doc_id < b.doc_id
+             AND substr(a.text, 1, 16) = substr(b.text, 1, 16)
+            WHERE levenshtein(a.text, b.text) <= 3
+        """,
+        "events_winsorized": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_disc(CAST(round(value*100) AS BIGINT),
+                                   0.125)/100.0 AS lo,
+                     quantile_disc(CAST(round(value*100) AS BIGINT),
+                                   0.875)/100.0 AS hi
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   least(greatest(e.value, q.lo), q.hi) AS value_w
+            FROM events e JOIN q USING(event_type)
+        """,
         # Same shingle pipeline as doc_jaccard_pairs, but the score is
         # the overlap coefficient and the corpus gains planted excerpt
         # docs (first-40-token prefix + 5 novel tokens, ids +1e6) so

@@ -294,3 +294,60 @@ def strip_hot_spans(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         Strip, batch_format="pandas", concurrency=(1, 4)
     )
+
+
+def winsorize(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    col: str,
+    q_lo: float = 0.125,
+    q_hi: float = 0.875,
+    scale: int = 100,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group winsorization: clip ``col`` into the group's
+    [q_lo, q_hi] discrete-quantile band — the standard outlier-robust
+    value repair before training-feature export (cousin of
+    ``mad_outliers``, which FLAGS rows; this one repairs them).
+
+    The band edges come from `grouped_quantiles` (exact nearest-rank at
+    fixed-point ``scale``; q_lo/q_hi must be binary-exact fractions —
+    the 0.125/0.875 defaults are ⅛ and ⅞), so they reproduce
+    bit-identically in a quantile_disc SQL oracle. The clip itself is
+    pure comparison (the output double is either the raw value or a
+    band edge, both exact), so the whole op is hash-exact.
+
+    Output: every input column plus ``{col}_w``. Scale shape: one
+    quantile pass (combiner-reduced histograms), band table
+    group-bounded and materialized once, then a broadcast-or-shuffle
+    `hash_join` attach and an exchange-free clip pass.
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.profile import grouped_quantiles
+
+    gcols = list(group_cols)
+    q = grouped_quantiles(ds, gcols, col, qs=(q_lo, q_hi), scale=scale,
+                          num_buckets=num_buckets)
+
+    def widen(d: pd.DataFrame) -> pd.DataFrame:
+        lo = d[d["q"] == q_lo].rename(columns={"v": "_lo"}).drop(columns=["q"])
+        hi = d[d["q"] == q_hi].rename(columns={"v": "_hi"}).drop(columns=["q"])
+        return lo.merge(hi, on=gcols, how="inner")
+
+    # group-bounded (one row per group); batch_size=None keeps each
+    # bucket block whole so a group's lo and hi rows stay in one batch;
+    # materialize so the join's schema/size probes don't re-run the
+    # quantile pipeline
+    band = q.map_batches(
+        widen, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    joined = hash_join(ds, band, on=gcols, num_buckets=num_buckets)
+
+    def clip(d: pd.DataFrame) -> pd.DataFrame:
+        v = d[col].to_numpy(dtype=np.float64)
+        w = np.minimum(np.maximum(v, d["_lo"].to_numpy(np.float64)),
+                       d["_hi"].to_numpy(np.float64))
+        return d.drop(columns=["_lo", "_hi"]).assign(**{f"{col}_w": w})
+
+    return joined.map_batches(clip, batch_format="pandas")

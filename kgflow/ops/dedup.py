@@ -498,6 +498,133 @@ def containment_pairs(
     )
 
 
+def _lev_capped(a: np.ndarray, b: np.ndarray, k: int) -> int:
+    """Levenshtein distance over code-point arrays (uint32 — matches
+    SQL character semantics, not bytes), capped at ``k + 1`` (anything
+    above k returns k+1). Row-vectorized DP: substitutions/deletions
+    are plain array minima; the left-to-right insertion scan uses the
+    skew trick ins[j] = j + min_{i≤j}(cur[i] − i), turning the serial
+    recurrence into one np.minimum.accumulate — no per-cell Python.
+    Early-exits when a whole row exceeds k (band abandonment)."""
+    if abs(len(a) - len(b)) > k:
+        return k + 1
+    if len(a) > len(b):
+        a, b = b, a
+    B = b
+    lb = len(B)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    full = np.empty(lb + 1, dtype=np.int64)
+    for i, ch in enumerate(a, start=1):
+        full[0] = i
+        np.minimum(prev[:-1] + (B != ch), prev[1:] + 1, out=full[1:])
+        adj = full - idx
+        np.minimum.accumulate(adj, out=adj)
+        full = adj + idx
+        if full.min() > k:
+            return k + 1
+        prev, full = full, prev
+    return int(prev[lb]) if prev[lb] <= k else k + 1
+
+
+def edit_distance_pairs(
+    docs: "rd.Dataset",
+    prefix_len: int = 16,
+    max_dist: int = 3,
+    max_bucket: int = 200,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Prefix-blocked edit-distance near-dup self-join: all pairs
+    (doc_a, doc_b, dist) whose texts share an IDENTICAL ``prefix_len``-
+    char prefix and have Levenshtein distance ≤ ``max_dist`` — the
+    typo/OCR-variant detector (token-set measures like Jaccard are
+    blind to single-character edits inside words).
+
+    The prefix-equality clause is part of the PREDICATE, so blocking on
+    the prefix is recall-COMPLETE by definition (unlike LSH there is no
+    probabilistic miss). Scale shape: one (prefix, doc_id, text) pass,
+    ONE prefix-keyed bucketed exchange, then within each prefix group a
+    |len(a)−len(b)| ≤ max_dist prune before the capped row-vectorized
+    DP (`_lev_capped` — numpy rows, no per-cell Python). A hot prefix
+    (shared boilerplate opening at corpus scale) is trimmed to
+    ``max_bucket`` docs with a logged drop, bounding the quadratic
+    term exactly like ``minhash_pairs`` buckets."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return pa.table(
+            {
+                "prefix": pc_.utf8_slice_codeunits(
+                    batch.column("text"), 0, prefix_len
+                ),
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text"),
+            }
+        )
+
+    EMPTY = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "dist": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return EMPTY.copy()
+        g = g.sort_values(["prefix", "doc_id"], kind="mergesort")
+        pfx = g["prefix"].to_numpy()
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = pfx[1:] != pfx[:-1]
+        i_idx, j_idx, keep_rows = _segment_pair_indices(
+            new_seg, max_bucket, "edit_distance_pairs"
+        )
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        texts = g["text"].to_numpy()
+        if keep_rows is not None:
+            ids, texts = ids[keep_rows], texts[keep_rows]
+        if not len(i_idx):
+            return EMPTY.copy()
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        close = np.abs(lens[i_idx] - lens[j_idx]) <= max_dist
+        i_idx, j_idx = i_idx[close], j_idx[close]
+        out_a, out_b, out_d = [], [], []
+        enc: dict[int, np.ndarray] = {}
+
+        def cp(i: int) -> np.ndarray:
+            arr = enc.get(i)
+            if arr is None:
+                arr = enc[i] = np.frombuffer(
+                    texts[i].encode("utf-32-le"), dtype=np.uint32
+                )
+            return arr
+
+        for i, j in zip(i_idx, j_idx):
+            d = _lev_capped(cp(i), cp(j), max_dist)
+            if d <= max_dist:
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_d.append(d)
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+                "dist": np.array(out_d, dtype=np.int64),
+            }
+        )
+
+    keyed_ds = docs.select_columns(["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+    return bucketed_group_reduce(
+        keyed_ds, key_cols=["prefix"], reduce_fn=verify, num_buckets=num_buckets
+    )
+
+
 _SHIFTS64 = np.arange(64, dtype=np.uint64)
 
 

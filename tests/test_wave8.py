@@ -108,3 +108,87 @@ def test_grouped_mode_tie_breaks_lexicographically():
     # x: a and b both count 2 -> lexicographic min "a" wins
     assert out["mode"].tolist() == ["a", "q"]
     assert out["mode_count"].tolist() == [2, 2]
+
+
+def test_lev_capped_matches_reference():
+    from kgflow.ops.dedup import _lev_capped
+
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                d[i][j] = min(
+                    d[i - 1][j] + 1,
+                    d[i][j - 1] + 1,
+                    d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return d[la][lb]
+
+    def cp(s):
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    cases = [
+        ("kitten", "sitting"),
+        ("abc", "abc"),
+        ("", "abc"),
+        ("abcd", "dcba"),
+        ("the quick brown fox", "the quick brown fax"),
+        ("aaaa", "aa"),
+    ]
+    for a, b in cases:
+        true = ref(a, b)
+        for k in (0, 1, 2, 3, 10):
+            got = _lev_capped(cp(a), cp(b), k)
+            assert got == (true if true <= k else k + 1), (a, b, k)
+
+
+def test_edit_distance_pairs_prefix_blocking_and_cap():
+    from kgflow.ops.dedup import edit_distance_pairs
+
+    base = "shared prefix here and then some tail words"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base[:-1] + "z",          # dist 1, same prefix
+                "different opening " + base,   # far prefix
+                base[:16] + " totally other words beyond the block",  # same
+                # prefix but large distance -> pruned by the DP cap
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(3)
+    out = (
+        edit_distance_pairs(ds, prefix_len=16, max_dist=3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert out[["doc_a", "doc_b", "dist"]].values.tolist() == [[1, 2, 1]]
+
+
+def test_winsorize_clips_to_group_band():
+    from kgflow.ops.clean import winsorize
+
+    # group a: values 1..8 -> 1/8-quantile (nearest-rank) = 1, 7/8 = 7
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(8, dtype=np.int64),
+            "g": ["a"] * 8,
+            "value": np.arange(1.0, 9.0),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = (
+        winsorize(ds, ["g"], "value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["value_w"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0]

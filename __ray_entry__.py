@@ -356,6 +356,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, "user_id", ["ts", "event_id"], "event_type", max_items=50
         )
 
+    def events_value_sketch(sf_dir: str):
+        """Oracle-checked: bottom-k sample quantile SKETCH — constant
+        exchange size where exact histograms grow with the value
+        domain. Deterministic (FNV id-hash sample is a pure
+        min-semilattice, partitioning-independent), so the DuckDB
+        oracle reproduces the sample and quantiles bit-exactly:
+        approximate vs the data, EXACT vs the algorithm — the HLL/CMS
+        oracle philosophy applied to quantiles."""
+        import os as _os
+
+        from kgflow.ops.sketch import bottomk_sample_quantiles
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "value"],
+        )
+        return bottomk_sample_quantiles(ev, "event_id", "value", k=1024)
+
+    def events_gap_quantiles(sf_dir: str):
+        """Oracle-checked: inter-arrival-time quantiles — per
+        (user, type) stream gaps in whole seconds (date_diff
+        convention, exact int64), nearest-rank ¼/½/¾ quantiles per
+        event_type via the combiner-reduced histogram machinery."""
+        import os as _os
+
+        from kgflow.ops.window import gap_quantiles
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        return gap_quantiles(ev)
+
     def events_type_gini(sf_dir: str):
         """Oracle-checked: per-user Gini impurity of the event-type
         distribution — rational-exact (n² − Σc²)/n², int64 moments,
@@ -1543,6 +1578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": events_user_paths,
         "events_outliers": events_outliers,
         "events_type_gini": events_type_gini,
+        "events_gap_quantiles": events_gap_quantiles,
+        "events_value_sketch": events_value_sketch,
         "events_mode_props": events_mode_props,
         "events_funnel": events_funnel,
         "events_cohorts": events_cohorts,
@@ -1741,6 +1778,54 @@ def oracle_sql() -> dict[str, str]:
                      list_slice(list(event_type ORDER BY ts, event_id), 1, 50),
                      '>') AS path
             FROM events GROUP BY user_id
+        """,
+        # The sample is deterministic (FNV-1a over the id's decimal
+        # codepoints — same HUGEINT fold as the simhash oracle), so
+        # the sketch output is SQL-reproducible bit-exactly.
+        "events_value_sketch": """
+            WITH h AS (
+              SELECT event_id, value,
+                CAST(list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(
+                      range(1, length(CAST(event_id AS VARCHAR)) + 1),
+                      j -> CAST(unicode(CAST(event_id AS VARCHAR)[j])
+                                AS HUGEINT))),
+                  (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                        CAST(c AS UBIGINT)) AS HUGEINT)
+                               * 1099511628211) % 18446744073709551616
+                ) AS UBIGINT) AS hv
+              FROM events
+            ), samp AS (
+              SELECT value FROM h ORDER BY hv, event_id LIMIT 1024
+            )
+            SELECT 0.25e0 AS q, quantile_disc(value, 0.25)::DOUBLE AS v
+            FROM samp
+            UNION ALL
+            SELECT 0.5e0, quantile_disc(value, 0.5)::DOUBLE FROM samp
+            UNION ALL
+            SELECT 0.75e0, quantile_disc(value, 0.75)::DOUBLE FROM samp
+        """,
+        "events_gap_quantiles": """
+            WITH d AS (
+              SELECT event_type,
+                     date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_s
+              FROM events
+            ), g AS (
+              SELECT event_type, gap_s FROM d WHERE gap_s IS NOT NULL
+            )
+            SELECT event_type, 0.25e0 AS q,
+                   quantile_disc(gap_s, 0.25)::DOUBLE AS v
+            FROM g GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.5e0, quantile_disc(gap_s, 0.5)::DOUBLE
+            FROM g GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.75e0, quantile_disc(gap_s, 0.75)::DOUBLE
+            FROM g GROUP BY event_type
         """,
         "events_type_gini": """
             WITH c AS (

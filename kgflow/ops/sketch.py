@@ -324,3 +324,108 @@ def heavy_hitters(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+_FNV_SQL_NOTE = """FNV-1a over the id's decimal-string codepoints —
+the SAME fold the doc_simhash_pairs oracle replicates in DuckDB
+HUGEINT arithmetic, so a SQL oracle can reproduce the sample (and
+therefore the whole sketch output) bit-exactly."""
+
+
+def _fnv1a_decimal(ids: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a (64-bit) over each id's decimal-string ASCII
+    codes. Ids group by digit-length so every length-class folds as a
+    dense [n, L] codepoint matrix — no per-row Python. Non-negative
+    int64 ids only (decimal form is the cross-engine-stable byte
+    representation; see _FNV_SQL_NOTE)."""
+    if len(ids) and ids.min() < 0:
+        raise ValueError("_fnv1a_decimal requires non-negative ids")
+    strs = ids.astype(np.int64).astype(str)
+    lens = np.char.str_len(strs)
+    out = np.empty(len(ids), dtype=np.uint64)
+    for L in np.unique(lens):
+        m = lens == L
+        codes = np.frombuffer(
+            strs[m].astype(f"U{L}").tobytes(), dtype=np.uint32
+        ).reshape(-1, L)
+        h = np.full(int(m.sum()), _FNV_OFFSET, dtype=np.uint64)
+        for c in range(L):
+            h ^= codes[:, c].astype(np.uint64)
+            h *= _FNV_PRIME
+        out[m] = h
+    return out
+
+
+def bottomk_sample_quantiles(
+    ds: "rd.Dataset",
+    id_col: str,
+    value_col: str,
+    k: int = 1024,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Approximate quantiles from a DETERMINISTIC bottom-k sample
+    (Cohen & Kaplan's bottom-k sketch): keep the k rows whose FNV-1a
+    id-hash is smallest, estimate quantiles from that uniform sample.
+    Rank error is the classical sampling bound O(sqrt(ln(1/δ)/k))·n —
+    ~3% of n at k=1024 — against CONSTANT exchange size, where the
+    exact `grouped_quantiles` histogram grows with the value DOMAIN
+    (unbounded for heavy-tailed doubles at 100 TB).
+
+    Unlike KLL/t-digest, whose compaction coin-flips make the result
+    depend on merge order, bottom-k is a pure min-semilattice: the
+    bottom-k of a union is the bottom-k of the parts' bottom-ks, so
+    the output is partitioning-independent, resumable, and (because
+    the hash is the simhash oracle's FNV fold) SQL-oracle-able —
+    approximate vs the data, exact vs the algorithm.
+
+    Output: (q, v) rows, v the nearest-rank sample value (a raw input
+    double — no arithmetic, hash-exact). Exchange: each block shrinks
+    to its local bottom-k, ONE single-bucket reduce sees ≤ blocks×k
+    rows of 3 scalars."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        h = _fnv1a_decimal(ids)
+        n = min(k, len(ids))
+        if not n:
+            return pd.DataFrame(
+                {
+                    "_h": pd.Series([], dtype="uint64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    value_col: pd.Series([], dtype="float64"),
+                    "_one": pd.Series([], dtype="int64"),
+                }
+            )
+        idx = np.lexsort((ids, h))[:n]
+        return pd.DataFrame(
+            {
+                "_h": h[idx],
+                id_col: ids[idx],
+                value_col: df[value_col].to_numpy(dtype=np.float64)[idx],
+                "_one": np.zeros(n, dtype=np.int64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "q": pd.Series([], dtype="float64"),
+                    "v": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.lexsort(
+            (g[id_col].to_numpy(dtype=np.int64), g["_h"].to_numpy(dtype=np.uint64))
+        )[:k]
+        v = np.sort(g[value_col].to_numpy(dtype=np.float64)[order])
+        n = len(v)
+        ranks = np.maximum(np.ceil(np.asarray(qs) * n).astype(np.int64), 1) - 1
+        return pd.DataFrame({"q": np.asarray(qs, dtype=np.float64), "v": v[ranks]})
+
+    partials = ds.select_columns([id_col, value_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=["_one"], reduce_fn=finish, num_buckets=num_buckets
+    )

@@ -943,3 +943,58 @@ def path_ngrams(
         k=k,
         num_buckets=num_buckets,
     )
+
+
+def gap_quantiles(
+    events: "rd.Dataset",
+    partition_cols: tuple[str, ...] = ("user_id", "event_type"),
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Inter-arrival-time quantiles: per ``partition_cols`` stream
+    (default: each user's events of one type, ordered by (ts, id)),
+    the gap in whole seconds to the previous event, then EXACT
+    nearest-rank quantiles of those gaps per ``group_col`` — the
+    cadence profile behind rate-limit tuning and bot detection.
+
+    Gaps use the date_diff('second') convention (truncate both
+    endpoints to seconds before subtracting — same as `sessionize`),
+    so they are exact int64 and the quantiles reproduce bit-identically
+    in SQL. Scale shape: ONE partition-keyed exchange computes deltas
+    (in-bucket mergesort + groupby shift, C kernels), then the
+    combiner-reduced `grouped_quantiles` histogram machinery at
+    scale=1 (integer domain)."""
+    from kgflow.ops.profile import grouped_quantiles
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    pcols = list(partition_cols)
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype="object"),
+                    "gap_s": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(pcols + [ts_col, id_col], kind="mergesort")
+        sec = pd.Series(_ts_us(g[ts_col]) // 1_000_000, index=g.index)
+        prev = sec.groupby([g[c] for c in pcols], sort=False).shift(1)
+        mask = prev.notna().to_numpy()
+        gap = (sec.to_numpy()[mask] - prev.to_numpy()[mask]).astype(np.int64)
+        return pd.DataFrame(
+            {group_col: g[group_col].to_numpy()[mask], "gap_s": gap}
+        )
+
+    cols = list(dict.fromkeys(pcols + [group_col, ts_col, id_col]))
+    d = bucketed_group_reduce(
+        events.select_columns(cols),
+        key_cols=pcols,
+        reduce_fn=deltas,
+        num_buckets=num_buckets,
+    )
+    return grouped_quantiles(d, [group_col], "gap_s", qs=qs, scale=1,
+                             num_buckets=num_buckets)

@@ -256,7 +256,14 @@ def triangle_count(
     frame.
     """
 
-    edges = edges.select_columns(["u", "v"])
+    # The edge set is consumed THREE times (degree pass, degree-attach
+    # join input, closing-edge probe); without a materialize each
+    # consumer re-executes the whole upstream DAG (e.g. the
+    # cooccurrence_edges exchanges) from scratch — measured 3× the
+    # build cost at sf0.01 and ruinous against a 100-TB upstream.
+    # E-bounded: the wedge-join algorithm requires the edge list to
+    # fit the cluster anyway.
+    edges = edges.select_columns(["u", "v"]).materialize()
 
     def deg_partial(d: pd.DataFrame) -> pd.DataFrame:
         x = pd.concat([d["u"], d["v"]], ignore_index=True)

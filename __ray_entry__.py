@@ -440,6 +440,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return mad_outliers(ev, ["event_type"], "value", k=3.0)
 
+    def doc_packed(sf_dir: str):
+        """Oracle-checked: greedy sequence packing — docs (in doc_id
+        order) into ≤ 2000-token bins, shard-local (doc_id // 100) so
+        packing parallelizes; bins numbered per shard; oversized docs
+        get their own bin. The DuckDB oracle replays the identical
+        greedy scan with a recursive CTE over per-shard boundary
+        jumps."""
+        from kgflow.ops.text import pack_sequences
+
+        return pack_sequences(_docs(sf_dir), budget=2000, shard_size=100)
+
     def doc_readability(sf_dir: str):
         """Oracle-checked: per-doc Flesch reading-ease — vowel-group
         syllable heuristic, sentence floor 1, score computed in the
@@ -1587,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_triangles": events_triangles,
         "doc_diversity": doc_diversity,
         "doc_readability": doc_readability,
+        "doc_packed": doc_packed,
         "events_path_trigrams": events_path_trigrams,
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
@@ -1871,6 +1883,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Σtf² and n² are exact int64 on the engine side and exact
         # HUGEINT sums here; the one double division rounds identically
+        # The recursive CTE replays the engine's greedy jump scan: each
+        # step closes one bin per shard at the largest cumsum within
+        # budget of the bin start (min-cumsum fallback = an oversized
+        # doc alone in its bin); a doc's bin is the last boundary
+        # strictly below its cumsum.
+        "doc_packed": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id // 100 AS shard,
+                     len(regexp_extract_all(lower(text), '\w+'))::BIGINT
+                       AS n_tokens
+              FROM documents
+            ), d AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY shard
+                                            ORDER BY doc_id) AS cs
+              FROM t
+            ), bounds AS (
+              SELECT shard, 0::BIGINT AS bin, 0::BIGINT AS start_cs
+              FROM (SELECT DISTINCT shard FROM d)
+              UNION ALL
+              SELECT b.shard, b.bin + 1,
+                     coalesce(
+                       (SELECT max(cs) FROM d WHERE d.shard = b.shard
+                          AND cs - b.start_cs <= 2000 AND cs > b.start_cs),
+                       (SELECT min(cs) FROM d WHERE d.shard = b.shard
+                          AND cs > b.start_cs))
+              FROM bounds b
+              WHERE EXISTS (
+                SELECT 1 FROM d WHERE d.shard = b.shard
+                  AND cs > coalesce(
+                    (SELECT max(cs) FROM d WHERE d.shard = b.shard
+                       AND cs - b.start_cs <= 2000 AND cs > b.start_cs),
+                    (SELECT min(cs) FROM d WHERE d.shard = b.shard
+                       AND cs > b.start_cs)))
+            )
+            SELECT d.doc_id, d.shard, d.n_tokens,
+                   (SELECT max(bin) FROM bounds b
+                     WHERE b.shard = d.shard AND b.start_cs < d.cs) AS bin
+            FROM d
+        """,
         # e0 float literals force DOUBLE (not DECIMAL) arithmetic so
         # DuckDB rounds identically to numpy; see the BM25 oracle note.
         "doc_readability": r"""

@@ -971,3 +971,78 @@ def simpson_diversity(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.select_columns(["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def pack_sequences(
+    docs: "rd.Dataset",
+    budget: int = 2000,
+    shard_size: int = 100,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Greedy sequence packing for training export: assign documents
+    (in doc_id order) to context-window bins of ≤ ``budget`` tokens —
+    the batching step an LLM data pipeline runs last, where padding
+    waste is decided. Greedy-in-order: a bin closes when the next doc
+    would overflow it; a single doc larger than the budget gets a bin
+    of its own.
+
+    Packing is SHARD-LOCAL (shard = doc_id // shard_size): a global
+    greedy scan is inherently sequential (every boundary depends on
+    the exact previous one), while per-shard packing is embarrassingly
+    parallel, deterministic, and what production pipelines do anyway —
+    the only cost is ≤ one partially-filled bin per shard. ONE
+    shard-keyed exchange of (doc_id, n_tokens) rows; the in-bucket
+    scan is O(bins · log docs) via cumsum + searchsorted jumps, not a
+    per-doc loop.
+
+    Output: (doc_id, shard, n_tokens, bin) — bin numbered 0.. within
+    each shard.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    counts = token_counts(docs).map_batches(
+        lambda d: d.assign(shard=d["doc_id"].to_numpy(dtype=np.int64) // shard_size),
+        batch_format="pandas",
+    )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "shard": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "bin": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["shard", "doc_id"], kind="mergesort")
+        shards = g["shard"].to_numpy(dtype=np.int64)
+        toks = g["n_tokens"].to_numpy(dtype=np.int64)
+        bins = np.empty(len(g), dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], shards[1:] != shards[:-1]))
+        )
+        ends = np.append(starts[1:], len(g))
+        for s, e in zip(starts, ends):
+            cs = np.cumsum(toks[s:e])
+            i, b, base = 0, 0, 0
+            while i < e - s:
+                j = int(np.searchsorted(cs, base + budget, side="right"))
+                if j == i:  # single doc exceeds the budget: own bin
+                    j = i + 1
+                bins[s + i : s + j] = b
+                base = cs[j - 1]
+                b += 1
+                i = j
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "shard": shards,
+                "n_tokens": toks,
+                "bin": bins,
+            }
+        )
+
+    return bucketed_group_reduce(
+        counts, key_cols=["shard"], reduce_fn=pack, num_buckets=num_buckets
+    )

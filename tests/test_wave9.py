@@ -91,3 +91,50 @@ def test_bottomk_sketch_rank_error_bound():
         true_rank = np.searchsorted(srt, v) / n
         # sampling bound ~ 1.04/sqrt(k) ≈ 3.3%; allow 4 sigma-ish
         assert abs(true_rank - q) < 0.08, (q, true_rank)
+
+
+def test_pack_sequences_greedy_and_oversized():
+    from kgflow.ops.text import pack_sequences
+
+    # shard 0: tokens [5, 5, 5] with budget 10 -> bins [0, 0, 1]
+    # one oversized doc (15 tokens > budget) -> its own bin
+    texts = {
+        0: "a b c d e",
+        1: "a b c d e",
+        2: "a b c d e",
+        3: " ".join(["w"] * 15),
+        4: "a b",
+    }
+    df = pd.DataFrame(
+        {"doc_id": list(texts), "text": [texts[i] for i in texts]}
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    out = (
+        pack_sequences(ds, budget=10, shard_size=100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["bin"].tolist() == [0, 0, 1, 2, 3]
+    assert out["n_tokens"].tolist() == [5, 5, 5, 15, 2]
+
+
+def test_pack_sequences_shard_local_parallel():
+    from kgflow.ops.text import pack_sequences
+
+    # two shards pack independently: bins restart at 0 per shard
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 100, 101],
+            "text": ["x y z"] * 4,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    out = (
+        pack_sequences(ds, budget=5, shard_size=100)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["shard"].tolist() == [0, 0, 1, 1]
+    assert out["bin"].tolist() == [0, 1, 0, 1]

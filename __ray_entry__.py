@@ -876,6 +876,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = lsh_topk(emb, qids, qm, k=5, num_planes=1, num_tables=16)
         return out.select_columns(["query_id", "neighbor_id"])
 
+    def embed_centroids(sf_dir: str):
+        """Oracle-checked: per-label embedding centroids (class
+        prototypes / one exact k-means step) — quantize-first integer
+        moments (the embed_gram trick), one label-keyed exchange of
+        labels×dims rows, single exact double division."""
+        from kgflow.ops.ann import label_centroids
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["label", "embedding"],
+        )
+        return label_centroids(emb)
+
     def embed_gram(sf_dir: str):
         """Oracle-checked (round-4): the distributed heart of
         embed_pca — the exact fixed-point second-moment matrix
@@ -1619,6 +1633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_exact": ann_lsh_exact,
         "embed_gram": embed_gram,
+        "embed_centroids": embed_centroids,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_stored": ann_ivf_stored,
         "ann_ivf_exact": ann_ivf_exact,
@@ -2528,6 +2543,19 @@ def oracle_sql() -> dict[str, str]:
         # Exact fixed-point Gram matrix: quantize-first (floor, matching
         # numpy floor bit-for-bit on the same doubles), then pure int64
         # sums — no float accumulation-order drift on either side.
+        "embed_centroids": """
+            WITH e AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                          AS BIGINT) AS xq
+              FROM embeddings
+            )
+            SELECT label, dim, count(*)::BIGINT AS n_vecs,
+                   CAST(sum(xq) AS DOUBLE)
+                     / CAST(count(*) * 10000 AS DOUBLE) AS centroid
+            FROM e GROUP BY label, dim
+        """,
         "embed_gram": """
             WITH e AS (
               SELECT vec_id,

@@ -488,3 +488,81 @@ def embedding_pca(
     return emb.select_columns([id_col, col]).map_batches(
         Project, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+def label_centroids(
+    emb: "rd.Dataset",
+    label_col: str = "label",
+    col: str = "embedding",
+    scale: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-label embedding centroids (class prototypes; one exact
+    k-means assignment-step reduction): mean vector per label over a
+    ``list<float>`` column. Values are quantized floor(x·scale) to
+    int64 FIRST (the `embed_gram` trick), so the distributed sums are
+    exact integers and the single double division s/(n·scale) rounds
+    identically in every IEEE engine — hash-exact, unlike a float
+    mean whose partial-sum order varies.
+
+    Output: (label, dim, n_vecs, centroid), dim 1-based (matches SQL
+    generate_subscripts). Scale shape: per-block [labels × D] integer
+    moment matrix via argsort + np.add.reduceat (no per-row Python),
+    ONE label-keyed exchange of labels×D tiny rows."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        X = embed_matrix(batch, col).astype(np.float64)
+        if not len(X):
+            return pd.DataFrame(
+                {
+                    "label": pd.Series([], dtype="int64"),
+                    "dim": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        xq = np.floor(X * scale).astype(np.int64)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(lab, kind="stable")
+        lab_s, xq_s = lab[order], xq[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], lab_s[1:] != lab_s[:-1]))
+        )
+        sums = np.add.reduceat(xq_s, starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab_s)))
+        L, D = sums.shape
+        return pd.DataFrame(
+            {
+                "label": np.repeat(lab_s[starts], D),
+                "dim": np.tile(np.arange(1, D + 1, dtype=np.int64), L),
+                "s": sums.ravel(),
+                "n": np.repeat(counts, D).astype(np.int64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["label", "dim"], as_index=False, sort=False)[
+            ["s", "n"]
+        ].sum()
+        s = agg["s"].to_numpy(dtype=np.int64)
+        n = agg["n"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "label": agg["label"].to_numpy(dtype=np.int64),
+                "dim": agg["dim"].to_numpy(dtype=np.int64),
+                "n_vecs": n,
+                "centroid": s.astype(np.float64)
+                / (n * scale).astype(np.float64),
+            }
+        )
+
+    partials = emb.select_columns([label_col, col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=["label", "dim"], reduce_fn=finish,
+        num_buckets=num_buckets,
+    )

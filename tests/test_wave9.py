@@ -138,3 +138,28 @@ def test_pack_sequences_shard_local_parallel():
     )
     assert out["shard"].tolist() == [0, 0, 1, 1]
     assert out["bin"].tolist() == [0, 1, 0, 1]
+
+
+def test_label_centroids_exact_small():
+    import pyarrow as pa
+
+    from kgflow.ops.ann import label_centroids
+
+    tbl = pa.table(
+        {
+            "label": pa.array([0, 0, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], [10.0, -2.5]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(2)
+    out = (
+        label_centroids(ds)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert out["n_vecs"].tolist() == [2, 2, 1, 1]
+    assert out["centroid"].tolist() == [2.0, 3.0, 10.0, -2.5]

@@ -451,6 +451,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(_docs(sf_dir), budget=2000, shard_size=100)
 
+    def doc_length_deciles(sf_dir: str):
+        """Oracle-checked: NTILE(10) / PERCENT_RANK / CUME_DIST of
+        documents by length within each language — the shipped
+        distribution_window machinery (one exchange, integer-exact
+        front-loaded tiles, total order via doc_id tie-break) applied
+        to the documents table."""
+        import os as _os
+
+        from kgflow.ops.window import distribution_window
+        from kgflow.sources.parquet import read_parquet_clean
+
+        d = read_parquet_clean(
+            _os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "doc_id", "n_chars"],
+        )
+        return distribution_window(
+            d, key="lang", id_col="doc_id", value_col="n_chars", tiles=10
+        )
+
+    def events_session_quantiles(sf_dir: str):
+        """Oracle-checked: quantiles of gap-session durations —
+        `sessionize` (one user-keyed exchange) composed with the exact
+        nearest-rank quantile machinery at scale=1 (durations are
+        whole seconds, so the fixed-point round is the identity)."""
+        import os as _os
+
+        from kgflow.ops.profile import column_quantiles
+        from kgflow.ops.window import sessionize
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return column_quantiles(
+            sessionize(ev), col="duration_s", qs=(0.25, 0.5, 0.75), scale=1
+        )
+
     def doc_readability(sf_dir: str):
         """Oracle-checked: per-doc Flesch reading-ease — vowel-group
         syllable heuristic, sentence floor 1, score computed in the
@@ -516,6 +554,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cells = ev.map_batches(add_hour, batch_format="pyarrow")
         edges = cooccurrence_edges(cells, "user_id", ["event_type", "w"])
         return triangle_count(edges)
+
+    def events_components(sf_dir: str):
+        """Oracle-checked: connected components of the co-purchase
+        graph (edge = two users sharing a props value among purchase
+        events with value > 99) — the shipped CC machinery
+        (`kgflow.linking.cc`, min-label) on int64 nodes; the oracle is
+        a recursive-CTE transitive closure. Non-vacuous: 5 components
+        over 114 users at sf0.01 (threshold chosen so the graph does
+        NOT percolate into one blob)."""
+        import os as _os
+
+        import pandas as _pd
+
+        from kgflow.linking.cc import connected_components
+        from kgflow.ops.graph import cooccurrence_edges
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "props", "value"],
+        )
+
+        def cells(df: _pd.DataFrame) -> _pd.DataFrame:
+            m = (df["event_type"] == "purchase") & (df["value"] > 99.0)
+            return df.loc[m, ["user_id", "props"]]
+
+        edges = cooccurrence_edges(
+            ev.map_batches(cells, batch_format="pandas"),
+            "user_id",
+            ["props"],
+        ).map_batches(
+            lambda d: d.rename(columns={"u": "src", "v": "dst"}),
+            batch_format="pandas",
+        )
+        # star = O(log n) rounds; each CC round costs ~2 exchanges of
+        # fixed Ray overhead at toy scale, so round count dominates
+        return connected_components(edges, algorithm="star")
 
     def doc_inverted_index(sf_dir: str):
         """Oracle-checked: inverted index — per token, document
@@ -1610,9 +1685,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": events_cohorts,
         "doc_inverted_index": doc_inverted_index,
         "events_triangles": events_triangles,
+        "events_components": events_components,
         "doc_diversity": doc_diversity,
         "doc_readability": doc_readability,
         "doc_packed": doc_packed,
+        "doc_length_deciles": doc_length_deciles,
+        "events_session_quantiles": events_session_quantiles,
         "events_path_trigrams": events_path_trigrams,
         "doc_pii_redact": doc_pii_redact,
         "doc_repetition": doc_repetition,
@@ -1854,6 +1932,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 0.75e0, quantile_disc(gap_s, 0.75)::DOUBLE
             FROM g GROUP BY event_type
         """,
+        # Transitive closure with UNION dedup (the doc_dup_clusters
+        # pattern); comp = min reachable user_id, matching the
+        # engine's min-label CC.
+        "events_components": """
+            WITH RECURSIVE cells AS (
+              SELECT DISTINCT user_id, props
+              FROM events
+              WHERE event_type = 'purchase' AND value > 99.0
+            ), e AS (
+              SELECT DISTINCT c1.user_id AS u, c2.user_id AS v
+              FROM cells c1 JOIN cells c2
+                ON c1.props = c2.props AND c1.user_id < c2.user_id
+            ), und AS (
+              SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+            ), nodes AS (
+              SELECT DISTINCT u AS node FROM und
+            ), reach(a, b) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.a, d.v FROM reach r JOIN und d ON d.u = r.b
+            )
+            SELECT a AS node, min(b) AS comp FROM reach GROUP BY a
+        """,
         "events_type_gini": """
             WITH c AS (
               SELECT user_id, event_type, count(*)::BIGINT AS c
@@ -1936,6 +2037,41 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT max(bin) FROM bounds b
                      WHERE b.shard = d.shard AND b.start_cs < d.cs) AS bin
             FROM d
+        """,
+        "doc_length_deciles": """
+            SELECT lang, doc_id,
+                   CAST(ntile(10) OVER w AS BIGINT) AS tile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume_dist
+            FROM documents
+            WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id)
+        """,
+        # sessionize replica (the events_sessions oracle) wrapped in
+        # quantile_disc over whole-second durations (scale=1 identity)
+        "events_session_quantiles": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR date_diff('microsecond', lag(ts) OVER w, ts)
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS b
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, CAST(sum(b) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM o
+            ), d AS (
+              SELECT date_diff('second', min(ts), max(ts)) AS duration_s
+              FROM s GROUP BY user_id, session_seq
+            ), a AS (
+              SELECT quantile_disc(duration_s, [0.25, 0.5, 0.75]) AS l
+              FROM d
+            )
+            SELECT unnest([0.25, 0.5, 0.75]) AS q,
+                   CAST(unnest(l) AS DOUBLE) AS v
+            FROM a
         """,
         # e0 float literals force DOUBLE (not DECIMAL) arithmetic so
         # DuckDB rounds identically to numpy; see the BM25 oracle note.

@@ -1,8 +1,9 @@
 """Driver-contract sweep replica: run EVERY registered query at a
 given sf dir, run its DuckDB oracle when one exists, and compare row
-count + column names + sorted-value hash — the same gate the round
-driver applies. Use before a round ends to guarantee the real sweep
-lands all-green and to spot slow queries.
+count + column names + normalized sorted values (the same dtype-loose
+assert_frame_equal comparator as tests/test_entry.py, atol=1e-6). Use
+before a round ends to guarantee the real sweep lands all-green and
+to spot slow queries.
 
 Usage: python BENCH/sweep.py [--sf /root/testdata/sf0.01] [--cpus 32]
        [--only name1,name2]
@@ -10,7 +11,6 @@ Writes one JSON line per query to stdout and a summary at the end.
 """
 
 import argparse
-import hashlib
 import json
 import os
 import sys
@@ -36,12 +36,6 @@ def _norm(df):
         elif np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
-def _hash(df):
-    return hashlib.md5(
-        df.to_csv(index=False, float_format="%.6f").encode()
-    ).hexdigest()[:16]
 
 
 def main():

@@ -2010,6 +2010,7 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(lower(text), '\w+'))::BIGINT
                        AS n_tokens
               FROM documents
+              WHERE len(regexp_extract_all(lower(text), '\w+')) > 0
             ), d AS (
               SELECT *, sum(n_tokens) OVER (PARTITION BY shard
                                             ORDER BY doc_id) AS cs

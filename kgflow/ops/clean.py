@@ -324,6 +324,7 @@ def winsorize(
     """
     from kgflow.ops.joins import hash_join
     from kgflow.ops.profile import grouped_quantiles
+    from kgflow.ops.shuffle import bucketed_group_reduce
 
     gcols = list(group_cols)
     q = grouped_quantiles(ds, gcols, col, qs=(q_lo, q_hi), scale=scale,
@@ -334,12 +335,13 @@ def winsorize(
         hi = d[d["q"] == q_hi].rename(columns={"v": "_hi"}).drop(columns=["q"])
         return lo.merge(hi, on=gcols, how="inner")
 
-    # group-bounded (one row per group); batch_size=None keeps each
-    # bucket block whole so a group's lo and hi rows stay in one batch;
-    # materialize so the join's schema/size probes don't re-run the
-    # quantile pipeline
-    band = q.map_batches(
-        widen, batch_format="pandas", batch_size=None
+    # A group's lo and hi rows must be paired in ONE task: relying on
+    # them sharing a Ray block would silently drop the group if the
+    # quantile output ever re-blocks between them, so pair through a
+    # keyed reduce (tiny, group-bounded). materialize so the join's
+    # schema/size probes don't re-run the quantile pipeline.
+    band = bucketed_group_reduce(
+        q, key_cols=gcols, reduce_fn=widen, num_buckets=num_buckets
     ).materialize()
 
     joined = hash_join(ds, band, on=gcols, num_buckets=num_buckets)

@@ -361,6 +361,33 @@ def mad_outliers(
     return flagged.map_batches(pick, batch_format="pandas")
 
 
+def _category_count_fns(key: str, cat_col: str):
+    """Shared (key, cat, c) combiner + in-bucket total for the grouped
+    categorical statistics (`grouped_gini`, `grouped_mode`).
+    ``dropna=False`` keeps NULL categories as a real group — SQL
+    GROUP BY counts NULLs, and silently dropping them would skew both
+    the moments and the argmax against the oracle."""
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        return (
+            d.groupby([key, cat_col], sort=False, observed=True, dropna=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    def totals(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby([key, cat_col], sort=False, observed=True, dropna=False)[
+                "c"
+            ]
+            .sum()
+            .reset_index()
+        )
+
+    return partial, totals
+
+
 def grouped_gini(
     ds: "rd.Dataset",
     key: str,
@@ -377,24 +404,15 @@ def grouped_gini(
     partial (key, cat, c) counts BEFORE the exchange (combiner), then
     ONE key-bucketed reduce sums counts and the int64 moments — the
     shuffle carries category-domain-bounded rows, never event rows.
+    NULL categories count as a category (SQL GROUP BY semantics).
     Guard: n > 2³¹ per key would overflow n² — fail loudly.
     """
     from kgflow.ops.shuffle import bucketed_group_reduce
 
-    def partial(d: pd.DataFrame) -> pd.DataFrame:
-        return (
-            d.groupby([key, cat_col], sort=False, observed=True)
-            .size()
-            .rename("c")
-            .reset_index()
-        )
+    partial, totals = _category_count_fns(key, cat_col)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        tot = (
-            g.groupby([key, cat_col], sort=False, observed=True)["c"]
-            .sum()
-            .reset_index()
-        )
+        tot = totals(g)
         c = tot["c"].to_numpy(dtype=np.int64)
         agg = tot.assign(sq=c * c).groupby(key, as_index=False).agg(
             n=("c", "sum"), sq=("sq", "sum")
@@ -431,26 +449,20 @@ def grouped_mode(
     the grouped argmax every engine needs but few make reproducible.
 
     Output: (key, mode, mode_count). Same combiner + one-exchange
-    shape as ``grouped_gini``: batches shrink to partial (key, cat, c)
-    counts, the bucketed reduce sums them and takes the per-key argmax
-    via a sort + drop_duplicates (C kernels, no Python per group).
+    shape as ``grouped_gini`` (shared `_category_count_fns`): batches
+    shrink to partial (key, cat, c) counts, the bucketed reduce sums
+    them and takes the per-key argmax via a sort + drop_duplicates
+    (C kernels, no Python per group). NULL categories participate
+    (counted like SQL GROUP BY; on a count tie they sort after real
+    values in BOTH engines — pandas na_position='last' ≙ DuckDB
+    NULLS LAST for ASC).
     """
     from kgflow.ops.shuffle import bucketed_group_reduce
 
-    def partial(d: pd.DataFrame) -> pd.DataFrame:
-        return (
-            d.groupby([key, cat_col], sort=False, observed=True)
-            .size()
-            .rename("c")
-            .reset_index()
-        )
+    partial, totals = _category_count_fns(key, cat_col)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        tot = (
-            g.groupby([key, cat_col], sort=False, observed=True)["c"]
-            .sum()
-            .reset_index()
-        )
+        tot = totals(g)
         best = tot.sort_values(
             [key, "c", cat_col], ascending=[True, False, True], kind="mergesort"
         ).drop_duplicates(key)

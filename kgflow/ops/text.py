@@ -996,12 +996,18 @@ def pack_sequences(
     per-doc loop.
 
     Output: (doc_id, shard, n_tokens, bin) — bin numbered 0.. within
-    each shard.
+    each shard. Zero-token documents are EXCLUDED (nothing to pack,
+    and their cumsum ties at bin boundaries would make the bin
+    assignment ambiguous between engines); with every n_tokens ≥ 1
+    the per-shard cumsum is strictly increasing, so boundaries are
+    unambiguous.
     """
     from kgflow.ops.shuffle import bucketed_group_reduce
 
     counts = token_counts(docs).map_batches(
-        lambda d: d.assign(shard=d["doc_id"].to_numpy(dtype=np.int64) // shard_size),
+        lambda d: d.loc[d["n_tokens"].to_numpy() > 0].assign(
+            shard=lambda x: x["doc_id"].to_numpy(dtype=np.int64) // shard_size
+        ),
         batch_format="pandas",
     )
 

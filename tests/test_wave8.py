@@ -192,3 +192,23 @@ def test_winsorize_clips_to_group_band():
         .reset_index(drop=True)
     )
     assert out["value_w"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0]
+
+
+def test_grouped_mode_and_gini_count_null_categories():
+    from kgflow.ops.profile import grouped_gini, grouped_mode
+
+    # NULL category has the strictly-highest count in group x: SQL
+    # GROUP BY counts it, so the engine must too
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 5,
+            "v": [None, None, None, "a", "a"],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    mode = grouped_mode(ds, "g", "v").to_pandas()
+    assert mode.loc[0, "mode_count"] == 3 and pd.isna(mode.loc[0, "mode"])
+    gini = grouped_gini(ds, "g", "v").to_pandas()
+    # counts {NULL: 3, a: 2} -> (25 - 13)/25
+    assert gini.loc[0, "n_events"] == 5
+    assert gini.loc[0, "gini"] == pytest.approx((25 - 13) / 25)

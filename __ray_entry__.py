@@ -1649,6 +1649,110 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return video_frame_features(_media())
 
+    # --- ninth wave (round 4 continuation): LM counts, exact bivariate
+    # moments, weighted sampling, graph degree histogram, Dice pairs
+    def doc_bigram_lm(sf_dir: str):
+        """Oracle-checked: corpus bigram-LM argmax — per token, the
+        most likely successor and its adjacency count (first-wins tie
+        break). Pair-keyed partial sums, then a vocabulary-bounded
+        argmax exchange."""
+        from kgflow.ops.text import bigram_successors
+
+        return bigram_successors(_docs(sf_dir))
+
+    def events_corr(sf_dir: str):
+        """Oracle-checked: per-type exact bivariate moments of
+        (value, props.k) — quantize-first int64 (n, Σx, Σy, Σx², Σy²,
+        Σxy); Pearson corr / covariance / OLS slope are single
+        driver-side divisions over this hash-exact row."""
+        import pandas as _pd
+
+        from kgflow.ops.profile import grouped_corr_moments
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value", "props"],
+        )
+
+        def with_k(df: _pd.DataFrame) -> _pd.DataFrame:
+            df["k"] = df["props"].str.extract(r"(\d+)", expand=False).astype(
+                "float64"
+            )
+            return df[["event_type", "value", "k"]]
+
+        return grouped_corr_moments(
+            ev.map_batches(with_k, batch_format="pandas"),
+            key="event_type",
+            x_col="value",
+            y_col="k",
+            x_scale=100,
+            y_scale=1,
+        )
+
+    def doc_weighted_sample(sf_dir: str):
+        """Oracle-checked: deterministic weight-biased bottom-k sample
+        (priority = FNV1a(doc_id) // n_chars — integer-exact priority
+        sampling, SQL-reproducible via the HUGEINT FNV fold)."""
+        from kgflow.ops.sketch import weighted_bottomk
+
+        return weighted_bottomk(
+            _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+            id_col="doc_id",
+            weight_col="n_chars",
+            k=100,
+        )
+
+    def events_degree_hist(sf_dir: str):
+        """Oracle-checked: degree distribution of the same co-activity
+        graph events_triangles counts (users sharing an (event_type,
+        hour) cell) — count-row exchanges only, output bounded by the
+        number of distinct degrees."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from kgflow.ops.graph import cooccurrence_edges, degree_histogram
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts"],
+        )
+
+        def add_hour(batch: "_pa.Table") -> "_pa.Table":
+            return _pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "event_type": batch.column("event_type"),
+                    "w": _pc.floor_temporal(batch.column("ts"), unit="hour"),
+                }
+            )
+
+        edges = cooccurrence_edges(
+            ev.map_batches(add_hour, batch_format="pyarrow"),
+            "user_id",
+            ["event_type", "w"],
+        )
+        return degree_histogram(edges)
+
+    def doc_dice_pairs(sf_dir: str):
+        """Oracle-checked: Sørensen–Dice near-dup pairs over the same
+        trigram-shingle count-join as doc_jaccard_pairs (dice = 2j/(1+j);
+        threshold 0.6 ⇔ Jaccard ≈ 0.43, so the pair set strictly
+        contains the Jaccard-0.5 set — non-vacuous by construction)."""
+        import pandas as _pd
+
+        from kgflow.ops.dedup import jaccard_pairs
+
+        out = jaccard_pairs(
+            _docs(sf_dir), k=3, threshold=0.6, measure="dice"
+        )
+
+        def fl(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _floor_scale_pd(df, "sim", 10000)
+
+        return out.map_batches(fl, batch_format="pandas")
+
     return {
         "kg_sentences": kg_sentences,
         "kg_triples": kg_triples,
@@ -1755,6 +1859,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
         "media_video_features": media_video_features,
+        "doc_bigram_lm": doc_bigram_lm,
+        "events_corr": events_corr,
+        "doc_weighted_sample": doc_weighted_sample,
+        "events_degree_hist": events_degree_hist,
+        "doc_dice_pairs": doc_dice_pairs,
     }
 
 
@@ -3146,5 +3255,110 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        # bigram adjacency counts + first-wins argmax per first token
+        # (row_number window, the doc_langid tie-break convention)
+        "doc_bigram_lm": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), bg AS (
+              SELECT unnest(list_transform(
+                       range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS p
+              FROM tok
+            ), c AS (
+              SELECT split_part(p, ' ', 1) AS token,
+                     split_part(p, ' ', 2) AS next_token,
+                     count(*) AS pair_n
+              FROM bg GROUP BY 1, 2
+            ), r AS (
+              SELECT token, next_token, pair_n,
+                     row_number() OVER (
+                       PARTITION BY token
+                       ORDER BY pair_n DESC, next_token) AS rn
+              FROM c
+            )
+            SELECT token, next_token, pair_n FROM r WHERE rn = 1
+        """,
+        # quantize-first integer moments (the embed_gram trick): every
+        # sum is over exact BIGINTs, so accumulation order is moot
+        "events_corr": r"""
+            WITH q AS (
+              SELECT event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS x,
+                     CAST(regexp_extract(props, '\d+') AS BIGINT) AS y
+              FROM events
+              WHERE value IS NOT NULL AND props IS NOT NULL
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM q GROUP BY event_type
+        """,
+        # integer priority sampling: FNV1a(doc_id) folded in HUGEINT
+        # (the events_value_sketch fold) integer-divided by the weight
+        "doc_weighted_sample": """
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                CAST(list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(
+                      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                      j -> CAST(unicode(CAST(doc_id AS VARCHAR)[j])
+                                AS HUGEINT))),
+                  (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                        CAST(c AS UBIGINT)) AS HUGEINT)
+                               * 1099511628211) % 18446744073709551616
+                ) AS UBIGINT) AS hv
+              FROM documents
+            )
+            SELECT doc_id, n_chars
+            FROM h
+            ORDER BY hv // CAST(n_chars AS UBIGINT), doc_id
+            LIMIT 100
+        """,
+        # same co-activity cells as events_triangles, reduced to the
+        # per-user degree then the (degree, n_nodes) histogram
+        "events_degree_hist": """
+            WITH cells AS (
+              SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS w
+              FROM events
+            ), e AS (
+              SELECT DISTINCT c1.user_id AS u, c2.user_id AS v
+              FROM cells c1 JOIN cells c2
+                ON c1.event_type = c2.event_type AND c1.w = c2.w
+               AND c1.user_id < c2.user_id
+            ), und AS (
+              SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+            ), deg AS (
+              SELECT node, count(*) AS degree FROM und GROUP BY node
+            )
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        # Sørensen–Dice over the doc_jaccard_pairs shingle pipeline
+        "doc_dice_pairs": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     2.0 * len(list_intersect(a.s, b.s))
+                       / (len(a.s) + len(b.s)) AS d
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, floor(d * 10000) / 10000 AS sim
+            FROM p WHERE d >= 0.6
         """,
     }

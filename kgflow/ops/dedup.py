@@ -347,11 +347,18 @@ def jaccard_pairs(
     5000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). The
     Jaccard length-ratio prune is UNSOUND for containment (any size
     pair can reach containment 1), so that mode keeps every
-    within-shingle pair and leans on ``max_df`` alone."""
+    within-shingle pair and leans on ``max_df`` alone.
+
+    ``measure="dice"`` scores 2o / (|A| + |B|) (Sørensen–Dice, the
+    IR-standard monotone transform of Jaccard: d = 2j/(1+j)) with its
+    own sound length prune — dice ≥ t requires
+    min(|A|,|B|)·(2−t) ≥ t·max(|A|,|B|) since o ≤ min(|A|,|B|)."""
     from kgflow.ops.shuffle import bucketed_group_reduce
 
-    if measure not in ("jaccard", "containment"):
-        raise ValueError(f"measure must be jaccard|containment, got {measure!r}")
+    if measure not in ("jaccard", "containment", "dice"):
+        raise ValueError(
+            f"measure must be jaccard|containment|dice, got {measure!r}"
+        )
 
     def postings(batch: pa.Table) -> pa.Table:
         cache: dict = {}
@@ -423,6 +430,11 @@ def jaccard_pairs(
         if measure == "jaccard":
             keep = (sb >= threshold * sa) & (sa >= threshold * sb)
             da, db, sa, sb = da[keep], db[keep], sa[keep], sb[keep]
+        elif measure == "dice":
+            keep = (sb * (2.0 - threshold) >= threshold * sa) & (
+                sa * (2.0 - threshold) >= threshold * sb
+            )
+            da, db, sa, sb = da[keep], db[keep], sa[keep], sb[keep]
         key = (da.astype(np.uint64) << np.uint64(32)) | db.astype(np.uint64)
         uk, first, counts = np.unique(key, return_index=True, return_counts=True)
         return pd.DataFrame(
@@ -447,6 +459,9 @@ def jaccard_pairs(
         sb = g["size_b"].to_numpy(dtype=np.int64)[first]
         if measure == "jaccard":
             denom = np.maximum(sa + sb - o, 1)
+        elif measure == "dice":
+            o = 2 * o
+            denom = np.maximum(sa + sb, 1)
         else:  # containment: overlap coefficient o / min(|A|, |B|)
             denom = np.maximum(np.minimum(sa, sb), 1)
         sim = o / denom

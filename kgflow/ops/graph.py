@@ -328,3 +328,56 @@ def triangle_count(
     )
     n = int(closed.count())
     return pd.DataFrame([{"n_triangles": np.int64(n)}])
+
+
+def degree_histogram(
+    edges: "rd.Dataset",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Degree distribution of an undirected (u, v) edge set: per-node
+    degree via one node-keyed count, then the histogram (degree,
+    n_nodes) — the first sanity plot of ANY graph build (power-law
+    head, disconnected dust, an accidental clique from a bad blocking
+    key all show up here before an expensive CC/PageRank pass).
+
+    Scale shape: symmetrize + per-batch partial node counts (C
+    kernels) shrink each block to its distinct endpoints before
+    exchange 1 (node-keyed partial-count sum — a hub's rows spread
+    across blocks but its bucket only ever sees count rows); exchange
+    2 buckets on DEGREE and is output-bounded (≤ distinct degrees
+    rows). Assumes edges are deduped with u < v (what
+    `cooccurrence_edges` and the KG edge sink emit)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def endpoints(d: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate(
+            [d["u"].to_numpy(dtype=np.int64), d["v"].to_numpy(dtype=np.int64)]
+        )
+        uniq, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": uniq, "c": c.astype(np.int64)})
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node", as_index=False)["c"].sum()
+        # emit bucket-local histogram partials: (degree, partial n)
+        vc = agg["c"].value_counts()
+        return pd.DataFrame(
+            {
+                "degree": vc.index.to_numpy(dtype=np.int64),
+                "n_nodes": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    def sum_hist(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("degree", as_index=False)["n_nodes"].sum()
+
+    per_node = bucketed_group_reduce(
+        edges.select_columns(["u", "v"]).map_batches(
+            endpoints, batch_format="pandas"
+        ),
+        key_cols=["node"],
+        reduce_fn=sum_counts,
+        num_buckets=num_buckets,
+    )
+    return bucketed_group_reduce(
+        per_node, key_cols=["degree"], reduce_fn=sum_hist, num_buckets=num_buckets
+    )

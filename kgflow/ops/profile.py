@@ -480,3 +480,74 @@ def grouped_mode(
     return bucketed_group_reduce(
         partials, key_cols=[key], reduce_fn=finish, num_buckets=num_buckets
     )
+
+
+def grouped_corr_moments(
+    ds: "rd.Dataset",
+    key: str,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 100,
+    y_scale: int = 1,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key exact bivariate moments — the distributed heart of
+    Pearson correlation / covariance / OLS slope: quantize x and y
+    FIRST (floor(v·scale), so every downstream sum is int64 with no
+    float accumulation-order drift — the ``embedding_gram`` trick,
+    `kgflow/ops/ann.py:378`), then ship per-batch partial
+    (n, Σx, Σy, Σx², Σy², Σxy) rows and sum them in ONE key-bucketed
+    reduce.
+
+    Output: (key, n, sx, sy, sxx, syy, sxy) — all BIGINT, so the row
+    is hash-exact across engines; corr/cov/slope are single driver-side
+    divisions the caller applies (kept out of the exchanged schema so
+    the oracle never compares a libm sqrt). NULL x or y rows are
+    dropped pair-wise (SQL corr semantics).
+
+    Scale shape: the exchange carries ≤ blocks × |keys| rows of 7
+    scalars — constant per key per block, independent of row count.
+    Overflow bound: |Σx²| ≤ n·(max|x|·x_scale)²; with 2-decimal
+    values ≤ 1e4 quantized to ≤ 1e6, int64 holds n ≤ 9e6 rows per
+    BATCH partial and 9e18 total — fail-loud asserted per batch."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[[key, x_col, y_col]].dropna()
+        x = np.floor(d[x_col].to_numpy(dtype=np.float64) * x_scale).astype(
+            np.int64
+        )
+        y = np.floor(d[y_col].to_numpy(dtype=np.float64) * y_scale).astype(
+            np.int64
+        )
+        if len(x):
+            mx = max(np.abs(x).max(), np.abs(y).max())
+            if mx * mx * len(x) >= 2**63:
+                raise ValueError(
+                    "grouped_corr_moments: batch moment would overflow int64 "
+                    f"(max |quantized| = {mx}, n = {len(x)}); lower the scale"
+                )
+        t = pd.DataFrame(
+            {
+                key: d[key].to_numpy(),
+                "n": np.ones(len(x), dtype=np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return t.groupby(key, as_index=False, sort=False).sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, as_index=False, sort=False)[cols].sum()
+
+    partials = ds.select_columns([key, x_col, y_col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=[key], reduce_fn=finish, num_buckets=num_buckets
+    )

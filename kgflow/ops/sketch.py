@@ -429,3 +429,62 @@ def bottomk_sample_quantiles(
     return bucketed_group_reduce(
         partials, key_cols=["_one"], reduce_fn=finish, num_buckets=num_buckets
     )
+
+
+def weighted_bottomk(
+    ds: "rd.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int = 256,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Deterministic weight-biased bottom-k sample: each row gets an
+    integer priority FNV1a(id) // weight and the global k lowest
+    priorities win — heavier rows draw proportionally smaller
+    priorities, so inclusion probability grows with weight (the
+    integer-exact cousin of sequential Poisson / priority sampling,
+    Duffield-Lund-Thorup; exact order statistics replace the u^(1/w)
+    float transform so the sample is bit-reproducible in ANY engine
+    that can fold FNV — see _FNV_SQL_NOTE).
+
+    Weights must be >= 1 (guarded). Output: the k (id, weight) winners.
+
+    Scale shape: like `bottomk_sample_quantiles` — priority is a pure
+    min-semilattice, every block shrinks to its local bottom-k before
+    the single ≤ blocks×k-row reduce; nothing heavier than two int64
+    scalars rides the exchange, and the result is partitioning-
+    independent and resumable."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        if len(w) and w.min() < 1:
+            raise ValueError("weighted_bottomk requires weights >= 1")
+        pri = _fnv1a_decimal(ids) // w.astype(np.uint64)
+        n = min(k, len(ids))
+        idx = np.lexsort((ids, pri))[:n]
+        return pd.DataFrame(
+            {
+                "_pri": pri[idx],
+                id_col: ids[idx],
+                weight_col: w[idx],
+                "_one": np.zeros(n, dtype=np.int64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (
+                g[id_col].to_numpy(dtype=np.int64),
+                g["_pri"].to_numpy(dtype=np.uint64),
+            )
+        )[:k]
+        return g.iloc[order][[id_col, weight_col]].reset_index(drop=True)
+
+    cols = [id_col, weight_col]
+    partials = ds.select_columns(cols).map_batches(partial, batch_format="pandas")
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    return bucketed_group_reduce(
+        partials, key_cols=["_one"], reduce_fn=finish, num_buckets=1
+    )

@@ -1052,3 +1052,79 @@ def pack_sequences(
     return bucketed_group_reduce(
         counts, key_cols=["shard"], reduce_fn=pack, num_buckets=num_buckets
     )
+
+
+def bigram_successors(
+    docs: "rd.Dataset",
+    min_pair_n: int = 1,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Corpus bigram language model, collapsed to its argmax: for every
+    token, the most likely successor token and the bigram count — the
+    count-based core of n-gram LM training (Kneser-Ney and friends
+    start from exactly these adjacency counts) and of phrase/compound
+    detection. Ties break lexicographically (first-wins argmax, the
+    ``doc_langid``/``grouped_mode`` convention).
+
+    Output: (token, next_token, pair_n), one row per distinct first
+    token with a best pair count ≥ ``min_pair_n``.
+
+    Scale shape: tokenization + per-batch bigram counting are C
+    kernels (one str.findall pass, shifted-array pairing, a single
+    two-column groupby), so each block shrinks to its DISTINCT bigrams
+    before any exchange; exchange 1 sums partials bucketed on the
+    BIGRAM (a stop-token head's pairs spread across buckets — no hot
+    first-token reducer); exchange 2 is vocabulary-bounded (one best
+    row per (bucket, token)) and picks the global argmax per token."""
+    import pandas as pd_
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(df: pd_.DataFrame) -> pd_.DataFrame:
+        toks = df["text"].str.lower().str.findall(_WORD_RE)
+        # shifted-array pairing per doc, vectorized across the batch:
+        # explode once, mask out cross-document seams by doc ordinal
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd_.DataFrame(
+                {
+                    "token": pd_.Series([], dtype="object"),
+                    "next_token": pd_.Series([], dtype="object"),
+                    "pair_n": pd_.Series([], dtype="int64"),
+                }
+            )
+        words = ex.to_numpy(dtype=object)
+        doc_ord = ex.index.to_numpy()
+        same_doc = doc_ord[:-1] == doc_ord[1:]
+        a, b = words[:-1][same_doc], words[1:][same_doc]
+        t = pd_.DataFrame({"token": a, "next_token": b})
+        out = t.groupby(["token", "next_token"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "pair_n"})
+
+    def sum_pairs(g: pd_.DataFrame) -> pd_.DataFrame:
+        agg = g.groupby(["token", "next_token"], as_index=False)["pair_n"].sum()
+        # bucket-local argmax: one candidate row per token per bucket —
+        # the global argmax per token is among the buckets' argmaxes
+        return agg.sort_values(
+            ["token", "pair_n", "next_token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("token")
+
+    def best(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.sort_values(
+            ["token", "pair_n", "next_token"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("token")
+        return out[out["pair_n"] >= min_pair_n]
+
+    partials = bucketed_group_reduce(
+        docs.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        key_cols=["token", "next_token"],
+        reduce_fn=sum_pairs,
+        num_buckets=num_buckets,
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=["token"], reduce_fn=best, num_buckets=num_buckets
+    )

@@ -1753,6 +1753,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(fl, batch_format="pandas")
 
+    def events_transitions(sf_dir: str):
+        """Oracle-checked: first-order Markov transition counts over
+        each user's (ts, id)-ordered event stream — ONE user-keyed
+        adjacency exchange, then a category²-bounded pair sum."""
+        from kgflow.ops.window import transition_counts
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        return transition_counts(ev)
+
+    def events_basket_pairs(sf_dir: str):
+        """Oracle-checked: market-basket pair support (Apriori k=2) —
+        baskets = users, items = event types; confidence/lift are
+        driver-side divisions over the hash-exact count row."""
+        from kgflow.ops.graph import item_pair_support
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        return item_pair_support(ev, basket_col="user_id", item_col="event_type")
+
+    def doc_checksum(sf_dir: str):
+        """Oracle-checked: order-independent table fingerprint of
+        documents(doc_id, n_chars) — per-block FNV fold + wrap-sum,
+        one 2-scalar row per block on the exchange."""
+        from kgflow.ops.checks import table_checksum
+
+        return table_checksum(
+            _docs(sf_dir).select_columns(["doc_id", "n_chars"]),
+            cols=["doc_id", "n_chars"],
+        )
+
     return {
         "kg_sentences": kg_sentences,
         "kg_triples": kg_triples,
@@ -1864,6 +1901,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
+        "events_transitions": events_transitions,
+        "events_basket_pairs": events_basket_pairs,
+        "doc_checksum": doc_checksum,
     }
 
 
@@ -3340,6 +3380,69 @@ def oracle_sql() -> dict[str, str]:
               SELECT node, count(*) AS degree FROM und GROUP BY node
             )
             SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        # adjacent-event pairs via the (ts, event_id) total order —
+        # the same ordering convention as events_gap_quantiles
+        "events_transitions": """
+            WITH s AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS from_cat,
+                     event_type AS to_cat
+              FROM events
+            )
+            SELECT from_cat, to_cat, count(*) AS n
+            FROM s WHERE from_cat IS NOT NULL
+            GROUP BY from_cat, to_cat
+        """,
+        # distinct (basket, item) support counts + marginals; the
+        # engine's tagged-union exchange reduces to these three CTEs
+        "events_basket_pairs": """
+            WITH bi AS (
+              SELECT DISTINCT user_id AS basket, event_type AS item
+              FROM events
+            ), nb AS (
+              SELECT count(DISTINCT basket) AS n_baskets FROM bi
+            ), m AS (
+              SELECT item, count(*) AS n_item FROM bi GROUP BY item
+            ), p AS (
+              SELECT a.item AS item_a, b.item AS item_b,
+                     count(*) AS n_ab
+              FROM bi a JOIN bi b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2
+            )
+            SELECT p.item_a, p.item_b,
+                   ma.n_item AS n_a, mb.n_item AS n_b,
+                   p.n_ab, nb.n_baskets
+            FROM p
+            JOIN m ma ON ma.item = p.item_a
+            JOIN m mb ON mb.item = p.item_b
+            CROSS JOIN nb
+        """,
+        # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
+        # HUGEINT fold over a composed key), wrap-summed mod 2^64
+        "doc_checksum": """
+            WITH h AS (
+              SELECT
+                CAST(list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(
+                      range(1, length(CAST(doc_id AS VARCHAR) || '|'
+                                      || CAST(n_chars AS VARCHAR)) + 1),
+                      j -> CAST(unicode((CAST(doc_id AS VARCHAR) || '|'
+                                         || CAST(n_chars AS VARCHAR))[j])
+                                AS HUGEINT))),
+                  (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                        CAST(c AS UBIGINT)) AS HUGEINT)
+                               * 1099511628211) % 18446744073709551616
+                ) AS UBIGINT) AS hv
+              FROM documents
+            )
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(hv AS HUGEINT))
+                        % 18446744073709551616 AS UBIGINT) AS checksum
+            FROM h
         """,
         # Sørensen–Dice over the doc_jaccard_pairs shingle pipeline
         "doc_dice_pairs": r"""

@@ -76,3 +76,74 @@ def fk_violation_count(
         on=parent_key,
     )
     return pd.DataFrame({"rule": [rule], "n_violations": [int(orphans.count())]})
+
+
+def table_checksum(
+    ds: "rd.Dataset",
+    cols: list[str],
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Order-independent table fingerprint: FNV-1a over each row's
+    '|'-joined decimal key, wrap-summed mod 2⁶⁴ — the cheap
+    anti-entropy check a 100-TB pipeline runs after every copy,
+    re-partition or engine migration (two tables with equal (n_rows,
+    checksum) agree row-for-row up to hash collision, regardless of
+    row order or partitioning; a commutative sum is exactly what makes
+    the check partitioning-independent and resumable).
+
+    ``cols`` must be integer-valued columns (decimal form is the
+    cross-engine-stable byte representation — the `_FNV_SQL_NOTE`
+    convention, so the fingerprint reproduces bit-exactly in SQL).
+
+    Output: ONE row (n_rows, checksum). Scale shape: each block folds
+    to a single (count, wrapped-sum) partial — the exchange carries
+    one 2-scalar row per block."""
+    import numpy as np
+    import pandas as pd
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "_g": pd.Series([], dtype="int64"),
+                    "n_rows": pd.Series([], dtype="int64"),
+                    "checksum": pd.Series([], dtype="uint64"),
+                }
+            )
+        parts = [
+            np.asarray(d[c].to_numpy(dtype=np.int64), dtype=np.int64).astype(str)
+            for c in cols
+        ]
+        key = parts[0]
+        for p in parts[1:]:
+            key = np.char.add(np.char.add(key, "|"), p)
+        h = _fnv1a_strings(key)
+        with np.errstate(over="ignore"):
+            s = np.uint64(np.add.reduce(h, dtype=np.uint64))
+        return pd.DataFrame(
+            {
+                "_g": np.array([0], dtype=np.int64),
+                "n_rows": np.array([len(d)], dtype=np.int64),
+                "checksum": np.array([s], dtype=np.uint64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            s = np.uint64(
+                np.add.reduce(g["checksum"].to_numpy(dtype=np.uint64), dtype=np.uint64)
+            )
+        return pd.DataFrame(
+            {
+                "n_rows": [int(g["n_rows"].sum())],
+                "checksum": np.array([s], dtype=np.uint64),
+            }
+        )
+
+    partials = ds.select_columns(cols).map_batches(partial, batch_format="pandas")
+    return bucketed_group_reduce(
+        partials, key_cols=["_g"], reduce_fn=finish, num_buckets=1
+    )

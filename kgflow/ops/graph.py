@@ -381,3 +381,133 @@ def degree_histogram(
     return bucketed_group_reduce(
         per_node, key_cols=["degree"], reduce_fn=sum_hist, num_buckets=num_buckets
     )
+
+
+def item_pair_support(
+    ds: "rd.Dataset",
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Market-basket pair support — the counting core of association
+    rules (Agrawal–Srikant Apriori at k=2): for every unordered item
+    pair, how many baskets contain BOTH, plus each item's basket count
+    and the total basket count, so confidence(a→b) = n_ab/n_a and
+    lift = n_ab·n_baskets/(n_a·n_b) are driver-side divisions over one
+    hash-exact row.
+
+    Output: (item_a, item_b, n_a, n_b, n_ab, n_baskets), item_a < item_b.
+
+    Scale shape: (basket, item) pairs dedup through a per-block
+    combiner, then ONE basket-keyed exchange emits a TAGGED UNION of
+    partials — pair counts ('p', quadratic in the BASKET size only,
+    guarded by ``max_basket`` exactly like `cooccurrence_edges`), item
+    basket-counts ('i') and basket counts ('b'); baskets never span
+    buckets, so every partial is disjoint. Exchange 2 sums partials per
+    (kind, key) — item²-bounded rows — and a final single-bucket
+    assembly joins the three kinds. No exchange ever carries basket
+    contents twice, and nothing is pulled to the driver."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    cols = [basket_col, item_col]
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates(cols)
+
+    EMPTY = pd.DataFrame(
+        {
+            "kind": pd.Series([], dtype="object"),
+            "ka": pd.Series([], dtype="object"),
+            "kb": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def partials(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates(cols)
+        if not len(d):
+            return EMPTY.copy()
+        sizes = d.groupby(basket_col, sort=False)[item_col].transform("size")
+        if int(sizes.max()) > max_basket:
+            hot = d.loc[sizes.idxmax(), basket_col]
+            raise ValueError(
+                f"item_pair_support: basket {hot!r} has {int(sizes.max())} "
+                f"items (max_basket={max_basket}); refine the basket key"
+            )
+        m = d.merge(d, on=basket_col, suffixes=("_a", "_b"))
+        ca, cb = f"{item_col}_a", f"{item_col}_b"
+        m = m.loc[m[ca] < m[cb], [ca, cb]]
+        pair = m.groupby([ca, cb], sort=False, as_index=False).size()
+        item = d.groupby(item_col, sort=False, as_index=False).size()
+        out = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "kind": "p",
+                        "ka": pair[ca].astype(object),
+                        "kb": pair[cb].astype(object),
+                        "n": pair["size"].to_numpy(dtype=np.int64),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "kind": "i",
+                        "ka": item[item_col].astype(object),
+                        "kb": "",
+                        "n": item["size"].to_numpy(dtype=np.int64),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "kind": "b",
+                        "ka": "",
+                        "kb": "",
+                        "n": np.array(
+                            [d[basket_col].nunique()], dtype=np.int64
+                        ),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        return out
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["kind", "ka", "kb"], as_index=False)["n"].sum()
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["kind"] == "p"]
+        i = g[g["kind"] == "i"].set_index("ka")["n"]
+        nb = int(g.loc[g["kind"] == "b", "n"].sum())
+        return pd.DataFrame(
+            {
+                "item_a": p["ka"].to_numpy(),
+                "item_b": p["kb"].to_numpy(),
+                "n_a": i.reindex(p["ka"]).to_numpy(dtype=np.int64),
+                "n_b": i.reindex(p["kb"]).to_numpy(dtype=np.int64),
+                "n_ab": p["n"].to_numpy(dtype=np.int64),
+                "n_baskets": np.full(len(p), nb, dtype=np.int64),
+            }
+        )
+
+    bi = ds.select_columns(cols).map_batches(dedup, batch_format="pandas")
+    tagged = bucketed_group_reduce(
+        bi, key_cols=[basket_col], reduce_fn=partials, num_buckets=num_buckets
+    )
+    summed = bucketed_group_reduce(
+        tagged,
+        key_cols=["kind", "ka", "kb"],
+        reduce_fn=sum_partials,
+        num_buckets=num_buckets,
+    )
+
+    def tag0(d: pd.DataFrame) -> pd.DataFrame:
+        return d.assign(_g=np.int64(0))
+
+    return bucketed_group_reduce(
+        summed.map_batches(tag0, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=assemble,
+        num_buckets=1,
+    )

@@ -488,3 +488,24 @@ def weighted_bottomk(
     return bucketed_group_reduce(
         partials, key_cols=["_one"], reduce_fn=finish, num_buckets=1
     )
+
+
+def _fnv1a_strings(strs: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a (64-bit) over arbitrary ASCII strings — the
+    `_fnv1a_decimal` fold generalized to composed row keys (e.g.
+    "id|n_chars"). Strings group by length so every length-class folds
+    as a dense [n, L] codepoint matrix — no per-row Python."""
+    strs = np.asarray(strs, dtype=str)
+    lens = np.char.str_len(strs)
+    out = np.empty(len(strs), dtype=np.uint64)
+    for L in np.unique(lens):
+        m = lens == L
+        codes = np.frombuffer(
+            strs[m].astype(f"U{L}").tobytes(), dtype=np.uint32
+        ).reshape(-1, L)
+        h = np.full(int(m.sum()), _FNV_OFFSET, dtype=np.uint64)
+        for c in range(L):
+            h ^= codes[:, c].astype(np.uint64)
+            h *= _FNV_PRIME
+        out[m] = h
+    return out

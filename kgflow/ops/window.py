@@ -998,3 +998,59 @@ def gap_quantiles(
     )
     return grouped_quantiles(d, [group_col], "gap_s", qs=qs, scale=1,
                              num_buckets=num_buckets)
+
+
+def transition_counts(
+    events: "rd.Dataset",
+    partition_col: str = "user_id",
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """First-order Markov transition counts: per ``partition_col``
+    stream ordered by (ts, id), count every adjacent (from_cat, to_cat)
+    pair — the empirical transition matrix behind next-event
+    prediction, journey analysis and sequence anomaly scoring (the
+    event-stream cousin of ``text.bigram_successors``).
+
+    Output: (from_cat, to_cat, n). Scale shape: ONE partition-keyed
+    exchange computes adjacencies (in-bucket mergesort + groupby shift,
+    C kernels) and COMBINES them to distinct-pair partials before
+    leaving the task, then a category²-bounded pair-keyed sum — no
+    exchange ever carries event rows twice."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "from_cat": pd.Series([], dtype="object"),
+                    "to_cat": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values([partition_col, ts_col, id_col], kind="mergesort")
+        cat = g[cat_col].to_numpy(dtype=object)
+        part = g[partition_col].to_numpy()
+        same = part[:-1] == part[1:]
+        t = pd.DataFrame({"from_cat": cat[:-1][same], "to_cat": cat[1:][same]})
+        out = t.groupby(["from_cat", "to_cat"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["from_cat", "to_cat"], as_index=False)["n"].sum()
+
+    cols = list(dict.fromkeys([partition_col, cat_col, ts_col, id_col]))
+    partials = bucketed_group_reduce(
+        events.select_columns(cols),
+        key_cols=[partition_col],
+        reduce_fn=pairs,
+        num_buckets=num_buckets,
+    )
+    return bucketed_group_reduce(
+        partials,
+        key_cols=["from_cat", "to_cat"],
+        reduce_fn=sum_counts,
+        num_buckets=num_buckets,
+    )

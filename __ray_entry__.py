@@ -1779,6 +1779,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return item_pair_support(ev, basket_col="user_id", item_col="event_type")
 
+    def q4_priority(sf_dir: str):
+        """Oracle-checked: TPC-H Q4-style EXISTS semi-join — orders in
+        a date window with ≥1 returned lineitem, counted per priority;
+        the right side ships distinct keys only."""
+        from kgflow.ops.relational import q4_order_priority
+
+        return q4_order_priority(sf_dir)
+
+    def q10_returns(sf_dir: str):
+        """Oracle-checked: TPC-H Q10-style returned-item report — the
+        lineitem ⋈ orders ⋈ customer ⋈ nation ladder with fixed-point
+        revenue, pre-aggregated per join key at every hop."""
+        from kgflow.ops.relational import q10_returned_revenue
+
+        return q10_returned_revenue(sf_dir)
+
     def doc_checksum(sf_dir: str):
         """Oracle-checked: order-independent table fingerprint of
         documents(doc_id, n_chars) — per-block FNV fold + wrap-sum,
@@ -1904,6 +1920,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": events_transitions,
         "events_basket_pairs": events_basket_pairs,
         "doc_checksum": doc_checksum,
+        "q4_priority": q4_priority,
+        "q10_returns": q10_returns,
     }
 
 
@@ -3419,6 +3437,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN m ma ON ma.item = p.item_a
             JOIN m mb ON mb.item = p.item_b
             CROSS JOIN nb
+        """,
+        "q4_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q10_returns": """
+            SELECT c.c_custkey, c.c_name,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0 AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

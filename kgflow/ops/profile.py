@@ -523,7 +523,8 @@ def grouped_corr_moments(
             np.int64
         )
         if len(x):
-            mx = max(np.abs(x).max(), np.abs(y).max())
+            # Python ints: the guard product itself would wrap in int64
+            mx = int(max(np.abs(x).max(), np.abs(y).max()))
             if mx * mx * len(x) >= 2**63:
                 raise ValueError(
                     "grouped_corr_moments: batch moment would overflow int64 "

@@ -815,3 +815,144 @@ def ordered_collect(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def q4_order_priority(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+) -> "rd.Dataset":
+    """TPC-H Q4-style order-priority check: orders placed in a date
+    window with at least one RETURNED lineitem, counted per priority
+    (the schema's stand-in for Q4's late-delivery EXISTS — same plan
+    shape: a fact-fact SEMI join where the right side contributes keys
+    only, then a tiny grouped count).
+
+    Scale shape: lineitem reduces to its DISTINCT returned orderkeys
+    per block BEFORE `semi_join`'s keyset exchange (`joins.py`
+    broadcast-vs-shuffle auto-decision); the count is a combiner +
+    priority-bounded reduce. Neither fact table is ever materialized.
+    """
+    from kgflow.ops.joins import semi_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def in_window(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        return df.loc[(d >= lo) & (d < hi), ["o_orderkey", "o_orderpriority"]]
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    )
+
+    def returned_keys(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["l_returnflag"] == "R", ["l_orderkey"]]
+        return d.drop_duplicates().rename(columns={"l_orderkey": "o_orderkey"})
+
+    hit = semi_join(
+        orders.map_batches(in_window, batch_format="pandas"),
+        line.map_batches(returned_keys, batch_format="pandas"),
+        on="o_orderkey",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderpriority", as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_orders"})
+
+    def total(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+
+    return bucketed_group_reduce(
+        hit.map_batches(partial, batch_format="pandas"),
+        key_cols=["o_orderpriority"],
+        reduce_fn=total,
+    )
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """TPC-H Q10-style returned-item report: the top-k customers by
+    revenue lost to returns, with name, account balance and nation —
+    the four-table join ladder (lineitem ⋈ orders ⋈ customer ⋈ nation)
+    every billing pipeline runs.
+
+    Scale shape: revenue quantizes to fixed-point int64 AT THE SCAN
+    and pre-aggregates per orderkey inside each block, so the
+    fact-fact `hash_join` with orders ships one row per (block,
+    orderkey); the second aggregation keys on custkey BEFORE joining
+    the customer dimension (auto broadcast); nation is a driver-free
+    broadcast map. The final top-k is the per-bucket-superset reduce +
+    a k-row sort."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_topk
+    from kgflow.sources.parquet import read_parquet_clean
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["l_returnflag"] == "R"]
+        rev = np.round(
+            d["l_extendedprice"].to_numpy() * (1.0 - d["l_discount"].to_numpy()) * 1e4
+        ).astype(np.int64)
+        t = pd.DataFrame({"o_orderkey": d["l_orderkey"].to_numpy(), "rev_fp": rev})
+        return t.groupby("o_orderkey", as_index=False, sort=False)["rev_fp"].sum()
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    )
+    joined = hash_join(
+        line.map_batches(line_partial, batch_format="pandas"), orders,
+        on="o_orderkey",
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.rename(columns={"o_custkey": "c_custkey"})
+            .groupby("c_custkey", as_index=False, sort=False)["rev_fp"]
+            .sum()
+        )
+
+    per_cust = bucketed_group_reduce(
+        joined.map_batches(cust_partial, batch_format="pandas"),
+        key_cols=["c_custkey"],
+        reduce_fn=lambda g: g.groupby("c_custkey", as_index=False)["rev_fp"].sum(),
+    )
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    enriched = hash_join(per_cust, cust, on="c_custkey")
+
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class AddNation:
+        def __init__(self):
+            self.names = ray.get(nref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["n_name"] = df["c_nationkey"].map(self.names)
+            df["revenue"] = df["rev_fp"].to_numpy(dtype=np.int64) / 1e4
+            return df[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]]
+
+    out = enriched.map_batches(AddNation, batch_format="pandas", concurrency=(1, 4))
+    return global_topk(
+        out, sort_cols=["revenue", "c_custkey"], ascending=[False, True], k=k
+    )

@@ -1,0 +1,208 @@
+"""Wave-10/11 operator tests: bigram LM argmax, grouped bivariate
+moments, weighted bottom-k sampling, degree histogram, Dice pairs,
+Markov transitions, market-basket support, table checksum — edge cases
+the auto-parametrized oracle parity can't reach (guards, invariances,
+empty inputs)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_bigram_successors_crosses_no_doc_boundary():
+    from kgflow.ops.text import bigram_successors
+
+    # "x y" would only arise across the doc seam — must NOT count
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b a b x", "y a b"]}
+    )
+    out = bigram_successors(rd.from_pandas(df).repartition(2)).to_pandas()
+    out = out.set_index("token")
+    assert out.loc["a", "next_token"] == "b"
+    assert out.loc["a", "pair_n"] == 3
+    assert "x" not in out.index  # doc-final token has no successor
+    # tie between successors resolves lexicographically-first
+    assert out.loc["b", "next_token"] == "a"
+
+
+def test_bigram_successors_tie_breaks_lexicographic():
+    from kgflow.ops.text import bigram_successors
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["t z t a t z t a"]})
+    out = bigram_successors(rd.from_pandas(df)).to_pandas().set_index("token")
+    # "t a" and "t z" both occur twice -> 'a' wins
+    assert out.loc["t", "next_token"] == "a"
+
+
+def test_grouped_corr_moments_match_numpy():
+    from kgflow.ops.profile import grouped_corr_moments
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b"], 500),
+            "x": rng.uniform(0, 100, 1000).round(2),
+            "y": rng.randint(0, 50, 1000).astype(float),
+        }
+    )
+    out = (
+        grouped_corr_moments(
+            rd.from_pandas(df).repartition(7), "k", "x", "y", x_scale=100
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    for grp, sub in df.groupby("k"):
+        xq = np.floor(sub["x"].to_numpy() * 100).astype(np.int64)
+        yq = np.floor(sub["y"].to_numpy()).astype(np.int64)
+        assert out.loc[grp, "n"] == len(sub)
+        assert out.loc[grp, "sxy"] == int((xq * yq).sum())
+        assert out.loc[grp, "sxx"] == int((xq * xq).sum())
+
+
+def test_grouped_corr_moments_overflow_guard():
+    from kgflow.ops.profile import grouped_corr_moments
+
+    df = pd.DataFrame({"k": ["a"], "x": [4.0e9], "y": [1.0]})
+    with pytest.raises(Exception, match="overflow"):
+        grouped_corr_moments(
+            rd.from_pandas(df), "k", "x", "y", x_scale=100
+        ).materialize()
+
+
+def test_weighted_bottomk_partitioning_invariant_and_biased():
+    from kgflow.ops.sketch import _fnv1a_decimal, weighted_bottomk
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 2 == 0, 1000, 1).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "w": w})
+    outs = []
+    for parts in (1, 9):
+        out = weighted_bottomk(
+            rd.from_pandas(df).repartition(parts), "doc_id", "w", k=200
+        ).to_pandas()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # heavy ids (w=1000) must dominate the sample
+    heavy = (outs[0]["doc_id"] % 2 == 0).mean()
+    assert heavy > 0.9
+    # exact replay: priority = fnv // w, k smallest
+    pri = _fnv1a_decimal(ids) // w.astype(np.uint64)
+    expect = ids[np.lexsort((ids, pri))[:200]]
+    assert sorted(outs[0]["doc_id"]) == sorted(expect.tolist())
+
+
+def test_weighted_bottomk_rejects_zero_weight():
+    from kgflow.ops.sketch import weighted_bottomk
+
+    df = pd.DataFrame({"doc_id": [1, 2], "w": [0, 5]})
+    with pytest.raises(Exception, match="weights >= 1"):
+        weighted_bottomk(rd.from_pandas(df), "doc_id", "w", k=2).materialize()
+
+
+def test_degree_histogram_path_graph():
+    from kgflow.ops.graph import degree_histogram
+
+    # path 1-2-3-4: degrees 1,2,2,1 -> {1: 2, 2: 2}
+    edges = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]})
+    out = (
+        degree_histogram(rd.from_pandas(edges).repartition(2))
+        .to_pandas()
+        .set_index("degree")["n_nodes"]
+    )
+    assert out.to_dict() == {1: 2, 2: 2}
+
+
+def test_dice_pairs_vs_direct():
+    from kgflow.ops.dedup import jaccard_pairs
+
+    a = "the quick brown fox jumps over the lazy dog again"
+    b = "the quick brown fox jumps over the lazy dog tonight"
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, "zz yy xx ww vv uu tt ss"]})
+    out = jaccard_pairs(
+        rd.from_pandas(df), k=3, threshold=0.5, measure="dice"
+    ).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    inter = len(sh(a) & sh(b))
+    dice = 2 * inter / (len(sh(a)) + len(sh(b)))
+    assert out["sim"].iloc[0] == pytest.approx(dice)
+
+
+def test_transition_counts_orders_by_ts_then_id():
+    from kgflow.ops.window import transition_counts
+
+    ts = pd.to_datetime([0, 0, 10, 20], unit="s")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["b", "a", "c", "a"],
+            "ts": ts,
+            "event_id": [2, 1, 3, 4],  # tie at t=0 broken by id: a then b
+        }
+    )
+    out = transition_counts(rd.from_pandas(df).repartition(2)).to_pandas()
+    got = {(r.from_cat, r.to_cat): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_item_pair_support_counts():
+    from kgflow.ops.graph import item_pair_support
+
+    df = pd.DataFrame(
+        {
+            "basket": [1, 1, 1, 2, 2, 3, 3, 3],
+            "item": ["x", "y", "y", "x", "y", "x", "z", "y"],
+        }
+    )
+    out = item_pair_support(
+        rd.from_pandas(df).repartition(3), "basket", "item"
+    ).to_pandas()
+    row = out.set_index(["item_a", "item_b"]).loc[("x", "y")]
+    assert row["n_ab"] == 3 and row["n_a"] == 3 and row["n_b"] == 3
+    assert row["n_baskets"] == 3
+    row2 = out.set_index(["item_a", "item_b"]).loc[("x", "z")]
+    assert row2["n_ab"] == 1 and row2["n_b"] == 1
+
+
+def test_item_pair_support_hot_basket_guard():
+    from kgflow.ops.graph import item_pair_support
+
+    df = pd.DataFrame(
+        {"basket": [1] * 30, "item": [f"i{j}" for j in range(30)]}
+    )
+    with pytest.raises(Exception, match="max_basket"):
+        item_pair_support(
+            rd.from_pandas(df), "basket", "item", max_basket=10
+        ).materialize()
+
+
+def test_table_checksum_order_and_partition_invariant():
+    from kgflow.ops.checks import table_checksum
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64), "n": np.arange(100) * 7}
+    )
+    shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    a = table_checksum(rd.from_pandas(df).repartition(1), ["doc_id", "n"]).to_pandas()
+    b = table_checksum(
+        rd.from_pandas(shuffled).repartition(8), ["doc_id", "n"]
+    ).to_pandas()
+    assert a["checksum"].iloc[0] == b["checksum"].iloc[0]
+    assert a["n_rows"].iloc[0] == b["n_rows"].iloc[0] == 100
+    # any single-row change must flip the fingerprint
+    df2 = df.copy()
+    df2.loc[50, "n"] = 351
+    c = table_checksum(rd.from_pandas(df2), ["doc_id", "n"]).to_pandas()
+    assert c["checksum"].iloc[0] != a["checksum"].iloc[0]

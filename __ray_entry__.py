@@ -1795,6 +1795,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q10_returned_revenue(sf_dir)
 
+    def q6_revenue(sf_dir: str):
+        """Oracle-checked: TPC-H Q6-style filtered global sum — one
+        scan, per-row fixed-point quantization, one 2-scalar partial
+        per block."""
+        from kgflow.ops.relational import q6_forecast_revenue
+
+        return q6_forecast_revenue(sf_dir)
+
+    def events_dedup_day(sf_dir: str):
+        """Oracle-checked: at-least-once log dedup — first event per
+        (user, type, day); semigroup-min combiner, one (key, win)
+        exchange."""
+        from kgflow.ops.window import window_dedup
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        return window_dedup(ev, window="day")
+
+    def events_rolling_dau(sf_dir: str):
+        """Oracle-checked: rolling 7-day distinct active users per day
+        — sliding-window distinct via bounded window explode over the
+        deduped (day, user) pairs + exact grouped distinct count."""
+        from kgflow.ops.window import rolling_window_distinct
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id"],
+        )
+        return rolling_window_distinct(ev)
+
     def doc_checksum(sf_dir: str):
         """Oracle-checked: order-independent table fingerprint of
         documents(doc_id, n_chars) — per-block FNV fold + wrap-sum,
@@ -1922,6 +1956,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_checksum": doc_checksum,
         "q4_priority": q4_priority,
         "q10_returns": q10_returns,
+        "q6_revenue": q6_revenue,
+        "events_dedup_day": events_dedup_day,
+        "events_rolling_dau": events_rolling_dau,
     }
 
 
@@ -3447,6 +3484,46 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        "q6_revenue": """
+            SELECT sum(CAST(round(l_extendedprice * l_discount * 10000)
+                            AS BIGINT)) / 10000.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 25
+        """,
+        # first row per (user, type, day) under the (ts, event_id)
+        # total order — the engine's semigroup-min winners
+        "events_dedup_day": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     date_trunc('day', ts) AS win, event_id, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type,
+                                    date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT user_id, event_type, win, event_id, ts
+            FROM r WHERE rn = 1
+        """,
+        # sliding-window distinct: day d counts users active in
+        # [d-6, d]; windows restricted to days present in the data
+        "events_rolling_dau": """
+            WITH ud AS (
+              SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+              FROM events
+            ), days AS (
+              SELECT DISTINCT d FROM ud
+            )
+            SELECT days.d AS win_day,
+                   count(DISTINCT ud.user_id) AS n_users
+            FROM days JOIN ud
+              ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+            GROUP BY days.d
         """,
         "q10_returns": """
             SELECT c.c_custkey, c.c_name,

@@ -956,3 +956,68 @@ def q10_returned_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
     return global_topk(
         out, sort_cols=["revenue", "c_custkey"], ascending=[False, True], k=k
     )
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 25.0,
+) -> "rd.Dataset":
+    """TPC-H Q6-style forecasting-revenue-change: one filtered scan,
+    one global sum — the canonical predicate-pushdown microbenchmark.
+    Revenue quantizes to fixed-point int64 per ROW before summation
+    (float Σ order drift would flip low bits vs any other engine), so
+    each block contributes a single 2-scalar partial and the exchange
+    is one row per block."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        m = (
+            (d >= lo)
+            & (d < hi)
+            # no epsilon: both engines compare the same parquet doubles
+            # to the same literals, so BETWEEN semantics match exactly
+            & (disc >= disc_lo)
+            & (disc <= disc_hi)
+            & (df["l_quantity"].to_numpy() < max_qty)
+        )
+        sel = df.loc[m]
+        fp = np.round(
+            sel["l_extendedprice"].to_numpy() * sel["l_discount"].to_numpy() * 1e4
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_g": np.array([0], dtype=np.int64),
+                "rev_fp": np.array([fp.sum()], dtype=np.int64),
+                "n_items": np.array([int(m.sum())], dtype=np.int64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "revenue": [g["rev_fp"].to_numpy(dtype=np.int64).sum() / 1e4],
+                "n_items": [int(g["n_items"].sum())],
+            }
+        )
+
+    return bucketed_group_reduce(
+        line.map_batches(partial, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=finish,
+        num_buckets=1,
+    )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 _US = 1_000_000
@@ -1052,5 +1053,126 @@ def transition_counts(
         partials,
         key_cols=["from_cat", "to_cat"],
         reduce_fn=sum_counts,
+        num_buckets=num_buckets,
+    )
+
+
+def window_dedup(
+    events: "rd.Dataset",
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window: str = "day",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """At-least-once log dedup: keep the FIRST event (by (ts, id)) per
+    (key, tumbling window) — the standard idempotency repair for
+    double-fired telemetry/webhook streams before any downstream count
+    trusts the data.
+
+    Output: (key…, win, event_id, ts) of the winners. Scale shape:
+    first-per-key is a semigroup min, so each block shrinks to its
+    local winners BEFORE the single (key, win)-bucketed exchange; the
+    reduce keeps one row per group. Window truncation matches SQL
+    date_trunc exactly (microsecond floor arithmetic)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    keys = list(key_cols)
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[window]
+    gcols = keys + ["win"]
+
+    def winners(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return d.assign(win=pd.Series([], dtype="datetime64[us]"))[
+                gcols + [id_col, ts_col]
+            ]
+        win = (_ts_us(d[ts_col]) // unit_us * unit_us).astype(
+            "datetime64[us]"
+        )
+        d = d.assign(win=win)
+        d = d.sort_values(gcols + [ts_col, id_col], kind="mergesort")
+        return d.drop_duplicates(gcols)[gcols + [id_col, ts_col]]
+
+    combined = events.select_columns(
+        list(dict.fromkeys(keys + [ts_col, id_col]))
+    ).map_batches(winners, batch_format="pandas")
+    return bucketed_group_reduce(
+        combined, key_cols=gcols, reduce_fn=winners, num_buckets=num_buckets
+    )
+
+
+def rolling_window_distinct(
+    events: "rd.Dataset",
+    day_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Rolling N-day distinct users (WAU/MAU-style): for every day
+    present in the data, the count of distinct users active in the
+    window [day − N + 1, day]. Distinct-over-a-sliding-window does NOT
+    decompose into daily sums, so the engine expands each distinct
+    (day, user) pair into its ≤ N member windows and reuses the exact
+    `grouped_distinct_count` machinery — the expansion is bounded by
+    N × |distinct user-days|, never N × |events|.
+
+    Scale shape: per-block distinct (day, user) combiner → one
+    (day, user)-keyed dedup exchange → ×N window explode (filtered to
+    days that exist, broadcast as a calendar-bounded set) →
+    `grouped_distinct_count`'s spread-bucketed exact count."""
+    from kgflow.ops.shuffle import bucketed_group_reduce, grouped_distinct_count
+
+    def day_pairs(d: pd.DataFrame) -> pd.DataFrame:
+        day = (_ts_us(d[day_col]) // 86_400_000_000 * 86_400_000_000).astype(
+            "datetime64[us]"
+        )
+        return pd.DataFrame({"d": day, user_col: d[user_col]}).drop_duplicates()
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    pairs = bucketed_group_reduce(
+        events.select_columns([day_col, user_col]).map_batches(
+            day_pairs, batch_format="pandas"
+        ),
+        key_cols=["d", user_col],
+        reduce_fn=dd,
+        num_buckets=num_buckets,
+    ).materialize()  # consumed twice: day-set probe + window explode
+
+    # the distinct-day set is calendar-bounded (≤ N_days rows) — the
+    # documented domain-bounded driver pull (pivot-guard convention)
+    days = np.sort(
+        pairs.select_columns(["d"])
+        .map_batches(lambda d: d.drop_duplicates(), batch_format="pandas")
+        .to_pandas()["d"]
+        .unique()
+    )
+    days_ref = ray.put(set(pd.to_datetime(days)))
+
+    class Explode:
+        def __init__(self):
+            self.days = ray.get(days_ref)
+
+        def __call__(self, d: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for i in range(window_days):
+                # Timedelta arithmetic upcasts to ns — pin back to us
+                # so the output dtype matches the SQL timestamp grain
+                w = (d["d"] + pd.Timedelta(days=i)).astype("datetime64[us]")
+                keep = w.isin(self.days)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "win_day": w[keep],
+                            user_col: d.loc[keep, user_col],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+    exploded = pairs.map_batches(Explode, batch_format="pandas", concurrency=(1, 4))
+    return grouped_distinct_count(
+        exploded, ["win_day"], user_col, out_col="n_users",
         num_buckets=num_buckets,
     )

@@ -1795,6 +1795,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q10_returned_revenue(sf_dir)
 
+    def doc_extract_spans(sf_dir: str):
+        """Oracle-checked: long-format regex span extraction (URLs +
+        emails) — the flat_map workhorse of link-graph / PII mining;
+        exchange-free, patterns compiled once per actor. The corpus
+        gains planted contact lines (ids %13∈{2,7}) so both kinds are
+        non-vacuous; the plant is shared verbatim with the SQL."""
+        import pandas as _pd
+
+        from kgflow.ops.text import regex_extract_spans
+
+        def aug(df: _pd.DataFrame) -> _pd.DataFrame:
+            df = df.copy()
+            ids = df["doc_id"].to_numpy()
+            m2 = ids % 13 == 2
+            m7 = ids % 13 == 7
+            t = df["text"].to_numpy(dtype=object)
+            t[m2] = [
+                f"{x} contact: user{n}@example.com"
+                for x, n in zip(t[m2], ids[m2])
+            ]
+            t[m7] = [
+                f"{x} see http://ex{n}.example/p" for x, n in zip(t[m7], ids[m7])
+            ]
+            df["text"] = t
+            return df
+
+        docs = _docs(sf_dir).map_batches(aug, batch_format="pandas")
+        return regex_extract_spans(
+            docs,
+            patterns={
+                "email": r"[\w.]+@[\w.]+",
+                "url": r"https?://[^\s]+",
+            },
+        )
+
+    def events_weekly_trend(sf_dir: str):
+        """Oracle-checked: week-over-week volume trend per type —
+        weekly counts anchored at 2024-01-01 (engine-neutral week
+        arithmetic), previous-week lag and one exact int÷int ratio."""
+        from kgflow.ops.relational import weekly_trend
+
+        return weekly_trend(sf_dir)
+
+    def doc_lang_sample(sf_dir: str):
+        """Oracle-checked: stratified weighted sample — per language,
+        the 20 length-weighted priority-sampling winners (the grouped
+        variant of doc_weighted_sample's FNV // weight order)."""
+        from kgflow.ops.sketch import weighted_bottomk
+
+        return weighted_bottomk(
+            _docs(sf_dir).select_columns(["lang", "doc_id", "n_chars"]),
+            id_col="doc_id",
+            weight_col="n_chars",
+            k=20,
+            group_cols=["lang"],
+        )
+
     def q6_revenue(sf_dir: str):
         """Oracle-checked: TPC-H Q6-style filtered global sum — one
         scan, per-row fixed-point quantization, one 2-scalar partial
@@ -1959,6 +2016,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue": q6_revenue,
         "events_dedup_day": events_dedup_day,
         "events_rolling_dau": events_rolling_dau,
+        "doc_extract_spans": doc_extract_spans,
+        "events_weekly_trend": events_weekly_trend,
+        "doc_lang_sample": doc_lang_sample,
     }
 
 
@@ -3484,6 +3544,76 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l
                 WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        # same planted contact lines as the engine (ids %13 in {2,7});
+        # DuckDB regexes match the engine's Python patterns verbatim
+        "doc_extract_spans": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 13 = 2 THEN text
+                         || ' contact: user' || doc_id || '@example.com'
+                       WHEN doc_id % 13 = 7 THEN text
+                         || ' see http://ex' || doc_id || '.example/p'
+                       ELSE text
+                     END AS text
+              FROM documents
+            )
+            SELECT doc_id, 'email' AS kind,
+                   unnest(regexp_extract_all(text, '[\w.]+@[\w.]+')) AS match
+            FROM aug
+            UNION ALL
+            SELECT doc_id, 'url' AS kind,
+                   unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS match
+            FROM aug
+        """,
+        # 7-day buckets anchored at 2024-01-01 on BOTH sides — no
+        # locale week-start; ratio is one exact int/int double division
+        "events_weekly_trend": """
+            WITH w AS (
+              SELECT event_type,
+                     date_diff('day', TIMESTAMP '2024-01-01', ts) // 7
+                       AS wk,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), l AS (
+              SELECT event_type, wk, n,
+                     lag(n)  OVER (PARTITION BY event_type ORDER BY wk)
+                       AS prev_n,
+                     lag(wk) OVER (PARTITION BY event_type ORDER BY wk)
+                       AS prev_wk
+              FROM w
+            )
+            SELECT event_type,
+                   TIMESTAMP '2024-01-01' + INTERVAL (wk * 7) DAY
+                     AS week_start,
+                   n, prev_n, n / prev_n AS ratio
+            FROM l WHERE prev_wk = wk - 1
+        """,
+        # the doc_weighted_sample HUGEINT FNV fold, ranked per language
+        "doc_lang_sample": """
+            WITH h AS (
+              SELECT lang, doc_id, n_chars,
+                CAST(list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(
+                      range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+                      j -> CAST(unicode(CAST(doc_id AS VARCHAR)[j])
+                                AS HUGEINT))),
+                  (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                        CAST(c AS UBIGINT)) AS HUGEINT)
+                               * 1099511628211) % 18446744073709551616
+                ) AS UBIGINT) AS hv
+              FROM documents
+            ), r AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY hv // CAST(n_chars AS UBIGINT), doc_id
+                     ) AS rn
+              FROM h
+            )
+            SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20
         """,
         "q6_revenue": """
             SELECT sum(CAST(round(l_extendedprice * l_discount * 10000)

@@ -1021,3 +1021,65 @@ def q6_forecast_revenue(
         reduce_fn=finish,
         num_buckets=1,
     )
+
+
+def weekly_trend(
+    sf_dir: str,
+    anchor: str = "2024-01-01",
+) -> "rd.Dataset":
+    """Week-over-week volume trend per event type: weekly counts, the
+    previous week's count, and their ratio — the first derivative every
+    metrics dashboard draws. Weeks are 7-day buckets anchored at
+    ``anchor`` (explicit arithmetic on both sides, so no engine's
+    locale-dependent week-start can disagree).
+
+    Output: (event_type, week_start, n, prev_n, ratio), weeks with no
+    predecessor omitted; ratio is one exact int÷int double division.
+
+    Scale shape: a per-block (type, week) count combiner → ONE
+    week-keyed partial sum (weeks-bounded rows) → one type-keyed lag
+    exchange over the tiny weekly table."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    t0 = np.datetime64(anchor, "us")
+    week_us = 7 * 86_400_000_000
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        wk = (us - t0.astype(np.int64)) // week_us
+        t = pd.DataFrame({"event_type": df["event_type"], "wk": wk})
+        out = t.groupby(["event_type", "wk"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "wk"], as_index=False)["n"].sum()
+
+    weekly = bucketed_group_reduce(
+        ev.map_batches(partial, batch_format="pandas"),
+        key_cols=["event_type", "wk"],
+        reduce_fn=sum_counts,
+    )
+
+    def lag_ratio(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "wk"], kind="mergesort")
+        prev_n = g.groupby("event_type", sort=False)["n"].shift(1)
+        prev_wk = g.groupby("event_type", sort=False)["wk"].shift(1)
+        # only an IMMEDIATELY preceding week counts as a predecessor
+        m = prev_n.notna() & (g["wk"] - prev_wk == 1)
+        out = g[m].copy()
+        pn = prev_n[m].to_numpy(dtype=np.int64)
+        out["prev_n"] = pn
+        out["ratio"] = out["n"].to_numpy(dtype=np.int64) / pn
+        out["week_start"] = (
+            t0.astype(np.int64) + out["wk"].to_numpy(dtype=np.int64) * week_us
+        ).astype("datetime64[us]")
+        return out[["event_type", "week_start", "n", "prev_n", "ratio"]]
+
+    return bucketed_group_reduce(
+        weekly, key_cols=["event_type"], reduce_fn=lag_ratio
+    )

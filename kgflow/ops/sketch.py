@@ -436,6 +436,7 @@ def weighted_bottomk(
     id_col: str,
     weight_col: str,
     k: int = 256,
+    group_cols: list[str] | None = None,
     num_buckets: int | None = None,
 ) -> "rd.Dataset":
     """Deterministic weight-biased bottom-k sample: each row gets an
@@ -447,46 +448,53 @@ def weighted_bottomk(
     float transform so the sample is bit-reproducible in ANY engine
     that can fold FNV — see _FNV_SQL_NOTE).
 
-    Weights must be >= 1 (guarded). Output: the k (id, weight) winners.
+    Weights must be >= 1 (guarded). Output: the k (id, weight) winners
+    — per GROUP when ``group_cols`` is given (stratified quota
+    sampling: k docs per language, per source, …), global otherwise.
 
     Scale shape: like `bottomk_sample_quantiles` — priority is a pure
-    min-semilattice, every block shrinks to its local bottom-k before
-    the single ≤ blocks×k-row reduce; nothing heavier than two int64
-    scalars rides the exchange, and the result is partitioning-
-    independent and resumable."""
+    min-semilattice, every block shrinks to its local per-group
+    bottom-k before the single ≤ blocks×groups×k-row reduce; nothing
+    heavier than the key + two int64 scalars rides the exchange, and
+    the result is partitioning-independent and resumable."""
+    gcols = list(group_cols or [])
+
+    def per_group_topk(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.sort_values(gcols + ["_pri", id_col], kind="mergesort")
+        return d.groupby(gcols, sort=False, as_index=False).head(k) if gcols \
+            else d.head(k)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(dtype=np.int64)
         w = df[weight_col].to_numpy(dtype=np.int64)
         if len(w) and w.min() < 1:
             raise ValueError("weighted_bottomk requires weights >= 1")
-        pri = _fnv1a_decimal(ids) // w.astype(np.uint64)
-        n = min(k, len(ids))
-        idx = np.lexsort((ids, pri))[:n]
-        return pd.DataFrame(
+        d = pd.DataFrame(
             {
-                "_pri": pri[idx],
-                id_col: ids[idx],
-                weight_col: w[idx],
-                "_one": np.zeros(n, dtype=np.int64),
+                "_pri": _fnv1a_decimal(ids) // w.astype(np.uint64),
+                id_col: ids,
+                weight_col: w,
             }
         )
+        for c in gcols:
+            d[c] = df[c].to_numpy()
+        if not gcols:
+            d["_one"] = np.int64(0)
+        return per_group_topk(d)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort(
-            (
-                g[id_col].to_numpy(dtype=np.int64),
-                g["_pri"].to_numpy(dtype=np.uint64),
-            )
-        )[:k]
-        return g.iloc[order][[id_col, weight_col]].reset_index(drop=True)
+        out = per_group_topk(g)
+        return out[gcols + [id_col, weight_col]].reset_index(drop=True)
 
-    cols = [id_col, weight_col]
+    cols = gcols + [id_col, weight_col]
     partials = ds.select_columns(cols).map_batches(partial, batch_format="pandas")
     from kgflow.ops.shuffle import bucketed_group_reduce
 
     return bucketed_group_reduce(
-        partials, key_cols=["_one"], reduce_fn=finish, num_buckets=1
+        partials,
+        key_cols=gcols or ["_one"],
+        reduce_fn=finish,
+        num_buckets=num_buckets if gcols else 1,
     )
 
 

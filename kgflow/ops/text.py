@@ -1128,3 +1128,56 @@ def bigram_successors(
     return bucketed_group_reduce(
         partials, key_cols=["token"], reduce_fn=best, num_buckets=num_buckets
     )
+
+
+class ExtractSpans:
+    """Actor for `regex_extract_spans`: patterns compile ONCE per actor
+    (the LangIdStage convention), each batch explodes to long-format
+    (doc_id, kind, match) rows via pandas str.findall C-dispatch."""
+
+    def __init__(self, patterns: dict[str, str]):
+        self.pats = {k: re.compile(p) for k, p in patterns.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for kind, pat in self.pats.items():
+            m = df.set_index("doc_id")["text"].str.findall(pat).explode().dropna()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": m.index.to_numpy(dtype=np.int64),
+                        "kind": kind,
+                        "match": m.to_numpy(dtype=object),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="object"),
+                    "match": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+
+def regex_extract_spans(
+    docs: "rd.Dataset",
+    patterns: dict[str, str],
+) -> "rd.Dataset":
+    """Structured span extraction — the flat_map workhorse of web-corpus
+    mining (URLs for link graphs, emails/phones for PII audits, code
+    fences, citations): every regex match becomes one long-format row
+    (doc_id, kind, match), multiple matches per doc preserved.
+
+    Scale shape: embarrassingly parallel, no exchange at all; patterns
+    compile once per actor; output is match-bounded, never
+    text-bounded. The KIND column keeps one pass over the text for any
+    number of patterns."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        ExtractSpans,
+        batch_format="pandas",
+        fn_constructor_kwargs={"patterns": patterns},
+        concurrency=(1, 8),
+    )

@@ -206,3 +206,43 @@ def test_table_checksum_order_and_partition_invariant():
     df2.loc[50, "n"] = 351
     c = table_checksum(rd.from_pandas(df2), ["doc_id", "n"]).to_pandas()
     assert c["checksum"].iloc[0] != a["checksum"].iloc[0]
+
+
+def test_weighted_bottomk_grouped_quota():
+    from kgflow.ops.sketch import _fnv1a_decimal, weighted_bottomk
+
+    n = 1000
+    ids = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame(
+        {
+            "g": np.where(ids % 3 == 0, "a", "b"),
+            "doc_id": ids,
+            "w": (ids % 9 + 1).astype(np.int64),
+        }
+    )
+    out = weighted_bottomk(
+        rd.from_pandas(df).repartition(5), "doc_id", "w", k=10,
+        group_cols=["g"],
+    ).to_pandas()
+    assert out.groupby("g").size().to_dict() == {"a": 10, "b": 10}
+    # exact replay per group
+    pri = _fnv1a_decimal(ids) // df["w"].to_numpy(dtype=np.uint64)
+    for g, sub in df.assign(pri=pri).groupby("g"):
+        expect = sub.sort_values(["pri", "doc_id"]).head(10)["doc_id"]
+        assert sorted(out.loc[out["g"] == g, "doc_id"]) == sorted(expect)
+
+
+def test_regex_extract_spans_long_format():
+    from kgflow.ops.text import regex_extract_spans
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["mail a@b.c and d@e.f", "no matches here"],
+        }
+    )
+    out = regex_extract_spans(
+        rd.from_pandas(df), patterns={"email": r"[\w.]+@[\w.]+"}
+    ).to_pandas()
+    assert sorted(out["match"]) == ["a@b.c", "d@e.f"]
+    assert set(out["doc_id"]) == {1}

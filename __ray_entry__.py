@@ -1852,6 +1852,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             group_cols=["lang"],
         )
 
+    def part_brand_revenue(sf_dir: str):
+        """Oracle-checked: per-brand sales rollup — lineitem
+        pre-aggregated per partkey, part dimension joined (auto
+        broadcast), brand-bounded final exchange. Covers the last
+        otherwise-unused driver table (part)."""
+        from kgflow.ops.relational import brand_revenue
+
+        return brand_revenue(sf_dir)
+
     def q6_revenue(sf_dir: str):
         """Oracle-checked: TPC-H Q6-style filtered global sum — one
         scan, per-row fixed-point quantization, one 2-scalar partial
@@ -2019,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_extract_spans": doc_extract_spans,
         "events_weekly_trend": events_weekly_trend,
         "doc_lang_sample": doc_lang_sample,
+        "part_brand_revenue": part_brand_revenue,
     }
 
 
@@ -3614,6 +3624,16 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20
+        """,
+        "part_brand_revenue": """
+            SELECT p.p_brand,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0 AS revenue,
+                   sum(CAST(round(l.l_quantity * 100) AS BIGINT)) / 100.0
+                     AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
         """,
         "q6_revenue": """
             SELECT sum(CAST(round(l_extendedprice * l_discount * 10000)

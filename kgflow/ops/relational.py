@@ -1083,3 +1083,71 @@ def weekly_trend(
     return bucketed_group_reduce(
         weekly, key_cols=["event_type"], reduce_fn=lag_ratio
     )
+
+
+def brand_revenue(sf_dir: str) -> "rd.Dataset":
+    """Per-brand sales rollup (TPC-H Q14-flavor): lineitem ⋈ part on
+    partkey, revenue / quantity / line counts per brand — the standard
+    fact-to-dimension enrichment rollup.
+
+    Scale shape: lineitem pre-aggregates per PARTKEY inside each block
+    (fixed-point int64 revenue and quantity), so the `hash_join` with
+    the part dimension ships one row per (block, partkey) — the
+    dimension side auto-broadcasts when small; the final exchange is
+    brand-bounded."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = np.round(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+            * 1e4
+        ).astype(np.int64)
+        qty = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        t = pd.DataFrame(
+            {
+                "p_partkey": df["l_partkey"].to_numpy(),
+                "rev_fp": rev,
+                "qty_fp": qty,
+                "n_items": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return t.groupby("p_partkey", as_index=False, sort=False).sum()
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    joined = hash_join(
+        line.map_batches(line_partial, batch_format="pandas"), part,
+        on="p_partkey",
+    )
+
+    def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False, sort=False)[
+            ["rev_fp", "qty_fp", "n_items"]
+        ].sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("p_brand", as_index=False)[
+            ["rev_fp", "qty_fp", "n_items"]
+        ].sum()
+        return pd.DataFrame(
+            {
+                "p_brand": agg["p_brand"],
+                "revenue": agg["rev_fp"].to_numpy(dtype=np.int64) / 1e4,
+                "sum_qty": agg["qty_fp"].to_numpy(dtype=np.int64) / 100.0,
+                "n_items": agg["n_items"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        joined.map_batches(brand_partial, batch_format="pandas"),
+        key_cols=["p_brand"],
+        reduce_fn=finish,
+    )

@@ -1852,6 +1852,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             group_cols=["lang"],
         )
 
+    def events_new_users(sf_dir: str):
+        """Oracle-checked: growth accounting — per day, first-seen
+        users and the running cumulative distinct-user total (first-
+        touch attribution makes cumulative distinct decompose exactly);
+        semigroup-min per user, day-bounded counts, calendar-bounded
+        running-sum bucket."""
+        from kgflow.ops.window import new_users_daily
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+        )
+        return new_users_daily(ev)
+
+    def events_adoption(sf_dir: str):
+        """Oracle-checked: per-type adoption curve — first day each
+        user used each event type, counted and cumulated per type (the
+        group_cols variant of events_new_users)."""
+        from kgflow.ops.window import new_users_daily
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "user_id", "event_type"],
+        )
+        return new_users_daily(ev, group_cols=["event_type"])
+
+    def orders_concentration(sf_dir: str):
+        """Oracle-checked: revenue concentration — the p87.5 cut of
+        per-customer totals (exact spread-bucketed quantile histogram)
+        and the revenue share held at/above it (one int÷int division
+        over fixed-point sums)."""
+        from kgflow.ops.relational import revenue_concentration
+
+        return revenue_concentration(sf_dir)
+
     def part_brand_revenue(sf_dir: str):
         """Oracle-checked: per-brand sales rollup — lineitem
         pre-aggregated per partkey, part dimension joined (auto
@@ -2029,6 +2065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_trend": events_weekly_trend,
         "doc_lang_sample": doc_lang_sample,
         "part_brand_revenue": part_brand_revenue,
+        "events_new_users": events_new_users,
+        "events_adoption": events_adoption,
+        "orders_concentration": orders_concentration,
     }
 
 
@@ -3624,6 +3663,51 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT lang, doc_id, n_chars FROM r WHERE rn <= 20
+        """,
+        "events_new_users": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS d
+              FROM events GROUP BY user_id
+            ), c AS (
+              SELECT d, count(*) AS n_new FROM f GROUP BY d
+            )
+            SELECT d AS day, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+            FROM c
+        """,
+        "events_adoption": """
+            WITH f AS (
+              SELECT event_type, user_id, min(date_trunc('day', ts)) AS d
+              FROM events GROUP BY event_type, user_id
+            ), c AS (
+              SELECT event_type, d, count(*) AS n_new
+              FROM f GROUP BY event_type, d
+            )
+            SELECT event_type, d AS day, n_new,
+                   CAST(sum(n_new) OVER (
+                     PARTITION BY event_type ORDER BY d) AS BIGINT)
+                     AS cum_users
+            FROM c
+        """,
+        # nearest-rank quantile of fixed-point totals (quantile_disc on
+        # BIGINT, the grouped_quantiles convention), then one int/int
+        # double division for the share
+        "orders_concentration": """
+            WITH t AS (
+              SELECT o_custkey,
+                     sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS fp
+              FROM orders GROUP BY o_custkey
+            ), q AS (
+              SELECT quantile_disc(fp, 0.875) AS cut FROM t
+            )
+            SELECT max(q.cut) / 10000.0 AS cut_value,
+                   CAST(sum(CASE WHEN t.fp >= q.cut THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_top,
+                   count(*) AS n_customers,
+                   CAST(sum(CASE WHEN t.fp >= q.cut THEN t.fp ELSE 0 END)
+                        AS BIGINT)
+                     / CAST(sum(t.fp) AS BIGINT) AS top_share
+            FROM t CROSS JOIN q
         """,
         "part_brand_revenue": """
             SELECT p.p_brand,

@@ -1151,3 +1151,89 @@ def brand_revenue(sf_dir: str) -> "rd.Dataset":
         key_cols=["p_brand"],
         reduce_fn=finish,
     )
+
+
+def revenue_concentration(sf_dir: str, q: float = 0.875) -> "rd.Dataset":
+    """Revenue-concentration probe: the ``q``-quantile cut of per-
+    customer order totals and the share of ALL revenue held by
+    customers at or above it — the whale-dependence number (Gini's
+    blunt cousin) every marketplace tracks.
+
+    Output: one row (cut_value, n_top, n_customers, top_share);
+    top_share is a single int÷int double division, everything upstream
+    exact fixed-point. ``q`` must be a binary-exact fraction (the
+    `column_quantiles` rule).
+
+    Scale shape: per-customer totals via combiner + custkey-keyed
+    reduce (key-bounded, materialized — consumed by the quantile pass
+    AND the share pass); the cut comes from `grouped_quantiles`'
+    spread-bucketed exact histogram (never a driver sort); the share
+    pass broadcasts the 1-row cut and folds per-block 4-scalar
+    partials."""
+    from kgflow.ops.profile import grouped_quantiles
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = np.round(df["o_totalprice"].to_numpy() * 1e4).astype(np.int64)
+        t = pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(), "fp": fp})
+        return t.groupby("o_custkey", as_index=False, sort=False).sum()
+
+    totals = bucketed_group_reduce(
+        orders.map_batches(cust_partial, batch_format="pandas"),
+        key_cols=["o_custkey"],
+        reduce_fn=lambda g: g.groupby("o_custkey", as_index=False)["fp"].sum(),
+    ).materialize()  # consumed twice: quantile pass + share pass
+
+    qt = grouped_quantiles(
+        totals.map_batches(
+            lambda d: d.assign(_g=np.int64(0)), batch_format="pandas"
+        ),
+        ["_g"],
+        "fp",
+        qs=(q,),
+        scale=1,
+    ).to_pandas()
+    cut_fp = int(qt["v"].iloc[0])
+    cut_ref = ray.put(cut_fp)
+
+    class SharePartial:
+        def __init__(self):
+            self.cut = ray.get(cut_ref)
+
+        def __call__(self, d: pd.DataFrame) -> pd.DataFrame:
+            fp = d["fp"].to_numpy(dtype=np.int64)
+            top = fp >= self.cut
+            return pd.DataFrame(
+                {
+                    "_g": np.array([0], dtype=np.int64),
+                    "sum_all": np.array([fp.sum()], dtype=np.int64),
+                    "sum_top": np.array([fp[top].sum()], dtype=np.int64),
+                    "n_top": np.array([int(top.sum())], dtype=np.int64),
+                    "n_customers": np.array([len(fp)], dtype=np.int64),
+                }
+            )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        sa = int(g["sum_all"].sum())
+        st = int(g["sum_top"].sum())
+        return pd.DataFrame(
+            {
+                "cut_value": [cut_fp / 1e4],
+                "n_top": [int(g["n_top"].sum())],
+                "n_customers": [int(g["n_customers"].sum())],
+                "top_share": [st / sa],
+            }
+        )
+
+    partials = totals.map_batches(
+        SharePartial, batch_format="pandas", concurrency=(1, 4)
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=["_g"], reduce_fn=finish, num_buckets=1
+    )

@@ -1176,3 +1176,89 @@ def rolling_window_distinct(
         exploded, ["win_day"], user_col, out_col="n_users",
         num_buckets=num_buckets,
     )
+
+
+def new_users_daily(
+    events: "rd.Dataset",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    group_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Growth accounting: per day, the count of FIRST-SEEN users and
+    the running cumulative distinct-user total — the new-vs-returning
+    split every growth dashboard opens with. Cumulative distinct
+    decomposes exactly through first-touch attribution: each user
+    contributes once, on their min-day.
+
+    With ``group_cols`` the same machinery yields per-group ADOPTION
+    curves (first day each user used each feature / product / type),
+    cumulated within the group.
+
+    Scale shape: min-day per (group, user) is a semigroup min
+    (per-block combiner → ONE keyed reduce); new-user counts are
+    (group × day)-bounded; the running sum assembles per group in
+    calendar-bounded buckets (days, not users)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    gcols = list(group_cols or [])
+    ucols = gcols + [user_col]
+
+    def first_partial(d: pd.DataFrame) -> pd.DataFrame:
+        day = (_ts_us(d[ts_col]) // 86_400_000_000 * 86_400_000_000).astype(
+            "datetime64[us]"
+        )
+        t = d[ucols].assign(d=day)
+        return t.groupby(ucols, as_index=False, sort=False).min()
+
+    first = bucketed_group_reduce(
+        events.select_columns([ts_col] + ucols).map_batches(
+            first_partial, batch_format="pandas"
+        ),
+        key_cols=ucols,
+        reduce_fn=lambda g: g.groupby(ucols, as_index=False).min(),
+        num_buckets=num_buckets,
+    )
+
+    dcols = gcols + ["d"]
+
+    def day_partial(d: pd.DataFrame) -> pd.DataFrame:
+        out = d.groupby(dcols, as_index=False, sort=False).size()
+        return out.rename(columns={"size": "n_new"})
+
+    counts = bucketed_group_reduce(
+        first.map_batches(day_partial, batch_format="pandas"),
+        key_cols=dcols,
+        reduce_fn=lambda g: g.groupby(dcols, as_index=False)["n_new"].sum(),
+        num_buckets=num_buckets,
+    )
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(gcols + ["d"], kind="mergesort")
+        n = g["n_new"].to_numpy(dtype=np.int64)
+        if gcols:
+            cs = g.groupby(gcols, sort=False)["n_new"].cumsum().to_numpy(
+                dtype=np.int64
+            )
+        else:
+            cs = n.cumsum()
+        out = g[gcols].copy()
+        out["day"] = g["d"].to_numpy()
+        out["n_new"] = n
+        out["cum_users"] = cs
+        return out
+
+    if gcols:
+        return bucketed_group_reduce(
+            counts, key_cols=gcols, reduce_fn=cum, num_buckets=num_buckets
+        )
+
+    def tag0(d: pd.DataFrame) -> pd.DataFrame:
+        return d.assign(_g=np.int64(0))
+
+    return bucketed_group_reduce(
+        counts.map_batches(tag0, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=cum,
+        num_buckets=1,
+    )

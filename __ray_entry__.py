@@ -1897,6 +1897,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return brand_revenue(sf_dir)
 
+    def events_kcore(sf_dir: str):
+        """2-core of the co-purchase graph (the events_components
+        edge set): iterative peeling, rows-only (true k-core needs the
+        recursive table twice per round — not expressible in a DuckDB
+        recursive CTE); gated by golden-graph unit tests
+        (tests/test_wave10.py)."""
+        import pandas as _pd
+
+        from kgflow.ops.graph import cooccurrence_edges, k_core
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "props", "value"],
+        )
+
+        def cells(df: _pd.DataFrame) -> _pd.DataFrame:
+            m = (df["event_type"] == "purchase") & (df["value"] > 99.0)
+            return df.loc[m, ["user_id", "props"]]
+
+        edges = cooccurrence_edges(
+            ev.map_batches(cells, batch_format="pandas"), "user_id", ["props"]
+        )
+        return k_core(edges, k=2)
+
+    def doc_csv_roundtrip(sf_dir: str):
+        """Oracle-checked: CSV sink → CSV source round-trip — write
+        documents(doc_id, n_chars) as partitioned CSV under /tmp, read
+        it back with `ray.data.read_csv`, and fingerprint the result
+        with `table_checksum`. The oracle is the SAME checksum SQL as
+        doc_checksum computed from the parquet originals, so a green
+        row proves the CSV path is lossless AND order/partition-
+        independent (the checksum is commutative)."""
+        import shutil
+
+        from kgflow.ops.checks import table_checksum
+
+        out_dir = f"/tmp/kgflow_csv_roundtrip_{abs(hash(sf_dir)) % 10**8}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        _docs(sf_dir).select_columns(["doc_id", "n_chars"]).write_csv(out_dir)
+        back = rd.read_csv(out_dir)
+        return table_checksum(back, cols=["doc_id", "n_chars"])
+
     def q6_revenue(sf_dir: str):
         """Oracle-checked: TPC-H Q6-style filtered global sum — one
         scan, per-row fixed-point quantization, one 2-scalar partial
@@ -2068,6 +2111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users": events_new_users,
         "events_adoption": events_adoption,
         "orders_concentration": orders_concentration,
+        "doc_csv_roundtrip": doc_csv_roundtrip,
+        "events_kcore": events_kcore,
     }
 
 
@@ -3772,6 +3817,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
             ORDER BY revenue DESC, c.c_custkey
             LIMIT 20
+        """,
+        # identical to doc_checksum: the round-trip must reproduce the
+        # parquet originals' fingerprint bit-exactly
+        "doc_csv_roundtrip": """
+            WITH h AS (
+              SELECT
+                CAST(list_reduce(
+                  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                    list_transform(
+                      range(1, length(CAST(doc_id AS VARCHAR) || '|'
+                                      || CAST(n_chars AS VARCHAR)) + 1),
+                      j -> CAST(unicode((CAST(doc_id AS VARCHAR) || '|'
+                                         || CAST(n_chars AS VARCHAR))[j])
+                                AS HUGEINT))),
+                  (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                        CAST(c AS UBIGINT)) AS HUGEINT)
+                               * 1099511628211) % 18446744073709551616
+                ) AS UBIGINT) AS hv
+              FROM documents
+            )
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CAST(hv AS HUGEINT))
+                        % 18446744073709551616 AS UBIGINT) AS checksum
+            FROM h
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

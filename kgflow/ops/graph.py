@@ -511,3 +511,86 @@ def item_pair_support(
         reduce_fn=assemble,
         num_buckets=1,
     )
+
+
+def k_core(
+    edges: "rd.Dataset",
+    k: int = 2,
+    max_rounds: int = 64,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """k-core decomposition by iterative peeling: repeatedly drop
+    nodes with degree < k (and their edges) until a fixpoint — the
+    standard dense-subgraph / spam-farm / nucleus extractor that runs
+    BEFORE expensive community detection to shed the low-degree fringe.
+
+    Returns the surviving nodes with their in-core degree
+    (node, core_deg). Like `kgflow.linking.cc`, this is an inherently
+    iterative algorithm (documented exception to no-mid-pipeline
+    materialization): per round ONE degree exchange + one broadcast-or-
+    shuffle semi-join of the E-bounded edge set against the surviving
+    V-bounded node set; round count is peel-depth-bounded with a loud
+    ``max_rounds`` stop. Each round's edge set materializes (consumed
+    by the next round AND the convergence count)."""
+    from kgflow.ops.joins import semi_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def deg_partial(d: pd.DataFrame) -> pd.DataFrame:
+        x = np.concatenate(
+            [d["u"].to_numpy(dtype=np.int64), d["v"].to_numpy(dtype=np.int64)]
+        )
+        uniq, c = np.unique(x, return_counts=True)
+        return pd.DataFrame({"node": uniq, "deg": c.astype(np.int64)})
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["deg"].sum()
+
+    cur = edges.select_columns(["u", "v"]).materialize()
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = bucketed_group_reduce(
+            cur.map_batches(deg_partial, batch_format="pandas"),
+            key_cols=["node"],
+            reduce_fn=deg_final,
+            num_buckets=num_buckets,
+        )
+        keep = deg.map_batches(
+            lambda d: d.loc[d["deg"] >= k, ["node"]], batch_format="pandas"
+        ).materialize()  # V-bounded; probed twice (u-side and v-side)
+        if keep.count() == 0:  # graph fully peeled — empty k-core
+            cur, n_edges = cur.limit(0), 0
+            break
+        ku = keep.map_batches(
+            lambda d: d.rename(columns={"node": "u"}), batch_format="pandas"
+        )
+        kv = keep.map_batches(
+            lambda d: d.rename(columns={"node": "v"}), batch_format="pandas"
+        )
+        nxt = semi_join(
+            semi_join(cur, ku, on="u", num_buckets=num_buckets),
+            kv,
+            on="v",
+            num_buckets=num_buckets,
+        ).materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            cur = nxt
+            break
+        cur, n_edges = nxt, n_next
+    else:
+        raise RuntimeError(
+            f"k_core: no fixpoint after {max_rounds} rounds (peel depth "
+            "exceeds the cap); raise max_rounds"
+        )
+
+    out = bucketed_group_reduce(
+        cur.map_batches(deg_partial, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=deg_final,
+        num_buckets=num_buckets,
+    )
+    return out.map_batches(
+        lambda d: d.rename(columns={"deg": "core_deg"}), batch_format="pandas"
+    )

@@ -176,10 +176,17 @@ def semi_join(
         class Filter:
             def __init__(self):
                 keys = ray.get(ref)
-                self.idx = pd.MultiIndex.from_frame(keys[on])
+                # an EMPTY keyset round-trips as a zero-column frame —
+                # keys[on] would KeyError; semi keeps nothing, anti all
+                self.idx = (
+                    pd.MultiIndex.from_frame(keys[on]) if len(keys) else None
+                )
 
             def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                mask = pd.MultiIndex.from_frame(df[on]).isin(self.idx)
+                if self.idx is None:
+                    mask = np.zeros(len(df), dtype=bool)
+                else:
+                    mask = pd.MultiIndex.from_frame(df[on]).isin(self.idx)
                 return df[~mask] if anti else df[mask]
 
         return left.map_batches(Filter, batch_format="pandas", concurrency=(1, 4))

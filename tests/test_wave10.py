@@ -246,3 +246,51 @@ def test_regex_extract_spans_long_format():
     ).to_pandas()
     assert sorted(out["match"]) == ["a@b.c", "d@e.f"]
     assert set(out["doc_id"]) == {1}
+
+
+def test_k_core_triangle_with_tail():
+    from kgflow.ops.graph import k_core
+
+    # triangle 1-2-3 plus tail 3-4-5: the 2-core is exactly the triangle
+    edges = pd.DataFrame({"u": [1, 1, 2, 3, 4], "v": [2, 3, 3, 4, 5]})
+    out = k_core(rd.from_pandas(edges).repartition(2), k=2).to_pandas()
+    assert sorted(out["node"]) == [1, 2, 3]
+    assert set(out["core_deg"] if "core_deg" in out else out["deg"]) == {2}
+
+
+def test_k_core_empties_below_k():
+    from kgflow.ops.graph import k_core
+
+    # a path has no 2-core at all
+    edges = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]})
+    out = k_core(rd.from_pandas(edges), k=2).to_pandas()
+    assert len(out) == 0
+
+
+def test_k_core_deep_peel_chain():
+    from kgflow.ops.graph import k_core
+
+    # clique K4 with a long pendant chain: peeling eats the chain one
+    # round at a time; the 2-core is the clique
+    chain = [(10 + i, 11 + i) for i in range(6)]
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = pd.DataFrame(k4 + [(4, 10)] + chain, columns=["u", "v"])
+    out = k_core(rd.from_pandas(edges).repartition(3), k=2).to_pandas()
+    assert sorted(out["node"]) == [1, 2, 3, 4]
+
+
+def test_csv_roundtrip_checksum_matches_parquet():
+    from kgflow.ops.checks import table_checksum
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(50, dtype=np.int64), "n_chars": np.arange(50) + 1}
+    )
+    import shutil
+
+    out = "/tmp/kgflow_test_csv_rt"
+    shutil.rmtree(out, ignore_errors=True)
+    rd.from_pandas(df).repartition(4).write_csv(out)
+    back = rd.read_csv(out)
+    a = table_checksum(rd.from_pandas(df), ["doc_id", "n_chars"]).to_pandas()
+    b = table_checksum(back, ["doc_id", "n_chars"]).to_pandas()
+    assert a["checksum"].iloc[0] == b["checksum"].iloc[0]

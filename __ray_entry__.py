@@ -1948,6 +1948,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q6_forecast_revenue(sf_dir)
 
+    def q13_custdist(sf_dir: str):
+        """Oracle-checked: TPC-H Q13-style order-count distribution —
+        per-custkey count combiner, LEFT join from customer keys (zero
+        bucket preserved), counts-bounded histogram exchange."""
+        from kgflow.ops.relational import q13_customer_distribution
+
+        return q13_customer_distribution(sf_dir)
+
+    def q14_promo(sf_dir: str):
+        """Oracle-checked: TPC-H Q14-style promo-revenue share — per-
+        partkey fixed-point revenue combiner, auto-broadcast part join,
+        one 2-scalar exchange + int÷int ratio."""
+        from kgflow.ops.relational import q14_promo_share
+
+        return q14_promo_share(sf_dir)
+
+    def q15_top_supplier(sf_dir: str):
+        """Oracle-checked: TPC-H Q15-style top supplier — per-suppkey
+        fixed-point revenue, 1-row global max broadcast back as the
+        filter scalar, exact tie semantics."""
+        from kgflow.ops.relational import q15_top_supplier as _q15
+
+        return _q15(sf_dir)
+
+    def q18_big_orders(sf_dir: str):
+        """Oracle-checked: TPC-H Q18-style large-volume customers —
+        HAVING on a per-orderkey quantity sum (fixed-point ×100), the
+        tiny qualifying set broadcast against orders then customer."""
+        from kgflow.ops.relational import q18_big_orders as _q18
+
+        return _q18(sf_dir)
+
     def events_dedup_day(sf_dir: str):
         """Oracle-checked: at-least-once log dedup — first event per
         (user, type, day); semigroup-min combiner, one (key, win)
@@ -2113,6 +2145,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_concentration": orders_concentration,
         "doc_csv_roundtrip": doc_csv_roundtrip,
         "events_kcore": events_kcore,
+        "q13_custdist": q13_custdist,
+        "q14_promo": q14_promo,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_big_orders": q18_big_orders,
     }
 
 
@@ -3841,6 +3877,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(hv AS HUGEINT))
                         % 18446744073709551616 AS UBIGINT) AS checksum
             FROM h
+        """,
+        "q13_custdist": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c.c_custkey, count(o.o_custkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+        """,
+        # same per-row ROUND(...*1e4) fixed-point quantization as the
+        # engine, so the two int sums and the final double divisions
+        # are bit-identical
+        "q14_promo": """
+            WITH l AS (
+              SELECT l_partkey,
+                     CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                          AS BIGINT) AS fp
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                AND l_shipdate < TIMESTAMP '1997-10-01'
+            ), s AS (
+              SELECT
+                CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.fp ELSE 0 END)
+                     AS BIGINT) AS pf,
+                CAST(sum(l.fp) AS BIGINT) AS tf
+              FROM l JOIN part p ON p.p_partkey = l.l_partkey
+            )
+            SELECT CAST(pf AS DOUBLE) / 10000.0 AS promo_revenue,
+                   CAST(tf AS DOUBLE) / 10000.0 AS total_revenue,
+                   100.0 * CAST(pf AS DOUBLE) / CAST(tf AS DOUBLE)
+                     AS promo_share_pct
+            FROM s
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     CAST(sum(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                         * 10000) AS BIGINT)) AS BIGINT) AS fp
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-07-01'
+              GROUP BY 1
+            )
+            SELECT r.s_suppkey, s.s_name,
+                   CAST(fp AS DOUBLE) / 10000.0 AS total_revenue
+            FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+            WHERE fp = (SELECT max(fp) FROM r)
+        """,
+        "q18_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS qty_fp
+              FROM lineitem
+              GROUP BY 1
+              HAVING sum(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 30000
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice,
+                   CAST(qty_fp AS DOUBLE) / 100.0 AS sum_qty
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

@@ -1237,3 +1237,307 @@ def revenue_concentration(sf_dir: str, q: float = 0.875) -> "rd.Dataset":
     return bucketed_group_reduce(
         partials, key_cols=["_g"], reduce_fn=finish, num_buckets=1
     )
+
+
+def q13_customer_distribution(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed exactly N orders, INCLUDING the zero-order bucket
+    — the canonical left-outer + double-groupby plan shape.
+
+    Scale shape: orders shrinks to per-custkey counts with a per-block
+    combiner before ONE custkey-keyed reduce; the customer side ships
+    keys only into the left `hash_join` (zero-order customers survive
+    as nulls → count 0); the final histogram is a counts-bounded
+    exchange (distinct order-counts ≪ customers). The count table is
+    materialized because the join's decision count would otherwise
+    re-execute its pipeline."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False, sort=False).size()
+        return out.rename(
+            columns={"o_custkey": "c_custkey", "size": "c_count"}
+        )
+
+    per_cust = bucketed_group_reduce(
+        orders.map_batches(count_partial, batch_format="pandas"),
+        key_cols=["c_custkey"],
+        reduce_fn=lambda g: g.groupby("c_custkey", as_index=False)[
+            "c_count"
+        ].sum(),
+    ).materialize()
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    joined = hash_join(cust, per_cust, on="c_custkey", how="left")
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_count"]
+        n = (
+            c.fillna(0).astype(np.int64)
+            if c.isna().any()
+            else c.astype(np.int64)
+        )
+        out = (
+            pd.DataFrame({"c_count": n})
+            .groupby("c_count", as_index=False, sort=False)
+            .size()
+        )
+        return out.rename(columns={"size": "custdist"})
+
+    return bucketed_group_reduce(
+        joined.map_batches(hist_partial, batch_format="pandas"),
+        key_cols=["c_count"],
+        reduce_fn=lambda g: g.groupby("c_count", as_index=False)[
+            "custdist"
+        ].sum(),
+    )
+
+
+def q14_promo_share(
+    sf_dir: str,
+    date_lo: str = "1997-09-01",
+    date_hi: str = "1997-10-01",
+) -> "rd.Dataset":
+    """TPC-H Q14-style promotion-revenue share: the percentage of one
+    month's revenue that came from PROMO-type parts — a fact⋈dim join
+    feeding a conditional global ratio.
+
+    Scale shape: lineitem filters to the window and pre-aggregates
+    revenue per partkey inside each block (fixed-point int64 at the
+    scan), so the part join ships one row per (block, partkey); the
+    part dimension rides `hash_join`'s auto broadcast-vs-shuffle
+    decision; the final exchange is one 2-scalar row per block and the
+    share is ONE int-over-int double division, bit-reproducible in
+    SQL."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy()
+        sel = df.loc[(d >= lo) & (d < hi)]
+        fp = np.round(
+            sel["l_extendedprice"].to_numpy()
+            * (1.0 - sel["l_discount"].to_numpy())
+            * 1e4
+        ).astype(np.int64)
+        t = pd.DataFrame(
+            {"p_partkey": sel["l_partkey"].to_numpy(), "rev_fp": fp}
+        )
+        return t.groupby("p_partkey", as_index=False, sort=False)[
+            "rev_fp"
+        ].sum()
+
+    part = read_parquet_clean(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    joined = hash_join(
+        line.map_batches(line_partial, batch_format="pandas"),
+        part,
+        on="p_partkey",
+        right_small=True,  # dimension table
+    )
+
+    def share_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["rev_fp"].to_numpy(dtype=np.int64)
+        promo = df["p_type"].to_numpy() == "PROMO"
+        return pd.DataFrame(
+            {
+                "_g": np.array([0], dtype=np.int64),
+                "promo_fp": np.array([fp[promo].sum()], dtype=np.int64),
+                "total_fp": np.array([fp.sum()], dtype=np.int64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        pf = int(g["promo_fp"].sum())
+        tf = int(g["total_fp"].sum())
+        return pd.DataFrame(
+            {
+                "promo_revenue": [pf / 1e4],
+                "total_revenue": [tf / 1e4],
+                "promo_share_pct": [100.0 * pf / tf],
+            }
+        )
+
+    return bucketed_group_reduce(
+        joined.map_batches(share_partial, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=finish,
+        num_buckets=1,
+    )
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-07-01",
+) -> "rd.Dataset":
+    """TPC-H Q15-style top supplier: the supplier(s) whose revenue in a
+    window equals the global maximum — the "view + scalar-subquery max"
+    plan, with exact tie semantics (fixed-point revenue makes the
+    argmax deterministic across engines).
+
+    Scale shape: per-suppkey fixed-point revenue via combiner + ONE
+    supplier-keyed reduce, materialized once (consumed by the max pass
+    AND the filter pass); the max arrives as a 1-row `global_topk`
+    (blocks×1 rows on its exchange) and broadcasts as a scalar; the
+    supplier dimension joins via auto broadcast."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_topk
+    from kgflow.sources.parquet import read_parquet_clean
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def supp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy()
+        sel = df.loc[(d >= lo) & (d < hi)]
+        fp = np.round(
+            sel["l_extendedprice"].to_numpy()
+            * (1.0 - sel["l_discount"].to_numpy())
+            * 1e4
+        ).astype(np.int64)
+        t = pd.DataFrame(
+            {"s_suppkey": sel["l_suppkey"].to_numpy(), "rev_fp": fp}
+        )
+        return t.groupby("s_suppkey", as_index=False, sort=False)[
+            "rev_fp"
+        ].sum()
+
+    per_supp = bucketed_group_reduce(
+        line.map_batches(supp_partial, batch_format="pandas"),
+        key_cols=["s_suppkey"],
+        reduce_fn=lambda g: g.groupby("s_suppkey", as_index=False)[
+            "rev_fp"
+        ].sum(),
+    ).materialize()  # consumed twice: max pass + filter pass
+
+    top = global_topk(
+        per_supp, sort_cols=["rev_fp"], ascending=[False], k=1
+    ).to_pandas()  # exactly 1 row — bounded driver pull
+    max_fp = int(top["rev_fp"].iloc[0])
+    max_ref = ray.put(max_fp)
+
+    class KeepMax:
+        def __init__(self):
+            self.max_fp = ray.get(max_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["rev_fp"].to_numpy(dtype=np.int64) == self.max_fp]
+
+    winners = per_supp.map_batches(
+        KeepMax, batch_format="pandas", concurrency=(1, 4)
+    )
+    supp = read_parquet_clean(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    out = hash_join(winners, supp, on="s_suppkey", right_small=True)
+    return out.map_batches(
+        lambda d: pd.DataFrame(
+            {
+                "s_suppkey": d["s_suppkey"].astype(np.int64),
+                "s_name": d["s_name"],
+                "total_revenue": d["rev_fp"].to_numpy(dtype=np.int64) / 1e4,
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q18_big_orders(sf_dir: str, min_qty: float = 300.0) -> "rd.Dataset":
+    """TPC-H Q18-style large-volume customers: orders whose total
+    lineitem quantity exceeds ``min_qty``, with customer name and order
+    details — the HAVING-on-a-fact-aggregate + join-back plan.
+
+    Scale shape: per-orderkey quantity sums (fixed-point ×100 int64,
+    combiner + ONE orderkey reduce) filter to a tiny qualifying set
+    (HAVING prunes everything), which then rides `hash_join`'s
+    broadcast side against orders; the customer dimension joins the
+    (still tiny) result the same way. Neither fact table is ever
+    shuffled whole."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    cut_fp = int(round(min_qty * 100))
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        t = pd.DataFrame(
+            {"o_orderkey": df["l_orderkey"].to_numpy(), "qty_fp": fp}
+        )
+        return t.groupby("o_orderkey", as_index=False, sort=False)[
+            "qty_fp"
+        ].sum()
+
+    big = bucketed_group_reduce(
+        line.map_batches(qty_partial, batch_format="pandas"),
+        key_cols=["o_orderkey"],
+        reduce_fn=lambda g: g.groupby("o_orderkey", as_index=False)[
+            "qty_fp"
+        ].sum(),
+    ).map_batches(
+        lambda d: d[d["qty_fp"].to_numpy(dtype=np.int64) > cut_fp],
+        batch_format="pandas",
+    ).materialize()  # HAVING-pruned: tiny; reused by the join decision
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    od = hash_join(orders, big, on="o_orderkey", right_small=True)
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    out = hash_join(
+        od.map_batches(
+            lambda d: d.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        ),
+        cust,
+        on="c_custkey",
+        right_small=True,
+    )
+    return out.map_batches(
+        lambda d: pd.DataFrame(
+            {
+                "c_name": d["c_name"],
+                "c_custkey": d["c_custkey"].astype(np.int64),
+                "o_orderkey": d["o_orderkey"].astype(np.int64),
+                "o_orderdate": d["o_orderdate"],
+                "o_totalprice": d["o_totalprice"],
+                "sum_qty": d["qty_fp"].to_numpy(dtype=np.int64) / 100.0,
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -1980,6 +1980,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _q18(sf_dir)
 
+    def q17_small_qty(sf_dir: str):
+        """Oracle-checked: TPC-H Q17-style small-quantity revenue —
+        per-part (count, Σqty) stats joined back to lineitem, integer-
+        exact 20%-of-avg threshold, one 2-scalar exchange."""
+        from kgflow.ops.relational import q17_small_quantity_revenue
+
+        return q17_small_quantity_revenue(sf_dir)
+
+    def q22_dormant(sf_dir: str):
+        """Oracle-checked: TPC-H Q22-style dormant high-balance
+        customers — 2-scalar global mean broadcast, integer-exact
+        above-average test, distinct-key anti-join against recent
+        orders, nations-bounded rollup."""
+        from kgflow.ops.relational import q22_dormant_balance
+
+        return q22_dormant_balance(sf_dir)
+
     def events_dedup_day(sf_dir: str):
         """Oracle-checked: at-least-once log dedup — first event per
         (user, type, day); semigroup-min combiner, one (key, win)
@@ -2149,6 +2166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo": q14_promo,
         "q15_top_supplier": q15_top_supplier,
         "q18_big_orders": q18_big_orders,
+        "q17_small_qty": q17_small_qty,
+        "q22_dormant": q22_dormant,
     }
 
 
@@ -3942,6 +3961,52 @@ def oracle_sql() -> dict[str, str]:
             FROM big
             JOIN orders o ON o.o_orderkey = big.o_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        # qty_fp·5·n < Σqty_fp replaces the float 0.2·avg on BOTH sides
+        # — the compare is integer-exact, so the row set is identical
+        "q17_small_qty": """
+            WITH s AS (
+              SELECT l_partkey, count(*) AS n,
+                     CAST(sum(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS sum_qfp
+              FROM lineitem GROUP BY 1
+            ), q AS (
+              SELECT
+                CAST(sum(CAST(ROUND(l.l_extendedprice * 10000) AS BIGINT))
+                     AS BIGINT) AS pf,
+                count(*) AS n_items
+              FROM lineitem l JOIN s ON s.l_partkey = l.l_partkey
+              WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * s.n
+                    < s.sum_qfp
+            )
+            SELECT CAST(pf AS DOUBLE) / 10000.0 / 7.0 AS avg_yearly,
+                   n_items
+            FROM q
+        """,
+        # bal_fp·n_pos > Σbal_fp is the integer-exact form of
+        # c_acctbal > avg(positive balances)
+        "q22_dormant": """
+            WITH b AS (
+              SELECT count(*) AS n,
+                     CAST(sum(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS s
+              FROM customer
+              WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+            ), rich AS (
+              SELECT c.c_custkey, c.c_nationkey,
+                     CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS fp
+              FROM customer c, b
+              WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * b.n > b.s
+                AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            )
+            SELECT n.n_name, count(*) AS numcust,
+                   CAST(CAST(sum(fp) AS BIGINT) AS DOUBLE) / 100.0
+                     AS totacctbal
+            FROM rich JOIN nation n ON n.n_nationkey = rich.c_nationkey
+            GROUP BY n.n_name
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

@@ -1541,3 +1541,189 @@ def q18_big_orders(sf_dir: str, min_qty: float = 300.0) -> "rd.Dataset":
         ),
         batch_format="pandas",
     )
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q17-style small-quantity-order revenue: the average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    not taken — the correlated-scalar-subquery plan (per-part avg
+    compared against every lineitem of that part).
+
+    Scale shape: per-partkey (count, Σqty) via combiner + ONE part-
+    keyed reduce (part-bounded, materialized); lineitem joins the stats
+    through `hash_join`'s auto broadcast-vs-shuffle decision; the
+    threshold compare is integer-exact (qty_fp·5·n < Σqty_fp avoids
+    the float 0.2·avg both engines would round differently); the final
+    exchange is one 2-scalar row per block."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qfp = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        t = pd.DataFrame({"l_partkey": df["l_partkey"].to_numpy(), "q": qfp})
+        g = t.groupby("l_partkey", as_index=False, sort=False).agg(
+            n=("q", "size"), sum_qfp=("q", "sum")
+        )
+        return g
+
+    stats = bucketed_group_reduce(
+        line.map_batches(stats_partial, batch_format="pandas"),
+        key_cols=["l_partkey"],
+        reduce_fn=lambda g: g.groupby("l_partkey", as_index=False).agg(
+            n=("n", "sum"), sum_qfp=("sum_qfp", "sum")
+        ),
+    ).materialize()  # part-bounded; reused by the join decision
+
+    joined = hash_join(line, stats, on="l_partkey")
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        qfp = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        s = df["sum_qfp"].to_numpy(dtype=np.int64)
+        m = qfp * 5 * n < s
+        pfp = np.round(
+            df.loc[m, "l_extendedprice"].to_numpy() * 1e4
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_g": np.array([0], dtype=np.int64),
+                "price_fp": np.array([pfp.sum()], dtype=np.int64),
+                "n_items": np.array([int(m.sum())], dtype=np.int64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        pf = int(g["price_fp"].sum())
+        return pd.DataFrame(
+            {
+                "avg_yearly": [pf / 1e4 / 7.0],
+                "n_items": [int(g["n_items"].sum())],
+            }
+        )
+
+    return bucketed_group_reduce(
+        joined.map_batches(rev_partial, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=finish,
+        num_buckets=1,
+    )
+
+
+def q22_dormant_balance(
+    sf_dir: str, recent: str = "2000-01-01"
+) -> "rd.Dataset":
+    """TPC-H Q22-style global-sales-opportunity: customers with an
+    above-average positive account balance and NO order since
+    ``recent``, grouped per nation — the scalar-subquery + anti-join
+    plan (Q22's phone-prefix grouping adapted to this schema's nation
+    dimension).
+
+    Scale shape: the positive-balance mean arrives as ONE 2-scalar
+    global partial (never a driver table pull) and the above-average
+    test is integer-exact (bal_fp·n > Σbal_fp); recent orders shrink
+    to DISTINCT custkeys inside `anti_join` before any exchange; the
+    nation rollup is a nations-bounded reduce over a broadcast name
+    map."""
+    from kgflow.ops.joins import anti_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    cut = np.datetime64(recent, "us")
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_nationkey"],
+    )
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = fp > 0
+        return pd.DataFrame(
+            {
+                "_g": np.array([0], dtype=np.int64),
+                "n_pos": np.array([int(pos.sum())], dtype=np.int64),
+                "sum_fp": np.array([fp[pos].sum()], dtype=np.int64),
+            }
+        )
+
+    agg = bucketed_group_reduce(
+        cust.map_batches(bal_partial, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=lambda g: pd.DataFrame(
+            {
+                "n_pos": [int(g["n_pos"].sum())],
+                "sum_fp": [int(g["sum_fp"].sum())],
+            }
+        ),
+        num_buckets=1,
+    ).to_pandas()  # exactly 1 row
+    n_pos, sum_fp = int(agg["n_pos"].iloc[0]), int(agg["sum_fp"].iloc[0])
+    ref = ray.put((n_pos, sum_fp))
+
+    class AboveAvg:
+        def __init__(self):
+            self.n, self.s = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            fp = np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+            # bal > avg  ⇔  bal_fp · n_pos > Σbal_fp  (ints: exact)
+            return df[fp * self.n > self.s]
+
+    rich = cust.map_batches(AboveAvg, batch_format="pandas", concurrency=(1, 4))
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+
+    def recent_keys(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[
+            df["o_orderdate"].to_numpy() >= cut, ["o_custkey"]
+        ].drop_duplicates()
+        return d.rename(columns={"o_custkey": "c_custkey"})
+
+    dormant = anti_join(
+        rich,
+        orders.map_batches(recent_keys, batch_format="pandas"),
+        on="c_custkey",
+    )
+
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    nref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class NationPartial:
+        def __init__(self):
+            self.names = ray.get(nref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            fp = np.round(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+            t = pd.DataFrame(
+                {"n_name": df["c_nationkey"].map(self.names), "fp": fp}
+            )
+            return t.groupby("n_name", as_index=False, sort=False).agg(
+                numcust=("fp", "size"), bal_fp=("fp", "sum")
+            )
+
+    partial = dormant.map_batches(
+        NationPartial, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("n_name", as_index=False).agg(
+            numcust=("numcust", "sum"), bal_fp=("bal_fp", "sum")
+        )
+        out["totacctbal"] = out.pop("bal_fp").to_numpy(dtype=np.int64) / 100.0
+        return out
+
+    return bucketed_group_reduce(
+        partial, key_cols=["n_name"], reduce_fn=finish
+    )

@@ -1997,6 +1997,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q22_dormant_balance(sf_dir)
 
+    def events_concurrency(sf_dir: str):
+        """Oracle-checked: per-day max concurrency of 30-minute
+        intervals — the distributed sweep-line prefix sum (time-range
+        buckets, per-bucket Σdelta offsets, in-bucket exact cumsum);
+        SQL reproduces it with SUM(delta) OVER (ORDER BY t, delta)."""
+        from kgflow.ops.window import interval_concurrency_daily
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+        )
+        return interval_concurrency_daily(ev, duration_min=30)
+
+    def orders_pareto(sf_dir: str):
+        """Oracle-checked: 2-D Pareto frontier of orders — maximize
+        o_totalprice, minimize o_orderdate ("high value, early"); local
+        skyline per block + one single-bucket exact refine (skyline of
+        skylines), vs the NOT EXISTS dominance SQL."""
+        from kgflow.ops.shuffle import pareto_front
+        from kgflow.sources.parquet import read_parquet_clean
+
+        orders = read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+        )
+        return pareto_front(
+            orders, x_col="o_totalprice", y_col="o_orderdate",
+            maximize_x=True, minimize_y=True,
+        )
+
     def events_dedup_day(sf_dir: str):
         """Oracle-checked: at-least-once log dedup — first event per
         (user, type, day); semigroup-min combiner, one (key, win)
@@ -2168,6 +2198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_big_orders": q18_big_orders,
         "q17_small_qty": q17_small_qty,
         "q22_dormant": q22_dormant,
+        "events_concurrency": events_concurrency,
+        "orders_pareto": orders_pareto,
     }
 
 
@@ -4007,6 +4039,40 @@ def oracle_sql() -> dict[str, str]:
                      AS totacctbal
             FROM rich JOIN nation n ON n.n_nationkey = rich.c_nationkey
             GROUP BY n.n_name
+        """,
+        # ends (-1) order before starts (+1) at equal t; within an
+        # equal (t, delta) run the prefix multiset is permutation-
+        # invariant, so the per-day max matches the engine exactly
+        "events_concurrency": """
+            WITH b AS (
+              SELECT ts AS t, CAST(1 AS BIGINT) AS delta FROM events
+              UNION ALL
+              SELECT ts + INTERVAL 30 MINUTE AS t,
+                     CAST(-1 AS BIGINT) AS delta
+              FROM events
+            ), p AS (
+              SELECT t,
+                     sum(delta) OVER (
+                       ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS conc
+              FROM b
+            )
+            SELECT date_trunc('day', t) AS day,
+                   CAST(max(conc) AS BIGINT) AS max_concurrent
+            FROM p
+            GROUP BY 1
+        """,
+        "orders_pareto": """
+            SELECT a.o_orderkey, a.o_orderdate, a.o_totalprice
+            FROM orders a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders b
+              WHERE b.o_totalprice >= a.o_totalprice
+                AND b.o_orderdate <= a.o_orderdate
+                AND (b.o_totalprice > a.o_totalprice
+                     OR b.o_orderdate < a.o_orderdate)
+            )
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

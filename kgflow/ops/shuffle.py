@@ -308,3 +308,75 @@ def grouped_distinct_count(
     return bucketed_group_reduce(
         partials, key_cols=group_cols, reduce_fn=sum_partials, num_buckets=num_buckets
     )
+
+
+def pareto_front(
+    ds: "rd.Dataset",
+    x_col: str,
+    y_col: str,
+    maximize_x: bool = True,
+    minimize_y: bool = True,
+    max_front: int = 1_000_000,
+) -> "rd.Dataset":
+    """2-D Pareto frontier (skyline): rows not dominated by any other
+    row — A dominates B when A is ≥ as good on both axes and strictly
+    better on at least one. The multi-objective cousin of
+    `global_topk`: "best tradeoffs", not "best k".
+
+    Scale shape: skyline(∪ skylines) = global skyline, so each block
+    shrinks to its LOCAL frontier (vectorized sort + running-extreme
+    scan, then an exact candidate² refine over the already-tiny
+    candidate set) before ONE single-bucket reduce runs the same exact
+    refine over ≤ blocks×front candidates. A frontier bigger than
+    ``max_front`` per block fails loudly (anti-correlated axes can
+    degenerate to O(n) fronts — that output is a transform, not a
+    selection, and needs a different plan)."""
+
+    sx = -1.0 if maximize_x else 1.0
+    sy = 1.0 if minimize_y else -1.0
+
+    def _front(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        def axis(col: str, sign: float) -> np.ndarray:
+            a = df[col].to_numpy()
+            if np.issubdtype(a.dtype, np.datetime64):
+                a = a.astype("datetime64[us]").astype(np.int64)
+            # ints/datetimes stay int64 (exact); floats stay float64
+            return (np.int64(int(sign)) * a) if np.issubdtype(
+                a.dtype, np.integer
+            ) else sign * a
+
+        # normalized axes: minimize both u and v
+        u = axis(x_col, sx)
+        v = axis(y_col, sy)
+        order = np.lexsort((v, u))  # u asc, ties v asc
+        vv = v[order]
+        run_min = np.minimum.accumulate(vv)
+        # candidates: weakly undominated in the scan (ties kept)
+        cand = vv <= run_min
+        idx = order[cand]
+        if len(idx) > max_front:
+            raise ValueError(
+                f"pareto_front: {len(idx)} frontier candidates in one "
+                f"block (> max_front={max_front}); the axes are too "
+                "anti-correlated for a selection-style skyline"
+            )
+        # exact O(k²) refine on the candidate set (vectorized)
+        cu, cv = u[idx], v[idx]
+        dom = (
+            (cu[:, None] <= cu[None, :])
+            & (cv[:, None] <= cv[None, :])
+            & ((cu[:, None] < cu[None, :]) | (cv[:, None] < cv[None, :]))
+        ).any(axis=0)
+        return df.iloc[idx[~dom]]
+
+    local = ds.map_batches(
+        lambda d: _front(d).assign(_g=np.int64(0)), batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        local,
+        key_cols=["_g"],
+        reduce_fn=lambda g: _front(g).drop(columns=["_g"]),
+        num_buckets=1,
+    )

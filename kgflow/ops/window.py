@@ -1262,3 +1262,146 @@ def new_users_daily(
         reduce_fn=cum,
         num_buckets=1,
     )
+
+
+def interval_concurrency_daily(
+    ds: "rd.Dataset",
+    start_col: str = "ts",
+    duration_min: int = 30,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-day MAX concurrency of fixed-duration intervals — the
+    sweep-line / distributed-prefix-sum operator (how many sessions are
+    live at once; capacity planning's first question). Each row opens
+    an interval [start, start+duration); concurrency at a boundary is
+    the running sum of +1/−1 deltas in (t, delta) order.
+
+    Scale shape — an ordered prefix sum is NOT a groupby, so it gets
+    the classic two-pass range decomposition:
+
+    1. boundaries (2 rows/input, 16 B each) get a TIME-RANGE bucket
+       (equal-width over the global [min,max] from one 2-scalar
+       pre-pass — equal timestamps always co-bucket);
+    2. pass A: per-bucket Σdelta (bucket-count-bounded) pulls to the
+       driver, whose exclusive prefix gives each bucket its entry
+       offset;
+    3. pass B: ONE bucketed exchange; inside each bucket a vectorized
+       (t, delta) mergesort + cumsum + offset yields exact global
+       concurrency, reduced to per-day max partials in place;
+    4. a final days-bounded max reduce.
+
+    Determinism: ends (−1) order before starts (+1) at equal t, and
+    within an equal (t, delta) run the prefix multiset is permutation-
+    invariant, so the per-day max is engine-independent — the SQL
+    window `SUM(delta) OVER (ORDER BY t, delta)` reproduces it
+    bit-exactly."""
+    from kgflow.ops.shuffle import bucketed_group_reduce, default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    dur_us = duration_min * 60 * _US
+    day_us = 86_400 * _US
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        t0 = _ts_us(df[start_col])
+        return pd.DataFrame(
+            {
+                "t": np.concatenate([t0, t0 + dur_us]),
+                "delta": np.concatenate(
+                    [
+                        np.ones(len(t0), dtype=np.int64),
+                        -np.ones(len(t0), dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    b = ds.map_batches(boundaries, batch_format="pandas").materialize()
+    # consumed three times: min/max pre-pass, pass A, pass B
+
+    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["t"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "_g": np.array([0], dtype=np.int64),
+                "lo": np.array([t.min() if len(t) else 2**62], dtype=np.int64),
+                "hi": np.array([t.max() if len(t) else -(2**62)], dtype=np.int64),
+            }
+        )
+
+    mm = bucketed_group_reduce(
+        b.map_batches(minmax_partial, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=lambda g: pd.DataFrame(
+            {"lo": [int(g["lo"].min())], "hi": [int(g["hi"].max())]}
+        ),
+        num_buckets=1,
+    ).to_pandas()  # exactly 1 row
+    lo, hi = int(mm["lo"].iloc[0]), int(mm["hi"].iloc[0])
+    span = max(hi - lo + 1, 1)
+
+    def add_tb(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["t"].to_numpy(dtype=np.int64)
+        tb = ((t - lo) * num_buckets // span).astype(np.int64)
+        return df.assign(_tb=tb)
+
+    tagged = b.map_batches(add_tb, batch_format="pandas")
+
+    # pass A: per-time-bucket delta sums → exclusive prefix offsets
+    def sums_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("_tb", as_index=False)["delta"].sum()
+
+    sums = bucketed_group_reduce(
+        tagged.map_batches(sums_partial, batch_format="pandas"),
+        key_cols=["_tb"],
+        reduce_fn=lambda g: g.groupby("_tb", as_index=False)["delta"].sum(),
+    ).to_pandas()  # ≤ num_buckets rows — bounded driver pull
+    sums = sums.sort_values("_tb")
+    offs = dict(
+        zip(
+            sums["_tb"].to_numpy(dtype=np.int64),
+            np.concatenate(
+                [[0], np.cumsum(sums["delta"].to_numpy(dtype=np.int64))[:-1]]
+            ),
+        )
+    )
+    offs_ref = ray.put(offs)
+
+    # pass B: in-bucket exact prefix + per-day max partials
+    def prefix_max(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offs_ref)
+        outs = []
+        for tb, gg in g.groupby("_tb", sort=False):
+            gg = gg.sort_values(["t", "delta"], kind="mergesort")
+            conc = (
+                gg["delta"].to_numpy(dtype=np.int64).cumsum()
+                + offsets[int(tb)]
+            )
+            day = (gg["t"].to_numpy(dtype=np.int64) // day_us) * day_us
+            p = pd.DataFrame({"day": day, "conc": conc})
+            outs.append(
+                p.groupby("day", as_index=False)["conc"].max()
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partials = bucketed_group_reduce(
+        tagged,
+        key_cols=["_tb"],
+        reduce_fn=prefix_max,
+        num_buckets=num_buckets,
+    )
+
+    def day_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("day", as_index=False)["conc"].max()
+        return pd.DataFrame(
+            {
+                "day": out["day"].to_numpy(dtype=np.int64).astype(
+                    "datetime64[us]"
+                ),
+                "max_concurrent": out["conc"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        partials, key_cols=["day"], reduce_fn=day_final
+    )

@@ -294,3 +294,59 @@ def test_csv_roundtrip_checksum_matches_parquet():
     a = table_checksum(rd.from_pandas(df), ["doc_id", "n_chars"]).to_pandas()
     b = table_checksum(back, ["doc_id", "n_chars"]).to_pandas()
     assert a["checksum"].iloc[0] == b["checksum"].iloc[0]
+
+
+def test_pareto_front_duplicates_and_ties():
+    from kgflow.ops.shuffle import pareto_front
+
+    # maximize x, minimize y. (5,1) dominates everything except its
+    # duplicate; equal pairs are mutually non-dominated and both kept.
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "x": [5.0, 5.0, 4.0, 5.0, 3.0],
+            "y": [1, 1, 1, 2, 0],
+        }
+    )
+    out = pareto_front(
+        rd.from_pandas(df).repartition(3), "x", "y"
+    ).to_pandas()
+    # (5,1)x2 survive; (4,1) dominated by (5,1); (5,2) dominated by
+    # (5,1); (3,0) survives (strictly better y)
+    assert sorted(out["id"]) == [1, 2, 5]
+
+
+def test_interval_concurrency_exact_vs_bruteforce():
+    from kgflow.ops.window import interval_concurrency_daily
+
+    rng = np.random.RandomState(7)
+    n = 400
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    ts = base + rng.randint(0, 3 * 86_400_000_000, size=n)
+    df = pd.DataFrame({"ts": ts.astype("datetime64[us]")})
+
+    out = (
+        interval_concurrency_daily(
+            rd.from_pandas(df).repartition(5), duration_min=30, num_buckets=7
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+
+    # brute force: sweep all boundaries in (t, delta) order
+    dur = 30 * 60 * 1_000_000
+    t = np.concatenate([ts, ts + dur])
+    d = np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)])
+    order = np.lexsort((d, t))
+    conc = d[order].cumsum()
+    day = (t[order] // 86_400_000_000) * 86_400_000_000
+    ref = (
+        pd.DataFrame({"day": day.astype("datetime64[us]"), "c": conc})
+        .groupby("day", as_index=False)["c"]
+        .max()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert list(out["day"]) == list(ref["day"])
+    assert list(out["max_concurrent"]) == list(ref["c"])

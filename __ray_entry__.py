@@ -2027,6 +2027,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
             maximize_x=True, minimize_y=True,
         )
 
+    def doc_snapshot_diff(sf_dir: str):
+        """Oracle-checked: incremental snapshot delta — version B of
+        documents is synthesized deterministically (drop id%10==3,
+        bump n_chars for id%10==7, add id+10^9 clones of id%10==0; the
+        plant is shared verbatim with the SQL), then
+        `checks.snapshot_diff` classifies every key added/removed/
+        changed via per-row FNV hashes — payloads never ride the
+        exchange."""
+        import pandas as _pd
+
+        from kgflow.ops.checks import snapshot_diff
+
+        old = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+
+        def make_b(df: _pd.DataFrame) -> _pd.DataFrame:
+            ids = df["doc_id"].to_numpy(dtype=np.int64)
+            nch = df["n_chars"].to_numpy(dtype=np.int64)
+            keep = ids % 10 != 3
+            base = _pd.DataFrame(
+                {
+                    "doc_id": ids[keep],
+                    "n_chars": np.where(
+                        ids[keep] % 10 == 7, nch[keep] + 1, nch[keep]
+                    ),
+                }
+            )
+            addm = ids % 10 == 0
+            added = _pd.DataFrame(
+                {"doc_id": ids[addm] + 10**9, "n_chars": nch[addm]}
+            )
+            return _pd.concat([base, added], ignore_index=True)
+
+        new = _docs(sf_dir).select_columns(["doc_id", "n_chars"]).map_batches(
+            make_b, batch_format="pandas"
+        )
+        return snapshot_diff(old, new, key_col="doc_id", cols=["n_chars"])
+
+    def doc_canonical_keep(sf_dir: str):
+        """Oracle-checked: keep-best-per-near-dup-cluster — the step
+        that turns dedup CLUSTERS into a kept corpus: cluster ids from
+        `neardup_clusters` (same predicate the doc_dup_clusters oracle
+        replays), longest doc wins per cluster (n_chars desc, doc_id
+        asc — total order), via one per-group top-1."""
+        import pandas as _pd
+
+        from kgflow.ops.dedup import neardup_clusters
+        from kgflow.ops.joins import hash_join
+        from kgflow.ops.shuffle import grouped_topk
+
+        clusters = neardup_clusters(_docs(sf_dir)).materialize()
+        docs = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+        joined = hash_join(clusters, docs, on="doc_id")
+        keep = grouped_topk(
+            joined,
+            group_cols=["cluster_id"],
+            sort_cols=["n_chars", "doc_id"],
+            ascending=[False, True],
+            k=1,
+        )
+        return keep.map_batches(
+            lambda d: _pd.DataFrame(
+                {
+                    "cluster_id": d["cluster_id"].astype(np.int64),
+                    "keep_doc_id": d["doc_id"].astype(np.int64),
+                    "n_chars": d["n_chars"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
     def events_dedup_day(sf_dir: str):
         """Oracle-checked: at-least-once log dedup — first event per
         (user, type, day); semigroup-min combiner, one (key, win)
@@ -2200,6 +2270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_dormant": q22_dormant,
         "events_concurrency": events_concurrency,
         "orders_pareto": orders_pareto,
+        "doc_snapshot_diff": doc_snapshot_diff,
+        "doc_canonical_keep": doc_canonical_keep,
     }
 
 
@@ -4073,6 +4145,66 @@ def oracle_sql() -> dict[str, str]:
                 AND (b.o_totalprice > a.o_totalprice
                      OR b.o_orderdate < a.o_orderdate)
             )
+        """,
+        # same deterministic version-B plant as the engine; the engine
+        # compares FNV row-hashes, the oracle compares values — equal
+        # absent a 64-bit collision on this bounded corpus
+        "doc_snapshot_diff": """
+            WITH a AS (SELECT doc_id, n_chars FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 7 THEN n_chars + 1
+                          ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 10 <> 3
+              UNION ALL
+              SELECT doc_id + 1000000000, n_chars
+              FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+               OR a.n_chars <> b.n_chars
+        """,
+        # the doc_dup_clusters closure + a row_number argmax: longest
+        # doc (ties: min doc_id) kept per cluster
+        "doc_canonical_keep": r"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s))) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+            ), cl AS (
+              SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+            ), ranked AS (
+              SELECT c.cluster_id, d.doc_id, d.n_chars,
+                     row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, d.doc_id
+                     ) AS rn
+              FROM cl c JOIN documents d ON d.doc_id = c.doc_id
+            )
+            SELECT cluster_id, doc_id AS keep_doc_id, n_chars
+            FROM ranked WHERE rn = 1
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

@@ -147,3 +147,83 @@ def table_checksum(
     return bucketed_group_reduce(
         partials, key_cols=["_g"], reduce_fn=finish, num_buckets=1
     )
+
+
+def snapshot_diff(
+    old: "rd.Dataset",
+    new: "rd.Dataset",
+    key_col: str,
+    cols: list[str],
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Delta between two snapshots of a keyed table: (key, change) for
+    every key that was ``added``, ``removed`` or ``changed`` between
+    ``old`` and ``new`` — the incremental-ingest primitive (what
+    changed since the last run decides what downstream recomputes).
+
+    Keys must be unique within each snapshot; ``cols`` must be
+    int/string-valued (their composed string repr is hashed — float
+    repr is not cross-engine stable).
+
+    Scale shape: each side shrinks per block to (key, FNV64-of-cols)
+    — payloads never leave the scan — then ONE key-bucketed exchange
+    classifies each key with a vectorized outer merge; hashes ride as
+    nullable Int64 through the merge (a float64 upcast would corrupt
+    equality above 2^53). Unchanged keys (the overwhelming majority in
+    real deltas) are dropped inside the bucket, so output is
+    delta-bounded."""
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    def tagger(side: int):
+        def tag(d: pd.DataFrame) -> pd.DataFrame:
+            if not len(d):
+                return pd.DataFrame(
+                    {
+                        key_col: pd.Series([], dtype="int64"),
+                        "_h": pd.Series([], dtype="int64"),
+                        "_side": pd.Series([], dtype="int8"),
+                    }
+                )
+            parts = [d[c].to_numpy().astype(str) for c in cols]
+            key = parts[0]
+            for p in parts[1:]:
+                key = np.char.add(np.char.add(key, "|"), p)
+            h = _fnv1a_strings(key).view(np.int64)
+            return pd.DataFrame(
+                {
+                    key_col: d[key_col].to_numpy(),
+                    "_h": h,
+                    "_side": np.full(len(d), side, dtype=np.int8),
+                }
+            )
+
+        return tag
+
+    tagged = old.map_batches(tagger(0), batch_format="pandas").union(
+        new.map_batches(tagger(1), batch_format="pandas")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["_side"] == 0, [key_col, "_h"]].copy()
+        b = g.loc[g["_side"] == 1, [key_col, "_h"]].copy()
+        a["_h"] = a["_h"].astype("Int64")
+        b["_h"] = b["_h"].astype("Int64")
+        m = a.merge(b, on=key_col, how="outer", suffixes=("_a", "_b"))
+        added = m["_h_a"].isna().to_numpy()
+        removed = m["_h_b"].isna().to_numpy()
+        same = (m["_h_a"] == m["_h_b"]).fillna(False).to_numpy()
+        change = np.where(
+            added, "added", np.where(removed, "removed", "changed")
+        )
+        keep = ~same
+        return pd.DataFrame(
+            {
+                key_col: m.loc[keep, key_col].to_numpy(),
+                "change": change[keep],
+            }
+        )
+
+    return bucketed_group_reduce(
+        tagged, key_cols=[key_col], reduce_fn=classify,
+        num_buckets=num_buckets,
+    )

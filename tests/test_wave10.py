@@ -350,3 +350,28 @@ def test_interval_concurrency_exact_vs_bruteforce():
     )
     assert list(out["day"]) == list(ref["day"])
     assert list(out["max_concurrent"]) == list(ref["c"])
+
+
+def test_snapshot_diff_classifies_all_kinds():
+    from kgflow.ops.checks import snapshot_diff
+
+    old = pd.DataFrame(
+        {"k": np.array([1, 2, 3, 4], dtype=np.int64),
+         "v": np.array([10, 20, 30, 40], dtype=np.int64)}
+    )
+    new = pd.DataFrame(
+        {"k": np.array([2, 3, 4, 5], dtype=np.int64),
+         "v": np.array([20, 31, 40, 50], dtype=np.int64)}
+    )
+    out = (
+        snapshot_diff(
+            rd.from_pandas(old).repartition(2),
+            rd.from_pandas(new).repartition(3),
+            key_col="k",
+            cols=["v"],
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    got = dict(zip(out["k"], out["change"]))
+    assert got == {1: "removed", 3: "changed", 5: "added"}

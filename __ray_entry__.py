@@ -2097,6 +2097,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    def events_dense_hourly(sf_dir: str):
+        """Oracle-checked: gap-filled hourly counts per type — every
+        hour between a type's first and last event, zero-filled; the
+        dense grid expands distributed from a types-bounded bounds
+        table, counts left-join co-bucketed."""
+        from kgflow.ops.relational import dense_hourly_counts
+
+        return dense_hourly_counts(sf_dir)
+
+    def nation_share(sf_dir: str):
+        """Oracle-checked: percent-of-total — each nation's order
+        revenue and its share of the region total; per-custkey
+        combiner, auto-broadcast customer join, nations-bounded final
+        reduce with one exact int÷int division per nation."""
+        from kgflow.ops.relational import nation_revenue_share
+
+        return nation_revenue_share(sf_dir)
+
     def events_dedup_day(sf_dir: str):
         """Oracle-checked: at-least-once log dedup — first event per
         (user, type, day); semigroup-min combiner, one (key, win)
@@ -2272,6 +2290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pareto": orders_pareto,
         "doc_snapshot_diff": doc_snapshot_diff,
         "doc_canonical_keep": doc_canonical_keep,
+        "events_dense_hourly": events_dense_hourly,
+        "nation_share": nation_share,
     }
 
 
@@ -4205,6 +4225,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster_id, doc_id AS keep_doc_id, n_chars
             FROM ranked WHERE rn = 1
+        """,
+        "events_dense_hourly": """
+            WITH c AS (
+              SELECT event_type, date_trunc('hour', ts) AS h,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, min(h) AS lo, max(h) AS hi
+              FROM c GROUP BY 1
+            ), g AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM s
+            )
+            SELECT g.event_type, g.h AS hour,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM g LEFT JOIN c
+              ON c.event_type = g.event_type AND c.h = g.h
+        """,
+        # revenue quantizes to cents on both sides; the share is one
+        # int÷int double division per nation
+        "nation_share": """
+            WITH per_nation AS (
+              SELECT n.n_regionkey, n.n_name,
+                     CAST(sum(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS fp
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              GROUP BY 1, 2
+            )
+            SELECT r.r_name, p.n_name,
+                   CAST(fp AS DOUBLE) / 100.0 AS revenue,
+                   CAST(fp AS DOUBLE)
+                     / CAST(sum(fp) OVER (PARTITION BY p.n_regionkey)
+                            AS DOUBLE) AS region_share
+            FROM per_nation p
+            JOIN region r ON r.r_regionkey = p.n_regionkey
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

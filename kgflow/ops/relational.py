@@ -1727,3 +1727,183 @@ def q22_dormant_balance(
     return bucketed_group_reduce(
         partial, key_cols=["n_name"], reduce_fn=finish
     )
+
+
+def dense_hourly_counts(sf_dir: str) -> "rd.Dataset":
+    """Gap-filled hourly counts per event type: every hour between a
+    type's first and last event appears, zero-filled — the resample
+    step every time-series model needs before it can difference or
+    window (missing hours silently skew any rolling statistic).
+
+    Scale shape: per-(type, hour) counts via combiner + ONE bucketed
+    reduce (hours×types-bounded — calendar-bounded, not data-bounded);
+    per-type [min,max] bounds are a types-bounded reduce; the dense
+    grid EXPANDS from the bounds table (rows = span hours, generated
+    distributed, never on the driver); counts left-join onto the grid
+    co-bucketed on (type, hour). No stage touches raw events twice."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    hour_us = 3_600_000_000
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        h = (us // hour_us) * hour_us
+        t = pd.DataFrame({"event_type": df["event_type"], "hour_us": h})
+        out = t.groupby(
+            ["event_type", "hour_us"], as_index=False, sort=False
+        ).size()
+        return out.rename(columns={"size": "n"})
+
+    counts = bucketed_group_reduce(
+        ev.map_batches(count_partial, batch_format="pandas"),
+        key_cols=["event_type", "hour_us"],
+        reduce_fn=lambda g: g.groupby(
+            ["event_type", "hour_us"], as_index=False
+        )["n"].sum(),
+    ).materialize()  # reused: bounds pass + grid join
+
+    bounds = bucketed_group_reduce(
+        counts.map_batches(
+            lambda d: d.groupby("event_type", as_index=False).agg(
+                lo=("hour_us", "min"), hi=("hour_us", "max")
+            ),
+            batch_format="pandas",
+        ),
+        key_cols=["event_type"],
+        reduce_fn=lambda g: g.groupby("event_type", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max")
+        ),
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, lo, hi in zip(df["event_type"], df["lo"], df["hi"]):
+            hours = np.arange(int(lo), int(hi) + 1, hour_us, dtype=np.int64)
+            outs.append(pd.DataFrame({"event_type": et, "hour_us": hours}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "hour_us": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    grid = bounds.map_batches(expand, batch_format="pandas")
+    joined = hash_join(grid, counts, on=["event_type", "hour_us"], how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"]
+        n = n.fillna(0).astype(np.int64) if n.isna().any() else n.astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour": df["hour_us"]
+                .to_numpy(dtype=np.int64)
+                .astype("datetime64[us]"),
+                "n": n.to_numpy(),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def nation_revenue_share(sf_dir: str) -> "rd.Dataset":
+    """Percent-of-total rollup: each nation's order revenue and its
+    share of the nation's REGION total — the window-share pattern
+    (revenue / SUM(revenue) OVER (PARTITION BY region)) expressed as a
+    bounded two-level reduce.
+
+    Scale shape: orders pre-aggregates per custkey (combiner + ONE
+    reduce), the customer dimension joins via auto broadcast, nation/
+    region name maps broadcast via ``ray.put``; the nations-bounded
+    final reduce computes region totals AND the share in one pass —
+    one exact int÷int division per nation, bit-reproducible in SQL."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        t = pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(), "fp": fp})
+        return t.groupby("c_custkey", as_index=False, sort=False)["fp"].sum()
+
+    per_cust = bucketed_group_reduce(
+        orders.map_batches(cust_partial, batch_format="pandas"),
+        key_cols=["c_custkey"],
+        reduce_fn=lambda g: g.groupby("c_custkey", as_index=False)["fp"].sum(),
+    )
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    joined = hash_join(per_cust, cust, on="c_custkey", right_small=True)
+
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    rmap = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+    ref = ray.put((nmap, rmap))
+
+    class NationPartial:
+        def __init__(self):
+            self.nmap, self.rmap = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame(
+                {
+                    "r_name": df["c_nationkey"].map(self.rmap),
+                    "n_name": df["c_nationkey"].map(self.nmap),
+                    "fp": df["fp"].to_numpy(dtype=np.int64),
+                }
+            )
+            return t.groupby(
+                ["r_name", "n_name"], as_index=False, sort=False
+            )["fp"].sum()
+
+    partials = joined.map_batches(
+        NationPartial, batch_format="pandas", concurrency=(1, 4)
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["r_name", "n_name"], as_index=False)["fp"].sum()
+        tot = out.groupby("r_name")["fp"].transform("sum")
+        fp = out["fp"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "r_name": out["r_name"],
+                "n_name": out["n_name"],
+                "revenue": fp / 100.0,
+                "region_share": fp / tot.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        partials, key_cols=["r_name", "n_name"], reduce_fn=finish,
+        num_buckets=1,  # nations-bounded; share needs region totals whole
+    )

@@ -2115,6 +2115,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return nation_revenue_share(sf_dir)
 
+    def orders_gini(sf_dir: str):
+        """Oracle-checked: exact Gini of per-customer revenue — the
+        distributed ROW_NUMBER (range-decomposition rank) feeding the
+        closed-form moment; integer-exact to the last division."""
+        from kgflow.ops.relational import orders_gini_coefficient
+
+        return orders_gini_coefficient(sf_dir)
+
+    def events_user_entropy(sf_dir: str):
+        """Oracle-checked: per-user Shannon entropy (nats) of the
+        event-type mix — (user, type) count combiner, one user-keyed
+        exchange, vectorized in-bucket entropy; counts stay int64 so
+        engine-vs-SQL drift is libm-ulp-bounded."""
+        from kgflow.ops.profile import grouped_entropy
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        return grouped_entropy(ev, ["user_id"], "event_type")
+
     def events_dedup_day(sf_dir: str):
         """Oracle-checked: at-least-once log dedup — first event per
         (user, type, day); semigroup-min combiner, one (key, win)
@@ -2292,6 +2314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_canonical_keep": doc_canonical_keep,
         "events_dense_hourly": events_dense_hourly,
         "nation_share": nation_share,
+        "orders_gini": orders_gini,
+        "events_user_entropy": events_user_entropy,
     }
 
 
@@ -4263,6 +4287,43 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) AS region_share
             FROM per_nation p
             JOIN region r ON r.r_regionkey = p.n_regionkey
+        """,
+        # HUGEINT keeps the Gini numerator/denominator exact until the
+        # single closing division, matching the engine's python-int path
+        "orders_gini": """
+            WITH t AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS fp
+              FROM orders GROUP BY 1
+            ), r AS (
+              SELECT fp,
+                     row_number() OVER (ORDER BY fp, o_custkey) AS rn
+              FROM t
+            ), s AS (
+              SELECT sum(CAST(rn AS HUGEINT) * fp) AS srx,
+                     sum(CAST(fp AS HUGEINT)) AS sx,
+                     count(*) AS n
+              FROM r
+            )
+            SELECT CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE) AS gini,
+                   CAST(n AS BIGINT) AS n_customers
+            FROM s
+        """,
+        # counts stay integer through both engines; only ln() is float
+        "events_user_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS c
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(sum(c) AS BIGINT) AS n_rows,
+                   ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE) AS entropy
+            FROM c
+            GROUP BY user_id
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

@@ -552,3 +552,55 @@ def grouped_corr_moments(
     return bucketed_group_reduce(
         partials, key_cols=[key], reduce_fn=finish, num_buckets=num_buckets
     )
+
+
+def grouped_entropy(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    cat_col: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Shannon entropy (nats) of the ``cat_col`` distribution per
+    group — the information-theoretic sibling of `grouped_gini`:
+    behavioral diversity scoring (does this user do one thing or
+    many), class-balance profiling, split-quality audits.
+
+    Scale shape: a (group, category) count combiner shrinks each block
+    before ONE group-keyed exchange; the in-bucket pass is vectorized
+    (groupby-transform sums, one log over the counts column). Floats
+    appear ONLY in the final entropy expression — counts stay exact
+    int64 through every exchange — so engine-vs-SQL differences are
+    bounded by libm ulps (≪ the 1e-6 comparator tolerance), not by
+    summation order."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    keys = list(group_cols)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(keys + [cat_col], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "c"})
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(keys + [cat_col], as_index=False)["c"].sum()
+        n = s.groupby(keys)["c"].transform("sum").to_numpy(dtype=np.int64)
+        c = s["c"].to_numpy(dtype=np.int64)
+        # per-row term c·ln(c); per-group H = ln(n) − Σ c·ln(c) / n
+        term = c * np.log(c)
+        t = s[keys].copy()
+        t["n"] = n
+        t["term"] = term
+        agg = t.groupby(keys, as_index=False).agg(
+            n_rows=("n", "first"), s_term=("term", "sum")
+        )
+        agg["entropy"] = (
+            np.log(agg["n_rows"].to_numpy(dtype=np.float64))
+            - agg["s_term"].to_numpy() / agg["n_rows"].to_numpy()
+        )
+        return agg.drop(columns=["s_term"])
+
+    return bucketed_group_reduce(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        key_cols=keys,
+        reduce_fn=entropy,
+        num_buckets=num_buckets,
+    )

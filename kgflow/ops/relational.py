@@ -1907,3 +1907,69 @@ def nation_revenue_share(sf_dir: str) -> "rd.Dataset":
         partials, key_cols=["r_name", "n_name"], reduce_fn=finish,
         num_buckets=1,  # nations-bounded; share needs region totals whole
     )
+
+
+def orders_gini_coefficient(sf_dir: str) -> "rd.Dataset":
+    """Exact Gini coefficient of per-customer order revenue — the
+    inequality statistic behind every "top-x% of customers" claim,
+    computed from the closed form over globally RANKED totals:
+    G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx), revenue in exact cents.
+
+    Scale shape: per-custkey cents totals (combiner + ONE reduce) feed
+    `shuffle.global_row_number` (the two-pass range-decomposition
+    rank — customers-bounded input, never raw orders); the Gini moment
+    Σ r·x reduces as one 3-scalar partial per block, and the final
+    expression is exact integer arithmetic (Python ints — no 64-bit
+    overflow at any n) with ONE closing division, mirrored in SQL via
+    HUGEINT."""
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_row_number
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        t = pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy(), "fp": fp})
+        return t.groupby("c_custkey", as_index=False, sort=False)["fp"].sum()
+
+    per_cust = bucketed_group_reduce(
+        orders.map_batches(cust_partial, batch_format="pandas"),
+        key_cols=["c_custkey"],
+        reduce_fn=lambda g: g.groupby("c_custkey", as_index=False)["fp"].sum(),
+    )
+
+    ranked = global_row_number(
+        per_cust, sort_cols=["fp", "c_custkey"], out_col="rn"
+    )
+
+    def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fp = df["fp"].to_numpy(dtype=np.int64)
+        rn = df["rn"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "_g": np.array([0], dtype=np.int64),
+                "srx": np.array([(rn * fp).sum()], dtype=np.int64),
+                "sx": np.array([fp.sum()], dtype=np.int64),
+                "n": np.array([len(fp)], dtype=np.int64),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        srx = int(g["srx"].sum())
+        sx = int(g["sx"].sum())
+        n = int(g["n"].sum())
+        num = 2 * srx - (n + 1) * sx  # exact python ints
+        den = n * sx
+        return pd.DataFrame(
+            {"gini": [num / den], "n_customers": [n]}
+        )
+
+    return bucketed_group_reduce(
+        ranked.map_batches(moment_partial, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=finish,
+        num_buckets=1,
+    )

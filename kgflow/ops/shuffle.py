@@ -380,3 +380,116 @@ def pareto_front(
         reduce_fn=lambda g: _front(g).drop(columns=["_g"]),
         num_buckets=1,
     )
+
+
+def global_row_number(
+    ds: "rd.Dataset",
+    sort_cols: list[str],
+    out_col: str = "row_num",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Distributed ROW_NUMBER() OVER (ORDER BY ``sort_cols``): every
+    row gets its exact 1-based global rank — the primitive behind
+    exact Gini/Lorenz curves, percentile joins and stable pagination.
+    ``sort_cols`` must form a TOTAL order (include a unique tiebreak)
+    and the first column must be numeric/datetime.
+
+    Scale shape — same two-pass range decomposition as
+    `kgflow.ops.window.interval_concurrency_daily`: equal-width value
+    buckets on the first sort column (one 2-scalar min/max pre-pass;
+    equal values always co-bucket, so cross-bucket order is exact
+    regardless of tiebreak columns); pass A pulls per-bucket COUNTS
+    (bucket-bounded) whose exclusive prefix is each bucket's rank
+    offset; pass B lexsorts within the bucket and adds the offset.
+    A heavily skewed first column concentrates rows in one value
+    bucket (documented; pre-scale or pick a spreading column).
+
+    The tagged input materializes once (consumed by the count pass AND
+    the rank pass) — rank inputs should be pre-aggregated tables
+    (per-key totals), not raw facts."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def _first_as_int_or_float(df: pd.DataFrame) -> np.ndarray:
+        a = df[sort_cols[0]].to_numpy()
+        if np.issubdtype(a.dtype, np.datetime64):
+            a = a.astype("datetime64[us]").astype(np.int64)
+        return a
+
+    def minmax_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "_g": pd.Series([], dtype="int64"),
+                    "lo": pd.Series([], dtype="float64"),
+                    "hi": pd.Series([], dtype="float64"),
+                }
+            )
+        a = _first_as_int_or_float(df).astype(np.float64)
+        return pd.DataFrame(
+            {"_g": [np.int64(0)], "lo": [a.min()], "hi": [a.max()]}
+        )
+
+    mm = bucketed_group_reduce(
+        ds.map_batches(minmax_partial, batch_format="pandas"),
+        key_cols=["_g"],
+        reduce_fn=lambda g: pd.DataFrame(
+            {"lo": [float(g["lo"].min())], "hi": [float(g["hi"].max())]}
+        ),
+        num_buckets=1,
+    ).to_pandas()
+    lo, hi = float(mm["lo"].iloc[0]), float(mm["hi"].iloc[0])
+    span = max(hi - lo, 1e-300)
+
+    def add_vb(df: pd.DataFrame) -> pd.DataFrame:
+        a = _first_as_int_or_float(df).astype(np.float64)
+        vb = np.clip(
+            ((a - lo) / span * num_buckets).astype(np.int64),
+            0,
+            num_buckets - 1,
+        )
+        return df.assign(_vb=vb)
+
+    tagged = ds.map_batches(add_vb, batch_format="pandas").materialize()
+    # consumed twice: count pass + rank pass
+
+    counts = bucketed_group_reduce(
+        tagged.map_batches(
+            lambda d: d.groupby("_vb", as_index=False).size().rename(
+                columns={"size": "n"}
+            ),
+            batch_format="pandas",
+        ),
+        key_cols=["_vb"],
+        reduce_fn=lambda g: g.groupby("_vb", as_index=False)["n"].sum(),
+    ).to_pandas()  # ≤ num_buckets rows
+    counts = counts.sort_values("_vb")
+    offs = dict(
+        zip(
+            counts["_vb"].to_numpy(dtype=np.int64),
+            np.concatenate(
+                [[0], np.cumsum(counts["n"].to_numpy(dtype=np.int64))[:-1]]
+            ),
+        )
+    )
+    import ray
+
+    offs_ref = ray.put(offs)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offs_ref)
+        outs = []
+        for vb, gg in g.groupby("_vb", sort=False):
+            gg = gg.sort_values(sort_cols, kind="mergesort")
+            gg = gg.assign(
+                **{
+                    out_col: np.arange(1, len(gg) + 1, dtype=np.int64)
+                    + offsets[int(vb)]
+                }
+            )
+            outs.append(gg.drop(columns=["_vb"]))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_reduce(
+        tagged, key_cols=["_vb"], reduce_fn=rank, num_buckets=num_buckets
+    )

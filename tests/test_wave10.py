@@ -375,3 +375,28 @@ def test_snapshot_diff_classifies_all_kinds():
     )
     got = dict(zip(out["k"], out["change"]))
     assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_global_row_number_matches_lexsort():
+    from kgflow.ops.shuffle import global_row_number
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "v": rng.randint(0, 50, size=300).astype(np.int64),
+            "id": np.arange(300, dtype=np.int64),
+        }
+    )
+    out = (
+        global_row_number(
+            rd.from_pandas(df).repartition(5),
+            sort_cols=["v", "id"],
+            num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values("row_num")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["v", "id"]).reset_index(drop=True)
+    assert list(out["id"]) == list(ref["id"])
+    assert list(out["row_num"]) == list(range(1, 301))

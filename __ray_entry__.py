@@ -157,6 +157,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pr.map_batches(quantize, batch_format="pandas")
 
+    def kg_hits(sf_dir: str):
+        """Rows-only (iterative/spectral, not SQL-expressible): HITS
+        hub/authority scores over the canonical KG edges
+        (`kgflow.ops.graph.hits` — two E-bounded push exchanges per
+        iteration, V-bounded score state); pinned against a dense
+        NumPy reference in tests/test_wave10.py. Scores quantized to
+        1e-12 for payload stability."""
+        import pandas as pd
+
+        from kgflow.linking.link import canonical_triples
+        from kgflow.materialize.edges import dedup_edges
+        from kgflow.ops.graph import hits
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        edges = dedup_edges(canon)
+        hs = hits(edges, src_col="subj_id", dst_col="obj_id", iters=5)
+
+        def quantize(df: pd.DataFrame) -> pd.DataFrame:
+            df["hub"] = df["hub"].round(12)
+            df["authority"] = df["authority"].round(12)
+            return df
+
+        return hs.map_batches(quantize, batch_format="pandas")
+
     # --- training-feature builders over the golden corpus (rows-only;
     # semantics ≙ reference convert_examples_to_* — see
     # kgflow/stages/features.py citations)
@@ -2316,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_share": nation_share,
         "orders_gini": orders_gini,
         "events_user_entropy": events_user_entropy,
+        "kg_hits": kg_hits,
     }
 
 

@@ -594,3 +594,111 @@ def k_core(
     return out.map_batches(
         lambda d: d.rename(columns={"deg": "core_deg"}), batch_format="pandas"
     )
+
+
+def hits(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 10,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """HITS (Kleinberg): hub and authority scores over a directed edge
+    list — the bipartite-reinforcement ranking that separates "links
+    to good pages" from "is a good page" (PageRank's one score can't).
+    Returns (node, hub, authority), each vector L1-normalized.
+
+    a'(v) = Σ_{u→v} h(u);  h'(u) = Σ_{u→v} a'(v);  normalize each.
+
+    Scale shape mirrors `pagerank`: per iteration TWO E-bounded
+    score-push exchanges (edges join the V-bounded score table via a
+    broadcast map when it fits, else co-bucketed) and one 1-row norm
+    reduce; scores materialize per round (documented iterative
+    exception). Norms use float64 — HITS is spectral (power iteration
+    on AᵀA), so there is no integer-exact form; parity is pinned by
+    unit tests against a dense NumPy reference, not a SQL oracle."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df[src_col], "dst": df[dst_col]})
+
+    e = edges.select_columns([src_col, dst_col]).map_batches(
+        prep, batch_format="pandas"
+    ).materialize()  # E-bounded; reused every round
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.unique(
+            np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()])
+        )
+        return pd.DataFrame({"node": n})
+
+    nodes = bucketed_group_reduce(
+        e.map_batches(node_partial, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=lambda g: g.drop_duplicates(),
+        num_buckets=num_buckets,
+    ).materialize()
+    n_nodes = nodes.count()
+
+    # V-bounded score tables ride as broadcast dicts (node → score);
+    # at |V| beyond broadcast scale the same loop co-buckets instead
+    # (the pagerank weight-join fallback) — documented assumption.
+    def _sum_scores(push_col: str, out_name: str, score_ref, uniform: float):
+        def push(df: pd.DataFrame) -> pd.DataFrame:
+            if score_ref is None:
+                s = np.full(len(df), uniform)
+            else:
+                sc = ray.get(score_ref)
+                s = df[push_col].map(sc).fillna(0.0).to_numpy()
+            t = pd.DataFrame(
+                {
+                    "node": df["dst" if push_col == "src" else "src"],
+                    out_name: s,
+                }
+            )
+            return t.groupby("node", as_index=False, sort=False)[
+                out_name
+            ].sum()
+
+        return bucketed_group_reduce(
+            e.map_batches(push, batch_format="pandas"),
+            key_cols=["node"],
+            reduce_fn=lambda g: g.groupby("node", as_index=False)[
+                out_name
+            ].sum(),
+            num_buckets=num_buckets,
+        )
+
+    auth_ref = None
+    hub_ref = None
+    for _ in range(iters):
+        # authorities from hubs
+        a = _sum_scores("src", "authority", hub_ref, 1.0 / n_nodes)
+        adf = a.to_pandas()  # V-bounded pull (documented iterative state)
+        adf["authority"] /= adf["authority"].sum()
+        auth_ref = ray.put(dict(zip(adf["node"], adf["authority"])))
+        # hubs from authorities
+        h = _sum_scores("dst", "hub", auth_ref, 0.0)
+        hdf = h.to_pandas()
+        hdf["hub"] /= hdf["hub"].sum()
+        hub_ref = ray.put(dict(zip(hdf["node"], hdf["hub"])))
+
+    amap_ref, hmap_ref = auth_ref, hub_ref
+
+    class Attach:
+        def __init__(self):
+            self.a = ray.get(amap_ref)
+            self.h = ray.get(hmap_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": df["node"],
+                    "hub": df["node"].map(self.h).fillna(0.0),
+                    "authority": df["node"].map(self.a).fillna(0.0),
+                }
+            )
+
+    return nodes.map_batches(Attach, batch_format="pandas", concurrency=(1, 4))

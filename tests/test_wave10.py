@@ -400,3 +400,40 @@ def test_global_row_number_matches_lexsort():
     ref = df.sort_values(["v", "id"]).reset_index(drop=True)
     assert list(out["id"]) == list(ref["id"])
     assert list(out["row_num"]) == list(range(1, 301))
+
+
+def test_hits_matches_dense_reference():
+    from kgflow.ops.graph import hits
+
+    rng = np.random.RandomState(11)
+    n = 12
+    src, dst = [], []
+    for u in range(n):
+        for v in rng.choice(n, size=3, replace=False):
+            if u != v:
+                src.append(u)
+                dst.append(int(v))
+    edges = pd.DataFrame(
+        {"src": np.array(src, dtype=np.int64),
+         "dst": np.array(dst, dtype=np.int64)}
+    )
+
+    out = (
+        hits(rd.from_pandas(edges).repartition(3), iters=10)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    # dense reference mirroring the engine's update order exactly
+    A = np.zeros((n, n))
+    for u, v in zip(src, dst):
+        A[u, v] += 1.0
+    h = np.full(n, 1.0 / n)
+    for _ in range(10):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    assert np.allclose(out["authority"].to_numpy(), a, atol=1e-9)
+    assert np.allclose(out["hub"].to_numpy(), h, atol=1e-9)

@@ -2021,6 +2021,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q22_dormant_balance(sf_dir)
 
+    def q7_nation_volume(sf_dir: str):
+        """Oracle-checked: TPC-H Q7-style two-nation shipping volume —
+        broadcast nation/supplier maps, customer pre-filtered to the
+        pair, ONE orderkey fact-fact exchange carrying 4 ints/row,
+        ≤ 2×2×years final reduce
+        (`kgflow.ops.relational.q7_nation_volume`)."""
+        from kgflow.ops.relational import q7_nation_volume as q7
+
+        return q7(sf_dir)
+
+    def q19_disjunctive(sf_dir: str):
+        """Oracle-checked: TPC-H Q19-style OR-of-conjunctions revenue —
+        broadcast part-attr map, vectorized disjunctive predicate, NO
+        shuffle (per-batch int64 fixed-point partial sums → 1-row
+        fold) (`kgflow.ops.relational.q19_disjunctive_revenue`)."""
+        from kgflow.ops.relational import q19_disjunctive_revenue
+
+        return q19_disjunctive_revenue(sf_dir)
+
+    def q16_supplier_counts(sf_dir: str):
+        """Oracle-checked: TPC-H Q16-style distinct-supplier counts per
+        (brand, type, size) with a broadcast exclusion set
+        (s_acctbal < 0 ≙ complaints anti-join); the distinct count
+        runs grouped_distinct_count's (group, value)-bucketed exchange
+        (`kgflow.ops.relational.q16_supplier_counts`)."""
+        from kgflow.ops.relational import q16_supplier_counts as q16
+
+        return q16(sf_dir)
+
     def events_concurrency(sf_dir: str):
         """Oracle-checked: per-day max concurrency of 30-minute
         intervals — the distributed sweep-line prefix sum (time-range
@@ -2332,6 +2361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_big_orders": q18_big_orders,
         "q17_small_qty": q17_small_qty,
         "q22_dormant": q22_dormant,
+        "q7_nation_volume": q7_nation_volume,
+        "q19_disjunctive": q19_disjunctive,
+        "q16_supplier_counts": q16_supplier_counts,
         "events_concurrency": events_concurrency,
         "orders_pareto": orders_pareto,
         "doc_snapshot_diff": doc_snapshot_diff,
@@ -4180,6 +4212,50 @@ def oracle_sql() -> dict[str, str]:
                      AS totacctbal
             FROM rich JOIN nation n ON n.n_nationkey = rich.c_nationkey
             GROUP BY n.n_name
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0
+                     AS revenue
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+            JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate >= DATE '1995-01-01'
+              AND l.l_shipdate <  DATE '1997-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q19_disjunctive": """
+            SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT)) / 10000.0
+                     AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#3'
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 15)
+               OR (p.p_brand = 'Brand#12'
+                   AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#21'
+                   AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 45)
+        """,
+        "q16_supplier_counts": """
+            SELECT p.p_brand, p.p_type,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
         """,
         # ends (-1) order before starts (+1) at equal t; within an
         # equal (t, delta) run the prefix multiset is permutation-

@@ -1973,3 +1973,293 @@ def orders_gini_coefficient(sf_dir: str) -> "rd.Dataset":
         reduce_fn=finish,
         num_buckets=1,
     )
+
+
+def q7_nation_volume(
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    year_lo: int = 1995,
+    year_hi: int = 1997,
+) -> "rd.Dataset":
+    """TPC-H Q7-style volume shipping: lineitem revenue flowing between
+    two nations (supplier nation ≠ customer nation, both directions),
+    per shipment year → (supp_nation, cust_nation, l_year, revenue).
+
+    100-TB shape: nation/supplier are dim-bounded and ride as broadcast
+    maps; customer pre-filters to the two nations BEFORE its join;
+    the ONLY fact-fact exchange is lineitem ⋈ orders on orderkey —
+    lineitem shrinks per batch to (orderkey, supp_nation, year, rev_fp
+    int64 fixed-point) with off-pair suppliers dropped at the scan, so
+    the exchange carries 4 ints/row. Final reduce is ≤ 2×2×|years| rows.
+    Mirrors TPC-H Q7 (the reference engine has no relational surface;
+    query family cited at SURVEY.md §2.7).
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    key_of = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
+    ka, kb = key_of[nation_a], key_of[nation_b]
+    names = {ka: nation_a, kb: nation_b}
+
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    supp = supp[supp["s_nationkey"].isin([ka, kb])]
+    supp_ref = ray.put(
+        dict(zip(supp["s_suppkey"].to_numpy(), supp["s_nationkey"].to_numpy()))
+    )
+
+    def pair_customers(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["c_nationkey"].isin([ka, kb]).to_numpy()
+        out = df.loc[m, ["c_custkey", "c_nationkey"]]
+        return out.rename(columns={"c_nationkey": "cust_nat"})
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(pair_customers, batch_format="pandas")
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    oc = hash_join(orders, cust, on="c_custkey", right_small=True).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "cust_nat"]
+        ],
+        batch_format="pandas",
+    )
+
+    lo = np.datetime64(f"{year_lo}-01-01", "us")
+    hi = np.datetime64(f"{year_hi}-01-01", "us")
+
+    class LineShrink:
+        """Per-batch: shipdate window + broadcast supplier-nation map;
+        off-pair suppliers drop HERE so the orderkey exchange only
+        carries the two nations' rows."""
+
+        def __init__(self):
+            self.by_supp = ray.get(supp_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df["l_shipdate"].to_numpy()
+            s_nat = df["l_suppkey"].map(self.by_supp)
+            m = (d >= lo) & (d < hi) & s_nat.notna().to_numpy()
+            d2 = df.loc[m]
+            rev_fp = np.round(
+                d2["l_extendedprice"].to_numpy(dtype=np.float64)
+                * (1.0 - d2["l_discount"].to_numpy(dtype=np.float64))
+                * 1e4
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "l_orderkey": d2["l_orderkey"].astype(np.int64),
+                    "supp_nat": s_nat[m].astype(np.int64),
+                    "l_year": d2["l_shipdate"].dt.year.astype(np.int64),
+                    "rev_fp": rev_fp,
+                }
+            )
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(LineShrink, batch_format="pandas", concurrency=(1, 4))
+
+    ol = hash_join(line, oc.materialize(), on="l_orderkey", right_small=False)
+
+    def volume_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["supp_nat"].to_numpy() != df["cust_nat"].to_numpy()
+        d = df.loc[m]
+        return (
+            d.groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)[
+                "rev_fp"
+            ].sum()
+        )
+
+    name_ref = ray.put(names)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["supp_nat", "cust_nat", "l_year"], as_index=False)[
+            "rev_fp"
+        ].sum()
+        nm = ray.get(name_ref)
+        return pd.DataFrame(
+            {
+                "supp_nation": out["supp_nat"].map(nm),
+                "cust_nation": out["cust_nat"].map(nm),
+                "l_year": out["l_year"].astype(np.int64),
+                "revenue": out["rev_fp"].to_numpy(dtype=np.int64) / 1e4,
+            }
+        )
+
+    return bucketed_group_reduce(
+        ol.map_batches(volume_partial, batch_format="pandas"),
+        key_cols=["supp_nat", "cust_nat", "l_year"],
+        reduce_fn=finish,
+        num_buckets=2,
+    )
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q19-style disjunctive-predicate revenue: sum of discounted
+    revenue for lineitems matching ANY of three (brand, size-range,
+    quantity-range) conjunction groups → 1 row (revenue).
+
+    100-TB shape: NO shuffle at all — part is dim-bounded and rides as
+    a broadcast (partkey → brand, size) map, each lineitem batch
+    evaluates the OR-of-ANDs vectorized and emits one partial-sum row,
+    and the final reduce folds ≤ #blocks rows. Revenue accumulates in
+    int64 fixed-point so engine == SQL bit-exactly.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    groups = [
+        ("Brand#3", 1, 15, 1.0, 15.0),
+        ("Brand#12", 1, 25, 10.0, 30.0),
+        ("Brand#21", 1, 35, 20.0, 45.0),
+    ]
+    part = pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    part_ref = ray.put(
+        {
+            "brand": dict(zip(part["p_partkey"].to_numpy(), part["p_brand"])),
+            "size": dict(
+                zip(part["p_partkey"].to_numpy(), part["p_size"].astype(int))
+            ),
+        }
+    )
+
+    class DisjunctiveRev:
+        def __init__(self):
+            p = ray.get(part_ref)
+            self.brand, self.size = p["brand"], p["size"]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            pk = df["l_partkey"]
+            brand = pk.map(self.brand).to_numpy()
+            size = pk.map(self.size).to_numpy(dtype=np.int64)
+            qty = df["l_quantity"].to_numpy(dtype=np.float64)
+            m = np.zeros(len(df), dtype=bool)
+            for b, s_lo, s_hi, q_lo, q_hi in groups:
+                m |= (
+                    (brand == b)
+                    & (size >= s_lo)
+                    & (size <= s_hi)
+                    & (qty >= q_lo)
+                    & (qty <= q_hi)
+                )
+            d = df.loc[m]
+            rev_fp = np.round(
+                d["l_extendedprice"].to_numpy(dtype=np.float64)
+                * (1.0 - d["l_discount"].to_numpy(dtype=np.float64))
+                * 1e4
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {"_g": np.zeros(1, dtype=np.int64),
+                 "rev_fp": np.array([rev_fp.sum()], dtype=np.int64)}
+            )
+
+    partials = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(DisjunctiveRev, batch_format="pandas", concurrency=(1, 4))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"revenue": [int(g["rev_fp"].sum()) / 1e4]})
+
+    return bucketed_group_reduce(
+        partials, key_cols=["_g"], reduce_fn=finish, num_buckets=1
+    )
+
+
+def q16_supplier_counts(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q16-style supplier counting (adapted: the part-supplier
+    relation is DISTINCT (l_partkey, l_suppkey) from lineitem — this
+    corpus has no partsupp table): per (p_brand, p_type, p_size), how
+    many DISTINCT suppliers ship the group's parts, excluding suppliers
+    under review (s_acctbal < 0, the complaints-exclusion analogue)
+    → (p_brand, p_type, p_size, supplier_cnt).
+
+    100-TB shape: the exclusion set and the part-attribute map are
+    dim-bounded broadcasts applied per batch; the distinct count runs
+    through `grouped_distinct_count`'s (group, value)-bucketed exchange
+    so a hot (brand,type,size) group's suppliers spread across buckets
+    instead of landing on one reducer.
+    """
+    from kgflow.ops.shuffle import grouped_distinct_count
+    from kgflow.sources.parquet import read_parquet_clean
+
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    )
+    excluded = ray.put(
+        np.sort(
+            supp.loc[supp["s_acctbal"] < 0, "s_suppkey"].to_numpy(
+                dtype=np.int64
+            )
+        )
+    )
+    part = pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    part_ref = ray.put(
+        {
+            "brand": dict(zip(part["p_partkey"].to_numpy(), part["p_brand"])),
+            "type": dict(zip(part["p_partkey"].to_numpy(), part["p_type"])),
+            "size": dict(
+                zip(part["p_partkey"].to_numpy(), part["p_size"].astype(int))
+            ),
+        }
+    )
+
+    class AttachPart:
+        def __init__(self):
+            self.excl = ray.get(excluded)
+            p = ray.get(part_ref)
+            self.brand, self.type, self.size = p["brand"], p["type"], p["size"]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = ~np.isin(df["l_suppkey"].to_numpy(), self.excl)
+            d = df.loc[keep, ["l_partkey", "l_suppkey"]].drop_duplicates()
+            pk = d["l_partkey"]
+            return pd.DataFrame(
+                {
+                    "p_brand": pk.map(self.brand),
+                    "p_type": pk.map(self.type),
+                    "p_size": pk.map(self.size).astype(np.int64),
+                    "l_suppkey": d["l_suppkey"].astype(np.int64),
+                }
+            )
+
+    pairs = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    ).map_batches(AttachPart, batch_format="pandas", concurrency=(1, 4))
+
+    return grouped_distinct_count(
+        pairs,
+        group_cols=["p_brand", "p_type", "p_size"],
+        value_col="l_suppkey",
+        out_col="supplier_cnt",
+    )

@@ -2050,6 +2050,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q16(sf_dir)
 
+    def graph_bfs_hops(sf_dir: str):
+        """Oracle-checked (recursive CTE): distributed BFS min-hop ≤ 4
+        from the smallest node over the bipartite part↔supplier graph
+        (distinct high-quantity lineitem pairs; parts even / suppliers
+        odd node ids). Per round ONE E-bounded frontier expansion with
+        broadcast frontier/visited arrays + a node-bucketed distinct
+        reduce (`kgflow.ops.graph.bfs_hops`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import bfs_hops
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 45.0]
+            out = d[["l_partkey", "l_suppkey"]].drop_duplicates()
+            return pd.DataFrame(
+                {
+                    "src": out["l_partkey"].to_numpy(dtype=np.int64) * 2,
+                    "dst": out["l_suppkey"].to_numpy(dtype=np.int64) * 2
+                    + 1,
+                }
+            )
+
+        edges = (
+            read_parquet_clean(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_partkey", "l_suppkey", "l_quantity"],
+            )
+            .map_batches(pairs, batch_format="pandas")
+            .materialize()  # E-bounded; consumed by min() probes + BFS
+        )
+        seed = int(min(edges.min("src"), edges.min("dst")))
+        return bfs_hops(edges, seeds=[seed], max_hops=4)
+
     def events_concurrency(sf_dir: str):
         """Oracle-checked: per-day max concurrency of 30-minute
         intervals — the distributed sweep-line prefix sum (time-range
@@ -2362,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty": q17_small_qty,
         "q22_dormant": q22_dormant,
         "q7_nation_volume": q7_nation_volume,
+        "graph_bfs_hops": graph_bfs_hops,
         "q19_disjunctive": q19_disjunctive,
         "q16_supplier_counts": q16_supplier_counts,
         "events_concurrency": events_concurrency,
@@ -4231,6 +4266,29 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate >= DATE '1995-01-01'
               AND l.l_shipdate <  DATE '1997-01-01'
             GROUP BY 1, 2, 3
+        """,
+        # BFS min-hop ≡ recursive CTE with a hop bound: UNION dedups
+        # (node, hop) pairs so the recursion terminates at hop 4, and
+        # min(hop) per node is exactly the BFS distance ≤ 4
+        "graph_bfs_hops": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT l_partkey * 2 AS src,
+                              l_suppkey * 2 + 1 AS dst
+              FROM lineitem WHERE l_quantity >= 45
+            ), ue AS (
+              SELECT src, dst FROM e
+              UNION ALL
+              SELECT dst, src FROM e
+            ), seed AS (
+              SELECT least(min(src), min(dst)) AS s FROM ue
+            ), bfs(node, hop) AS (
+              SELECT s, 0 FROM seed
+              UNION
+              SELECT ue.dst, bfs.hop + 1
+              FROM bfs JOIN ue ON ue.src = bfs.node
+              WHERE bfs.hop < 4
+            )
+            SELECT node, min(hop) AS hop FROM bfs GROUP BY node
         """,
         "q19_disjunctive": """
             SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)

@@ -702,3 +702,88 @@ def hits(
             )
 
     return nodes.map_batches(Attach, batch_format="pandas", concurrency=(1, 4))
+
+
+def bfs_hops(
+    edges: "rd.Dataset",
+    seeds: list[int],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+    undirected: bool = True,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Distributed BFS minimum-hop distance from a seed set: returns
+    (node, hop) for every node reachable within ``max_hops``.
+
+    Per round ONE E-bounded frontier-expansion pass over the (reused,
+    materialized) edge set — each batch keeps edges whose source sits
+    in the broadcast frontier, drops already-visited destinations
+    against a broadcast visited array, and emits per-batch-unique
+    candidate nodes; a node-bucketed distinct reduce dedups across
+    batches so the exchange carries ≤ |new frontier| rows per bucket.
+    The frontier/visited tables are V-bounded driver state — the same
+    documented iterative exception as `pagerank`/`hits`; rounds stop
+    at max_hops or an empty frontier, so worst case is
+    max_hops·O(E) work, never O(V·E).
+
+    SQL-oracle-able (unlike pagerank): min-hop BFS ≡ a recursive CTE
+    with a hop bound, so the driver gate checks it exactly.
+    """
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].to_numpy(dtype=np.int64)
+        d = df[dst_col].to_numpy(dtype=np.int64)
+        if undirected:
+            return pd.DataFrame(
+                {"src": np.concatenate([s, d]), "dst": np.concatenate([d, s])}
+            )
+        return pd.DataFrame({"src": s, "dst": d})
+
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    visited: dict[int, int] = {int(s): 0 for s in seeds}
+    frontier = np.array(sorted(visited), dtype=np.int64)
+
+    for hop in range(1, max_hops + 1):
+        f_ref = ray.put(frontier)
+        v_ref = ray.put(np.array(sorted(visited), dtype=np.int64))
+
+        def expand(df: pd.DataFrame, _f=f_ref, _v=v_ref) -> pd.DataFrame:
+            f = ray.get(_f)
+            v = ray.get(_v)
+            m = np.isin(df["src"].to_numpy(), f)
+            cand = np.unique(df.loc[m, "dst"].to_numpy())
+            cand = cand[~np.isin(cand, v)]
+            return pd.DataFrame({"node": cand})
+
+        nxt = bucketed_group_reduce(
+            e.map_batches(expand, batch_format="pandas"),
+            key_cols=["node"],
+            reduce_fn=lambda g: g.drop_duplicates(),
+            num_buckets=num_buckets,
+        )
+        ndf = nxt.to_pandas()  # new-frontier-bounded pull (iterative state)
+        if ndf.empty:
+            break
+        new_nodes = ndf["node"].to_numpy(dtype=np.int64)
+        for n in new_nodes:
+            visited[int(n)] = hop
+        frontier = np.sort(new_nodes)
+
+    out = pd.DataFrame(
+        {
+            "node": np.fromiter(visited.keys(), dtype=np.int64),
+            "hop": np.fromiter(visited.values(), dtype=np.int64),
+        }
+    )
+    import ray.data as rd_mod
+
+    return rd_mod.from_pandas(out)

@@ -437,3 +437,27 @@ def test_hits_matches_dense_reference():
         h /= h.sum()
     assert np.allclose(out["authority"].to_numpy(), a, atol=1e-9)
     assert np.allclose(out["hub"].to_numpy(), h, atol=1e-9)
+
+
+def test_bfs_hops_chain_and_min_hop():
+    from kgflow.ops.graph import bfs_hops
+
+    # chain 0-1-2-...-9 plus a shortcut 0-5: min-hop must win
+    src = list(range(9)) + [0]
+    dst = list(range(1, 10)) + [5]
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {"src": np.array(src, dtype=np.int64),
+             "dst": np.array(dst, dtype=np.int64)}
+        )
+    ).repartition(3)
+
+    out = (
+        bfs_hops(edges, seeds=[0], max_hops=3)
+        .to_pandas()
+        .set_index("node")["hop"]
+        .to_dict()
+    )
+    # shortcut: 5 is at hop 1, so 6 is at 2, 7 at 3; 4 is at hop 3
+    # via the chain side; 8, 9 are beyond max_hops
+    assert out == {0: 0, 1: 1, 5: 1, 2: 2, 4: 2, 6: 2, 3: 3, 7: 3}

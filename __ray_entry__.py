@@ -2084,6 +2084,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         seed = int(min(edges.min("src"), edges.min("dst")))
         return bfs_hops(edges, seeds=[seed], max_hops=4)
 
+    def doc_pmi_pairs(sf_dir: str):
+        """Oracle-checked: adjacent-bigram PMI collocations — unigram
+        and bigram counts each combiner → ONE int64 keyed exchange,
+        min_count filter before the vocab-bounded broadcast count
+        joins, single final ln (`kgflow.ops.text.pmi_collocations`)."""
+        from kgflow.ops.text import pmi_collocations
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )
+        return pmi_collocations(docs, min_count=5)
+
     def events_concurrency(sf_dir: str):
         """Oracle-checked: per-day max concurrency of 30-minute
         intervals — the distributed sweep-line prefix sum (time-range
@@ -2397,6 +2410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_dormant": q22_dormant,
         "q7_nation_volume": q7_nation_volume,
         "graph_bfs_hops": graph_bfs_hops,
+        "doc_pmi_pairs": doc_pmi_pairs,
         "q19_disjunctive": q19_disjunctive,
         "q16_supplier_counts": q16_supplier_counts,
         "events_concurrency": events_concurrency,
@@ -4483,6 +4497,40 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(sum(c) AS DOUBLE) AS entropy
             FROM c
             GROUP BY user_id
+        """,
+        # PMI over adjacent \w+ bigrams: counts stay integer through
+        # both engines (engine: int64 products; SQL: HUGEINT), ONE
+        # cast-divide-ln at the end — same ulp-bounded shape as
+        # events_user_entropy. min_count filter before the joins.
+        "doc_pmi_pairs": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), ucnt AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(w) AS tok FROM toks)
+              GROUP BY tok
+            ), pairs AS (
+              SELECT unnest(list_transform(
+                       range(1, len(w)),
+                       i -> {'a': w[i], 'b': w[i + 1]})) AS p
+              FROM toks
+            ), bcnt AS (
+              SELECT p.a AS tok_a, p.b AS tok_b,
+                     CAST(count(*) AS BIGINT) AS c_ab
+              FROM pairs GROUP BY 1, 2
+            ), tot AS (
+              SELECT (SELECT sum(c) FROM ucnt) AS n_tok,
+                     (SELECT sum(c_ab) FROM bcnt) AS n_pair
+            )
+            SELECT b.tok_a, b.tok_b, b.c_ab,
+                   ln(CAST(b.c_ab * t.n_tok * t.n_tok AS DOUBLE)
+                      / CAST(t.n_pair * ca.c * cb.c AS DOUBLE)) AS pmi
+            FROM bcnt b
+            CROSS JOIN tot t
+            JOIN ucnt ca ON ca.tok = b.tok_a
+            JOIN ucnt cb ON cb.tok = b.tok_b
+            WHERE b.c_ab >= 5
         """,
         # FNV fold of 'doc_id|n_chars' per row (the events_value_sketch
         # HUGEINT fold over a composed key), wrap-summed mod 2^64

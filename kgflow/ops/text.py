@@ -1181,3 +1181,127 @@ def regex_extract_spans(
         fn_constructor_kwargs={"patterns": patterns},
         concurrency=(1, 8),
     )
+
+
+def pmi_collocations(
+    docs: "rd.Dataset",
+    min_count: int = 5,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Pointwise mutual information for ADJACENT token pairs (Church &
+    Hanks 1990 collocations): per surviving bigram →
+    (tok_a, tok_b, c_ab, pmi) where
+
+        pmi = ln( c_ab · N_tok² / (N_pair · c_a · c_b) )
+
+    with the same lower + ``\\w+`` tokenization as `vocab_topk`.
+
+    Scale shape: unigram and bigram counts each run combiner → ONE
+    keyed int64 exchange (partial counts per batch, never raw tokens);
+    the two corpus scalars (N_tok, N_pair) fold from the count tables.
+    The ``min_count`` filter shrinks the bigram table BEFORE any join;
+    unigram counts are vocab-bounded, so the two count-attach joins
+    auto-broadcast (`hash_join` right_small). Counts stay int64 end to
+    end — the single final ln() is the only float op, so engine-vs-SQL
+    drift is libm-ulp-bounded (the `grouped_entropy` precedent).
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def gram_partials(df: pd.DataFrame):
+        toks = df["text"].str.lower().str.findall(r"\w+")
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for ts in toks:
+            for t in ts:
+                uni[t] = uni.get(t, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return uni, bi
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uni, _ = gram_partials(df)
+        return pd.DataFrame(
+            {"tok": list(uni.keys()),
+             "c": np.fromiter(uni.values(), dtype=np.int64, count=len(uni))}
+        )
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, bi = gram_partials(df)
+        ks = list(bi.keys())
+        return pd.DataFrame(
+            {
+                "tok_a": [k[0] for k in ks],
+                "tok_b": [k[1] for k in ks],
+                "c_ab": np.fromiter(bi.values(), dtype=np.int64, count=len(bi)),
+            }
+        )
+
+    text = docs.select_columns(["text"])
+
+    def sum_by(cols, cname):
+        def red(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(cols, as_index=False, sort=False)[cname].sum()
+            out[cname] = out[cname].astype(np.int64)
+            return out
+
+        return red
+
+    uni = bucketed_group_reduce(
+        text.map_batches(uni_partial, batch_format="pandas"),
+        key_cols=["tok"],
+        reduce_fn=sum_by(["tok"], "c"),
+        num_buckets=num_buckets,
+    ).materialize()  # vocab-bounded; consumed by scalar sum + 2 joins
+
+    # bigram-vocab-bounded; materialized ONCE for the N_pair scalar +
+    # the min_count filter (two consumers would re-run the reduce)
+    bi = bucketed_group_reduce(
+        text.map_batches(bi_partial, batch_format="pandas"),
+        key_cols=["tok_a", "tok_b"],
+        reduce_fn=sum_by(["tok_a", "tok_b"], "c_ab"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    n_tok = int(uni.sum("c"))
+    n_pair = int(bi.sum("c_ab") or 0)
+
+    survivors = bi.map_batches(
+        lambda df: df[df["c_ab"] >= min_count], batch_format="pandas"
+    )
+
+    ca = uni.map_batches(
+        lambda df: df.rename(columns={"tok": "tok_a", "c": "c_a"}),
+        batch_format="pandas",
+    )
+    cb = uni.map_batches(
+        lambda df: df.rename(columns={"tok": "tok_b", "c": "c_b"}),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        hash_join(survivors, ca, on="tok_a", right_small=True),
+        cb,
+        on="tok_b",
+        right_small=True,
+    )
+
+    def pmi(df: pd.DataFrame) -> pd.DataFrame:
+        c_ab = df["c_ab"].to_numpy(dtype=np.int64)
+        c_a = df["c_a"].to_numpy(dtype=np.int64)
+        c_b = df["c_b"].to_numpy(dtype=np.int64)
+        # exact int64 products (overflow-safe while c·N² < 2^63 —
+        # beyond that scale switch to ln subtraction), ONE cast-divide
+        # -ln mirroring the SQL form bit-for-bit
+        num = c_ab * np.int64(n_tok) * np.int64(n_tok)
+        den = np.int64(n_pair) * c_a * c_b
+        val = np.log(num.astype(np.float64) / den.astype(np.float64))
+        return pd.DataFrame(
+            {
+                "tok_a": df["tok_a"],
+                "tok_b": df["tok_b"],
+                "c_ab": c_ab,
+                "pmi": val,
+            }
+        )
+
+    return j.map_batches(pmi, batch_format="pandas")

@@ -2050,6 +2050,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q16(sf_dir)
 
+    def q8_market_share(sf_dir: str):
+        """Oracle-checked: TPC-H Q8-style national market share per
+        order year — broadcast promo-part set + target-supplier set +
+        region-customer filter; ONE orderkey fact-fact exchange of 3
+        ints/row; int64 fixed-point sums, one closing division per
+        year (`kgflow.ops.relational.q8_market_share`)."""
+        from kgflow.ops.relational import q8_market_share as q8
+
+        return q8(sf_dir)
+
+    def q12_late_priority(sf_dir: str):
+        """Oracle-checked: TPC-H Q12-style priority-vs-lateness counts
+        (ship bucket = late/ontime at 365 days, no shipmode column in
+        this corpus) — ONE orderkey fact-fact exchange of 3 ints/row,
+        2×2 final reduce
+        (`kgflow.ops.relational.q12_late_priority`)."""
+        from kgflow.ops.relational import q12_late_priority as q12
+
+        return q12(sf_dir)
+
+    def q21_slowest_supplier(sf_dir: str):
+        """Oracle-checked: TPC-H Q21-style unique-slowest-supplier
+        counts over multi-supplier orders — per-batch (order, supp)
+        max-shipdate combiner, ONE orderkey-bucketed exchange with a
+        vectorized in-bucket argmax, dim-bounded supplier counts +
+        broadcast name map
+        (`kgflow.ops.relational.q21_slowest_supplier`)."""
+        from kgflow.ops.relational import q21_slowest_supplier as q21
+
+        return q21(sf_dir)
+
     def graph_bfs_hops(sf_dir: str):
         """Oracle-checked (recursive CTE): distributed BFS min-hop ≤ 4
         from the smallest node over the bipartite part↔supplier graph
@@ -2083,6 +2114,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         seed = int(min(edges.min("src"), edges.min("dst")))
         return bfs_hops(edges, seeds=[seed], max_hops=4)
+
+    def graph_assortativity(sf_dir: str):
+        """Oracle-checked: exact degree-assortativity moments (n, Σx,
+        Σy, Σx², Σy², Σxy) of the distinct high-quantity part→supplier
+        edge list — distinct_rows combiner+exchange, node-bounded
+        degree tables attached via auto-broadcast hash_join, ONE 6-int
+        row shipped per block; the Pearson coefficient is a single
+        driver-side division (`kgflow.ops.graph.degree_assortativity`).
+        """
+        import pandas as _pd
+
+        from kgflow.ops.graph import degree_assortativity
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: _pd.DataFrame) -> _pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 45.0]
+            return _pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64),
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64),
+                }
+            )
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return degree_assortativity(edges)
+
+    def events_moving_median(sf_dir: str):
+        """Oracle-checked: per-user trailing-5 moving median of event
+        values in (ts, event_id) order — holistic window, ONE
+        key-bucketed exchange, in-bucket pandas rolling-median C
+        kernel; even frames interpolate (a+b)/2 exactly like SQL
+        median() OVER (`kgflow.ops.window.moving_median`)."""
+        from kgflow.ops.window import moving_median
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return moving_median(ev, window=5)
 
     def doc_pmi_pairs(sf_dir: str):
         """Oracle-checked: adjacent-bigram PMI collocations — unigram
@@ -2411,6 +2485,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": q7_nation_volume,
         "graph_bfs_hops": graph_bfs_hops,
         "doc_pmi_pairs": doc_pmi_pairs,
+        "graph_assortativity": graph_assortativity,
+        "events_moving_median": events_moving_median,
+        "q8_market_share": q8_market_share,
+        "q12_late_priority": q12_late_priority,
+        "q21_slowest_supplier": q21_slowest_supplier,
         "q19_disjunctive": q19_disjunctive,
         "q16_supplier_counts": q16_supplier_counts,
         "events_concurrency": events_concurrency,
@@ -4281,6 +4360,72 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate <  DATE '1997-01-01'
             GROUP BY 1, 2, 3
         """,
+        # int64 fixed-point revenue sums in both engines; the per-year
+        # division is the single float op (ulp-bounded)
+        "q8_market_share": """
+            WITH base AS (
+              SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT) AS rev_fp,
+                     s.s_nationkey
+              FROM lineitem l
+              JOIN orders o   ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN part p     ON p.p_partkey = l.l_partkey
+              JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+              JOIN region r   ON r.r_regionkey = nc.n_regionkey
+              WHERE p.p_type = 'PROMO'
+                AND r.r_name = 'ASIA'
+                AND o.o_orderdate >= DATE '1995-01-01'
+                AND o.o_orderdate <  DATE '1998-01-01'
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nationkey =
+                       (SELECT n_nationkey FROM nation
+                        WHERE n_name = 'NATION_3')
+                     THEN rev_fp ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(rev_fp) AS DOUBLE) AS mkt_share
+            FROM base
+            GROUP BY o_year
+        """,
+        "q12_late_priority": """
+            SELECT CASE WHEN date_diff('day', o.o_orderdate,
+                                       l.l_shipdate) > 365
+                        THEN 'late' ELSE 'ontime' END AS ship_bucket,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                              ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                              ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                     AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
+        # unique-slowest-supplier over >=2-supplier orders: window
+        # max/count over per-(order,supplier) ship maxima
+        "q21_slowest_supplier": """
+            WITH lmax AS (
+              SELECT l_orderkey, l_suppkey, max(l_shipdate) AS smax
+              FROM lineitem GROUP BY 1, 2
+            ), w1 AS (
+              SELECT *,
+                     max(smax) OVER (PARTITION BY l_orderkey) AS omax,
+                     count(*) OVER (PARTITION BY l_orderkey) AS nsupp
+              FROM lmax
+            ), w2 AS (
+              SELECT *,
+                     sum(CASE WHEN smax = omax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY l_orderkey) AS nmax
+              FROM w1
+            )
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM w2 JOIN supplier s ON s.s_suppkey = w2.l_suppkey
+            WHERE w2.nsupp >= 2 AND w2.nmax = 1 AND w2.smax = w2.omax
+            GROUP BY s.s_name
+        """,
         # BFS min-hop ≡ recursive CTE with a hop bound: UNION dedups
         # (node, hop) pairs so the recursion terminates at hop 4, and
         # min(hop) per node is exactly the BFS distance ≤ 4
@@ -4497,6 +4642,39 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(sum(c) AS DOUBLE) AS entropy
             FROM c
             GROUP BY user_id
+        """,
+        # all-BIGINT moment row: the Pearson division stays out of the
+        # compared schema (grouped_corr_moments convention)
+        "graph_assortativity": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+              FROM lineitem WHERE l_quantity >= 45
+            ), dxs AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS dx
+              FROM e GROUP BY src
+            ), dys AS (
+              SELECT dst, CAST(count(*) AS BIGINT) AS dy
+              FROM e GROUP BY dst
+            ), j AS (
+              SELECT dx AS x, dy AS y
+              FROM e JOIN dxs USING (src) JOIN dys USING (dst)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM j
+        """,
+        # holistic window: both engines interpolate even frames as
+        # (a+b)/2 in double; comparator rounds to 1e-6
+        "events_moving_median": """
+            SELECT user_id, event_id,
+                   median(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+            FROM events
         """,
         # PMI over adjacent \w+ bigrams: counts stay integer through
         # both engines (engine: int64 products; SQL: HUGEINT), ONE

@@ -787,3 +787,89 @@ def bfs_hops(
     import ray.data as rd_mod
 
     return rd_mod.from_pandas(out)
+
+
+def degree_assortativity(
+    edges: "rd.Dataset", num_buckets: int | None = None
+) -> "rd.Dataset":
+    """Exact degree-assortativity moments of a directed edge list:
+    ONE row (n, sx, sy, sxx, syy, sxy) where, per DISTINCT edge,
+    x = out-degree of src and y = in-degree of dst (Newman 2002
+    degree correlation; the Pearson coefficient is a single
+    driver-side division over this hash-exact BIGINT row, kept out of
+    the exchanged schema like `profile.grouped_corr_moments`).
+
+    Scale shape: the edge list dedups through `distinct_rows` (per-
+    block combiner + one bucketed exchange) and is materialized ONCE
+    (three consumers: two degree reduces + the attach join — lazy
+    re-execution would triple the scan). Each degree table is
+    node-bounded; `hash_join` auto-broadcasts while V fits and falls
+    back to the bucketed shuffle beyond. The moment fold ships ONE
+    6-int row per block. Degrees are ints, so no quantization step is
+    needed; the int64 overflow guard mirrors grouped_corr_moments.
+    """
+    from kgflow.ops.joins import distinct_rows, hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    e = distinct_rows(edges, ["src", "dst"], num_buckets=num_buckets)
+    e = e.materialize()
+
+    def count_by(col: str, out: str):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            t = df[[col]].copy()
+            t[out] = np.int64(1)
+            return t.groupby(col, as_index=False, sort=False)[out].sum()
+
+        def finish(g: pd.DataFrame) -> pd.DataFrame:
+            r = g.groupby(col, as_index=False, sort=False)[out].sum()
+            r[out] = r[out].astype(np.int64)
+            return r
+
+        return bucketed_group_reduce(
+            e.map_batches(partial, batch_format="pandas"),
+            key_cols=[col],
+            reduce_fn=finish,
+            num_buckets=num_buckets,
+        )
+
+    j = hash_join(
+        hash_join(e, count_by("src", "dx"), on="src", right_small=True),
+        count_by("dst", "dy"),
+        on="dst",
+        right_small=True,
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["dx"].to_numpy(dtype=np.int64)
+        y = df["dy"].to_numpy(dtype=np.int64)
+        if len(x):
+            mx = int(max(x.max(), y.max()))
+            if mx * mx * len(x) >= 2**63:
+                raise ValueError(
+                    "degree_assortativity: batch moment would overflow "
+                    f"int64 (max degree = {mx}, n = {len(x)})"
+                )
+        return pd.DataFrame(
+            {
+                "_k": np.zeros(1, dtype=np.int64),
+                "n": [np.int64(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[cols].sum().astype(np.int64).to_frame().T
+        return out
+
+    return bucketed_group_reduce(
+        j.map_batches(moments, batch_format="pandas"),
+        key_cols=["_k"],
+        reduce_fn=fold,
+        num_buckets=1,
+    )

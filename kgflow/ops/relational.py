@@ -2263,3 +2263,347 @@ def q16_supplier_counts(sf_dir: str) -> "rd.Dataset":
         value_col="l_suppkey",
         out_col="supplier_cnt",
     )
+
+
+def q8_market_share(
+    sf_dir: str,
+    region: str = "ASIA",
+    nation: str = "NATION_3",
+    p_type: str = "PROMO",
+    year_lo: int = 1995,
+    year_hi: int = 1998,
+) -> "rd.Dataset":
+    """TPC-H Q8-style national market share: among order lines for
+    parts of ``p_type`` sold to customers in ``region`` during the
+    order-date window, the share of revenue supplied by ``nation``,
+    per order year → (o_year, mkt_share).
+
+    100-TB shape: part (type filter → sorted partkey array), supplier
+    (suppkey → is-target-nation bitmap) and the region's nation keys
+    are all dim-bounded broadcasts; orders pre-filters to the window
+    and to region customers (customer joins broadcast, key-bounded
+    after the region filter) so the ONLY fact-fact exchange is
+    lineitem ⋈ orders on orderkey carrying 3 ints/row. Revenue sums
+    stay int64 fixed-point (1e-4) through every exchange; the single
+    closing division per year is the only float op.
+    Mirrors TPC-H Q8 (query family cited at SURVEY.md §2.7).
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    target_key = int(nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0])
+
+    part = pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    promo_ref = ray.put(
+        np.sort(
+            part.loc[part["p_type"] == p_type, "p_partkey"].to_numpy(
+                dtype=np.int64
+            )
+        )
+    )
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    target_supp_ref = ray.put(
+        np.sort(
+            supp.loc[
+                supp["s_nationkey"].astype(int) == target_key, "s_suppkey"
+            ].to_numpy(dtype=np.int64)
+        )
+    )
+
+    def region_customers(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["c_nationkey"].astype(int).isin(region_nations).to_numpy()
+        return df.loc[m, ["c_custkey"]]
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(region_customers, batch_format="pandas")
+
+    lo = np.datetime64(f"{year_lo}-01-01", "us")
+    hi = np.datetime64(f"{year_hi}-01-01", "us")
+
+    def order_window(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        m = (d >= lo) & (d < hi)
+        d2 = df.loc[m]
+        return pd.DataFrame(
+            {
+                "o_orderkey": d2["o_orderkey"].astype(np.int64),
+                "c_custkey": d2["o_custkey"].astype(np.int64),
+                "o_year": d2["o_orderdate"].dt.year.astype(np.int64),
+            }
+        )
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_window, batch_format="pandas")
+
+    oc = hash_join(orders, cust, on="c_custkey", right_small=True).map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"})[
+            ["l_orderkey", "o_year"]
+        ],
+        batch_format="pandas",
+    )
+
+    class LineShrink:
+        """Broadcast promo-part filter + target-supplier flag: the
+        orderkey exchange carries (orderkey, rev_fp, is_target)."""
+
+        def __init__(self):
+            self.promo = ray.get(promo_ref)
+            self.target = ray.get(target_supp_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = np.isin(df["l_partkey"].to_numpy(dtype=np.int64), self.promo)
+            d = df.loc[keep]
+            rev_fp = np.round(
+                d["l_extendedprice"].to_numpy(dtype=np.float64)
+                * (1.0 - d["l_discount"].to_numpy(dtype=np.float64))
+                * 1e4
+            ).astype(np.int64)
+            is_t = np.isin(
+                d["l_suppkey"].to_numpy(dtype=np.int64), self.target
+            )
+            return pd.DataFrame(
+                {
+                    "l_orderkey": d["l_orderkey"].astype(np.int64),
+                    "rev_fp": rev_fp,
+                    "tgt_fp": np.where(is_t, rev_fp, 0),
+                }
+            )
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(LineShrink, batch_format="pandas", concurrency=(1, 4))
+
+    ol = hash_join(line, oc.materialize(), on="l_orderkey", right_small=False)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_year", as_index=False)[["rev_fp", "tgt_fp"]].sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_year", as_index=False)[["rev_fp", "tgt_fp"]].sum()
+        return pd.DataFrame(
+            {
+                "o_year": out["o_year"].astype(np.int64),
+                "mkt_share": out["tgt_fp"].to_numpy(dtype=np.int64)
+                / out["rev_fp"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        ol.map_batches(partial, batch_format="pandas"),
+        key_cols=["o_year"],
+        reduce_fn=finish,
+        num_buckets=2,
+    )
+
+
+def q12_late_priority(
+    sf_dir: str, late_days: int = 365
+) -> "rd.Dataset":
+    """TPC-H Q12-style priority-vs-lateness counts (adapted: this
+    corpus has no l_shipmode/l_commitdate/l_receiptdate, so the ship
+    bucket is lateness — a line is 'late' when it shipped more than
+    ``late_days`` days after the order date): per bucket, how many
+    lines belong to URGENT/HIGH orders vs the rest
+    → (ship_bucket, high_line_count, low_line_count).
+
+    100-TB shape: orders shrinks per batch to (orderkey, orderdate-ns
+    int64, is-high bit); lineitem to (orderkey, shipdate-ns int64);
+    the ONLY exchange is the orderkey fact-fact join (3 ints/row),
+    lateness is one vectorized int64 subtract after the join, and the
+    final reduce is 2×2 counts. Mirrors TPC-H Q12 (query family cited
+    at SURVEY.md §2.7).
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    def order_shrink(df: pd.DataFrame) -> pd.DataFrame:
+        pri = df["o_orderpriority"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_date_ns": df["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .astype(np.int64),
+                "is_high": np.isin(pri, ["1-URGENT", "2-HIGH"]).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_shrink, batch_format="pandas")
+
+    def line_shrink(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype(np.int64),
+                "s_date_ns": df["l_shipdate"]
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .astype(np.int64),
+            }
+        )
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(line_shrink, batch_format="pandas")
+
+    ol = hash_join(line, orders.materialize(), on="l_orderkey",
+                   right_small=False)
+    cut = np.int64(late_days) * np.int64(86_400_000_000_000)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        late = (
+            df["s_date_ns"].to_numpy(dtype=np.int64)
+            - df["o_date_ns"].to_numpy(dtype=np.int64)
+        ) > cut
+        high = df["is_high"].to_numpy(dtype=np.int64)
+        d = pd.DataFrame(
+            {
+                "ship_bucket": np.where(late, "late", "ontime"),
+                "high": high,
+                "low": 1 - high,
+            }
+        )
+        return d.groupby("ship_bucket", as_index=False)[["high", "low"]].sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("ship_bucket", as_index=False)[["high", "low"]].sum()
+        return pd.DataFrame(
+            {
+                "ship_bucket": out["ship_bucket"],
+                "high_line_count": out["high"].astype(np.int64),
+                "low_line_count": out["low"].astype(np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        ol.map_batches(partial, batch_format="pandas"),
+        key_cols=["ship_bucket"],
+        reduce_fn=finish,
+        num_buckets=2,
+    )
+
+
+def q21_slowest_supplier(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q21-style 'suppliers who kept orders waiting' (adapted:
+    no commit/receipt dates in this corpus, so the waiting criterion
+    is being the UNIQUE slowest shipper): over orders with >= 2
+    distinct suppliers, a supplier qualifies for an order when its
+    latest line-ship date is strictly later than every other
+    supplier's; count qualifying orders per supplier
+    → (s_name, numwait).
+
+    100-TB shape: per-batch combiner pre-reduces lineitem to
+    (orderkey, suppkey) -> max shipdate (3 ints/row), then ONE
+    orderkey-bucketed exchange; the in-bucket kernel is vectorized
+    groupby max/count/argmax — an order's rows land in one bucket but
+    are supplier-bounded, not line-bounded. The per-supplier count
+    table is dim-bounded, so the name attach is a broadcast map and
+    the final reduce is tiny. Mirrors TPC-H Q21 (query family cited
+    at SURVEY.md §2.7).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    name_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int), supp["s_name"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].astype(np.int64),
+                "l_suppkey": df["l_suppkey"].astype(np.int64),
+                "ship_ns": df["l_shipdate"]
+                .to_numpy()
+                .astype("datetime64[ns]")
+                .astype(np.int64),
+            }
+        )
+        return d.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "ship_ns"
+        ].max()
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(partial, batch_format="pandas")
+
+    def slowest(g: pd.DataFrame) -> pd.DataFrame:
+        sm = g.groupby(["l_orderkey", "l_suppkey"], as_index=False)[
+            "ship_ns"
+        ].max()
+        per = sm.groupby("l_orderkey")["ship_ns"]
+        omax = per.transform("max").to_numpy()
+        nsupp = per.transform("size").to_numpy()
+        at_max = sm["ship_ns"].to_numpy() == omax
+        # orders where exactly one supplier attains the max
+        nmax = (
+            sm.loc[at_max].groupby("l_orderkey")["l_suppkey"].transform("size")
+        )
+        win = sm.loc[at_max].loc[
+            (nmax.to_numpy() == 1) & (nsupp[at_max] >= 2)
+        ]
+        out = win.groupby("l_suppkey", as_index=False).size()
+        return out.rename(columns={"size": "numwait"})
+
+    counts = bucketed_group_reduce(
+        line,
+        key_cols=["l_orderkey"],
+        reduce_fn=slowest,
+        num_buckets=16,
+    )
+
+    class Finish:
+        def __init__(self):
+            self.names = ray.get(name_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("l_suppkey", as_index=False)["numwait"].sum()
+            return pd.DataFrame(
+                {
+                    "s_name": out["l_suppkey"].map(self.names),
+                    "numwait": out["numwait"].astype(np.int64),
+                }
+            )
+
+    return bucketed_group_reduce(
+        counts,
+        key_cols=["l_suppkey"],
+        reduce_fn=lambda df: df.groupby("l_suppkey", as_index=False)[
+            "numwait"
+        ].sum(),
+        num_buckets=1,
+    ).map_batches(Finish, batch_format="pandas", concurrency=(1, 1))

@@ -1405,3 +1405,49 @@ def interval_concurrency_daily(
     return bucketed_group_reduce(
         partials, key_cols=["day"], reduce_fn=day_final
     )
+
+
+def moving_median(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 5,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key exact moving median of the trailing ``window`` rows in
+    (ts, id) order → (key, id, med). A holistic window function: unlike
+    sum/avg it has no combiner form, so the exchange ships the raw
+    (key, id, ts, value) rows ONCE hash-partitioned on the key and the
+    in-bucket kernel is pandas' rolling-median C implementation
+    (skiplist-backed, O(n log w) per key) — same one-exchange layout as
+    `keyed_window`. Even-width frames interpolate (a+b)/2 in double,
+    matching SQL median()/quantile_cont(0.5) window semantics
+    bit-for-bit; NULL values are skipped (min_periods=1) exactly as a
+    SQL frame median ignores NULLs.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        med = (
+            g.groupby(key, sort=False)[value_col]
+            .rolling(window, min_periods=1)
+            .median()
+            .droplevel(0)
+        )
+        return pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                id_col: g[id_col].to_numpy(),
+                "med": med.reindex(g.index).to_numpy(dtype=np.float64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        events.select_columns([key, ts_col, id_col, value_col]),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

@@ -2115,6 +2115,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         seed = int(min(edges.min("src"), edges.min("dst")))
         return bfs_hops(edges, seeds=[seed], max_hops=4)
 
+    def doc_hapax(sf_dir: str):
+        """Oracle-checked: corpus hapax-legomena profile (n_tokens,
+        n_vocab, n_hapax, hapax_ratio) — token-count combiner → ONE
+        vocab-bounded int64 exchange, per-bucket 3-int fold; the ratio
+        is the single float op (`kgflow.ops.text.hapax_stats`)."""
+        from kgflow.ops.text import hapax_stats
+        from kgflow.sources.parquet import read_parquet_clean
+
+        return hapax_stats(
+            read_parquet_clean(
+                os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+            )
+        )
+
+    def events_first_last(sf_dir: str):
+        """Oracle-checked: per-user FIRST/LAST event attributes in
+        (ts, event_id) order — first/last is a semigroup, so each block
+        ships ≤ 2 candidate rows per key into ONE keyed exchange
+        (`kgflow.ops.window.grouped_first_last`)."""
+        from kgflow.ops.window import grouped_first_last
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type", "value"],
+        )
+        return grouped_first_last(ev)
+
     def graph_assortativity(sf_dir: str):
         """Oracle-checked: exact degree-assortativity moments (n, Σx,
         Σy, Σx², Σy², Σxy) of the distinct high-quantity part→supplier
@@ -2487,6 +2515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
+        "doc_hapax": doc_hapax,
+        "events_first_last": events_first_last,
         "q8_market_share": q8_market_share,
         "q12_late_priority": q12_late_priority,
         "q21_slowest_supplier": q21_slowest_supplier,
@@ -4666,6 +4696,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM j
+        """,
+        # counts stay int64 through both engines; the hapax ratio is
+        # the single float division
+        "doc_hapax": r"""
+            WITH c AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(regexp_extract_all(lower(text), '\w+'))
+                      AS token FROM documents)
+              GROUP BY token
+            )
+            SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_vocab,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS hapax_ratio
+            FROM c
+        """,
+        # first/last via two row_number windows (DuckDB arg_min does
+        # not take struct keys — FIXTURES.md workaround)
+        "events_first_last": """
+            WITH r AS (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rl
+              FROM events
+            )
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rn = 1 THEN value END) AS first_value,
+                   max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+                   max(CASE WHEN rl = 1 THEN value END) AS last_value
+            FROM r GROUP BY user_id
         """,
         # holistic window: both engines interpolate even frames as
         # (a+b)/2 in double; comparator rounds to 1e-6

@@ -1305,3 +1305,62 @@ def pmi_collocations(
         )
 
     return j.map_batches(pmi, batch_format="pandas")
+
+
+def hapax_stats(docs: "rd.Dataset", num_buckets: int | None = None) -> "rd.Dataset":
+    """Corpus hapax-legomena profile: ONE row (n_tokens, n_vocab,
+    n_hapax, hapax_ratio) over the same lower + ``\\w+`` tokenization
+    as `vocab_topk` — the classic corpus-quality signal (a shrinking
+    hapax share flags template/boilerplate-dominated crawls).
+
+    Scale shape: per-batch token-count combiner → ONE keyed int64
+    exchange (vocab-bounded, never raw tokens); each bucket folds to a
+    single (n_tokens, n_vocab, n_hapax) partial so the final reduce
+    sees ≤ num_buckets rows. Counts stay int64; the closing ratio is
+    the only float op.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def tok_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+").explode().dropna()
+        out = toks.value_counts()
+        return pd.DataFrame(
+            {"tok": out.index.to_numpy(), "c": out.to_numpy(dtype=np.int64)}
+        )
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("tok", sort=False)["c"].sum().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "_k": np.zeros(1, dtype=np.int64),
+                "n_tokens": [c.sum()],
+                "n_vocab": [np.int64(len(c))],
+                "n_hapax": [np.int64((c == 1).sum())],
+            }
+        )
+
+    partials = bucketed_group_reduce(
+        docs.select_columns(["text"]).map_batches(
+            tok_partial, batch_format="pandas"
+        ),
+        key_cols=["tok"],
+        reduce_fn=count_reduce,
+        num_buckets=num_buckets,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[["n_tokens", "n_vocab", "n_hapax"]].sum().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "n_tokens": [s["n_tokens"]],
+                "n_vocab": [s["n_vocab"]],
+                "n_hapax": [s["n_hapax"]],
+                "hapax_ratio": [s["n_hapax"] / s["n_vocab"]]
+                if s["n_vocab"]
+                else [0.0],
+            }
+        )
+
+    return bucketed_group_reduce(
+        partials, key_cols=["_k"], reduce_fn=fold, num_buckets=1
+    )

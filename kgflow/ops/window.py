@@ -1451,3 +1451,59 @@ def moving_median(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def grouped_first_last(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key FIRST and LAST row attributes in (ts, id) order →
+    (key, first_type, first_value, last_type, last_value). first/last
+    IS a semigroup (min/max over the (ts, id) total order), so unlike
+    `moving_median` this ships a combiner: each block contributes at
+    most its per-key head and tail rows to the ONE keyed exchange —
+    ≤ 2 rows/key/block regardless of row count. The in-bucket finish
+    repeats the same head/tail pick over the surviving candidates.
+    Deterministic because (ts, id) is a total order; restated in SQL
+    as two row_number() windows (the DuckDB arg_min-struct limitation
+    workaround pinned in FIXTURES.md).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    cols = [key, ts_col, id_col, type_col, value_col]
+
+    def heads_tails(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[cols].sort_values([key, ts_col, id_col], kind="mergesort")
+        g = d.groupby(key, sort=False)
+        return (
+            pd.concat([g.head(1), g.tail(1)])
+            .drop_duplicates([key, ts_col, id_col])
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        gr = d.groupby(key, sort=False)
+        f, l = gr.head(1), gr.tail(1)
+        return pd.DataFrame(
+            {
+                key: f[key].to_numpy(),
+                "first_type": f[type_col].to_numpy(),
+                "first_value": f[value_col].to_numpy(dtype=np.float64),
+                "last_type": l[type_col].to_numpy(),
+                "last_value": l[value_col].to_numpy(dtype=np.float64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        events.select_columns(cols).map_batches(
+            heads_tails, batch_format="pandas"
+        ),
+        key_cols=[key],
+        reduce_fn=finish,
+        num_buckets=num_buckets,
+    )

@@ -1268,7 +1268,18 @@ def pmi_collocations(
 
     survivors = bi.map_batches(
         lambda df: df[df["c_ab"] >= min_count], batch_format="pandas"
-    )
+    ).materialize()  # bigram-vocab-bounded; cheap count probe + join input
+    if survivors.count() == 0:
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "tok_a": pd.Series([], dtype=object),
+                    "tok_b": pd.Series([], dtype=object),
+                    "c_ab": pd.Series([], dtype="int64"),
+                    "pmi": pd.Series([], dtype="float64"),
+                }
+            )
+        )
 
     ca = uni.map_batches(
         lambda df: df.rename(columns={"tok": "tok_a", "c": "c_a"}),

@@ -2115,6 +2115,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         seed = int(min(edges.min("src"), edges.min("dst")))
         return bfs_hops(edges, seeds=[seed], max_hops=4)
 
+    def events_mad(sf_dir: str):
+        """Oracle-checked: per-type exact median + median-absolute-
+        deviation (Hampel robust outlier scale) — doubly holistic, so
+        ONE key-bucketed exchange of raw (key, value) pairs; both
+        medians are in-bucket numpy partitions
+        (`kgflow.ops.profile.grouped_mad`)."""
+        from kgflow.ops.profile import grouped_mad
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return grouped_mad(ev, key="event_type")
+
+    def events_chi2(sf_dir: str):
+        """Oracle-checked: Pearson chi-square independence test of
+        event_type × day-of-week — contingency counts via combiner +
+        ONE category-bounded int64 exchange; the statistic folds in
+        sorted cell order, absent cells contribute n − Σe exactly
+        (`kgflow.ops.profile.chi2_independence`)."""
+        import pandas as _pd
+
+        from kgflow.ops.profile import chi2_independence
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts"],
+        )
+
+        def with_dow(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "dow": df["ts"].dt.dayofweek.astype(np.int64),
+                }
+            )
+
+        return chi2_independence(
+            ev.map_batches(with_dow, batch_format="pandas"),
+            row_col="event_type",
+            col_col="dow",
+        )
+
     def doc_hapax(sf_dir: str):
         """Oracle-checked: corpus hapax-legomena profile (n_tokens,
         n_vocab, n_hapax, hapax_ratio) — token-count combiner → ONE
@@ -2517,6 +2562,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_median": events_moving_median,
         "doc_hapax": doc_hapax,
         "events_first_last": events_first_last,
+        "events_mad": events_mad,
+        "events_chi2": events_chi2,
         "q8_market_share": q8_market_share,
         "q12_late_priority": q12_late_priority,
         "q21_slowest_supplier": q21_slowest_supplier,
@@ -4696,6 +4743,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM j
+        """,
+        # both engines interpolate even-count medians as (a+b)/2;
+        # comparator rounds to 1e-6
+        "events_mad": """
+            WITH m AS (
+              SELECT event_type, median(value) AS med
+              FROM events GROUP BY 1
+            ), d AS (
+              SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+              FROM events e JOIN m USING (event_type)
+              GROUP BY e.event_type
+            )
+            SELECT d.event_type, m.med, d.mad
+            FROM d JOIN m USING (event_type)
+        """,
+        # chi-square over the type x dow contingency table: absent
+        # cells contribute exactly n - sum(e) since all expected mass
+        # sums to n; dow encoding is label-invariant for the statistic
+        "events_chi2": """
+            WITH c AS (
+              SELECT event_type AS r, dayofweek(ts) AS col,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ), rt AS (
+              SELECT r, CAST(sum(c) AS BIGINT) AS rt FROM c GROUP BY r
+            ), ct AS (
+              SELECT col, CAST(sum(c) AS BIGINT) AS ct FROM c GROUP BY col
+            ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+            e AS (
+              SELECT c.c,
+                     CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+                       / CAST(tot.n AS DOUBLE) AS e
+              FROM c JOIN rt USING (r) JOIN ct USING (col) CROSS JOIN tot
+            )
+            SELECT (SELECT n FROM tot) AS n,
+                   (SELECT CAST(count(*) AS BIGINT) FROM rt) AS n_row_cats,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_col_cats,
+                   CAST(((SELECT count(*) FROM rt) - 1)
+                        * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+                   sum((c - e) * (c - e) / e)
+                     + ((SELECT n FROM tot) - sum(e)) AS chi2
+            FROM e
         """,
         # counts stay int64 through both engines; the hapax ratio is
         # the single float division

@@ -604,3 +604,126 @@ def grouped_entropy(
         reduce_fn=entropy,
         num_buckets=num_buckets,
     )
+
+
+def grouped_mad(
+    ds: "rd.Dataset",
+    key: str,
+    value_col: str = "value",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key exact median and median-absolute-deviation →
+    (key, med, mad). MAD is DOUBLY holistic (a median of deviations
+    from a median), so no combiner exists — the exchange ships the raw
+    (key, value) pairs ONCE hash-partitioned on the key (the same
+    single-exchange layout as `moving_median`); both medians are
+    in-bucket numpy partitions. Even-count groups interpolate (a+b)/2
+    in double exactly like SQL median()/quantile_cont(0.5); NULLs drop
+    pair-wise (SQL aggregate semantics).
+
+    The robust-statistics companion to `grouped_corr_moments`: z-score
+    outlier screens built on mean/std are themselves skewed by the
+    outliers; med/MAD is the standard robust alternative (Hampel).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[value_col])
+        med = g.groupby(key, sort=False)[value_col].transform("median")
+        dev = (g[value_col] - med).abs()
+        out = pd.DataFrame(
+            {
+                key: g[key],
+                "_med": med,
+                "_dev": dev,
+            }
+        )
+        r = out.groupby(key, as_index=False, sort=False).agg(
+            med=("_med", "first"), mad=("_dev", "median")
+        )
+        return r
+
+    return bucketed_group_reduce(
+        ds.select_columns([key, value_col]),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )
+
+
+def chi2_independence(
+    ds: "rd.Dataset",
+    row_col: str,
+    col_col: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Pearson chi-square test of independence over two categorical
+    columns → ONE row (n, n_rows_cat, n_cols_cat, dof, chi2). The
+    distributed part is the contingency-table count (per-batch
+    combiner → ONE (row,col)-keyed int64 exchange, category-bounded
+    output); the chi-square fold then runs over that bounded table in
+    a single bucket with cells visited in sorted (row, col) order so
+    the float accumulation order is deterministic. Counts stay int64
+    into the fold; expected counts and the statistic are the only
+    float ops.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[[row_col, col_col]].dropna().copy()
+        t["_cnt"] = np.int64(1)
+        return t.groupby([row_col, col_col], as_index=False, sort=False)[
+            "_cnt"
+        ].sum()
+
+    counts = bucketed_group_reduce(
+        ds.select_columns([row_col, col_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=[row_col, col_col],
+        reduce_fn=lambda g: g.groupby(
+            [row_col, col_col], as_index=False, sort=False
+        )["_cnt"].sum(),
+        num_buckets=num_buckets,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.groupby([row_col, col_col], as_index=False, sort=False)["_cnt"]
+            .sum()
+            .sort_values([row_col, col_col], kind="mergesort")
+        )
+        n = int(g["_cnt"].sum())
+        rt = g.groupby(row_col, sort=True)["_cnt"].sum()
+        ct = g.groupby(col_col, sort=True)["_cnt"].sum()
+        o = g["_cnt"].to_numpy(dtype=np.int64)
+        e = (
+            rt.reindex(g[row_col]).to_numpy(dtype=np.float64)
+            * ct.reindex(g[col_col]).to_numpy(dtype=np.float64)
+            / np.float64(n)
+        )
+        # zero-count cells contribute (0-e)^2/e for MISSING pairs too:
+        # add the expected mass of absent (row, col) combinations,
+        # which equals n - sum(e over present cells)
+        chi2 = float(((o - e) ** 2 / e).sum()) + (n - float(e.sum()))
+        return pd.DataFrame(
+            {
+                "n": [np.int64(n)],
+                "n_row_cats": [np.int64(len(rt))],
+                "n_col_cats": [np.int64(len(ct))],
+                "dof": [np.int64((len(rt) - 1) * (len(ct) - 1))],
+                "chi2": [chi2],
+            }
+        )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_k"] = np.int64(0)
+        return df
+
+    return bucketed_group_reduce(
+        counts.map_batches(tag, batch_format="pandas"),
+        key_cols=["_k"],
+        reduce_fn=fold,
+        num_buckets=1,
+    )

@@ -207,3 +207,45 @@ def test_q21_unique_slowest_only():
         sup.to_parquet(os.path.join(d, "supplier.parquet"))
         out = q21_slowest_supplier(d).to_pandas()
         assert dict(zip(out["s_name"], out["numwait"])) == {"S7": 1}
+
+
+def test_grouped_mad_matches_manual():
+    from kgflow.ops.profile import grouped_mad
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "value": [1.0, 2.0, 4.0, 100.0, 5.0, 5.0, 9.0],
+        }
+    )
+    out = (
+        grouped_mad(rd.from_pandas(df).repartition(3), key="k")
+        .to_pandas()
+        .set_index("k")
+    )
+    # a: med=(2+4)/2=3, |dev|=[2,1,1,97] -> mad=(1+2)/2=1.5
+    assert out.loc["a", "med"] == 3.0 and out.loc["a", "mad"] == 1.5
+    # b: med=5, |dev|=[0,0,4] -> mad=0
+    assert out.loc["b", "med"] == 5.0 and out.loc["b", "mad"] == 0.0
+
+
+def test_chi2_dense_vs_op_with_absent_cell():
+    from kgflow.ops.profile import chi2_independence
+
+    # 2x2 with one absent cell (r2, c2)
+    df = pd.DataFrame(
+        {
+            "r": ["r1"] * 30 + ["r2"] * 20,
+            "c": ["c1"] * 10 + ["c2"] * 20 + ["c1"] * 20,
+        }
+    )
+    out = chi2_independence(
+        rd.from_pandas(df).repartition(4), row_col="r", col_col="c"
+    ).to_pandas().iloc[0]
+    # dense manual chi2 including the zero cell
+    tab = pd.crosstab(df["r"], df["c"]).to_numpy(dtype=np.float64)
+    n = tab.sum()
+    e = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / n
+    chi2 = ((tab - e) ** 2 / e).sum()
+    assert out["n"] == 50 and out["dof"] == 1
+    assert out["chi2"] == pytest.approx(chi2, rel=1e-12)

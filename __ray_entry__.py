@@ -4431,8 +4431,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON c.c_custkey = o.o_custkey
             JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
             JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
               AND l.l_shipdate >= DATE '1995-01-01'
               AND l.l_shipdate <  DATE '1997-01-01'
             GROUP BY 1, 2, 3

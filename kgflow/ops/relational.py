@@ -1977,8 +1977,8 @@ def orders_gini_coefficient(sf_dir: str) -> "rd.Dataset":
 
 def q7_nation_volume(
     sf_dir: str,
-    nation_a: str = "NATION_1",
-    nation_b: str = "NATION_2",
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_8",
     year_lo: int = 1995,
     year_hi: int = 1997,
 ) -> "rd.Dataset":

@@ -579,6 +579,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = cooccurrence_edges(cells, "user_id", ["event_type", "w"])
         return triangle_count(edges)
 
+    def events_clustering(sf_dir: str):
+        """Oracle-checked: per-node exact triangle count + local
+        clustering coefficient of the user co-activity graph (same
+        edge construction as events_triangles) — degree-oriented
+        wedge join keeping the wedge center, 3-corner credit melt +
+        combiner → ONE V-bounded int64 exchange; left join keeps
+        zero-triangle nodes (`kgflow.ops.graph.local_clustering`)."""
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from kgflow.ops.graph import cooccurrence_edges, local_clustering
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts"],
+        )
+
+        def add_hour(batch: "_pa.Table") -> "_pa.Table":
+            w = _pc.floor_temporal(batch.column("ts"), unit="hour")
+            return _pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "event_type": batch.column("event_type"),
+                    "w": w,
+                }
+            )
+
+        cells = ev.map_batches(add_hour, batch_format="pyarrow")
+        edges = cooccurrence_edges(cells, "user_id", ["event_type", "w"])
+        return local_clustering(edges)
+
     def events_components(sf_dir: str):
         """Oracle-checked: connected components of the co-purchase
         graph (edge = two users sharing a props value among purchase
@@ -2457,6 +2491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": events_cohorts,
         "doc_inverted_index": doc_inverted_index,
         "events_triangles": events_triangles,
+        "events_clustering": events_clustering,
         "events_components": events_components,
         "doc_diversity": doc_diversity,
         "doc_readability": doc_readability,
@@ -2967,6 +3002,43 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        # each triangle found once at its wedge center, credits all 3
+        # corners; 2.0*tri computed BEFORE the divide in both engines
+        "events_clustering": """
+            WITH cells AS (
+              SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS w
+              FROM events
+            ), e AS (
+              SELECT DISTINCT c1.user_id AS u, c2.user_id AS v
+              FROM cells c1 JOIN cells c2
+                ON c1.event_type = c2.event_type AND c1.w = c2.w
+               AND c1.user_id < c2.user_id
+            ), t AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+            ), cr AS (
+              SELECT a AS node FROM t
+              UNION ALL SELECT b FROM t
+              UNION ALL SELECT c FROM t
+            ), tri AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS tri
+              FROM cr GROUP BY node
+            ), deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node
+            )
+            SELECT d.node, d.deg,
+                   CAST(coalesce(tri.tri, 0) AS BIGINT) AS tri,
+                   CASE WHEN d.deg >= 2
+                        THEN 2.0 * coalesce(tri.tri, 0)
+                             / (d.deg * (d.deg - 1))
+                        ELSE 0.0 END AS lcc
+            FROM deg d LEFT JOIN tri USING (node)
         """,
         "doc_inverted_index": r"""
             WITH tf AS (

@@ -873,3 +873,123 @@ def degree_assortativity(
         reduce_fn=fold,
         num_buckets=1,
     )
+
+
+def local_clustering(
+    edges: "rd.Dataset",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-node EXACT triangle count and local clustering coefficient
+    over an undirected (u, v) edge set (u < v, distinct) →
+    (node, deg, tri, lcc) with lcc = 2·tri / (deg·(deg−1)) (Watts &
+    Strogatz 1998), 0 for deg < 2.
+
+    Same degree-oriented wedge join as `triangle_count` (wedge set
+    O(E^1.5) by the arboricity bound, ONE co-partitioned closing-edge
+    probe), except each wedge KEEPS its center: a closed wedge is a
+    triangle found exactly once, and credits all three corners via a
+    3-row melt + per-batch count combiner → ONE node-keyed int64
+    exchange (V-bounded). The deg table is reused from the orientation
+    pass; tri attaches back with a left join so zero-triangle nodes
+    keep their degree row. The single closing division is the only
+    float op (2.0·tri first, then divide — mirrored in SQL).
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    edges = edges.select_columns(["u", "v"]).materialize()
+
+    def deg_partial(d: pd.DataFrame) -> pd.DataFrame:
+        x = pd.concat([d["u"], d["v"]], ignore_index=True)
+        vc = x.value_counts()
+        return pd.DataFrame({"x": vc.index, "deg": vc.to_numpy(dtype="int64")})
+
+    def deg_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("x", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    deg = bucketed_group_reduce(
+        edges.map_batches(deg_partial, batch_format="pandas"),
+        key_cols=["x"],
+        reduce_fn=deg_final,
+        num_buckets=num_buckets,
+    ).materialize()  # V-bounded; two attach joins + the final left join
+
+    du = deg.map_batches(
+        lambda d: d.rename(columns={"x": "u", "deg": "_du"}),
+        batch_format="pandas",
+    )
+    dv = deg.map_batches(
+        lambda d: d.rename(columns={"x": "v", "deg": "_dv"}),
+        batch_format="pandas",
+    )
+    with_deg = hash_join(
+        hash_join(edges, du, on="u", num_buckets=num_buckets),
+        dv,
+        on="v",
+        num_buckets=num_buckets,
+    )
+
+    def orient(d: pd.DataFrame) -> pd.DataFrame:
+        u_first = (d["_du"] < d["_dv"]) | (
+            (d["_du"] == d["_dv"]) & (d["u"] < d["v"])
+        )
+        src = d["u"].where(u_first, d["v"])
+        dst = d["v"].where(u_first, d["u"])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    directed = with_deg.map_batches(orient, batch_format="pandas")
+
+    def wedges(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "ctr": pd.Series([], dtype=d["src"].dtype),
+                    "u": pd.Series([], dtype=d["dst"].dtype),
+                    "v": pd.Series([], dtype=d["dst"].dtype),
+                }
+            )
+        m = d.merge(d, on="src", suffixes=("_a", "_b"))
+        m = m.loc[m["dst_a"] < m["dst_b"], ["src", "dst_a", "dst_b"]]
+        return m.rename(columns={"src": "ctr", "dst_a": "u", "dst_b": "v"})
+
+    wedge_ds = bucketed_group_reduce(
+        directed, key_cols=["src"], reduce_fn=wedges, num_buckets=num_buckets
+    )
+
+    closed = hash_join(
+        wedge_ds,
+        edges.map_batches(
+            lambda d: d.assign(_e=np.int64(1)), batch_format="pandas"
+        ),
+        on=["u", "v"],
+        num_buckets=num_buckets,
+    )
+
+    def credit(d: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([d["ctr"], d["u"], d["v"]], ignore_index=True)
+        vc = nodes.value_counts()
+        return pd.DataFrame(
+            {"x": vc.index, "tri": vc.to_numpy(dtype="int64")}
+        )
+
+    tri = bucketed_group_reduce(
+        closed.map_batches(credit, batch_format="pandas"),
+        key_cols=["x"],
+        reduce_fn=lambda g: g.groupby("x", as_index=False)["tri"].sum(),
+        num_buckets=num_buckets,
+    )
+
+    out = hash_join(deg, tri, on="x", how="left", num_buckets=num_buckets)
+
+    def finish(d: pd.DataFrame) -> pd.DataFrame:
+        dg = d["deg"].to_numpy(dtype=np.int64)
+        t = d["tri"].fillna(0).to_numpy(dtype=np.int64)
+        den = np.maximum(dg * (dg - 1), 1)  # avoid 0-div warning; masked
+        lcc = np.where(dg >= 2, (2.0 * t) / den, 0.0)
+        return pd.DataFrame(
+            {"node": d["x"].to_numpy(), "deg": dg, "tri": t, "lcc": lcc}
+        )
+
+    return out.map_batches(finish, batch_format="pandas")

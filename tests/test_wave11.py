@@ -249,3 +249,29 @@ def test_chi2_dense_vs_op_with_absent_cell():
     chi2 = ((tab - e) ** 2 / e).sum()
     assert out["n"] == 50 and out["dof"] == 1
     assert out["chi2"] == pytest.approx(chi2, rel=1e-12)
+
+
+def test_local_clustering_known_graph():
+    from kgflow.ops.graph import local_clustering
+
+    # K4 on {0,1,2,3}: every node deg 3, tri 3, lcc 1.0; tail (3,9)
+    # makes node 3 deg 4, tri 3, lcc = 2*3/(4*3) = 0.5; node 9 deg 1
+    # lcc 0; isolated edge (10,11): deg 1, tri 0, lcc 0.
+    import itertools
+
+    e = list(itertools.combinations(range(4), 2)) + [(3, 9), (10, 11)]
+    df = pd.DataFrame(e, columns=["u", "v"]).astype("int64")
+    out = (
+        local_clustering(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    assert out.loc[0, "deg"] == 3 and out.loc[0, "tri"] == 3
+    assert out.loc[0, "lcc"] == pytest.approx(1.0)
+    assert out.loc[3, "deg"] == 4 and out.loc[3, "tri"] == 3
+    assert out.loc[3, "lcc"] == pytest.approx(0.5)
+    assert out.loc[9, "deg"] == 1 and out.loc[9, "tri"] == 0
+    assert out.loc[9, "lcc"] == 0.0
+    assert out.loc[10, "tri"] == 0 and out.loc[11, "lcc"] == 0.0
+    assert len(out) == 7

@@ -2115,6 +2115,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return q21(sf_dir)
 
+    def q2_min_cost_supplier(sf_dir: str):
+        """Oracle-checked: TPC-H Q2-style cheapest-supplier-per-part
+        over EUROPE suppliers — broadcast region-supplier filter +
+        attach maps, per-batch (part, supp) min-cost combiner, ONE
+        partkey-bucketed exchange with a vectorized in-bucket argmin
+        (ties → smallest suppkey); int64-cents exact
+        (`kgflow.ops.relational.q2_min_cost_supplier`)."""
+        from kgflow.ops.relational import q2_min_cost_supplier as q2
+
+        return q2(sf_dir)
+
+    def q9_product_profit(sf_dir: str):
+        """Oracle-checked: TPC-H Q9-style product profit by supplier
+        nation and order year (unit cost = p_retailprice; parts whose
+        name contains 'widget') — broadcast part/supplier dim maps
+        shrink lineitem in one pass, the ONLY fact-fact exchange is
+        lineitem ⋈ orders on orderkey at 3 ints/row; int64 1e-4
+        fixed-point profit, one closing division
+        (`kgflow.ops.relational.q9_product_profit`)."""
+        from kgflow.ops.relational import q9_product_profit as q9
+
+        return q9(sf_dir)
+
+    def q11_important_parts(sf_dir: str):
+        """Oracle-checked: TPC-H Q11-style important-stock parts
+        (value = Σ l_extendedprice over EUROPE-supplier lines; keep
+        value > 110% of the mean part value — scale-free) — broadcast
+        supplier filter, per-batch partkey partials, ONE bucketed
+        exchange; the global (total, count) scalar folds from bucket
+        partials and the threshold is exact integer math
+        (`kgflow.ops.relational.q11_important_parts`)."""
+        from kgflow.ops.relational import q11_important_parts as q11
+
+        return q11(sf_dir)
+
+    def q20_excess_share(sf_dir: str):
+        """Oracle-checked: TPC-H Q20-style excess-share suppliers
+        (holding a strict majority of some 'widget' part's 1996
+        shipped quantity) — broadcast name-filtered part keys,
+        per-batch (part, supp) quantity partials, ONE partkey-bucketed
+        exchange with transform('sum') majority test, dim-bounded
+        distinct + name attach
+        (`kgflow.ops.relational.q20_excess_share_suppliers`)."""
+        from kgflow.ops.relational import q20_excess_share_suppliers as q20
+
+        return q20(sf_dir)
+
     def graph_bfs_hops(sf_dir: str):
         """Oracle-checked (recursive CTE): distributed BFS min-hop ≤ 4
         from the smallest node over the bipartite part↔supplier graph
@@ -2602,6 +2649,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q8_market_share,
         "q12_late_priority": q12_late_priority,
         "q21_slowest_supplier": q21_slowest_supplier,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q20_excess_share": q20_excess_share,
         "q19_disjunctive": q19_disjunctive,
         "q16_supplier_counts": q16_supplier_counts,
         "events_concurrency": events_concurrency,
@@ -4574,6 +4625,96 @@ def oracle_sql() -> dict[str, str]:
             FROM w2 JOIN supplier s ON s.s_suppkey = w2.l_suppkey
             WHERE w2.nsupp >= 2 AND w2.nmax = 1 AND w2.smax = w2.omax
             GROUP BY s.s_name
+        """,
+        # cheapest EUROPE supplier per part; cost = min line price in
+        # int64 cents, ties broken by smallest suppkey (row_number)
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS cost_fp
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n   ON n.n_nationkey = s.s_nationkey
+              JOIN region r   ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'EUROPE'
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY cost_fp, l_suppkey) AS rn
+              FROM cost
+            )
+            SELECT c.l_partkey AS p_partkey,
+                   CAST(c.cost_fp AS DOUBLE) / 100.0 AS cost,
+                   s.s_name, n.n_name, s.s_acctbal
+            FROM ranked c
+            JOIN supplier s ON s.s_suppkey = c.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE c.rn = 1
+        """,
+        # profit = revenue - retailprice*qty in int64 1e-4 fixed point
+        # (quantity integral in this corpus), ONE closing division
+        "q9_product_profit": """
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT)
+                     - CAST(round(p.p_retailprice * 10000) AS BIGINT)
+                       * CAST(l.l_quantity AS BIGINT)
+                   ) AS DOUBLE) / 10000.0 AS sum_profit
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN part p     ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        # importance bar = 110% of the MEAN part value (scale-free);
+        # HUGEINT casts keep the threshold compare exact at any scale
+        "q11_important_parts": """
+            WITH v AS (
+              SELECT l.l_partkey,
+                     sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS val_fp
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n   ON n.n_nationkey = s.s_nationkey
+              JOIN region r   ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'EUROPE'
+              GROUP BY 1
+            )
+            SELECT l_partkey AS p_partkey,
+                   CAST(val_fp AS DOUBLE) / 100.0 AS value
+            FROM v
+            WHERE 10 * CAST((SELECT count(*) FROM v) AS HUGEINT)
+                     * CAST(val_fp AS HUGEINT)
+                > 11 * CAST((SELECT sum(val_fp) FROM v) AS HUGEINT)
+        """,
+        # strict majority of a matching part's 1996 shipped quantity
+        # (int64 1e-2 fixed point); distinct suppliers + name attach
+        "q20_excess_share": """
+            WITH pq AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              WHERE p_name LIKE '%widget%'
+                AND l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate <  DATE '1997-01-01'
+              GROUP BY 1, 2
+            ), tot AS (
+              SELECT l_partkey, sum(sq) AS tq FROM pq GROUP BY 1
+            ), win AS (
+              SELECT DISTINCT pq.l_suppkey
+              FROM pq JOIN tot USING (l_partkey)
+              WHERE 2 * CAST(pq.sq AS HUGEINT) > tot.tq
+            )
+            SELECT s.s_name, n.n_name
+            FROM win
+            JOIN supplier s ON s.s_suppkey = win.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
         """,
         # BFS min-hop ≡ recursive CTE with a hop bound: UNION dedups
         # (node, hop) pairs so the recursion terminates at hop 4, and

@@ -2607,3 +2607,426 @@ def q21_slowest_supplier(sf_dir: str) -> "rd.Dataset":
         ].sum(),
         num_buckets=1,
     ).map_batches(Finish, batch_format="pandas", concurrency=(1, 1))
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE") -> "rd.Dataset":
+    """TPC-H Q2-style groupwise-min supplier selection (adapted: no
+    partsupp table in this corpus, so a (part, supplier) pair's
+    "supply cost" is the MINIMUM observed line price over lineitem):
+    for every part supplied by a ``region`` supplier, the cheapest
+    such supplier (ties broken by smallest suppkey) →
+    (p_partkey, cost, s_name, n_name, s_acctbal).
+
+    100-TB shape: the region's supplier keys and the name/nation/
+    acctbal attach maps are dim-bounded broadcasts; lineitem shrinks
+    per-batch to (partkey, suppkey) -> min cost_fp combiner rows, so
+    the ONE exchange is partkey-bucketed 3-int rows and the in-bucket
+    argmin is a vectorized sort_values/first. Costs ride as int64
+    cents (exact); the closing /100 is the only float op. Mirrors
+    TPC-H Q2's correlated-min subquery (SURVEY.md §2.7).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nat_keys = nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    supp = supp.loc[supp["s_nationkey"].astype(int).isin(set(nat_keys))]
+    region_supp_ref = ray.put(
+        np.sort(supp["s_suppkey"].to_numpy(dtype=np.int64))
+    )
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    attach_ref = ray.put(
+        {
+            int(r.s_suppkey): (r.s_name, nname[int(r.s_nationkey)], r.s_acctbal)
+            for r in supp.itertuples()
+        }
+    )
+
+    class PairMin:
+        """Broadcast region-supplier filter + per-batch pair-min combiner."""
+
+        def __init__(self):
+            self.keep = ray.get(region_supp_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(df["l_suppkey"].to_numpy(dtype=np.int64), self.keep)
+            d = df.loc[m]
+            out = pd.DataFrame(
+                {
+                    "l_partkey": d["l_partkey"].astype(np.int64),
+                    "l_suppkey": d["l_suppkey"].astype(np.int64),
+                    "cost_fp": np.round(
+                        d["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+            return out.groupby(
+                ["l_partkey", "l_suppkey"], as_index=False
+            )["cost_fp"].min()
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(PairMin, batch_format="pandas", concurrency=(1, 4))
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        pm = g.groupby(["l_partkey", "l_suppkey"], as_index=False)[
+            "cost_fp"
+        ].min()
+        pm = pm.sort_values(["l_partkey", "cost_fp", "l_suppkey"])
+        return pm.groupby("l_partkey", as_index=False).first()
+
+    best = bucketed_group_reduce(
+        line, key_cols=["l_partkey"], reduce_fn=argmin, num_buckets=16
+    )
+
+    class Attach:
+        def __init__(self):
+            self.at = ray.get(attach_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rows = [self.at[int(k)] for k in df["l_suppkey"]]
+            return pd.DataFrame(
+                {
+                    "p_partkey": df["l_partkey"].astype(np.int64),
+                    "cost": df["cost_fp"].astype(np.float64) / 100.0,
+                    "s_name": [r[0] for r in rows],
+                    "n_name": [r[1] for r in rows],
+                    "s_acctbal": [r[2] for r in rows],
+                }
+            )
+
+    return best.map_batches(Attach, batch_format="pandas", concurrency=(1, 2))
+
+
+def q9_product_profit(sf_dir: str, name_substr: str = "widget") -> "rd.Dataset":
+    """TPC-H Q9-style product-type profit by supplier nation and order
+    year (adapted: no partsupp supplycost in this corpus, so unit cost
+    is the part's p_retailprice): profit = Σ ext·(1−disc) −
+    retail·qty over lineitems of parts whose name contains
+    ``name_substr`` → (n_name, o_year, sum_profit).
+
+    100-TB shape: partkey -> retail_fp and suppkey -> nationkey are
+    dim-bounded broadcast maps applied in ONE lineitem pass that also
+    drops non-matching parts, so the ONLY fact-fact exchange is
+    lineitem ⋈ orders on orderkey carrying 3 ints/row; the final
+    (nation, year) reduce is dim-bounded. Profit rides every exchange
+    as int64 1e-4 fixed point (quantity is integral in this corpus;
+    validated per batch); ONE closing division. Mirrors TPC-H Q9
+    (SURVEY.md §2.7).
+    """
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    part = pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+    part = part.loc[part["p_name"].str.contains(name_substr, regex=False)]
+    retail_ref = ray.put(
+        dict(
+            zip(
+                part["p_partkey"].astype(int),
+                np.round(
+                    part["p_retailprice"].to_numpy(dtype=np.float64) * 1e4
+                ).astype(np.int64),
+            )
+        )
+    )
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    snat_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int)))
+    )
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    class Shrink:
+        def __init__(self):
+            self.retail = ray.get(retail_ref)
+            self.snat = ray.get(snat_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rfp = df["l_partkey"].map(self.retail)
+            d = df.loc[rfp.notna()]
+            rfp = rfp.loc[rfp.notna()].to_numpy(dtype=np.int64)
+            qty = d["l_quantity"].to_numpy(dtype=np.float64)
+            assert np.all(qty == np.round(qty)), "non-integral quantity"
+            rev_fp = np.round(
+                d["l_extendedprice"].to_numpy(dtype=np.float64)
+                * (1.0 - d["l_discount"].to_numpy(dtype=np.float64))
+                * 1e4
+            ).astype(np.int64)
+            profit = rev_fp - rfp * qty.astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "l_orderkey": d["l_orderkey"].astype(np.int64),
+                    "nkey": d["l_suppkey"].map(self.snat).astype(np.int64),
+                    "profit_fp": profit,
+                }
+            )
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    ).map_batches(Shrink, batch_format="pandas", concurrency=(1, 4))
+
+    def oyear(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_year": df["o_orderdate"].dt.year.astype(np.int64),
+            }
+        )
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(oyear, batch_format="pandas")
+
+    ol = hash_join(line, orders.materialize(), on="l_orderkey")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["nkey", "o_year"], as_index=False)["profit_fp"].sum()
+
+    agg = bucketed_group_reduce(
+        ol.map_batches(fold, batch_format="pandas"),
+        key_cols=["nkey", "o_year"],
+        reduce_fn=fold,
+        num_buckets=1,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": df["nkey"].map(nname),
+                "o_year": df["o_year"].astype(np.int64),
+                "sum_profit": df["profit_fp"].astype(np.float64) / 1e4,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas", concurrency=1)
+
+
+def q11_important_parts(sf_dir: str, region: str = "EUROPE") -> "rd.Dataset":
+    """TPC-H Q11-style "important stock" (adapted: no partsupp, so a
+    part's value is Σ l_extendedprice over lines shipped by ``region``
+    suppliers; the importance bar is 110% of the MEAN part value,
+    scale-free where TPC-H's 0.0001/SF constant is not) →
+    (p_partkey, value) for parts with N·10·value > 11·total.
+
+    100-TB shape: region suppliers broadcast; per-batch partkey
+    partial sums (int64 cents) → ONE partkey-bucketed exchange; the
+    global (total, count) is a two-int driver scalar from per-bucket
+    partials, and the threshold compare is pure integer math pushed
+    back as a broadcast filter — no second pass over lineitem.
+    Mirrors TPC-H Q11's HAVING-scalar-subquery shape (SURVEY.md §2.7).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    reg = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    rkey = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    nk = set(nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int))
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    keep_ref = ray.put(
+        np.sort(
+            supp.loc[
+                supp["s_nationkey"].astype(int).isin(nk), "s_suppkey"
+            ].to_numpy(dtype=np.int64)
+        )
+    )
+
+    class Partial:
+        def __init__(self):
+            self.keep = ray.get(keep_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(df["l_suppkey"].to_numpy(dtype=np.int64), self.keep)
+            d = df.loc[m]
+            out = pd.DataFrame(
+                {
+                    "l_partkey": d["l_partkey"].astype(np.int64),
+                    "val_fp": np.round(
+                        d["l_extendedprice"].to_numpy(dtype=np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+            return out.groupby("l_partkey", as_index=False)["val_fp"].sum()
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+
+    vals = bucketed_group_reduce(
+        line,
+        key_cols=["l_partkey"],
+        reduce_fn=lambda g: g.groupby("l_partkey", as_index=False)[
+            "val_fp"
+        ].sum(),
+        num_buckets=16,
+    ).materialize()  # consumed twice: scalar total + threshold filter
+
+    # two-int global scalar via a distributed fold (no driver row pull)
+    tot = vals.map_batches(
+        lambda d: pd.DataFrame(
+            {"t": [d["val_fp"].sum()], "n": [np.int64(len(d))]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    total, nparts = int(tot["t"].sum()), int(tot["n"].sum())
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        keep = 10 * nparts * df["val_fp"].to_numpy(dtype=object) > 11 * total
+        d = df.loc[np.asarray(keep, dtype=bool)]
+        return pd.DataFrame(
+            {
+                "p_partkey": d["l_partkey"].astype(np.int64),
+                "value": d["val_fp"].astype(np.float64) / 100.0,
+            }
+        )
+
+    return vals.map_batches(thresh, batch_format="pandas")
+
+
+def q20_excess_share_suppliers(
+    sf_dir: str, name_substr: str = "widget", year: int = 1996
+) -> "rd.Dataset":
+    """TPC-H Q20-style "suppliers with excess share" (adapted: no
+    partsupp availqty, so the criterion is a supplier holding a STRICT
+    MAJORITY of some matching part's shipped quantity in ``year``):
+    distinct suppliers with 2·sq > tq for some part whose name
+    contains ``name_substr`` → (s_name, n_name).
+
+    100-TB shape: matching partkeys broadcast (name-filtered dim);
+    per-batch (part, supp) quantity partials (int64 1e-2 fixed point)
+    → ONE partkey-bucketed exchange whose in-bucket kernel computes
+    part totals via transform('sum') and emits qualifying suppkeys;
+    the distinct + name attach is dim-bounded. Integer threshold
+    math mirrors exactly in SQL. Mirrors TPC-H Q20's nested
+    correlated-aggregate shape (SURVEY.md §2.7).
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    part = pd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    keys_ref = ray.put(
+        np.sort(
+            part.loc[
+                part["p_name"].str.contains(name_substr, regex=False),
+                "p_partkey",
+            ].to_numpy(dtype=np.int64)
+        )
+    )
+    supp = pd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nat = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    attach_ref = ray.put(
+        {
+            int(r.s_suppkey): (r.s_name, nname[int(r.s_nationkey)])
+            for r in supp.itertuples()
+        }
+    )
+    lo = np.datetime64(f"{year}-01-01", "us")
+    hi = np.datetime64(f"{year + 1}-01-01", "us")
+
+    class Partial:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d0 = df["l_shipdate"].to_numpy()
+            m = (
+                (d0 >= lo)
+                & (d0 < hi)
+                & np.isin(df["l_partkey"].to_numpy(dtype=np.int64), self.keys)
+            )
+            d = df.loc[m]
+            out = pd.DataFrame(
+                {
+                    "l_partkey": d["l_partkey"].astype(np.int64),
+                    "l_suppkey": d["l_suppkey"].astype(np.int64),
+                    "sq": np.round(
+                        d["l_quantity"].to_numpy(dtype=np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+            return out.groupby(
+                ["l_partkey", "l_suppkey"], as_index=False
+            )["sq"].sum()
+
+    line = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(Partial, batch_format="pandas", concurrency=(1, 4))
+
+    def majority(g: pd.DataFrame) -> pd.DataFrame:
+        pq_ = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["sq"].sum()
+        tq = pq_.groupby("l_partkey")["sq"].transform("sum").to_numpy()
+        win = pq_.loc[2 * pq_["sq"].to_numpy() > tq, ["l_suppkey"]]
+        return win.drop_duplicates()
+
+    hits = bucketed_group_reduce(
+        line, key_cols=["l_partkey"], reduce_fn=majority, num_buckets=16
+    )
+
+    class Finish:
+        def __init__(self):
+            self.at = ray.get(attach_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            d = df.drop_duplicates("l_suppkey")
+            rows = [self.at[int(k)] for k in d["l_suppkey"]]
+            return pd.DataFrame(
+                {
+                    "s_name": [r[0] for r in rows],
+                    "n_name": [r[1] for r in rows],
+                }
+            )
+
+    return bucketed_group_reduce(
+        hits,
+        key_cols=["l_suppkey"],
+        reduce_fn=lambda g: g.drop_duplicates("l_suppkey"),
+        num_buckets=1,
+    ).map_batches(Finish, batch_format="pandas", concurrency=(1, 1))

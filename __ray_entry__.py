@@ -2196,6 +2196,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         seed = int(min(edges.min("src"), edges.min("dst")))
         return bfs_hops(edges, seeds=[seed], max_hops=4)
 
+    def graph_sssp(sf_dir: str):
+        """Oracle-checked (recursive CTE with UNION dedup): weighted
+        single-source shortest path ≤ 4 hops from the smallest node
+        over the bipartite part↔supplier graph; positive integer
+        weights w = 1 + round(qty) % 5, so distances are hash-exact.
+        Bellman-Ford rounds with frontier optimization, ONE E-bounded
+        relaxation pass per round (`kgflow.ops.graph.sssp_weighted`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import sssp_weighted
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def wedges(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 45.0]
+            out = pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) * 2,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) * 2 + 1,
+                    "w": 1
+                    + np.round(d["l_quantity"].to_numpy(dtype=np.float64))
+                    .astype(np.int64)
+                    % 5,
+                }
+            )
+            # per-batch per-pair min combiner; parallel edges across
+            # batches are harmless (relaxation minimizes over them)
+            return out.groupby(["src", "dst"], as_index=False)["w"].min()
+
+        edges = (
+            read_parquet_clean(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_partkey", "l_suppkey", "l_quantity"],
+            )
+            .map_batches(wedges, batch_format="pandas")
+            .materialize()  # E-bounded; consumed by min() probes + rounds
+        )
+        seed = int(min(edges.min("src"), edges.min("dst")))
+        return sssp_weighted(edges, seeds=[seed], max_hops=4)
+
+    def doc_sorted_neighbors(sf_dir: str):
+        """Oracle-checked: sorted-neighborhood blocking (Hernández-
+        Stolfo SNM) — global row_number over the normalized 24-char
+        key prefix (two-pass range decomposition), then every
+        candidate pair within 5 rank positions via rank-bucketed
+        ghost-overlap pairing; candidate volume exactly n·w
+        (`kgflow.ops.dedup.sorted_neighborhood_pairs`)."""
+        from kgflow.ops.dedup import sorted_neighborhood_pairs
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return sorted_neighborhood_pairs(docs, key_chars=24, window=5)
+
+    def doc_source_gate(sf_dir: str):
+        """Oracle-checked: per-source (domain-level) quality gate —
+        keep docs whose source's mean token count ≥ the corpus mean;
+        the bar is cross-multiplied in exact integers on the
+        source-bounded stats table, pass set broadcast, second pass
+        reads only (doc_id, source)
+        (`kgflow.ops.clean.source_quality_gate`)."""
+        from kgflow.ops.clean import source_quality_gate
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "text"],
+        )
+        return source_quality_gate(docs)
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -2639,6 +2710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_dormant": q22_dormant,
         "q7_nation_volume": q7_nation_volume,
         "graph_bfs_hops": graph_bfs_hops,
+        "graph_sssp": graph_sssp,
+        "doc_sorted_neighbors": doc_sorted_neighbors,
+        "doc_source_gate": doc_source_gate,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -4738,6 +4812,66 @@ def oracle_sql() -> dict[str, str]:
               WHERE bfs.hop < 4
             )
             SELECT node, min(hop) AS hop FROM bfs GROUP BY node
+        """,
+        # weighted SSSP over <=4-hop paths: UNION dedups (node, dist,
+        # hop) states so the bounded recursion terminates; min(dist)
+        # per node is exactly the Bellman-Ford 4-round distance
+        "graph_sssp": """
+            WITH RECURSIVE e AS (
+              SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+                     min(1 + CAST(round(l_quantity) AS BIGINT) % 5) AS w
+              FROM lineitem WHERE l_quantity >= 45 GROUP BY 1, 2
+            ), ue AS (
+              SELECT src, dst, w FROM e
+              UNION ALL
+              SELECT dst, src, w FROM e
+            ), seed AS (
+              SELECT least(min(src), min(dst)) AS s FROM ue
+            ), walk(node, dist, hop) AS (
+              SELECT s, CAST(0 AS BIGINT), 0 FROM seed
+              UNION
+              SELECT ue.dst, walk.dist + ue.w, walk.hop + 1
+              FROM walk JOIN ue ON ue.src = walk.node
+              WHERE walk.hop < 4
+            )
+            SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        # sorted-neighborhood blocking: rank by the normalized 24-char
+        # prefix (doc_id tiebreak), pair everything within 5 positions
+        "doc_sorted_neighbors": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                            1, 24) AS key
+              FROM documents
+            ), r AS (
+              SELECT doc_id, key,
+                     row_number() OVER (ORDER BY key, doc_id) AS rn
+              FROM k
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        """,
+        # source-level gate: mean_src >= mean_all cross-multiplied in
+        # HUGEINT so the integer bar matches the engine bit-for-bit
+        "doc_source_gate": r"""
+            WITH q AS (
+              SELECT doc_id, source,
+                     CAST(length(regexp_extract_all(text, '\w+'))
+                          AS BIGINT) AS nt
+              FROM documents
+            ), s AS (
+              SELECT source, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(nt) AS HUGEINT) AS st
+              FROM q GROUP BY 1
+            ), g AS (
+              SELECT sum(n) AS na, sum(st) AS sa FROM s
+            ), pass AS (
+              SELECT source FROM s, g WHERE st * na >= sa * n
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN pass USING (source)
         """,
         "q19_disjunctive": """
             SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)

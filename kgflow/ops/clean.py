@@ -353,3 +353,86 @@ def winsorize(
         return d.drop(columns=["_lo", "_hi"]).assign(**{f"{col}_w": w})
 
     return joined.map_batches(clip, batch_format="pandas")
+
+
+def source_quality_gate(docs: "rd.Dataset", num_buckets: int | None = None) -> "rd.Dataset":
+    """Domain/source-level quality gate — the Common-Crawl pattern of
+    filtering by the *publisher*, not the page: keep every document
+    whose source's mean token count is ≥ the corpus-wide mean
+    (scale-free bar, cf. CCNet/RefinedWeb per-domain filtering).
+    Returns the surviving (doc_id, source) rows.
+
+    Exact integer semantics: mean_src ≥ mean_all ⇔
+    Σ_src·n_all ≥ Σ_all·n_src — cross-multiplied in arbitrary-
+    precision Python ints on the source-bounded stats table, so no
+    float mean ever decides the gate and the SQL oracle (HUGEINT
+    products) matches bit-for-bit.
+
+    Scale shape: pass 1 shrinks each batch to (source, n, sum_tokens)
+    combiner rows → a source-bounded exchange; the per-source table
+    and the two global scalars live on the driver (domain-bounded —
+    the web has ~10⁸ registered domains, trivially driver-sized next
+    to 10¹² pages); the pass set broadcasts via ``ray.put`` and pass 2
+    streams documents reading ONLY (doc_id, source) — text is read
+    once, in pass 1.
+    """
+    import pyarrow as pa_
+    import pyarrow.compute as pc
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(batch: pa_.Table) -> pa_.Table:
+        nt = pc.cast(
+            pc.count_substring_regex(batch.column("text"), r"\w+"), pa_.int64()
+        )
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pandas(),
+                "nt": nt.to_pandas(),
+            }
+        )
+        agg = df.groupby("source", as_index=False).agg(
+            n=("nt", "size"), st=("nt", "sum")
+        )
+        return pa_.table(
+            {
+                "source": pa_.array(agg["source"].astype(str)),
+                "n": pa_.array(agg["n"].to_numpy(dtype=np.int64)),
+                "st": pa_.array(agg["st"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    stats = bucketed_group_reduce(
+        docs.select_columns(["source", "text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        key_cols=["source"],
+        reduce_fn=lambda g: g.groupby("source", as_index=False)[["n", "st"]].sum(),
+        num_buckets=num_buckets,
+    ).to_pandas()  # source-bounded pull (see docstring)
+
+    n_all = int(stats["n"].sum())
+    s_all = int(stats["st"].sum())
+    passing = {
+        str(r.source)
+        for r in stats.itertuples()
+        if int(r.st) * n_all >= s_all * int(r.n)
+    }
+    pass_ref = ray.put(passing)
+
+    def keep(batch: pa_.Table) -> pa_.Table:
+        ok = ray.get(pass_ref)
+        src = batch.column("source").to_pandas()
+        m = src.isin(ok).to_numpy()
+        return pa_.table(
+            {
+                "doc_id": pa_.array(
+                    batch.column("doc_id").to_numpy(zero_copy_only=False)[m]
+                ),
+                "source": pa_.array(src.to_numpy()[m].astype(str)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "source"]).map_batches(
+        keep, batch_format="pyarrow"
+    )

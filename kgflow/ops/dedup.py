@@ -881,3 +881,136 @@ def embedding_neardup_pairs(
         key_cols=["lsh_bucket"],
         reduce_fn=verify,
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: "rd.Dataset",
+    key_chars: int = 24,
+    window: int = 5,
+    rank_bucket: int = 4096,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
+    sort the corpus by a normalization key (lowercased,
+    whitespace-collapsed first ``key_chars`` chars) and emit every
+    candidate pair within ``window`` positions of each other →
+    (doc_a, doc_b, gap) with doc_a the earlier-ranked doc and
+    gap = rank distance ∈ [1, window]. The complementary blocking
+    family to hash/LSH blocking: near-duplicates with a shared prefix
+    land adjacent regardless of token-set overlap, and candidate
+    volume is exactly n·window — linear, no df² term.
+
+    Scale shape: the global sort is `global_row_number`'s two-pass
+    range decomposition (numeric first column = the key's first 4
+    codepoints packed 15 bits each — a monotone coarsening, exact
+    string order restored by the in-bucket ("key_num", key, doc_id)
+    lexsort); windowed pairing then buckets rank space into
+    ``rank_bucket``-wide contiguous ranges, ghost-replicating the
+    first ``window`` rows of each range to its predecessor so every
+    pair is formed exactly once (in the bucket where its earlier
+    member is native). Per exchange row: 2 ints + the short key —
+    text never rides a shuffle. Verification composes downstream
+    (feed the pairs to `exact_jaccard_verify`-style scoring);
+    this operator is the blocking stage, exact and SQL-oracle-able.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_row_number
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "key": pd.Series([], dtype="object"),
+                    "key_num": pd.Series([], dtype="int64"),
+                }
+            )
+        key = (
+            df["text"]
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.slice(0, key_chars)
+        )
+        p4 = key.str.slice(0, 4).str.pad(4, side="right", fillchar="\x00")
+        cp = (
+            np.array(p4.tolist(), dtype="<U4")
+            .view(np.uint32)
+            .reshape(-1, 4)
+            .astype(np.int64)
+        )
+        cp = np.minimum(cp, 32767)  # monotone clamp keeps 4×15 bits in int64
+        key_num = ((cp[:, 0] * 32768 + cp[:, 1]) * 32768 + cp[:, 2]) * 32768 + cp[
+            :, 3
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "key": key,
+                "key_num": key_num,
+            }
+        )
+
+    ranked = global_row_number(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            keyed, batch_format="pandas"
+        ),
+        sort_cols=["key_num", "key", "doc_id"],
+        out_col="rn",
+        num_buckets=num_buckets,
+    )
+
+    def spread(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rn"].to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        wb = rn // rank_bucket
+        native = pd.DataFrame(
+            {"_wb": wb, "rn": rn, "doc_id": ids, "nat": np.ones(len(rn), dtype=np.int8)}
+        )
+        gm = (rn % rank_bucket < window) & (wb > 0)
+        ghost = pd.DataFrame(
+            {
+                "_wb": wb[gm] - 1,
+                "rn": rn[gm],
+                "doc_id": ids[gm],
+                "nat": np.zeros(int(gm.sum()), dtype=np.int8),
+            }
+        )
+        return pd.concat([native, ghost], ignore_index=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, gg in g.groupby("_wb", sort=False):
+            gg = gg.sort_values("rn", kind="mergesort")
+            rn = gg["rn"].to_numpy(dtype=np.int64)
+            ids = gg["doc_id"].to_numpy(dtype=np.int64)
+            nat = gg["nat"].to_numpy(dtype=np.int8).astype(bool)
+            for s in range(1, window + 1):
+                if len(rn) <= s:
+                    break
+                gap = rn[s:] - rn[:-s]
+                m = (gap <= window) & nat[:-s]
+                if m.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": ids[:-s][m],
+                                "doc_b": ids[s:][m],
+                                "gap": gap[m],
+                            }
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "gap": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_reduce(
+        ranked.map_batches(spread, batch_format="pandas"),
+        key_cols=["_wb"],
+        reduce_fn=pairs,
+        num_buckets=num_buckets,
+    )

@@ -993,3 +993,113 @@ def local_clustering(
         )
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def sssp_weighted(
+    edges: "rd.Dataset",
+    seeds: list[int],
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    max_hops: int = 4,
+    undirected: bool = True,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Distributed single-source(-set) shortest path with positive
+    integer weights: returns (node, dist) = the exact minimum path
+    weight over paths of ≤ ``max_hops`` edges from the seed set —
+    Bellman-Ford rounds with the frontier optimization (only nodes
+    whose distance improved last round re-expand; a stale node's
+    offers were already made when it last improved, so per-round
+    semantics "min over ≤r-hop paths" are preserved exactly).
+
+    Scale shape: per round ONE E-bounded relaxation pass over the
+    (reused, materialized) edge set — each batch looks up broadcast
+    (frontier_nodes, frontier_dists) via np.searchsorted, emits
+    per-batch-min (node, candidate_dist) rows, and a node-bucketed
+    min-reduce collapses candidates; the driver pulls only the
+    candidate-improvement table per round (V-bounded iterative state,
+    the same documented exception as `pagerank`/`bfs_hops`). Integer
+    distances make the result hash-exact in SQL: a recursive CTE with
+    a hop bound and UNION dedup replays it (see the driver oracle).
+    """
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].to_numpy(dtype=np.int64)
+        d = df[dst_col].to_numpy(dtype=np.int64)
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        if (len(w)) and w.min() <= 0:
+            raise ValueError("sssp_weighted requires positive weights")
+        if undirected:
+            return pd.DataFrame(
+                {
+                    "src": np.concatenate([s, d]),
+                    "dst": np.concatenate([d, s]),
+                    "w": np.concatenate([w, w]),
+                }
+            )
+        return pd.DataFrame({"src": s, "dst": d, "w": w})
+
+    e = (
+        edges.select_columns([src_col, dst_col, weight_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    dist: dict[int, int] = {int(s): 0 for s in seeds}
+    f_nodes = np.array(sorted(dist), dtype=np.int64)
+    f_dists = np.array([dist[int(n)] for n in f_nodes], dtype=np.int64)
+
+    for _hop in range(max_hops):
+        f_ref = ray.put((f_nodes, f_dists))
+
+        def relax(df: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            fn, fd = ray.get(_f)
+            s = df["src"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(fn, s)
+            idx_c = np.minimum(idx, len(fn) - 1) if len(fn) else idx
+            m = (idx < len(fn)) & (fn[idx_c] == s) if len(fn) else np.zeros(
+                len(s), dtype=bool
+            )
+            d = df.loc[m]
+            cand = fd[idx[m]] + d["w"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame(
+                {"node": d["dst"].to_numpy(dtype=np.int64), "dist": cand}
+            )
+            return out.groupby("node", as_index=False)["dist"].min()
+
+        nxt = bucketed_group_reduce(
+            e.map_batches(relax, batch_format="pandas"),
+            key_cols=["node"],
+            reduce_fn=lambda g: g.groupby("node", as_index=False)["dist"].min(),
+            num_buckets=num_buckets,
+        )
+        ndf = nxt.to_pandas()  # candidate-bounded pull (iterative state)
+        improved_n, improved_d = [], []
+        for n, dd in zip(
+            ndf["node"].to_numpy(dtype=np.int64),
+            ndf["dist"].to_numpy(dtype=np.int64),
+        ):
+            cur = dist.get(int(n))
+            if cur is None or dd < cur:
+                dist[int(n)] = int(dd)
+                improved_n.append(int(n))
+                improved_d.append(int(dd))
+        if not improved_n:
+            break
+        order = np.argsort(np.array(improved_n, dtype=np.int64))
+        f_nodes = np.array(improved_n, dtype=np.int64)[order]
+        f_dists = np.array(improved_d, dtype=np.int64)[order]
+
+    out = pd.DataFrame(
+        {
+            "node": np.fromiter(dist.keys(), dtype=np.int64),
+            "dist": np.fromiter(dist.values(), dtype=np.int64),
+        }
+    )
+    import ray.data as rd_mod
+
+    return rd_mod.from_pandas(out)

@@ -956,7 +956,10 @@ def local_clustering(
 
     wedge_ds = bucketed_group_reduce(
         directed, key_cols=["src"], reduce_fn=wedges, num_buckets=num_buckets
-    )
+    ).materialize()
+    # ^ O(E^1.5)-bounded (already crosses an exchange of that size);
+    # without it the closing join's schema probe re-executes the whole
+    # degree-attach + wedge exchange before the join runs it again.
 
     closed = hash_join(
         wedge_ds,
@@ -979,7 +982,11 @@ def local_clustering(
         key_cols=["x"],
         reduce_fn=lambda g: g.groupby("x", as_index=False)["tri"].sum(),
         num_buckets=num_buckets,
-    )
+    ).materialize()
+    # ^ V-bounded, but its upstream is the whole wedge+closing DAG:
+    # without the materialize, the final join's schema probe AND
+    # broadcast-decision count AND the winning path each re-execute
+    # that DAG from scratch (measured 27.3 s → ~14 s at sf0.01).
 
     out = hash_join(deg, tri, on="x", how="left", num_buckets=num_buckets)
 

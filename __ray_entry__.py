@@ -2267,6 +2267,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return source_quality_gate(docs)
 
+    def embed_kmeans_assign(sf_dir: str):
+        """Oracle-checked: exact k-means E-step — centroids = the 8
+        smallest-id vectors, distances in quantized int64 space
+        (floor(x·1e4)) so d² and the argmin are hash-identical to the
+        SQL replay; seed fetch is a k-bounded min-k combiner, the
+        assignment pass is exchange-free (broadcast centroid matrix,
+        one int64 matmul per batch)
+        (`kgflow.ops.ann.kmeans_assign`)."""
+        from kgflow.ops.ann import kmeans_assign
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return kmeans_assign(emb, k=8)
+
+    def events_props_stats(sf_dir: str):
+        """Oracle-checked: grouped integer-field stats extracted from
+        the JSON props sidecar — one vectorized regex pass (no per-row
+        json.loads), per-batch (group, n, sum, max) combiner,
+        group-bounded exchange
+        (`kgflow.ops.profile.json_int_field_stats`)."""
+        from kgflow.ops.profile import json_int_field_stats
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "props"],
+        )
+        return json_int_field_stats(ev, "event_type", "props", "k")
+
+    def supplier_copart(sf_dir: str):
+        """Oracle-checked: weighted one-mode projection of the
+        part↔supplier bipartite graph — supplier pairs weighted by
+        DISTINCT co-supplied parts (cell-keyed dedup + guarded
+        self-merge + pair-keyed count reduce), global top-20 by
+        (shared DESC, u, v) via the min-k semigroup combiner
+        (`kgflow.ops.graph.weighted_projection`)."""
+        from kgflow.ops.graph import weighted_projection
+        from kgflow.ops.shuffle import global_topk
+        from kgflow.sources.parquet import read_parquet_clean
+
+        li = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"],
+        )
+        proj = weighted_projection(li, "l_suppkey", ["l_partkey"])
+        return global_topk(
+            proj,
+            sort_cols=["shared", "u", "v"],
+            ascending=[False, True, True],
+            k=20,
+        )
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -2713,6 +2768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": graph_sssp,
         "doc_sorted_neighbors": doc_sorted_neighbors,
         "doc_source_gate": doc_source_gate,
+        "embed_kmeans_assign": embed_kmeans_assign,
+        "events_props_stats": events_props_stats,
+        "supplier_copart": supplier_copart,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -4872,6 +4930,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source
             FROM documents d JOIN pass USING (source)
+        """,
+        # exact k-means E-step in quantized int64 space: floor(x*1e4)
+        # makes d2 and the argmin integer-exact; ties -> smaller cid
+        "embed_kmeans_assign": """
+            WITH q AS (
+              -- cast FLOAT->DOUBLE before the multiply: the engine
+              -- quantizes in float64, and float32*1e4 rounds off-by-
+              -- one-quantum on some values (measured at sf0.001)
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS xq
+              FROM embeddings
+            ), seeds AS (
+              SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8
+            ), c AS (
+              SELECT q.vec_id AS cid, dim, xq AS cq
+              FROM q JOIN seeds USING (vec_id)
+            ), dd AS (
+              SELECT q.vec_id, c.cid,
+                     sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+              FROM q JOIN c USING (dim) GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cid) AS rn
+              FROM dd
+            )
+            SELECT vec_id, cid AS centroid, CAST(d2 AS BIGINT) AS d2
+            FROM r WHERE rn = 1
+        """,
+        "events_props_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events GROUP BY 1
+        """,
+        # weighted bipartite projection: supplier pairs by distinct
+        # co-supplied parts, global top-20 with full tiebreaks
+        "supplier_copart": """
+            WITH ps AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), pairs AS (
+              SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM ps a JOIN ps b
+                ON a.l_partkey = b.l_partkey
+               AND a.l_suppkey < b.l_suppkey
+              GROUP BY 1, 2
+            )
+            SELECT u, v, shared FROM pairs
+            ORDER BY shared DESC, u, v LIMIT 20
         """,
         "q19_disjunctive": """
             SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)

@@ -566,3 +566,99 @@ def label_centroids(
         partials, key_cols=["label", "dim"], reduce_fn=finish,
         num_buckets=num_buckets,
     )
+
+
+def kmeans_assign(
+    emb: "rd.Dataset",
+    k: int = 8,
+    scale: int = 10_000,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """One EXACT k-means assignment step (E-step) with deterministic
+    seeds: centroids are the ``k`` smallest-id vectors, every vector's
+    squared L2 distance to each centroid is computed in QUANTIZED
+    int64 space (floor(x·scale), the `label_centroids`/`embed_gram`
+    trick) so d² = Σ(xq−cq)² is exact integer arithmetic and the
+    argmin is hash-identical in every engine — no float partial-sum
+    noise. Returns (vec_id, centroid, d2); ties break to the smaller
+    centroid id (np.argmin first-occurrence over id-sorted centroids
+    ≡ SQL ORDER BY d2, cid).
+
+    Scale shape: the seed fetch is a k-bounded min-k semigroup
+    combiner (every block shrinks to its local k before ONE 1-bucket
+    reduce) + a broadcast-filter pull of exactly k rows; assignment is
+    a single streaming pass — per batch one int64 [B,D]×[D,k] matmul
+    against the broadcast centroid matrix (expanded ‖x‖²+‖c‖²−2xc
+    form), no exchange at all. int64 is safe while
+    D·(2·scale·‖x‖∞)² < 2⁶³ — e.g. D=1024, scale=1e4, ‖x‖∞=10 →
+    4·10¹³ per dim, 4·10¹⁶ summed."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def local_mink(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(k, id_col)[[id_col]].assign(_g=np.int64(0))
+
+    seed_ids = (
+        bucketed_group_reduce(
+            emb.select_columns([id_col]).map_batches(
+                local_mink, batch_format="pandas"
+            ),
+            key_cols=["_g"],
+            reduce_fn=lambda g: g.nsmallest(k, id_col),
+            num_buckets=1,
+        )
+        .to_pandas()[id_col]
+        .to_numpy(dtype=np.int64)
+    )
+    sid_set = set(int(x) for x in seed_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        m = np.isin(ids, np.array(sorted(sid_set), dtype=np.int64))
+        return batch.filter(pa.array(m))
+
+    seeds = emb.map_batches(pick, batch_format="pyarrow").to_pandas()
+    seeds = seeds.sort_values(id_col)
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in seeds[col]])
+    Cq = np.floor(C * scale).astype(np.int64)
+    cids = seeds[id_col].to_numpy(dtype=np.int64)
+    cref = ray.put((cids, Cq, (Cq * Cq).sum(axis=1)))
+
+    class Assign:
+        def __init__(self):
+            self.cids, self.Cq, self.c2 = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = embed_matrix(batch, col).astype(np.float64)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            if not len(X):
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "centroid": pa.array([], pa.int64()),
+                        "d2": pa.array([], pa.int64()),
+                    }
+                )
+            Xq = np.floor(X * scale).astype(np.int64)
+            d2 = (
+                (Xq * Xq).sum(axis=1)[:, None]
+                + self.c2[None, :]
+                - 2 * (Xq @ self.Cq.T)
+            )
+            j = np.argmin(d2, axis=1)  # first min = smallest cid
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "centroid": pa.array(self.cids[j]),
+                    "d2": pa.array(d2[np.arange(len(j)), j]),
+                }
+            )
+
+    return emb.select_columns([id_col, col]).map_batches(
+        Assign, batch_format="pyarrow", concurrency=(1, 4)
+    )

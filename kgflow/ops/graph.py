@@ -1110,3 +1110,82 @@ def sssp_weighted(
     import ray.data as rd_mod
 
     return rd_mod.from_pandas(out)
+
+
+def weighted_projection(
+    ds: "rd.Dataset",
+    entity_col: str,
+    cell_cols: list[str],
+    max_cell: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Weighted one-mode projection of a bipartite entity↔cell graph:
+    (u, v, shared) for every entity pair co-occurring in ≥1 cell,
+    weighted by the number of DISTINCT shared cells — the classic
+    affiliation-network projection (suppliers weighted by co-supplied
+    parts, users by shared sessions). `cooccurrence_edges` is the
+    unweighted (dedup) variant; this keeps the count.
+
+    Scale shape: identical to `cooccurrence_edges` — per-block
+    (entity, cell) dedup combiner, ONE cell-keyed exchange with the
+    loud ``max_cell`` quadratic-cell guard, whole-bucket self-merge
+    pair generation — except pairs then flow through a pair-keyed
+    COUNT reduce (each (pair, cell) contributes exactly once because
+    the cell exchange dedups first, so the count IS the distinct
+    shared-cell count)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    cols = [entity_col, *cell_cols]
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates(cols)
+
+    cells = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(dedup, batch_format="pandas"),
+        key_cols=cell_cols,
+        reduce_fn=dedup,
+        num_buckets=num_buckets,
+    )
+
+    def pairs(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="int64"),
+                    "shared": pd.Series([], dtype="int64"),
+                }
+            )
+        sizes = d.groupby(cell_cols, sort=False)[entity_col].transform("size")
+        if int(sizes.max()) > max_cell:
+            hot = (
+                d.groupby(cell_cols, sort=False)
+                .size()
+                .nlargest(1)
+                .index.tolist()
+            )
+            raise ValueError(
+                f"weighted_projection: cell {hot[0]!r} exceeds "
+                f"max_cell={max_cell} entities; a quadratic hot cell "
+                "means the cell definition is too coarse"
+            )
+        m = d.merge(d, on=cell_cols, suffixes=("_a", "_b"))
+        ea, eb = f"{entity_col}_a", f"{entity_col}_b"
+        m = m.loc[m[ea] < m[eb], [ea, eb]]
+        out = m.groupby([ea, eb], as_index=False).size()
+        out.columns = ["u", "v", "shared"]
+        out["shared"] = out["shared"].astype("int64")
+        return out
+
+    per_cell = bucketed_group_reduce(
+        cells, key_cols=cell_cols, reduce_fn=pairs, num_buckets=num_buckets
+    )
+
+    return bucketed_group_reduce(
+        per_cell,
+        key_cols=["u", "v"],
+        reduce_fn=lambda g: g.groupby(["u", "v"], as_index=False)["shared"]
+        .sum()
+        .astype({"shared": "int64"}),
+        num_buckets=num_buckets,
+    )

@@ -727,3 +727,53 @@ def chi2_independence(
         reduce_fn=fold,
         num_buckets=1,
     )
+
+
+def json_int_field_stats(
+    ds: "rd.Dataset",
+    group_col: str,
+    json_col: str,
+    field: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Grouped stats over an integer field inside a JSON-string
+    column — the semi-structured sidecar pattern (event props,
+    crawl metadata): per ``group_col``, (n, sum_<field>, max_<field>).
+
+    Scale shape: extraction is ONE vectorized regex pass
+    (pandas .str.extract, C kernel — no per-row json.loads) feeding a
+    per-batch (group, n, sum, max) combiner; the exchange is
+    group-bounded 4-column rows. The regex targets ``"field":
+    <int>`` — documents the (deliberate) restriction to scalar
+    integer fields; nested/quoted values need a real JSON stage."""
+    import re as _re
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    pat = '"' + _re.escape(field) + r'"\s*:\s*(-?\d+)'
+    sum_c, max_c = f"sum_{field}", f"max_{field}"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[json_col].str.extract(pat, expand=False).astype("int64")
+        g = pd.DataFrame({group_col: df[group_col], "_v": v}).groupby(
+            group_col, as_index=False
+        )["_v"]
+        out = g.agg(["size", "sum", "max"]).reset_index(drop=True)
+        out.columns = [group_col, "n", sum_c, max_c]
+        return out.astype({"n": "int64", sum_c: "int64", max_c: "int64"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(group_col, as_index=False).agg(
+            n=("n", "sum"), s=(sum_c, "sum"), m=(max_c, "max")
+        )
+        out.columns = [group_col, "n", sum_c, max_c]
+        return out.astype({"n": "int64", sum_c: "int64", max_c: "int64"})
+
+    return bucketed_group_reduce(
+        ds.select_columns([group_col, json_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=[group_col],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )

@@ -172,3 +172,91 @@ def test_q11_threshold_exact_at_boundary():
         ).to_parquet(os.path.join(d, "lineitem.parquet"))
         out = q11_important_parts(d).to_pandas()
         assert len(out) == 0
+
+
+def test_kmeans_assign_tiebreak_and_exactness():
+    from kgflow.ops.ann import kmeans_assign
+
+    # vec 2 sits exactly between seeds 0 and 1 -> tie breaks to the
+    # SMALLER centroid id; quantized distances are exact integers
+    emb = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.array([0, 1, 2, 3], dtype=np.int64),
+                "embedding": [
+                    [0.0, 0.0],
+                    [1.0, 0.0],
+                    [0.5, 0.0],
+                    [0.9, 0.1],
+                ],
+            }
+        )
+    )
+    out = (
+        kmeans_assign(emb, k=2, scale=10)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.loc[2, "centroid"] == 0  # tie -> smaller cid
+    assert out.loc[2, "d2"] == 25  # (5-0)^2 in scale-10 space
+    assert out.loc[3, "centroid"] == 1
+    # float32 storage: 0.9 -> 0.8999.. floors to 8 (not 9); this is
+    # the shared engine/oracle semantics, not error
+    assert out.loc[3, "d2"] == 4 + 1  # (8-10)^2 + (1-0)^2
+
+
+def test_weighted_projection_counts_and_guard():
+    from kgflow.ops.graph import weighted_projection
+
+    df = pd.DataFrame(
+        {
+            "e": np.array([1, 2, 3, 1, 2, 1, 2], dtype=np.int64),
+            "cell": ["a", "a", "a", "b", "b", "c", "c"],
+        }
+    )
+    out = (
+        weighted_projection(rd.from_pandas(df).repartition(3), "e", ["cell"])
+        .to_pandas()
+        .set_index(["u", "v"])["shared"]
+        .to_dict()
+    )
+    assert out == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    with pytest.raises(Exception, match="max_cell"):
+        weighted_projection(
+            rd.from_pandas(df), "e", ["cell"], max_cell=2
+        ).to_pandas()
+
+
+def test_weighted_projection_dedups_within_cell():
+    from kgflow.ops.graph import weighted_projection
+
+    # duplicate (entity, cell) rows must count once per DISTINCT cell
+    df = pd.DataFrame(
+        {"e": [1, 1, 2, 2], "cell": ["a", "a", "a", "a"]}
+    )
+    out = weighted_projection(
+        rd.from_pandas(df).repartition(2), "e", ["cell"]
+    ).to_pandas()
+    assert len(out) == 1 and int(out["shared"].iloc[0]) == 1
+
+
+def test_json_int_field_stats_negative_and_groups():
+    from kgflow.ops.profile import json_int_field_stats
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "b"],
+            "j": ['{"k": 87, "z": 1}', '{"k": -3}', '{ "k" :  5 }'],
+        }
+    )
+    out = (
+        json_int_field_stats(
+            rd.from_pandas(df).repartition(2), "g", "j", "k"
+        )
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    assert out.loc["a"].tolist() == [2, 84, 87]
+    assert out.loc["b"].tolist() == [1, 5, 5]

@@ -2322,6 +2322,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=20,
         )
 
+    def events_range_sum(sf_dir: str):
+        """Oracle-checked: RANGE-frame windowed sum (trailing 24 h per
+        user, SQL peer semantics included) — ONE key-bucketed exchange,
+        in-bucket int64 cumsum + two vectorized searchsorted calls,
+        fixed-point exact (`kgflow.ops.window.range_window_sum`)."""
+        from kgflow.ops.window import range_window_sum
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        return range_window_sum(
+            ev, key_col="user_id", ts_col="ts", value_col="value",
+            id_col="event_id", hours=24,
+        )
+
+    def doc_snm_dups(sf_dir: str):
+        """Oracle-checked: END-TO-END sorted-neighborhood dedup —
+        SNM blocking (`dedup.sorted_neighborhood_pairs`) composed with
+        the shared exact word-3-gram Jaccard verify tail
+        (`dedup.exact_jaccard_verify`, threshold 0.5); candidate
+        volume n·w, text ships once per side. sim floor-scaled 1e4 on
+        both sides."""
+        from kgflow.ops.dedup import (
+            exact_jaccard_verify,
+            sorted_neighborhood_pairs,
+        )
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        cands = sorted_neighborhood_pairs(
+            docs, key_chars=24, window=5
+        ).map_batches(
+            lambda df: df[["doc_a", "doc_b"]], batch_format="pandas"
+        )
+        return exact_jaccard_verify(cands, docs, threshold=0.5).map_batches(
+            lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
+        )
+
+    def events_basket3(sf_dir: str):
+        """Oracle-checked: Apriori level-3 itemset support over
+        (user, day) baskets — basket-keyed exchange with a guarded
+        double self-merge per basket, item³-bounded count reduce
+        (`kgflow.ops.graph.item_triple_support`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import item_triple_support
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+
+        def basket(df: pd.DataFrame) -> pd.DataFrame:
+            day = (
+                df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "basket": df["user_id"].to_numpy(dtype=np.int64)
+                    * 1_000_000
+                    + day,
+                    "item": df["event_type"].astype(object),
+                }
+            )
+
+        return item_triple_support(
+            ev.map_batches(basket, batch_format="pandas"), "basket", "item"
+        )
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -2771,6 +2846,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_kmeans_assign": embed_kmeans_assign,
         "events_props_stats": events_props_stats,
         "supplier_copart": supplier_copart,
+        "events_range_sum": events_range_sum,
+        "doc_snm_dups": doc_snm_dups,
+        "events_basket3": events_basket3,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -4982,6 +5060,71 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u, v, shared FROM pairs
             ORDER BY shared DESC, u, v LIMIT 20
+        """,
+        # RANGE frame (value-based, peers included) — fixed-point sum
+        # so the engine's cumsum prefix-difference matches bit-for-bit
+        "events_range_sum": """
+            SELECT event_id,
+                   sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                           AND CURRENT ROW
+                   ) / 10000.0 AS range_sum
+            FROM events
+        """,
+        # SNM blocking (rank-window candidates) + exact 3-gram Jaccard
+        # verify — the composed dedup pipeline replayed in one query
+        "doc_snm_dups": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                            1, 24) AS key
+              FROM documents
+            ), r AS (
+              SELECT doc_id, key,
+                     row_number() OVER (ORDER BY key, doc_id) AS rn
+              FROM k
+            ), cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+            ), tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), v AS (
+              SELECT doc_a, doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS jac
+              FROM cand
+              JOIN sh a ON a.doc_id = cand.doc_a
+              JOIN sh b ON b.doc_id = cand.doc_b
+            )
+            SELECT doc_a, doc_b, floor(jac * 10000) / 10000 AS sim
+            FROM v WHERE jac >= 0.5
+        """,
+        # Apriori k=3 over (user, day) baskets; basket id packs
+        # user*1e6 + epoch-day exactly like the engine wrapper
+        "events_basket3": """
+            WITH b AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+                     event_type
+              FROM events
+            )
+            SELECT a.event_type AS item_a, c.event_type AS item_b,
+                   d.event_type AS item_c,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM b a
+            JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                    AND a.event_type < c.event_type
+            JOIN b d ON a.user_id = d.user_id AND a.day = d.day
+                    AND c.event_type < d.event_type
+            GROUP BY 1, 2, 3
         """,
         "q19_disjunctive": """
             SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)

@@ -1189,3 +1189,84 @@ def weighted_projection(
         .astype({"shared": "int64"}),
         num_buckets=num_buckets,
     )
+
+
+def item_triple_support(
+    ds: "rd.Dataset",
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Apriori level-3 counting: for every unordered item TRIPLE, how
+    many baskets contain all three — the candidate-support pass behind
+    3-itemset association rules (`item_pair_support` is the k=2
+    sibling). Output (item_a, item_b, item_c, support),
+    item_a < item_b < item_c.
+
+    Scale shape: (basket, item) pairs dedup through a per-block
+    combiner, ONE basket-keyed exchange; per basket the triple set is
+    a guarded double self-merge (cubic in the BASKET size only —
+    ``max_basket`` fails loudly, the `cooccurrence_edges` rule), and
+    per-bucket triple counts combine before ONE item³-bounded count
+    reduce."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    cols = [basket_col, item_col]
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates(cols)
+
+    EMPTY = pd.DataFrame(
+        {
+            "item_a": pd.Series([], dtype="object"),
+            "item_b": pd.Series([], dtype="object"),
+            "item_c": pd.Series([], dtype="object"),
+            "support": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def triples(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop_duplicates(cols)
+        if not len(d):
+            return EMPTY.copy()
+        sizes = d.groupby(basket_col, sort=False)[item_col].transform("size")
+        if int(sizes.max()) > max_basket:
+            hot = d.loc[sizes.idxmax(), basket_col]
+            raise ValueError(
+                f"item_triple_support: basket {hot!r} has "
+                f"{int(sizes.max())} items (max_basket={max_basket}); "
+                "refine the basket key"
+            )
+        m = d.merge(d, on=basket_col, suffixes=("_a", "_b"))
+        ca, cb = f"{item_col}_a", f"{item_col}_b"
+        m = m.loc[m[ca] < m[cb]]
+        m = m.merge(
+            d.rename(columns={item_col: "_c"}), on=basket_col
+        )
+        m = m.loc[m[cb] < m["_c"], [ca, cb, "_c"]]
+        t = m.groupby([ca, cb, "_c"], sort=False, as_index=False).size()
+        return pd.DataFrame(
+            {
+                "item_a": t[ca].astype(object),
+                "item_b": t[cb].astype(object),
+                "item_c": t["_c"].astype(object),
+                "support": t["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    per_basket = bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(dedup, batch_format="pandas"),
+        key_cols=[basket_col],
+        reduce_fn=triples,
+        num_buckets=num_buckets,
+    )
+
+    return bucketed_group_reduce(
+        per_basket,
+        key_cols=["item_a", "item_b", "item_c"],
+        reduce_fn=lambda g: g.groupby(
+            ["item_a", "item_b", "item_c"], as_index=False
+        )["support"].sum(),
+        num_buckets=num_buckets,
+    )

@@ -260,3 +260,62 @@ def test_json_int_field_stats_negative_and_groups():
     )
     assert out.loc["a"].tolist() == [2, 84, 87]
     assert out.loc["b"].tolist() == [1, 5, 5]
+
+
+def test_range_window_sum_peer_semantics():
+    from kgflow.ops.window import range_window_sum
+
+    # SQL RANGE ... CURRENT ROW includes ALL peer rows (equal ts),
+    # even later-positioned ones — rows 2 and 3 share a timestamp
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 12:00",
+         "2024-01-02 06:00", "2024-01-02 06:00", "2024-01-03 12:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "user_id": np.ones(5, dtype=np.int64),
+            "ts": ts,
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    out = (
+        range_window_sum(
+            rd.from_pandas(df).repartition(2),
+            key_col="user_id", ts_col="ts", value_col="value",
+            id_col="event_id", hours=24,
+        )
+        .to_pandas()
+        .set_index("event_id")["range_sum"]
+        .to_dict()
+    )
+    # id0: 1; id1: 1+2; id2 AND id3: 2+4+8 (peers, 00:00 outside 24h);
+    # id4: 16 (06:00 next day is > 24h before 12:00? no — 30h, outside)
+    assert out == {0: 1.0, 1: 3.0, 2: 14.0, 3: 14.0, 4: 16.0}
+
+
+def test_item_triple_support_counts_and_guard():
+    from kgflow.ops.graph import item_triple_support
+
+    df = pd.DataFrame(
+        {
+            "basket": [1, 1, 1, 1, 2, 2, 2, 3, 3],
+            "item": ["a", "b", "c", "d", "a", "b", "c", "a", "b"],
+        }
+    )
+    out = (
+        item_triple_support(rd.from_pandas(df).repartition(3), "basket", "item")
+        .to_pandas()
+        .set_index(["item_a", "item_b", "item_c"])["support"]
+        .to_dict()
+    )
+    assert out == {
+        ("a", "b", "c"): 2,
+        ("a", "b", "d"): 1,
+        ("a", "c", "d"): 1,
+        ("b", "c", "d"): 1,
+    }
+    with pytest.raises(Exception, match="max_basket"):
+        item_triple_support(
+            rd.from_pandas(df), "basket", "item", max_basket=3
+        ).to_pandas()

@@ -2397,6 +2397,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(basket, batch_format="pandas"), "basket", "item"
         )
 
+    def source_overlap(sf_dir: str):
+        """Oracle-checked: cross-source near-dup exposure — source
+        pairs weighted by shared normalized 24-char prefix keys (the
+        SNM key as an exact blocking fingerprint), i.e. the
+        contamination matrix between publishers
+        (`kgflow.ops.graph.weighted_projection` over string
+        entities)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import weighted_projection
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+
+        def keyed(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "source": df["source"].astype(object),
+                    "fp": df["text"]
+                    .str.lower()
+                    .str.replace(r"\s+", " ", regex=True)
+                    .str.slice(0, 24)
+                    .astype(object),
+                }
+            )
+
+        return weighted_projection(
+            docs.map_batches(keyed, batch_format="pandas"), "source", ["fp"]
+        )
+
+    def events_negatives(sf_dir: str):
+        """Oracle-checked: deterministic negative sampling — for every
+        (user, day) basket, the event types the basket does NOT
+        contain (the implicit-feedback training complement); broadcast
+        item universe + one basket-keyed exchange, exact ANTI JOIN
+        semantics (`kgflow.ops.graph.basket_missing_items`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import basket_missing_items
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+
+        def daily(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": df["user_id"].astype(np.int64),
+                    "day": df["ts"]
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype("datetime64[us]"),
+                    "event_type": df["event_type"].astype(object),
+                }
+            )
+
+        return basket_missing_items(
+            ev.map_batches(daily, batch_format="pandas"),
+            ["user_id", "day"],
+            "event_type",
+        )
+
+    def events_iqr_outliers(sf_dir: str):
+        """Oracle-checked: per-type Tukey-fence outlier counts at 3×
+        IQR with EXACT discrete quartiles (quantile_disc semantics,
+        fixed-point) — distributed histogram quartiles, group-bounded
+        fence broadcast, one counted streaming pass; q1/q3 in the
+        output so the fences themselves are checked
+        (`kgflow.ops.profile.grouped_iqr_outliers`)."""
+        from kgflow.ops.profile import grouped_iqr_outliers
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return grouped_iqr_outliers(ev, "event_type", "value", fence=3)
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -2849,6 +2932,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_sum": events_range_sum,
         "doc_snm_dups": doc_snm_dups,
         "events_basket3": events_basket3,
+        "source_overlap": source_overlap,
+        "events_negatives": events_negatives,
+        "events_iqr_outliers": events_iqr_outliers,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5125,6 +5211,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN b d ON a.user_id = d.user_id AND a.day = d.day
                     AND c.event_type < d.event_type
             GROUP BY 1, 2, 3
+        """,
+        # cross-source contamination matrix keyed on the SNM prefix
+        # fingerprint; dedup per (source, fp) first, then pair counts
+        "source_overlap": r"""
+            WITH ps AS (
+              SELECT DISTINCT source,
+                     substr(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                            1, 24) AS fp
+              FROM documents
+            )
+            SELECT a.source AS u, b.source AS v,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM ps a JOIN ps b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        # exact negative-sampling complement: baskets x item universe
+        # ANTI JOIN positives
+        "events_negatives": """
+            WITH b AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+                     event_type
+              FROM events
+            ), ud AS (
+              SELECT DISTINCT user_id, day FROM b
+            ), ty AS (
+              SELECT DISTINCT event_type FROM events
+            )
+            SELECT ud.user_id, ud.day, ty.event_type
+            FROM ud CROSS JOIN ty
+            ANTI JOIN b ON b.user_id = ud.user_id AND b.day = ud.day
+                       AND b.event_type = ty.event_type
+        """,
+        # Tukey fences from exact discrete quartiles in 1e-4 fixed
+        # point; integer fence compares, one closing division for q1/q3
+        "events_iqr_outliers": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_disc(CAST(round(value * 10000) AS BIGINT),
+                                   0.25) AS q1,
+                     quantile_disc(CAST(round(value * 10000) AS BIGINT),
+                                   0.75) AS q3
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_type,
+                   CAST(any_value(q.q1) AS DOUBLE) / 10000 AS q1,
+                   CAST(any_value(q.q3) AS DOUBLE) / 10000 AS q3,
+                   CAST(count(*) FILTER (
+                     WHERE CAST(round(e.value * 10000) AS BIGINT)
+                             < q.q1 - 3 * (q.q3 - q.q1)
+                        OR CAST(round(e.value * 10000) AS BIGINT)
+                             > q.q3 + 3 * (q.q3 - q.q1)) AS BIGINT)
+                     AS n_out
+            FROM events e JOIN q USING (event_type)
+            GROUP BY 1
         """,
         "q19_disjunctive": """
             SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)

@@ -1149,10 +1149,12 @@ def weighted_projection(
 
     def pairs(d: pd.DataFrame) -> pd.DataFrame:
         if not len(d):
+            # empty frame keeps the ENTITY dtype (string entities must
+            # not union int64-typed empty blocks)
             return pd.DataFrame(
                 {
-                    "u": pd.Series([], dtype="int64"),
-                    "v": pd.Series([], dtype="int64"),
+                    "u": pd.Series([], dtype=d[entity_col].dtype),
+                    "v": pd.Series([], dtype=d[entity_col].dtype),
                     "shared": pd.Series([], dtype="int64"),
                 }
             )
@@ -1268,5 +1270,70 @@ def item_triple_support(
         reduce_fn=lambda g: g.groupby(
             ["item_a", "item_b", "item_c"], as_index=False
         )["support"].sum(),
+        num_buckets=num_buckets,
+    )
+
+
+def basket_missing_items(
+    ds: "rd.Dataset",
+    basket_cols: list[str],
+    item_col: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Negative sampling for implicit-feedback training: for every
+    basket (the distinct ``basket_cols`` tuple), emit each item from
+    the global item universe the basket does NOT contain — the exact
+    complement set, the candidate negatives a recommender/KG trainer
+    pairs with the positives. Deterministic (no sampling noise), so
+    it oracles as (baskets × items) ANTI JOIN positives.
+
+    Scale shape: the item universe is a domain-bounded distinct pull
+    broadcast via ``ray.put`` (item vocabularies are tiny next to the
+    fact table); (basket, item) positives dedup through a per-block
+    combiner then ONE basket-keyed exchange whose reduce emits the
+    per-basket complement with a vectorized isin mask — output volume
+    is baskets × |items| worst case, the same bound as the anti-join
+    it replaces."""
+    import ray
+
+    from kgflow.ops.joins import distinct_rows
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    items = (
+        distinct_rows(ds, [item_col], num_buckets=num_buckets)
+        .to_pandas()[item_col]
+        .sort_values()
+        .to_numpy()
+    )
+    items_ref = ray.put(items)
+
+    cols = [*basket_cols, item_col]
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates(cols)
+
+    def complement(g: pd.DataFrame) -> pd.DataFrame:
+        univ = ray.get(items_ref)
+        g = g.drop_duplicates(cols)
+        outs = []
+        for key, gg in g.groupby(basket_cols, sort=False):
+            absent = univ[~np.isin(univ, gg[item_col].to_numpy())]
+            if not len(absent):
+                continue
+            kv = key if isinstance(key, tuple) else (key,)
+            out = pd.DataFrame({item_col: absent})
+            for c, v in zip(basket_cols, kv):
+                out[c] = v
+            outs.append(out[cols])
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in cols}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_reduce(
+        ds.select_columns(cols).map_batches(dedup, batch_format="pandas"),
+        key_cols=list(basket_cols),
+        reduce_fn=complement,
         num_buckets=num_buckets,
     )

@@ -777,3 +777,90 @@ def json_int_field_stats(
         reduce_fn=final,
         num_buckets=num_buckets,
     )
+
+
+def grouped_iqr_outliers(
+    ds: "rd.Dataset",
+    group_col: str,
+    col: str,
+    fence: int = 3,
+    scale: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group Tukey-fence outlier count: rows whose fixed-point
+    value falls outside [Q1 − fence·IQR, Q3 + fence·IQR], with Q1/Q3
+    the exact discrete per-group quartiles (`grouped_quantiles`
+    semantics ≡ SQL quantile_disc). Output
+    (group, q1, q3, n_out) — q1/q3 reported so the fences themselves
+    are oracle-checked, not just the count.
+
+    Scale shape: the quartiles come from the fully distributed
+    histogram pipeline; only the group-bounded (group, q1, q3) table
+    is pulled and broadcast (integer fences — no float compare), then
+    ONE streaming counted pass over the facts. Two passes total,
+    nothing driver-side but the tiny fence table."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    qt = grouped_quantiles(
+        ds, [group_col], col, qs=(0.25, 0.75), scale=scale,
+        num_buckets=num_buckets,
+    ).to_pandas()  # group-bounded pull
+    piv = qt.pivot_table(index=group_col, columns="q", values="v")
+    fences = {
+        g: (
+            int(np.round(r[0.25] * scale)),
+            int(np.round(r[0.75] * scale)),
+        )
+        for g, r in piv.iterrows()
+    }
+    f_ref = ray.put(fences)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fs = ray.get(f_ref)
+        v = np.round(df[col].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        d = df[[group_col]].assign(_v=v)
+        outs = []
+        for g, gg in d.groupby(group_col, sort=False):
+            q1, q3 = fs[g]
+            iqr = q3 - q1
+            vv = gg["_v"].to_numpy()
+            n_out = int(
+                ((vv < q1 - fence * iqr) | (vv > q3 + fence * iqr)).sum()
+            )
+            outs.append((g, n_out))
+        return pd.DataFrame(
+            {
+                group_col: [o[0] for o in outs],
+                "n_out": np.array([o[1] for o in outs], dtype=np.int64),
+            }
+        )
+
+    counts = bucketed_group_reduce(
+        ds.select_columns([group_col, col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=[group_col],
+        reduce_fn=lambda g: g.groupby(group_col, as_index=False)["n_out"]
+        .sum()
+        .astype({"n_out": "int64"}),
+        num_buckets=num_buckets,
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        fs = ray.get(f_ref)
+        q1 = np.array([fs[g][0] for g in df[group_col]], dtype=np.float64)
+        q3 = np.array([fs[g][1] for g in df[group_col]], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                group_col: df[group_col],
+                "q1": q1 / scale,
+                "q3": q3 / scale,
+                "n_out": df["n_out"].astype(np.int64),
+            }
+        )
+
+    return counts.map_batches(attach, batch_format="pandas")

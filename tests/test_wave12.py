@@ -319,3 +319,38 @@ def test_item_triple_support_counts_and_guard():
         item_triple_support(
             rd.from_pandas(df), "basket", "item", max_basket=3
         ).to_pandas()
+
+
+def test_basket_missing_items_complement():
+    from kgflow.ops.graph import basket_missing_items
+
+    # universe {a,b,c}; basket (1,x)={a,b} -> missing c;
+    # basket (2,x)={c} -> missing a,b; full basket emits nothing
+    df = pd.DataFrame(
+        {
+            "u": np.array([1, 1, 2, 3, 3, 3], dtype=np.int64),
+            "d": ["x"] * 6,
+            "item": ["a", "b", "c", "a", "b", "c"],
+        }
+    )
+    out = basket_missing_items(
+        rd.from_pandas(df).repartition(3), ["u", "d"], "item"
+    ).to_pandas()
+    got = {(int(r.u), r.d, r.item) for r in out.itertuples()}
+    assert got == {(1, "x", "c"), (2, "x", "a"), (2, "x", "b")}
+
+
+def test_grouped_iqr_outliers_exact_fences():
+    from kgflow.ops.profile import grouped_iqr_outliers
+
+    # group g: values 1..8 plus one far outlier 100.
+    # n=9 -> quantile_disc ranks: q1 = ceil(.25*9)=3rd value (3),
+    # q3 = ceil(.75*9)=7th value (7); IQR=4, 3x fences [-9, 19]
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+    df = pd.DataFrame({"g": ["g"] * 9, "v": vals})
+    out = grouped_iqr_outliers(
+        rd.from_pandas(df).repartition(3), "g", "v", fence=3
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["q1"].iloc[0] == 3.0 and out["q3"].iloc[0] == 7.0
+    assert int(out["n_out"].iloc[0]) == 1

@@ -2492,6 +2492,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return grouped_iqr_outliers(ev, "event_type", "value", fence=3)
 
+    def doc_query_dups(sf_dir: str):
+        """Oracle-checked: asymmetric near-dup LOOKUP (online dedup /
+        lexical retrieval) — planted excerpt queries (first 60 tokens
+        of every doc_id % 83 == 5 source, ids offset +2e6, the
+        doc_containment planting pattern) searched against the full
+        corpus via the query×corpus count-join; candidate volume
+        proportional to the QUERY side
+        (`kgflow.ops.dedup.jaccard_lookup`, threshold 0.3). sim
+        floor-scaled 1e4 on both sides."""
+        import pandas as _pd
+
+        from kgflow.ops.dedup import jaccard_lookup
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+
+        def plant(df: _pd.DataFrame) -> _pd.DataFrame:
+            qd = df.loc[df["doc_id"].to_numpy() % 83 == 5]
+            toks = qd["text"].str.lower().str.findall(r"\w+")
+            return _pd.DataFrame(
+                {
+                    "doc_id": qd["doc_id"].astype(np.int64) + 2_000_000,
+                    "text": toks.str[:60].str.join(" "),
+                }
+            )
+
+        queries = docs.map_batches(plant, batch_format="pandas")
+        return jaccard_lookup(docs, queries, threshold=0.3).map_batches(
+            lambda df: _floor_scale_pd(df, "sim", 1e4),
+            batch_format="pandas",
+        )
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -2946,6 +2981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": source_overlap,
         "events_negatives": events_negatives,
         "events_iqr_outliers": events_iqr_outliers,
+        "doc_query_dups": doc_query_dups,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5277,6 +5313,35 @@ def oracle_sql() -> dict[str, str]:
                      AS n_out
             FROM events e JOIN q USING (event_type)
             GROUP BY 1
+        """,
+        # asymmetric lookup: planted 60-token excerpt queries (+2e6
+        # ids) vs the full corpus; same shingle construction both sides
+        "doc_query_dups": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), qsh AS (
+              SELECT doc_id + 2000000 AS doc_id,
+                     list_distinct(list_transform(
+                       range(1, least(len(w), 60) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok WHERE doc_id % 83 = 5
+            ), v AS (
+              SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+                     len(list_intersect(q.s, c.s))::DOUBLE
+                       / (len(q.s) + len(c.s)
+                          - len(list_intersect(q.s, c.s))) AS jac
+              FROM qsh q JOIN sh c ON q.doc_id != c.doc_id
+            )
+            SELECT query_id, match_id,
+                   floor(jac * 10000) / 10000 AS sim
+            FROM v WHERE jac >= 0.3
         """,
         "q19_disjunctive": """
             SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)

@@ -1014,3 +1014,191 @@ def sorted_neighborhood_pairs(
         reduce_fn=pairs,
         num_buckets=num_buckets,
     )
+
+
+def jaccard_lookup(
+    corpus: "rd.Dataset",
+    queries: "rd.Dataset",
+    k: int = 3,
+    threshold: float = 0.3,
+    max_df: int = 2000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """ASYMMETRIC exact Jaccard lookup — the online-dedup shape: for
+    every query document, its near-duplicates in the corpus
+    (query_id, match_id, sim) with word-k-gram Jaccard ≥ threshold.
+    The lexical sibling of ANN top-k retrieval: `jaccard_pairs` is the
+    all-pairs self-join, this is query×corpus only, so candidate
+    volume is Σ_shingle df_q·df_c — proportional to the QUERY side.
+
+    Scale shape mirrors `jaccard_pairs`: postings carry a side tag
+    through ONE shingle-keyed exchange; per shingle the cross product
+    (queries × corpus, vectorized grouped-cartesian index arithmetic,
+    no per-shingle Python) emits 16-byte partial-count rows combined
+    per bucket, and a pair-keyed reduce computes o = |Q∩C| exactly.
+    ``max_df`` drops pathological posting lists loudly-logged; the
+    symmetric length prune (t·|Q| ≤ |C| ≤ |Q|/t) is sound for
+    Jaccard. Ids on BOTH sides must fit the (q << 32) | c packing."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def make_postings(is_q: int):
+        def postings(batch: pa.Table) -> pa.Table:
+            cache: dict = {}
+            o_sh, o_id, o_sz = [], [], []
+            for did, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                s = _word_shingles(t, k, _cache=cache)
+                o_sh.append(s)
+                o_id.append(np.full(len(s), did, dtype=np.int64))
+                o_sz.append(np.full(len(s), len(s), dtype=np.int32))
+            sh = (
+                np.concatenate(o_sh)
+                if o_sh
+                else np.array([], dtype=np.uint64)
+            )
+            ids = (
+                np.concatenate(o_id) if o_id else np.array([], dtype=np.int64)
+            )
+            sz = (
+                np.concatenate(o_sz) if o_sz else np.array([], dtype=np.int32)
+            )
+            return pa.table(
+                {
+                    "shingle": pa.array(sh),
+                    "doc_id": pa.array(ids),
+                    "set_size": pa.array(sz),
+                    "is_q": pa.array(
+                        np.full(len(ids), is_q, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return postings
+
+    posts = corpus.select_columns(["doc_id", "text"]).map_batches(
+        make_postings(0), batch_format="pyarrow"
+    ).union(
+        queries.select_columns(["doc_id", "text"]).map_batches(
+            make_postings(1), batch_format="pyarrow"
+        )
+    )
+
+    EMPTY_PARTIALS = pd.DataFrame(
+        {
+            "qid": pd.Series([], dtype="int64"),
+            "cid": pd.Series([], dtype="int64"),
+            "size_q": pd.Series([], dtype="int64"),
+            "size_c": pd.Series([], dtype="int64"),
+            "c": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def cross_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "is_q", "doc_id"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return EMPTY_PARTIALS.copy()
+        sh = g["shingle"].to_numpy()
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sz = g["set_size"].to_numpy(dtype=np.int64)
+        isq = g["is_q"].to_numpy(dtype=np.int8).astype(bool)
+        if ids.min() < 0 or ids.max() >= 1 << 32:
+            raise ValueError(
+                "jaccard_lookup requires 0 <= doc_id < 2**32 on both sides"
+            )
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = sh[1:] != sh[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_end = np.append(seg_start[1:], n)
+        df_total = seg_end - seg_start
+        keep = df_total <= max_df
+        if not keep.all():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jaccard_lookup: dropping %d posting lists over max_df=%d",
+                int((~keep).sum()),
+                max_df,
+            )
+        # per-segment split point between corpus (is_q=0, sorted first)
+        # and query rows
+        q_counts = np.add.reduceat(isq.astype(np.int64), seg_start)
+        c_counts = df_total - q_counts
+        qn = np.where(keep, q_counts, 0)
+        cn = np.where(keep, c_counts, 0)
+        pairs_per = qn * cn
+        P = int(pairs_per.sum())
+        if P == 0:
+            return EMPTY_PARTIALS.copy()
+        seg_id = np.repeat(np.arange(len(seg_start)), pairs_per)
+        cum_excl = np.concatenate(([0], np.cumsum(pairs_per)[:-1]))
+        within = np.arange(P, dtype=np.int64) - cum_excl[seg_id]
+        q_off = within // cn[seg_id]
+        c_off = within % cn[seg_id]
+        # corpus rows lead each segment (is_q sorts 0 before 1)
+        c_idx = seg_start[seg_id] + c_off
+        q_idx = seg_start[seg_id] + cn[seg_id] + q_off
+        qi, ci = ids[q_idx], ids[c_idx]
+        sq, sc = sz[q_idx], sz[c_idx]
+        # symmetric Jaccard length prune + self-pair exclusion
+        m = (
+            (qi != ci)
+            & (threshold * sq <= sc)
+            & (threshold * sc <= sq)
+        )
+        if not m.any():
+            return EMPTY_PARTIALS.copy()
+        key = (qi[m] << np.int64(32)) | ci[m]
+        uk, counts = np.unique(key, return_counts=True)
+        # sizes ride with the first occurrence of each key
+        order = np.argsort(key, kind="stable")
+        first = np.searchsorted(key[order], uk)
+        sel = order[first]
+        return pd.DataFrame(
+            {
+                "qid": uk >> np.int64(32),
+                "cid": uk & np.int64(0xFFFFFFFF),
+                "size_q": sq[m][sel],
+                "size_c": sc[m][sel],
+                "c": counts.astype(np.int64),
+            }
+        )
+
+    partials = bucketed_group_reduce(
+        posts,
+        key_cols=["shingle"],
+        reduce_fn=cross_partials,
+        num_buckets=num_buckets,
+    )
+
+    def verdict(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["qid", "cid"], as_index=False).agg(
+            size_q=("size_q", "first"),
+            size_c=("size_c", "first"),
+            o=("c", "sum"),
+        )
+        o = agg["o"].to_numpy(dtype=np.float64)
+        union = (
+            agg["size_q"].to_numpy(dtype=np.float64)
+            + agg["size_c"].to_numpy(dtype=np.float64)
+            - o
+        )
+        sim = np.where(union > 0, o / np.maximum(union, 1), 1.0)
+        hit = sim >= threshold
+        return pd.DataFrame(
+            {
+                "query_id": agg["qid"].to_numpy(dtype=np.int64)[hit],
+                "match_id": agg["cid"].to_numpy(dtype=np.int64)[hit],
+                "sim": sim[hit],
+            }
+        )
+
+    return bucketed_group_reduce(
+        partials,
+        key_cols=["qid", "cid"],
+        reduce_fn=verdict,
+        num_buckets=num_buckets,
+    )

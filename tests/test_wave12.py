@@ -354,3 +354,55 @@ def test_grouped_iqr_outliers_exact_fences():
     assert len(out) == 1
     assert out["q1"].iloc[0] == 3.0 and out["q3"].iloc[0] == 7.0
     assert int(out["n_out"].iloc[0]) == 1
+
+
+def test_jaccard_lookup_asymmetric_and_prune():
+    from kgflow.ops.dedup import jaccard_lookup
+
+    corpus = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3], dtype=np.int64),
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over a sleepy cat",
+                    "completely different words entirely here now",
+                ],
+            }
+        )
+    ).repartition(2)
+    queries = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": np.array([100], dtype=np.int64),
+                "text": ["the quick brown fox jumps over the lazy dog"],
+            }
+        )
+    )
+    out = jaccard_lookup(corpus, queries, threshold=0.3).to_pandas()
+    got = dict(zip(out["match_id"], out["sim"]))
+    assert set(out["query_id"]) == {100}
+    assert got.get(1) == 1.0  # identical text -> jaccard exactly 1
+    assert 2 in got and got[2] < 1.0  # partial overlap above 0.3
+    assert 3 not in got  # disjoint shingles pruned/filtered
+
+
+def test_jaccard_lookup_no_query_query_pairs():
+    from kgflow.ops.dedup import jaccard_lookup
+
+    # two identical queries must NOT pair with each other, only with
+    # the corpus
+    docs = pd.DataFrame(
+        {"doc_id": np.array([1], dtype=np.int64), "text": ["a b c d e f"]}
+    )
+    qs = pd.DataFrame(
+        {
+            "doc_id": np.array([10, 11], dtype=np.int64),
+            "text": ["a b c d e f", "a b c d e f"],
+        }
+    )
+    out = jaccard_lookup(
+        rd.from_pandas(docs), rd.from_pandas(qs), threshold=0.5
+    ).to_pandas()
+    assert set(out["match_id"]) == {1}
+    assert set(out["query_id"]) == {10, 11}

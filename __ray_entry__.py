@@ -2527,6 +2527,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    def customer_rfm(sf_dir: str):
+        """Oracle-checked: RFM segmentation — per-customer recency/
+        frequency/monetary from orders, each NTILE(5)-bucketed over
+        the total (value DESC, custkey) order via global_row_number's
+        two-pass range decomposition (no single-bucket global sort);
+        front-loaded NTILE split from (rank, N)
+        (`kgflow.ops.relational.customer_rfm`)."""
+        from kgflow.ops.relational import customer_rfm as rfm
+
+        return rfm(sf_dir)
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -2982,6 +2993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_negatives": events_negatives,
         "events_iqr_outliers": events_iqr_outliers,
         "doc_query_dups": doc_query_dups,
+        "customer_rfm": customer_rfm,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5342,6 +5354,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, match_id,
                    floor(jac * 10000) / 10000 AS sim
             FROM v WHERE jac >= 0.3
+        """,
+        # RFM: last-order epoch day / order count / spend in cents,
+        # NTILE(5) over (value DESC, custkey) total orders
+        "customer_rfm": """
+            WITH agg AS (
+              SELECT o_custkey AS c_custkey,
+                     max(CAST(o_orderdate AS DATE)) AS last_day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS m_fp
+              FROM orders GROUP BY 1
+            )
+            SELECT c_custkey,
+                   CAST(ntile(5) OVER (
+                     ORDER BY last_day DESC, c_custkey) AS BIGINT)
+                     AS r_tile,
+                   CAST(ntile(5) OVER (
+                     ORDER BY n DESC, c_custkey) AS BIGINT) AS f_tile,
+                   CAST(ntile(5) OVER (
+                     ORDER BY m_fp DESC, c_custkey) AS BIGINT) AS m_tile
+            FROM agg
         """,
         "q19_disjunctive": """
             SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)

@@ -3030,3 +3030,102 @@ def q20_excess_share_suppliers(
         reduce_fn=lambda g: g.drop_duplicates("l_suppkey"),
         num_buckets=1,
     ).map_batches(Finish, batch_format="pandas", concurrency=(1, 1))
+
+
+def customer_rfm(sf_dir: str, tiles: int = 5) -> "rd.Dataset":
+    """RFM segmentation — the classic customer-analytics composition:
+    per customer (from orders alone) recency = last order day,
+    frequency = order count, monetary = total spend (int64 cents),
+    each bucketed into ``tiles`` NTILE groups over the TOTAL order
+    (value DESC, custkey ASC) → (c_custkey, r_tile, f_tile, m_tile).
+
+    100-TB shape: the per-customer aggregate is a per-batch combiner
+    + ONE custkey-bucketed reduce (customer-bounded, materialized for
+    its four consumers); each dimension's global rank comes from
+    `global_row_number`'s two-pass range decomposition (sort DESC via
+    a negated column — NO single-bucket global sort), the NTILE split
+    is the standard front-loaded integer formula from (rank, N), and
+    the three rank tables join back custkey-co-bucketed. N is block
+    metadata after the materialize."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_row_number
+    from kgflow.sources.parquet import read_parquet_clean
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "c_custkey": df["o_custkey"].astype(np.int64),
+                "day": df["o_orderdate"]
+                .to_numpy()
+                .astype("datetime64[D]")
+                .astype(np.int64),
+                "n": np.ones(len(df), dtype=np.int64),
+                "m_fp": np.round(
+                    df["o_totalprice"].to_numpy(dtype=np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        return d.groupby("c_custkey", as_index=False).agg(
+            last_day=("day", "max"), n=("n", "sum"), m_fp=("m_fp", "sum")
+        )
+
+    agg = bucketed_group_reduce(
+        read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        ).map_batches(partial, batch_format="pandas"),
+        key_cols=["c_custkey"],
+        reduce_fn=lambda g: g.groupby("c_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), n=("n", "sum"), m_fp=("m_fp", "sum")
+        ),
+    ).materialize()
+    n_cust = agg.count()  # block metadata post-materialize
+
+    def tile_of(rn: np.ndarray) -> np.ndarray:
+        q, r = n_cust // tiles, n_cust % tiles
+        cut = r * (q + 1)
+        return (
+            np.where(
+                rn <= cut,
+                (rn - 1) // max(q + 1, 1),
+                r + (rn - 1 - cut) // max(q, 1),
+            ).astype(np.int64)
+            + 1
+        )
+
+    def ranked_tiles(val_col: str, out_col: str) -> "rd.Dataset":
+        neg = agg.map_batches(
+            lambda d, v=val_col: pd.DataFrame(
+                {"c_custkey": d["c_custkey"], "_neg": -d[v].to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        rn = global_row_number(
+            neg, sort_cols=["_neg", "c_custkey"], out_col="rn"
+        )
+
+        def finish(d: pd.DataFrame, _o=out_col) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "c_custkey": d["c_custkey"].astype(np.int64),
+                    _o: tile_of(d["rn"].to_numpy(dtype=np.int64)),
+                }
+            )
+
+        return rn.map_batches(finish, batch_format="pandas").materialize()
+
+    r_t = ranked_tiles("last_day", "r_tile")
+    f_t = ranked_tiles("n", "f_tile")
+    m_t = ranked_tiles("m_fp", "m_tile")
+
+    out = hash_join(
+        hash_join(r_t, f_t, on="c_custkey").materialize(),
+        m_t,
+        on="c_custkey",
+    )
+    return out.map_batches(
+        lambda d: d[["c_custkey", "r_tile", "f_tile", "m_tile"]].astype(
+            {"r_tile": "int64", "f_tile": "int64", "m_tile": "int64"}
+        ),
+        batch_format="pandas",
+    )

@@ -650,6 +650,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed Ray overhead at toy scale, so round count dominates
         return connected_components(edges, algorithm="star")
 
+    def events_modularity(sf_dir: str):
+        """Oracle-checked: per-community modularity components over
+        the co-purchase graph (same edges + CC labels as
+        events_components) — (community, n_nodes, internal_edges,
+        total_degree), the exact-integer ingredients of Newman Q,
+        emitted unreduced so the score stays rational; label map
+        broadcast, ONE streaming edge pass
+        (`kgflow.ops.graph.community_stats`)."""
+        import os as _os
+
+        import pandas as _pd
+
+        from kgflow.linking.cc import connected_components
+        from kgflow.ops.graph import community_stats, cooccurrence_edges
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "props", "value"],
+        )
+
+        def cells(df: _pd.DataFrame) -> _pd.DataFrame:
+            m = (df["event_type"] == "purchase") & (df["value"] > 99.0)
+            return df.loc[m, ["user_id", "props"]]
+
+        edges = cooccurrence_edges(
+            ev.map_batches(cells, batch_format="pandas"),
+            "user_id",
+            ["props"],
+        ).materialize()  # E-bounded; consumed by CC AND the stats pass
+        labels = connected_components(
+            edges.map_batches(
+                lambda d: d.rename(columns={"u": "src", "v": "dst"}),
+                batch_format="pandas",
+            ),
+            algorithm="star",
+        )
+        return community_stats(edges, labels)
+
     def doc_inverted_index(sf_dir: str):
         """Oracle-checked: inverted index — per token, document
         frequency + the first 20 ascending posting doc_ids (bounded row
@@ -2994,6 +3033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_iqr_outliers": events_iqr_outliers,
         "doc_query_dups": doc_query_dups,
         "customer_rfm": customer_rfm,
+        "events_modularity": events_modularity,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -3218,6 +3258,56 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, d.v FROM reach r JOIN und d ON d.u = r.b
             )
             SELECT a AS node, min(b) AS comp FROM reach GROUP BY a
+        """,
+        # per-community modularity components: same CC as
+        # events_components, then exact integer edge/degree/node folds
+        "events_modularity": """
+            WITH RECURSIVE cells AS (
+              SELECT DISTINCT user_id, props
+              FROM events
+              WHERE event_type = 'purchase' AND value > 99.0
+            ), e AS (
+              SELECT DISTINCT c1.user_id AS u, c2.user_id AS v
+              FROM cells c1 JOIN cells c2
+                ON c1.props = c2.props AND c1.user_id < c2.user_id
+            ), und AS (
+              SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+            ), nodes AS (
+              SELECT DISTINCT u AS node FROM und
+            ), reach(a, b) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.a, d.v FROM reach r JOIN und d ON d.u = r.b
+            ), lab AS (
+              SELECT a AS node, min(b) AS comp FROM reach GROUP BY a
+            ), estat AS (
+              SELECT lu.comp AS community,
+                     sum(CASE WHEN lu.comp = lv.comp THEN 1 ELSE 0 END)
+                       AS internal_u,
+                     count(*) AS deg_u
+              FROM e
+              JOIN lab lu ON lu.node = e.u
+              JOIN lab lv ON lv.node = e.v
+              GROUP BY 1
+            ), estat_v AS (
+              SELECT lv.comp AS community, count(*) AS deg_v
+              FROM e
+              JOIN lab lv ON lv.node = e.v
+              GROUP BY 1
+            ), nstat AS (
+              SELECT comp AS community,
+                     CAST(count(*) AS BIGINT) AS n_nodes
+              FROM lab GROUP BY 1
+            )
+            SELECT n.community, n.n_nodes,
+                   CAST(coalesce(es.internal_u, 0) AS BIGINT)
+                     AS internal_edges,
+                   CAST(coalesce(es.deg_u, 0)
+                        + coalesce(ev2.deg_v, 0) AS BIGINT)
+                     AS total_degree
+            FROM nstat n
+            LEFT JOIN estat es ON es.community = n.community
+            LEFT JOIN estat_v ev2 ON ev2.community = n.community
         """,
         "events_type_gini": """
             WITH c AS (

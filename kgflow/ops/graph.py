@@ -1387,3 +1387,72 @@ def basket_missing_items(
         reduce_fn=complement,
         num_buckets=num_buckets,
     )
+
+
+def community_stats(
+    edges: "rd.Dataset",
+    labels: "rd.Dataset",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-community modularity components over an undirected (u, v)
+    edge set and a (node, comp) label table: (community, n_nodes,
+    internal_edges, total_degree) — the exact-integer ingredients of
+    Newman modularity Q = Σ_c (e_c/m − (d_c/2m)²), emitted unreduced
+    so the score stays rational and hash-exact (the grouped-moments
+    convention: ship integers, divide at the edge).
+
+    Scale shape: the label map is V-bounded broadcast state (sorted
+    arrays + searchsorted, the `bfs_hops` idiom); ONE streaming pass
+    over edges emits per-batch (community, internal, degree) partials
+    (an edge contributes 1 internal iff both endpoints share a
+    community, and 1 degree to EACH endpoint's community), combined
+    through a community-bounded reduce; node counts fold from the
+    label table through the same exchange."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    lab = labels.to_pandas()  # V-bounded pull (same bound as CC itself)
+    order = np.argsort(lab["node"].to_numpy())
+    nodes_arr = lab["node"].to_numpy()[order]
+    comp_arr = lab["comp"].to_numpy()[order]
+    ref = ray.put((nodes_arr, comp_arr))
+
+    def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ns, cs = ray.get(ref)
+        cu = cs[np.searchsorted(ns, df["u"].to_numpy())]
+        cv = cs[np.searchsorted(ns, df["v"].to_numpy())]
+        internal = (cu == cv).astype(np.int64)
+        d = pd.DataFrame(
+            {
+                "community": np.concatenate([cu, cv]),
+                "internal_edges": np.concatenate(
+                    [internal, np.zeros(len(cv), dtype=np.int64)]
+                ),
+                "total_degree": np.ones(2 * len(cu), dtype=np.int64),
+                "n_nodes": np.zeros(2 * len(cu), dtype=np.int64),
+            }
+        )
+        return d.groupby("community", as_index=False).sum()
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "community": df["comp"],
+                "internal_edges": np.zeros(len(df), dtype=np.int64),
+                "total_degree": np.zeros(len(df), dtype=np.int64),
+                "n_nodes": np.ones(len(df), dtype=np.int64),
+            }
+        )
+        return d.groupby("community", as_index=False).sum()
+
+    parts = edges.select_columns(["u", "v"]).map_batches(
+        edge_partial, batch_format="pandas"
+    ).union(labels.map_batches(node_partial, batch_format="pandas"))
+
+    return bucketed_group_reduce(
+        parts,
+        key_cols=["community"],
+        reduce_fn=lambda g: g.groupby("community", as_index=False).sum(),
+        num_buckets=num_buckets,
+    )

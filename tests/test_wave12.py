@@ -406,3 +406,39 @@ def test_jaccard_lookup_no_query_query_pairs():
     ).to_pandas()
     assert set(out["match_id"]) == {1}
     assert set(out["query_id"]) == {10, 11}
+
+
+def test_community_stats_hand_graph():
+    from kgflow.ops.graph import community_stats
+
+    # triangle {1,2,3} + edge {10,11} + one cross edge 3-10:
+    # comp A = {1,2,3}, comp B = {10,11} under labels below
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "u": np.array([1, 1, 2, 10, 3], dtype=np.int64),
+                "v": np.array([2, 3, 3, 11, 10], dtype=np.int64),
+            }
+        )
+    ).repartition(2)
+    labels = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node": np.array([1, 2, 3, 10, 11], dtype=np.int64),
+                "comp": np.array([1, 1, 1, 10, 10], dtype=np.int64),
+            }
+        )
+    )
+    out = (
+        community_stats(edges, labels)
+        .to_pandas()
+        .set_index("community")
+        .sort_index()
+    )
+    # comp 1: 3 nodes, 3 internal edges, degree 2+2+3=7 (cross edge
+    # adds 1 to node 3's side); comp 10: 2 nodes, 1 internal,
+    # degree 2+1 from 10-11 both ends + cross at node 10 = 3
+    assert out.loc[1, ["n_nodes", "internal_edges", "total_degree"]].tolist() == [3, 3, 7]
+    assert out.loc[10, ["n_nodes", "internal_edges", "total_degree"]].tolist() == [2, 1, 3]
+    # global identity: sum degree = 2m
+    assert int(out["total_degree"].sum()) == 2 * 5

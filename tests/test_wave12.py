@@ -1,8 +1,10 @@
-"""Wave-29/30 operator tests: TPC-H Q2/Q11 edge semantics,
+"""Wave-29..36 operator tests: TPC-H Q2/Q11 edge semantics,
 sorted-neighborhood blocking (ghost-overlap pairing across rank
 buckets — the sf fixtures fit one bucket so parity never exercises
-it), weighted SSSP round semantics, and the source-quality gate's
-exact integer bar."""
+it), weighted SSSP round semantics, the source-quality gate's exact
+integer bar, k-means tie-breaks under float32 storage, weighted
+projection + basket guards, RANGE-window peer semantics, asymmetric
+Jaccard lookup exclusions, and community-stats degree accounting."""
 
 import numpy as np
 import pandas as pd

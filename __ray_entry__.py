@@ -2577,6 +2577,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rfm(sf_dir)
 
+    def events_weighted_median(sf_dir: str):
+        """Oracle-checked: per-type WEIGHTED lower median of value,
+        weights = 1 + (props.k % 7) — exact integer cumulative-weight
+        rule (2·cw ≥ tw), same spread-then-assemble histogram shape
+        as grouped_quantiles
+        (`kgflow.ops.profile.grouped_weighted_median`)."""
+        import pandas as _pd
+
+        from kgflow.ops.profile import grouped_weighted_median
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value", "props"],
+        )
+
+        def wt(df: _pd.DataFrame) -> _pd.DataFrame:
+            k = (
+                df["props"]
+                .str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
+                .astype("int64")
+            )
+            return _pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "value": df["value"],
+                    "wt": 1 + (k.to_numpy() % 7),
+                }
+            )
+
+        return grouped_weighted_median(
+            ev.map_batches(wt, batch_format="pandas"),
+            "event_type",
+            "value",
+            "wt",
+        )
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3034,6 +3071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_query_dups": doc_query_dups,
         "customer_rfm": customer_rfm,
         "events_modularity": events_modularity,
+        "events_weighted_median": events_weighted_median,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5395,6 +5433,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Tukey fences from exact discrete quartiles in 1e-4 fixed
         # point; integer fence compares, one closing division for q1/q3
+        # weighted lower median: smallest v with 2*cumweight >= total,
+        # all integer; python % on negatives matches DuckDB % for k>=0
+        "events_weighted_median": """
+            WITH w AS (
+              SELECT event_type AS g,
+                     CAST(round(value * 10000) AS BIGINT) AS v,
+                     1 + CAST(json_extract(props, '$.k') AS BIGINT) % 7
+                       AS wt
+              FROM events
+            ), c AS (
+              SELECT g, v, sum(wt) AS wt FROM w GROUP BY 1, 2
+            ), o AS (
+              SELECT g, v,
+                     sum(wt) OVER (PARTITION BY g ORDER BY v) AS cw,
+                     sum(wt) OVER (PARTITION BY g) AS tw
+              FROM c
+            )
+            SELECT g AS event_type,
+                   CAST(min(v) FILTER (WHERE 2 * cw >= tw) AS DOUBLE)
+                     / 10000 AS wmedian
+            FROM o GROUP BY g
+        """,
         "events_iqr_outliers": """
             WITH q AS (
               SELECT event_type,

@@ -864,3 +864,76 @@ def grouped_iqr_outliers(
         )
 
     return counts.map_batches(attach, batch_format="pandas")
+
+
+def grouped_weighted_median(
+    ds: "rd.Dataset",
+    group_col: str,
+    val_col: str,
+    weight_col: str,
+    scale: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group WEIGHTED lower median — the robust aggregation
+    primitive behind importance-weighted corpus statistics: the
+    smallest fixed-point value v with cumulative weight ≥ half the
+    group's total weight (2·cw ≥ tw in exact integers; weights must
+    be non-negative int64). Output (group, wmedian).
+
+    Scale shape mirrors `grouped_quantiles`: a per-block combiner
+    collapses rows to (group, v_fp, Σweight) partials; exchange A
+    bucketed on (group, v_fp) merges them (a hot group's histogram
+    SPREADS); exchange B assembles each group's domain-bounded
+    weighted histogram where the cumsum + first-hit extraction runs
+    vectorized across all groups."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(df[val_col].to_numpy(dtype=np.float64) * scale).astype(
+            np.int64
+        )
+        w = df[weight_col].to_numpy(dtype=np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError("weights must be non-negative")
+        return (
+            pd.DataFrame({group_col: df[group_col], "v_fp": v, "wt": w})
+            .groupby([group_col, "v_fp"], as_index=False, sort=False)["wt"]
+            .sum()
+        )
+
+    hist = bucketed_group_reduce(
+        ds.select_columns([group_col, val_col, weight_col]).map_batches(
+            combiner, batch_format="pandas"
+        ),
+        key_cols=[group_col, "v_fp"],
+        reduce_fn=lambda g: g.groupby(
+            [group_col, "v_fp"], as_index=False, sort=False
+        )["wt"].sum(),
+        num_buckets=num_buckets,
+    )
+
+    def extract(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=g[group_col].dtype),
+                    "wmedian": pd.Series([], dtype="float64"),
+                }
+            )
+        g = g.groupby([group_col, "v_fp"], as_index=False)["wt"].sum()
+        g = g.sort_values([group_col, "v_fp"], kind="mergesort")
+        grp = g.groupby(group_col, sort=False)
+        cw = grp["wt"].cumsum().to_numpy(dtype=np.int64)
+        tw = grp["wt"].transform("sum").to_numpy(dtype=np.int64)
+        hit = g.loc[2 * cw >= tw, [group_col, "v_fp"]]
+        first = hit.groupby(group_col, as_index=False, sort=False).first()
+        return pd.DataFrame(
+            {
+                group_col: first[group_col],
+                "wmedian": first["v_fp"].to_numpy(dtype=np.float64) / scale,
+            }
+        )
+
+    return bucketed_group_reduce(
+        hist, key_cols=[group_col], reduce_fn=extract, num_buckets=num_buckets
+    )

@@ -444,3 +444,35 @@ def test_community_stats_hand_graph():
     assert out.loc[10, ["n_nodes", "internal_edges", "total_degree"]].tolist() == [2, 1, 3]
     # global identity: sum degree = 2m
     assert int(out["total_degree"].sum()) == 2 * 5
+
+
+def test_grouped_weighted_median_exact_rule():
+    from kgflow.ops.profile import grouped_weighted_median
+
+    # g: values 1,2,3 with weights 1,1,4 -> tw=6, cum at v=2 is 2
+    # (2*2 < 6), at v=3 is 6 -> wmedian 3. h: equal weights ->
+    # lower median of {1,2} is 1 (2*1 >= 2... no: tw=2, cw(1)=1,
+    # 2*1 >= 2 -> v=1)
+    df = pd.DataFrame(
+        {
+            "g": ["g", "g", "g", "h", "h"],
+            "v": [1.0, 2.0, 3.0, 1.0, 2.0],
+            "wt": np.array([1, 1, 4, 1, 1], dtype=np.int64),
+        }
+    )
+    out = (
+        grouped_weighted_median(
+            rd.from_pandas(df).repartition(2), "g", "v", "wt"
+        )
+        .to_pandas()
+        .set_index("g")["wmedian"]
+        .to_dict()
+    )
+    assert out == {"g": 3.0, "h": 1.0}
+    with pytest.raises(Exception, match="non-negative"):
+        grouped_weighted_median(
+            rd.from_pandas(
+                pd.DataFrame({"g": ["x"], "v": [1.0], "wt": [-1]})
+            ),
+            "g", "v", "wt",
+        ).to_pandas()

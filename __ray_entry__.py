@@ -2614,6 +2614,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "wt",
         )
 
+    def supplier_top_quantities(sf_dir: str):
+        """Oracle-checked: per-supplier top-2 shipped quantities WITH
+        ties (RANK() <= 2 semantics — boundary ties kept in full, row
+        multiplicity preserved; integral quantities make ties dense) —
+        sound rank-≤-k semigroup combiner before ONE group exchange
+        (`kgflow.ops.shuffle.grouped_topk_ties`)."""
+        import pandas as _pd
+
+        from kgflow.ops.shuffle import grouped_topk_ties
+        from kgflow.sources.parquet import read_parquet_clean
+
+        li = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_quantity"],
+        )
+
+        def shrink(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "l_suppkey": df["l_suppkey"].astype(np.int64),
+                    "q_fp": np.round(
+                        df["l_quantity"].to_numpy(dtype=np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+
+        return grouped_topk_ties(
+            li.map_batches(shrink, batch_format="pandas"),
+            group_cols=["l_suppkey"],
+            sort_col="q_fp",
+            k=2,
+        )
+
+    def doc_find_pos(sf_dir: str):
+        """Oracle-checked: per-doc 1-based first-occurrence position of
+        'the ' in the lowercased text (0 = absent) — pure zero-copy
+        Arrow kernels, strpos semantics
+        (`kgflow.ops.text.substring_position`)."""
+        from kgflow.ops.text import substring_position
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return substring_position(docs, "the ")
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3072,6 +3119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": customer_rfm,
         "events_modularity": events_modularity,
         "events_weighted_median": events_weighted_median,
+        "supplier_top_quantities": supplier_top_quantities,
+        "doc_find_pos": doc_find_pos,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5433,6 +5482,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Tukey fences from exact discrete quartiles in 1e-4 fixed
         # point; integer fence compares, one closing division for q1/q3
+        # RANK <= k keeps every boundary tie, row multiplicity intact
+        "supplier_top_quantities": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     CAST(round(l_quantity * 100) AS BIGINT) AS q_fp,
+                     CAST(rank() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_quantity DESC) AS BIGINT) AS rank
+              FROM lineitem
+            )
+            SELECT l_suppkey, q_fp, rank FROM r WHERE rank <= 2
+        """,
+        "doc_find_pos": """
+            SELECT doc_id,
+                   CAST(strpos(lower(text), 'the ') AS BIGINT) AS pos
+            FROM documents
+        """,
         # weighted lower median: smallest v with 2*cumweight >= total,
         # all integer; python % on negatives matches DuckDB % for k>=0
         "events_weighted_median": """

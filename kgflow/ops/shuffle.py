@@ -493,3 +493,70 @@ def global_row_number(
     return bucketed_group_reduce(
         tagged, key_cols=["_vb"], reduce_fn=rank, num_buckets=num_buckets
     )
+
+
+def grouped_topk_ties(
+    ds: "rd.Dataset",
+    group_cols: list[str],
+    sort_col: str,
+    k: int,
+    ascending: bool = False,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-group top-k WITH ties — SQL ``RANK() OVER (PARTITION BY g
+    ORDER BY v) <= k`` semantics: every row whose rank ≤ k survives,
+    so boundary ties are kept in full (row multiplicity preserved),
+    unlike `grouped_topk`'s exact-k ROW_NUMBER cut. Output = input
+    rows + a ``rank`` column.
+
+    Semigroup combiner soundness: a row with GLOBAL rank ≤ k has
+    local rank ≤ k in its block (dropping rows only lowers ranks), so
+    the per-block rank-≤-k filter is a superset of the answer; and
+    every strictly-greater row of a surviving rank-≤-k row itself has
+    smaller global rank, hence also survives — so the in-bucket rank
+    recomputation is exact, and rows with true rank > k can never
+    sneak under k (≥ k strictly-greater survivors outrank them)."""
+
+    def local_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return _rank_filter(df, group_cols, sort_col, k, ascending)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = _rank_filter(g, group_cols, sort_col, k, ascending)
+        return out
+
+    filtered = ds.map_batches(
+        lambda d: local_rank(d).drop(columns=["rank"]),
+        batch_format="pandas",
+    )
+    return bucketed_group_reduce(
+        filtered,
+        key_cols=group_cols,
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )
+
+
+def _rank_filter(
+    df: pd.DataFrame,
+    group_cols: list[str],
+    sort_col: str,
+    k: int,
+    ascending: bool,
+) -> pd.DataFrame:
+    if not len(df):
+        return df.assign(rank=pd.Series([], dtype="int64"))
+    d = df.sort_values(
+        group_cols + [sort_col],
+        ascending=[True] * len(group_cols) + [ascending],
+        kind="mergesort",
+    )
+    grp = d.groupby(group_cols, sort=False)
+    rn = grp.cumcount().to_numpy(np.int64) + 1
+    # RANK = row_number of the FIRST peer: propagate rn at value-change
+    v = d[sort_col].to_numpy()
+    gkey = grp.ngroup().to_numpy(np.int64)
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (v[1:] != v[:-1]) | (gkey[1:] != gkey[:-1])
+    rank = rn[np.maximum.accumulate(np.where(new, np.arange(len(d)), 0))]
+    d = d.assign(rank=rank.astype(np.int64))
+    return d.loc[d["rank"] <= k]

@@ -1375,3 +1375,23 @@ def hapax_stats(docs: "rd.Dataset", num_buckets: int | None = None) -> "rd.Datas
     return bucketed_group_reduce(
         partials, key_cols=["_k"], reduce_fn=fold, num_buckets=1
     )
+
+
+def substring_position(
+    docs: "rd.Dataset", needle: str, out_col: str = "pos"
+) -> "rd.Dataset":
+    """Per-doc 1-based position of the first occurrence of ``needle``
+    in the lowercased text (0 = absent) — SQL ``strpos(lower(text),
+    needle)`` semantics, computed with zero-copy Arrow kernels
+    (utf8_lower + find_substring; no pandas round trip, no Python
+    rows). Returns (doc_id, pos)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        lo = pc.utf8_lower(batch.column("text"))
+        idx = pc.find_substring(lo, needle)  # -1 when absent
+        pos = pc.add(pc.cast(idx, pa.int64()), 1)
+        return pa.table({"doc_id": batch.column("doc_id"), out_col: pos})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

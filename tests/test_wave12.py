@@ -476,3 +476,25 @@ def test_grouped_weighted_median_exact_rule():
             ),
             "g", "v", "wt",
         ).to_pandas()
+
+
+def test_grouped_topk_ties_boundary_and_multiplicity():
+    from kgflow.ops.shuffle import grouped_topk_ties
+
+    # g: values 9,8,8,8,7 -> rank<=2 keeps 9 and ALL three 8s;
+    # duplicate ROWS of the same value each survive
+    df = pd.DataFrame(
+        {
+            "g": ["g"] * 5 + ["h"] * 2,
+            "v": np.array([9, 8, 8, 8, 7, 1, 1], dtype=np.int64),
+        }
+    )
+    out = grouped_topk_ties(
+        rd.from_pandas(df).repartition(3), ["g"], "v", k=2
+    ).to_pandas()
+    gg = out[out["g"] == "g"]
+    assert sorted(gg["v"]) == [8, 8, 8, 9]
+    assert sorted(gg["rank"]) == [1, 2, 2, 2]
+    hh = out[out["g"] == "h"]
+    # both tied rows rank 1
+    assert sorted(hh["v"]) == [1, 1] and set(hh["rank"]) == {1}

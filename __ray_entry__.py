@@ -2661,6 +2661,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return substring_position(docs, "the ")
 
+    def doc_tokenize_unk(sf_dir: str):
+        """Oracle-checked: induce-then-apply tokenizer prep — global
+        top-20 vocabulary (deterministic freq/token ties) broadcast,
+        then one streaming pass scores (doc_id, n_tokens, n_unk); the
+        OOV rate is non-vacuous (~32% of tokens)
+        (`kgflow.ops.text.vocab_apply`)."""
+        from kgflow.ops.text import vocab_apply
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        return vocab_apply(docs, vocab_size=20)
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3121,6 +3136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_median": events_weighted_median,
         "supplier_top_quantities": supplier_top_quantities,
         "doc_find_pos": doc_find_pos,
+        "doc_tokenize_unk": doc_tokenize_unk,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5498,6 +5514,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(strpos(lower(text), 'the ') AS BIGINT) AS pos
             FROM documents
+        """,
+        # induce-then-apply: top-20 vocab (n DESC, token ASC), per-doc
+        # OOV counts via LEFT JOIN
+        "doc_tokenize_unk": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\w+'))
+                       AS token
+              FROM documents
+            ), vc AS (
+              SELECT token, count(*) AS n FROM t GROUP BY 1
+            ), vocab AS (
+              SELECT token FROM vc ORDER BY n DESC, token LIMIT 20
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE v.token IS NULL)
+                        AS BIGINT) AS n_unk
+            FROM t LEFT JOIN vocab v USING (token)
+            GROUP BY 1
         """,
         # weighted lower median: smallest v with 2*cumweight >= total,
         # all integer; python % on negatives matches DuckDB % for k>=0

@@ -1395,3 +1395,49 @@ def substring_position(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def vocab_apply(
+    docs: "rd.Dataset", vocab_size: int = 20, num_buckets: int | None = None
+) -> "rd.Dataset":
+    """The induce-then-apply tokenizer-prep pipeline: build the global
+    top-``vocab_size`` token vocabulary (`vocab_topk` — per-block
+    combiner + bucketed reduce, deterministic (freq DESC, token ASC)
+    ties), broadcast it, then ONE streaming pass scores every document
+    → (doc_id, n_tokens, n_unk) where n_unk counts out-of-vocabulary
+    tokens. The shape every real tokenizer-training pipeline runs:
+    vocabulary induction is corpus-wide, application is embarrassingly
+    parallel against the broadcast vocab.
+
+    The vocab pull is vocab_size-bounded (driver-safe by construction);
+    the apply pass is a pandas C-kernel isin over exploded tokens —
+    no per-row Python."""
+    import ray
+
+    vocab = set(
+        vocab_topk(docs, k=vocab_size, num_buckets=num_buckets)
+        .to_pandas()["token"]
+        .astype(str)
+    )
+    ref = ray.put(vocab)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(ref)
+        toks = df["text"].str.lower().str.findall(r"\w+")
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        unk_mask = ~ex.isin(v)
+        n_unk = (
+            unk_mask.groupby(ex.index).sum().reindex(df.index, fill_value=0)
+        ).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_tokens": n_tok,
+                "n_unk": n_unk,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        score, batch_format="pandas"
+    )

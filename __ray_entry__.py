@@ -2676,6 +2676,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return vocab_apply(docs, vocab_size=20)
 
+    def events_twa(sf_dir: str):
+        """Oracle-checked: per-user time-weighted average of value
+        (each value holds until the next event; µs gaps × fixed-point
+        values, arbitrary-precision numerator, SQL lead() replay)
+        (`kgflow.ops.window.time_weighted_avg`)."""
+        from kgflow.ops.window import time_weighted_avg
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        return time_weighted_avg(
+            ev, key_col="user_id", ts_col="ts", value_col="value",
+            id_col="event_id",
+        )
+
+    def orders_rich_semi(sf_dir: str):
+        """Oracle-checked: Bloom-prefiltered semi join — orders of
+        customers with c_acctbal > 9000; the broadcast Bloom drops
+        definite non-members before any exchange and the exact semi
+        join removes false positives, so the result is exact while
+        the fact shuffle shrinks to survivors
+        (`kgflow.ops.joins.bloom_semi_join`)."""
+        import pandas as _pd
+
+        from kgflow.ops.joins import bloom_semi_join
+        from kgflow.sources.parquet import read_parquet_clean
+
+        rich = read_parquet_clean(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal"],
+        ).map_batches(
+            lambda d: _pd.DataFrame(
+                {
+                    "o_custkey": d.loc[
+                        d["c_acctbal"].to_numpy() > 9000.0, "c_custkey"
+                    ].astype(np.int64)
+                }
+            ),
+            batch_format="pandas",
+        )
+        orders = read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        return bloom_semi_join(orders, rich, on="o_custkey")
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3137,6 +3185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_top_quantities": supplier_top_quantities,
         "doc_find_pos": doc_find_pos,
         "doc_tokenize_unk": doc_tokenize_unk,
+        "events_twa": events_twa,
+        "orders_rich_semi": orders_rich_semi,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5534,6 +5584,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_unk
             FROM t LEFT JOIN vocab v USING (token)
             GROUP BY 1
+        """,
+        # time-weighted average: value holds until the next event;
+        # HUGEINT sums -> the two double casts mirror the engine
+        "events_twa": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CAST(round(value * 10000) AS BIGINT) AS v_fp,
+                     lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS nxt
+              FROM events
+            ), s AS (
+              SELECT user_id,
+                     sum(CAST(v_fp AS HUGEINT)
+                         * date_diff('microsecond', ts, nxt)) AS num,
+                     sum(CAST(date_diff('microsecond', ts, nxt)
+                              AS HUGEINT)) AS den
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1
+              HAVING sum(date_diff('microsecond', ts, nxt)) > 0
+            )
+            SELECT user_id,
+                   CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 10000
+                     AS twa
+            FROM s
+        """,
+        "orders_rich_semi": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         """,
         # weighted lower median: smallest v with 2*cumweight >= total,
         # all integer; python % on negatives matches DuckDB % for k>=0

@@ -373,3 +373,55 @@ def hash_join(
         tagged_l.union(tagged_r), key_cols=on, reduce_fn=join_bucket,
         num_buckets=num_buckets,
     )
+
+
+def bloom_semi_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    n_bits: int = 1 << 20,
+    k: int = 4,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Semi join with a Bloom pre-filter pushdown — the 100-TB trick
+    for a low-match-rate fact⋈dim semi join whose exact keyset is too
+    big to broadcast: build a Bloom filter over right's DISTINCT keys
+    (constant-size sparse build, `sketch.bloom_build`), broadcast the
+    packed word array once, drop every DEFINITE non-member before any
+    exchange, then run the exact `semi_join` on the survivors so false
+    positives are removed — the result is EXACT, the bloom only
+    shrinks the shuffle. Single-column keys (the bloom hashes one
+    column)."""
+    from kgflow.ops.sketch import _hash64, bloom_build
+    import ray
+
+    rkeys = distinct_rows(right, [on], num_buckets=num_buckets)
+    words = bloom_build(rkeys, on, n_bits=n_bits, k=k, num_buckets=num_buckets)
+    ref = ray.put(words)
+    nb = n_bits
+
+    class MaybeMember:
+        def __init__(self):
+            self.words = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            h1 = _hash64(df[on])
+            h2 = h1 * np.uint64(0x9E3779B97F4A7C15)
+            h2 ^= h2 >> np.uint64(29)
+            h2 |= np.uint64(1)
+            hit = np.ones(len(df), dtype=bool)
+            for i in range(k):
+                idx = ((h1 + np.uint64(i) * h2) % np.uint64(nb)).astype(
+                    np.int64
+                )
+                bit = (
+                    self.words[idx >> 6]
+                    >> (idx & np.int64(63)).astype(np.uint64)
+                ) & np.uint64(1)
+                hit &= bit.astype(bool)
+            return df[hit]
+
+    survivors = left.map_batches(
+        MaybeMember, batch_format="pandas", concurrency=(1, 4)
+    )
+    return semi_join(survivors, rkeys, on, num_buckets=num_buckets)

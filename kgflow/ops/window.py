@@ -1593,3 +1593,71 @@ def range_window_sum(
         )
 
     return summed.map_batches(finish, batch_format="pandas")
+
+
+def time_weighted_avg(
+    ds: "rd.Dataset",
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key time-weighted average — the telemetry/sensor integral:
+    each value holds until the NEXT event, so
+    twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first), computed on
+    fixed-point values and microsecond gaps. Keys with a single event
+    (or zero span) are dropped, matching the SQL lead()-based replay.
+
+    Exactness: the numerator Σ v_fp·Δµs overflows int64 on
+    year-long spans (4.9e6 × 3.2e13 ≈ 1.6e20), so per-key sums
+    accumulate in arbitrary-precision Python ints via an object
+    ndarray (the q11 cross-multiply pattern); the TWO closing casts +
+    divisions mirror the SQL HUGEINT→DOUBLE order exactly. Scale
+    shape: ONE key-bucketed exchange of (key, ts, id, v_fp) rows;
+    per-key work is one mergesort + vectorized diffs."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def shrink(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                "_ts": df[ts_col].to_numpy().astype("datetime64[us]"),
+                "_id": df[id_col].astype(np.int64),
+                "_fp": np.round(
+                    df[value_col].to_numpy(dtype=np.float64) * scale
+                ).astype(np.int64),
+            }
+        )
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = [], []
+        for key, gg in g.groupby(key_col, sort=False):
+            if len(gg) < 2:
+                continue
+            gg = gg.sort_values(["_ts", "_id"], kind="mergesort")
+            t = gg["_ts"].to_numpy().astype(np.int64)
+            v = gg["_fp"].to_numpy()
+            dt = np.diff(t)
+            den = int(dt.sum())
+            if den <= 0:
+                continue
+            num = int((v[:-1].astype(object) * dt.astype(object)).sum())
+            keys.append(key)
+            vals.append(float(num) / float(den) / scale)
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(keys, dtype=g[key_col].dtype),
+                "twa": pd.Series(vals, dtype="float64"),
+            }
+        )
+
+    return bucketed_group_reduce(
+        ds.select_columns([key_col, ts_col, value_col, id_col]).map_batches(
+            shrink, batch_format="pandas"
+        ),
+        key_cols=[key_col],
+        reduce_fn=twa,
+        num_buckets=num_buckets,
+    )

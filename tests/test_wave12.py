@@ -498,3 +498,48 @@ def test_grouped_topk_ties_boundary_and_multiplicity():
     hh = out[out["g"] == "h"]
     # both tied rows rank 1
     assert sorted(hh["v"]) == [1, 1] and set(hh["rank"]) == {1}
+
+
+def test_time_weighted_avg_holds_until_next():
+    from kgflow.ops.window import time_weighted_avg
+
+    # user 1: v=10 for 3s then v=20 for 1s -> twa = (10*3+20*1)/4 = 12.5
+    # (last value never weighs in); user 2 single event -> dropped
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:03",
+         "2024-01-01 00:00:04", "2024-01-01 00:00:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+            "ts": ts,
+            "value": [10.0, 20.0, 99.0, 5.0],
+        }
+    )
+    out = (
+        time_weighted_avg(
+            rd.from_pandas(df).repartition(2),
+            key_col="user_id", ts_col="ts", value_col="value",
+            id_col="event_id",
+        )
+        .to_pandas()
+        .set_index("user_id")["twa"]
+        .to_dict()
+    )
+    assert out == {1: 12.5}
+
+
+def test_bloom_semi_join_exact_despite_fp():
+    from kgflow.ops.joins import bloom_semi_join
+
+    # a TINY bloom (64 bits) over 20 keys guarantees false positives;
+    # the exact verify must still yield exactly the true matches
+    left = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(200, dtype=np.int64), "p": np.arange(200)})
+    ).repartition(3)
+    right = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(0, 200, 10, dtype=np.int64)})
+    )
+    out = bloom_semi_join(left, right, on="k", n_bits=64).to_pandas()
+    assert sorted(out["k"]) == list(range(0, 200, 10))

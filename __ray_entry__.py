@@ -2724,6 +2724,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bloom_semi_join(orders, rich, on="o_custkey")
 
+    def orders_page(sf_dir: str):
+        """Oracle-checked: LIMIT/OFFSET pagination over a DISTRIBUTED
+        global sort — rows ranked 101..120 by (totalprice DESC,
+        orderkey) via global_row_number's two-pass range decomposition
+        (descending via a negated fixed-point column); stable
+        pagination without any single-task whole-table sort."""
+        import pandas as _pd
+
+        from kgflow.ops.shuffle import global_row_number
+        from kgflow.sources.parquet import read_parquet_clean
+
+        orders = read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice"],
+        ).map_batches(
+            lambda d: _pd.DataFrame(
+                {
+                    "o_orderkey": d["o_orderkey"].astype(np.int64),
+                    "o_totalprice": d["o_totalprice"],
+                    "_neg": -np.round(
+                        d["o_totalprice"].to_numpy(dtype=np.float64) * 100
+                    ).astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        rn = global_row_number(
+            orders, sort_cols=["_neg", "o_orderkey"], out_col="rn"
+        )
+        return rn.map_batches(
+            lambda d: d.loc[
+                (d["rn"] >= 101) & (d["rn"] <= 120),
+                ["o_orderkey", "o_totalprice", "rn"],
+            ],
+            batch_format="pandas",
+        )
+
+    def events_running_distinct(sf_dir: str):
+        """Oracle-checked: per-user running distinct event-type count
+        at every event — first-occurrence flags under a per-key
+        cumulative sum (SQL replay: row_number=1 per (key, value)
+        inside a windowed sum, since COUNT(DISTINCT) OVER doesn't
+        exist) (`kgflow.ops.window.running_distinct`)."""
+        from kgflow.ops.window import running_distinct
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        return running_distinct(
+            ev, key_col="user_id", value_col="event_type",
+            ts_col="ts", id_col="event_id",
+        )
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3187,6 +3242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tokenize_unk": doc_tokenize_unk,
         "events_twa": events_twa,
         "orders_rich_semi": orders_rich_semi,
+        "orders_page": orders_page,
+        "events_running_distinct": events_running_distinct,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5614,6 +5671,35 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (
               SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        """,
+        # stable OFFSET pagination over a total order
+        "orders_page": """
+            WITH r AS (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       ORDER BY round(o_totalprice * 100) DESC,
+                                o_orderkey) AS rn
+              FROM orders
+            )
+            SELECT o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn BETWEEN 101 AND 120
+        """,
+        # COUNT(DISTINCT) OVER replay: first-occurrence flag under a
+        # cumulative windowed sum
+        "events_running_distinct": """
+            WITH f AS (
+              SELECT event_id, user_id, ts,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_distinct
+            FROM f
         """,
         # weighted lower median: smallest v with 2*cumweight >= total,
         # all integer; python % on negatives matches DuckDB % for k>=0

@@ -1661,3 +1661,60 @@ def time_weighted_avg(
         reduce_fn=twa,
         num_buckets=num_buckets,
     )
+
+
+def running_distinct(
+    ds: "rd.Dataset",
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    id_col: str,
+    out_col: str = "n_distinct",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key RUNNING DISTINCT COUNT — at every event, how many
+    distinct ``value_col`` values the key has produced so far
+    (inclusive; (ts, id) total order). SQL lacks COUNT(DISTINCT) OVER;
+    the oracle replays it as a first-occurrence flag (row_number = 1
+    per (key, value)) under a cumulative sum, and the engine computes
+    exactly that: ONE key-bucketed exchange, in-bucket mergesort +
+    vectorized duplicated() mask + per-key cumsum. Returns
+    (``id_col``, ``out_col``)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def shrink(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                "_v": df[value_col],
+                "_ts": df[ts_col].to_numpy().astype("datetime64[us]"),
+                "_id": df[id_col].astype(np.int64),
+            }
+        )
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    out_col: pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values([key_col, "_ts", "_id"], kind="mergesort")
+        first = (~g.duplicated([key_col, "_v"])).to_numpy(np.int64)
+        nd = (
+            pd.Series(first)
+            .groupby(g[key_col].to_numpy(), sort=False)
+            .cumsum()
+            .to_numpy(np.int64)
+        )
+        return pd.DataFrame({id_col: g["_id"].to_numpy(), out_col: nd})
+
+    return bucketed_group_reduce(
+        ds.select_columns([key_col, value_col, ts_col, id_col]).map_batches(
+            shrink, batch_format="pandas"
+        ),
+        key_cols=[key_col],
+        reduce_fn=run,
+        num_buckets=num_buckets,
+    )

@@ -2779,6 +2779,112 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ts_col="ts", id_col="event_id",
         )
 
+    def source_vocab_overlap(sf_dir: str):
+        """Oracle-checked: cross-source vocabulary drift — source
+        pairs with shared distinct 3-gram shingle counts plus each
+        side's shingle-set size (Jaccard = inter/(n_a+n_b−inter) at
+        the edge, kept integer): `graph.weighted_projection` over
+        (source, shingle) cells + a broadcast size attach."""
+        import pandas as _pd
+        import ray
+
+        from kgflow.ops.dedup import _word_shingles
+        from kgflow.ops.graph import weighted_projection
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+
+        def sh(df: _pd.DataFrame) -> _pd.DataFrame:
+            cache: dict = {}
+            srcs, shs = [], []
+            for s, t in zip(df["source"], df["text"]):
+                g = _word_shingles(t, 3, _cache=cache)
+                srcs.append(np.full(len(g), s, dtype=object))
+                shs.append(g)
+            if not shs:
+                return _pd.DataFrame(
+                    {
+                        "source": _pd.Series([], dtype="object"),
+                        "sh": _pd.Series([], dtype="uint64"),
+                    }
+                )
+            return _pd.DataFrame(
+                {
+                    "source": np.concatenate(srcs),
+                    "sh": np.concatenate(shs),
+                }
+            ).drop_duplicates()
+
+        st = docs.map_batches(sh, batch_format="pandas")
+        pairs = weighted_projection(st, "source", ["sh"])
+
+        # per-block dedup is NOT global: (source, shingle) rows repeat
+        # across blocks, so set sizes go through the same cell-keyed
+        # dedup exchange the projection uses before counting
+        from kgflow.ops.shuffle import bucketed_group_reduce as _bgr
+
+        dedup_st = _bgr(
+            st,
+            key_cols=["sh"],
+            reduce_fn=lambda g: g.drop_duplicates(),
+        )
+        sizes = (
+            _bgr(
+                dedup_st.map_batches(
+                    lambda d: d.groupby("source", as_index=False)
+                    .size()
+                    .rename(columns={"size": "n"}),
+                    batch_format="pandas",
+                ),
+                key_cols=["source"],
+                reduce_fn=lambda g: g.groupby("source", as_index=False)[
+                    "n"
+                ].sum(),
+            )
+            .to_pandas()
+            .set_index("source")["n"]
+            .to_dict()
+        )
+        sref = ray.put(sizes)
+
+        def attach(d: _pd.DataFrame) -> _pd.DataFrame:
+            sz = ray.get(sref)
+            return _pd.DataFrame(
+                {
+                    "src_a": d["u"].astype(object),
+                    "src_b": d["v"].astype(object),
+                    "n_a": np.array(
+                        [sz[x] for x in d["u"]], dtype=np.int64
+                    ),
+                    "n_b": np.array(
+                        [sz[x] for x in d["v"]], dtype=np.int64
+                    ),
+                    "inter": d["shared"].astype(np.int64),
+                }
+            )
+
+        return pairs.map_batches(attach, batch_format="pandas")
+
+    def events_transition_times(sf_dir: str):
+        """Oracle-checked: semi-Markov transition stats — per ordered
+        (from, to) event-type pair across consecutive same-user
+        events, transition count + total dwell gap in µs
+        (`kgflow.ops.window.transition_gap_stats`)."""
+        from kgflow.ops.window import transition_gap_stats
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        return transition_gap_stats(
+            ev, key_col="user_id", state_col="event_type",
+            ts_col="ts", id_col="event_id",
+        )
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3244,6 +3350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rich_semi": orders_rich_semi,
         "orders_page": orders_page,
         "events_running_distinct": events_running_distinct,
+        "source_vocab_overlap": source_vocab_overlap,
+        "events_transition_times": events_transition_times,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5683,6 +5791,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn BETWEEN 101 AND 120
+        """,
+        # cross-source 3-gram vocabulary overlap; engine shingles are
+        # 64-bit hashes (the jaccard_pairs convention — collision-free
+        # at these set sizes, same counts as string shingles)
+        "source_vocab_overlap": """
+            WITH tok AS (
+              SELECT source, regexp_extract_all(lower(text), '\\w+') AS w
+              FROM documents
+            ), st AS (
+              SELECT DISTINCT source,
+                     unnest(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+              FROM tok
+            ), sz AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM st GROUP BY 1
+            )
+            SELECT a.source AS src_a, b.source AS src_b,
+                   za.n AS n_a, zb.n AS n_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM st a
+            JOIN st b ON a.sh = b.sh AND a.source < b.source
+            JOIN sz za ON za.source = a.source
+            JOIN sz zb ON zb.source = b.source
+            GROUP BY 1, 2, 3, 4
+        """,
+        # semi-Markov: consecutive same-user transitions with total
+        # dwell gap in microseconds
+        "events_transition_times": """
+            WITH s AS (
+              SELECT user_id, ts, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS nxt,
+                     lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS nts
+              FROM events
+            )
+            SELECT event_type AS from_state, nxt AS to_state,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(date_diff('microsecond', ts, nts))
+                        AS BIGINT) AS sum_gap_us
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2
         """,
         # COUNT(DISTINCT) OVER replay: first-occurrence flag under a
         # cumulative windowed sum

@@ -1718,3 +1718,81 @@ def running_distinct(
         reduce_fn=run,
         num_buckets=num_buckets,
     )
+
+
+def transition_gap_stats(
+    ds: "rd.Dataset",
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    id_col: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Semi-Markov transition statistics: for every ordered state pair
+    (from_state, to_state) across consecutive events of the same key,
+    the transition count AND the total dwell gap in microseconds —
+    the time-aware extension of the Markov transition-count operator
+    (expected dwell per transition = sum_gap_us / n at the edge).
+
+    Scale shape: ONE key-bucketed exchange; in-bucket per-key
+    mergesort + vectorized shift builds consecutive pairs, combined
+    to (from, to, n, sum_gap_us) partials per bucket; the final
+    reduce is state²-bounded."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def shrink(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                "_s": df[state_col],
+                "_ts": df[ts_col].to_numpy().astype("datetime64[us]"),
+                "_id": df[id_col].astype(np.int64),
+            }
+        )
+
+    EMPTY = pd.DataFrame(
+        {
+            "from_state": pd.Series([], dtype="object"),
+            "to_state": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+            "sum_gap_us": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return EMPTY.copy()
+        g = g.sort_values([key_col, "_ts", "_id"], kind="mergesort")
+        k = g[key_col].to_numpy()
+        s = g["_s"].to_numpy()
+        t = g["_ts"].to_numpy().astype(np.int64)
+        same = k[1:] == k[:-1]
+        d = pd.DataFrame(
+            {
+                "from_state": s[:-1][same],
+                "to_state": s[1:][same],
+                "gap": (t[1:] - t[:-1])[same],
+            }
+        )
+        out = d.groupby(["from_state", "to_state"], as_index=False).agg(
+            n=("gap", "size"), sum_gap_us=("gap", "sum")
+        )
+        return out.astype({"n": "int64", "sum_gap_us": "int64"})
+
+    per_key = bucketed_group_reduce(
+        ds.select_columns([key_col, state_col, ts_col, id_col]).map_batches(
+            shrink, batch_format="pandas"
+        ),
+        key_cols=[key_col],
+        reduce_fn=pairs,
+        num_buckets=num_buckets,
+    )
+
+    return bucketed_group_reduce(
+        per_key,
+        key_cols=["from_state", "to_state"],
+        reduce_fn=lambda g: g.groupby(
+            ["from_state", "to_state"], as_index=False
+        )[["n", "sum_gap_us"]].sum(),
+        num_buckets=num_buckets,
+    )

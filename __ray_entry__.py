@@ -2885,6 +2885,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ts_col="ts", id_col="event_id",
         )
 
+    def events_bursts(sf_dir: str):
+        """Oracle-checked: burst detection — events whose same-user
+        trailing-1-hour event count (RANGE frame, peers included)
+        reaches 3; reuses `range_window_sum` with a unit value at
+        scale 1 so the windowed count stays integer-exact."""
+        import pandas as _pd
+
+        from kgflow.ops.window import range_window_sum
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        ).map_batches(
+            lambda d: d.assign(one=np.ones(len(d), dtype=np.float64)),
+            batch_format="pandas",
+        )
+        counts = range_window_sum(
+            ev, key_col="user_id", ts_col="ts", value_col="one",
+            id_col="event_id", hours=1, scale=1, out_col="cnt",
+        )
+        return counts.map_batches(
+            lambda d: _pd.DataFrame(
+                {
+                    "event_id": d.loc[
+                        d["cnt"].to_numpy() >= 3.0, "event_id"
+                    ].astype(np.int64),
+                    "cnt": d.loc[
+                        d["cnt"].to_numpy() >= 3.0, "cnt"
+                    ].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def source_distinctive_tokens(sf_dir: str):
+        """Oracle-checked: the 20 tokens most over-represented in the
+        largest source vs the rest — integer cross-multiplied log-odds
+        core (ca·tb − cb·ta, no floats, no smoothing), vocab-bounded
+        exchange + global-topk combiner
+        (`kgflow.ops.text.discriminative_tokens`)."""
+        import pandas as _pd
+
+        from kgflow.ops.shuffle import bucketed_group_reduce
+        from kgflow.ops.text import discriminative_tokens
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "text"],
+        )
+        # biggest source by (count DESC, source ASC): source-bounded
+        sizes = (
+            bucketed_group_reduce(
+                docs.map_batches(
+                    lambda d: d.groupby("source", as_index=False)
+                    .size()
+                    .rename(columns={"size": "n"}),
+                    batch_format="pandas",
+                ),
+                key_cols=["source"],
+                reduce_fn=lambda g: g.groupby("source", as_index=False)[
+                    "n"
+                ].sum(),
+            )
+            .to_pandas()
+            .sort_values(["n", "source"], ascending=[False, True])
+        )
+        target = str(sizes["source"].iloc[0])
+        return discriminative_tokens(docs, "source", target, k=20)
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3352,6 +3423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_distinct": events_running_distinct,
         "source_vocab_overlap": source_vocab_overlap,
         "events_transition_times": events_transition_times,
+        "events_bursts": events_bursts,
+        "source_distinctive_tokens": source_distinctive_tokens,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5816,6 +5889,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        "events_bursts": """
+            WITH c AS (
+              SELECT event_id,
+                     count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS cnt
+              FROM events
+            )
+            SELECT event_id, CAST(cnt AS BIGINT) AS cnt
+            FROM c WHERE cnt >= 3
+        """,
+        # integer cross-multiplied log-odds: ca/ta > cb/tb iff
+        # ca*tb - cb*ta > 0; HUGEINT keeps it exact at any scale
+        "source_distinctive_tokens": """
+            WITH big AS (
+              SELECT source FROM documents
+              GROUP BY 1 ORDER BY count(*) DESC, source LIMIT 1
+            ), t AS (
+              SELECT (source = (SELECT source FROM big)) AS in_a,
+                     unnest(regexp_extract_all(lower(text), '\\w+'))
+                       AS token
+              FROM documents
+            ), c AS (
+              SELECT token,
+                     CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END)
+                          AS BIGINT) AS cb
+              FROM t GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(ca) AS HUGEINT) AS ta,
+                     CAST(sum(cb) AS HUGEINT) AS tb
+              FROM c
+            )
+            SELECT token, ca, cb,
+                   CAST(ca * tb - cb * ta AS BIGINT) AS score
+            FROM c, tot
+            ORDER BY ca * tb - cb * ta DESC, token
+            LIMIT 20
         """,
         # semi-Markov: consecutive same-user transitions with total
         # dwell gap in microseconds

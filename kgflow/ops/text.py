@@ -1441,3 +1441,98 @@ def vocab_apply(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="pandas"
     )
+
+
+def discriminative_tokens(
+    docs: "rd.Dataset",
+    group_col: str,
+    target: str,
+    k: int = 20,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Tokens that most distinguish ``target`` documents from the rest
+    of the corpus — the integer-exact core of log-odds keyword
+    analysis: score(token) = ca·tb − cb·ta (ca/cb = token counts in /
+    out of the target, ta/tb the totals), positive when the token is
+    over-represented in the target; the monotone cross-multiplied form
+    of ca/ta > cb/tb, so ranking matches the ratio ranking with NO
+    floats or smoothing constants. Returns the top-``k``
+    (token, ca, cb, score) by (score DESC, token ASC).
+
+    Scale shape: per-batch explode + value_counts combiner emits
+    (token, ca, cb) partials; ONE vocab-bounded exchange sums them;
+    totals fold to a broadcast 2-int scalar; scores cross-multiply in
+    arbitrary-precision ints (1e12-row counts × 1e15 totals overflow
+    int64 — the q11 pattern) and the top-k rides the global-topk
+    semigroup combiner."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_topk
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+")
+        in_a = (df[group_col] == target).to_numpy()
+        rows = []
+        for flag in (True, False):
+            ex = toks[in_a == flag].explode().dropna()
+            if not len(ex):
+                continue
+            vc = ex.value_counts()
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "token": vc.index.astype(str),
+                        "ca": vc.to_numpy(dtype=np.int64) if flag else 0,
+                        "cb": 0 if flag else vc.to_numpy(dtype=np.int64),
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="object"),
+                    "ca": pd.Series([], dtype="int64"),
+                    "cb": pd.Series([], dtype="int64"),
+                }
+            )
+        out = pd.concat(rows, ignore_index=True)
+        return out.groupby("token", as_index=False)[["ca", "cb"]].sum()
+
+    counts = bucketed_group_reduce(
+        docs.select_columns([group_col, "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["token"],
+        reduce_fn=lambda g: g.groupby("token", as_index=False)[
+            ["ca", "cb"]
+        ].sum(),
+        num_buckets=num_buckets,
+    ).materialize()  # vocab-bounded; consumed by the totals fold + scoring
+
+    tot = counts.map_batches(
+        lambda d: pd.DataFrame(
+            {"ta": [int(d["ca"].sum())], "tb": [int(d["cb"].sum())]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    ta, tb = int(tot["ta"].sum()), int(tot["tb"].sum())
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        ca = d["ca"].to_numpy(dtype=object)
+        cb = d["cb"].to_numpy(dtype=object)
+        s = ca * tb - cb * ta  # arbitrary-precision
+        return pd.DataFrame(
+            {
+                "token": d["token"].astype(object),
+                "ca": d["ca"].astype(np.int64),
+                "cb": d["cb"].astype(np.int64),
+                "score": np.array([int(x) for x in s], dtype=np.int64),
+            }
+        )
+
+    return global_topk(
+        counts.map_batches(score, batch_format="pandas"),
+        sort_cols=["score", "token"],
+        ascending=[False, True],
+        k=k,
+    )

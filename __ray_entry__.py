@@ -2956,6 +2956,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         target = str(sizes["source"].iloc[0])
         return discriminative_tokens(docs, "source", target, k=20)
 
+    def doc_kwic(sf_dir: str):
+        """Oracle-checked: KWIC concordance for the 21st-ranked token
+        (just outside the top-20 vocab, deterministic (n DESC, token)
+        pick) — ±3-token windows per occurrence, exchange-free
+        streaming pass, per-window work keyword-bounded
+        (`kgflow.ops.text.kwic_windows`)."""
+        from kgflow.ops.shuffle import bucketed_group_reduce
+        from kgflow.ops.text import kwic_windows, vocab_topk
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        kw = str(
+            vocab_topk(docs, k=21).to_pandas()["token"].iloc[20]
+        )  # 21-bounded pull
+        return kwic_windows(docs, kw, radius=3)
+
     def events_mad(sf_dir: str):
         """Oracle-checked: per-type exact median + median-absolute-
         deviation (Hampel robust outlier scale) — doubly holistic, so
@@ -3425,6 +3444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_times": events_transition_times,
         "events_bursts": events_bursts,
         "source_distinctive_tokens": source_distinctive_tokens,
+        "doc_kwic": doc_kwic,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5889,6 +5909,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # KWIC: keyword = 21st by (n DESC, token); 1-based inclusive
+        # list slice [max(i-3,1), i+3] matches the engine's window
+        "doc_kwic": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+              FROM documents
+            ), vc AS (
+              SELECT t AS token, count(*) AS n FROM (
+                SELECT unnest(w) AS t FROM tok) GROUP BY 1
+            ), kw AS (
+              SELECT token FROM vc ORDER BY n DESC, token
+              LIMIT 1 OFFSET 20
+            ), pos AS (
+              SELECT doc_id, w, generate_subscripts(w, 1) AS i,
+                     unnest(w) AS t
+              FROM tok
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(w[greatest(i - 3, 1):i + 3], ' ')
+                     AS window
+            FROM pos WHERE t = (SELECT token FROM kw)
         """,
         "events_bursts": """
             WITH c AS (

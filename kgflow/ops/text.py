@@ -1536,3 +1536,44 @@ def discriminative_tokens(
         ascending=[False, True],
         k=k,
     )
+
+
+def kwic_windows(
+    docs: "rd.Dataset", keyword: str, radius: int = 3
+) -> "rd.Dataset":
+    """KWIC concordance — for every occurrence of ``keyword`` in the
+    lowercased token stream, the ±``radius``-token context window:
+    (doc_id, pos, window) with pos the 1-based token position and
+    window the space-joined tokens [max(pos−radius, 1), pos+radius]
+    (edges truncate), matching the SQL list-slice replay exactly.
+
+    Exchange-free streaming pass; per-doc tokenization is the
+    vectorized findall, occurrence location is np.where on the token
+    array, and only the OCCURRENCES (keyword-bounded, not the corpus)
+    pay a per-window join — the candidate-bounded-Python convention
+    of the dedup verifies."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+")
+        ids, poss, wins = [], [], []
+        for did, tl in zip(df["doc_id"].to_numpy(), toks):
+            ta = np.asarray(tl, dtype=object)
+            hits = np.flatnonzero(ta == keyword)
+            for h in hits:
+                i = int(h) + 1  # 1-based
+                lo = max(i - radius, 1) - 1
+                hi = i + radius
+                ids.append(int(did))
+                poss.append(i)
+                wins.append(" ".join(ta[lo:hi]))
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "window": pd.Series(wins, dtype="object"),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

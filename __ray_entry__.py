@@ -2956,6 +2956,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         target = str(sizes["source"].iloc[0])
         return discriminative_tokens(docs, "source", target, k=20)
 
+    def doc_cluster_sizes(sf_dir: str):
+        """Oracle-checked: dedup-yield report — the near-dup cluster
+        SIZE histogram (cluster_size, n_clusters), the number every
+        dedup run reports first; reuses the memoized cluster table
+        (engine cost ≈ one comp-keyed count + one size-keyed count)."""
+        import pandas as _pd
+
+        from kgflow.ops.shuffle import bucketed_group_reduce
+
+        clusters = _clusters_mat(sf_dir)
+        sizes = bucketed_group_reduce(
+            clusters.map_batches(
+                lambda d: d.groupby("cluster_id", as_index=False)
+                .size()
+                .rename(columns={"size": "sz"}),
+                batch_format="pandas",
+            ),
+            key_cols=["cluster_id"],
+            reduce_fn=lambda g: g.groupby("cluster_id", as_index=False)[
+                "sz"
+            ].sum(),
+        )
+        return bucketed_group_reduce(
+            sizes.map_batches(
+                lambda d: d.groupby("sz", as_index=False)
+                .size()
+                .rename(columns={"sz": "cluster_size", "size": "n_clusters"}),
+                batch_format="pandas",
+            ),
+            key_cols=["cluster_size"],
+            reduce_fn=lambda g: g.groupby("cluster_size", as_index=False)[
+                "n_clusters"
+            ].sum(),
+        ).map_batches(
+            lambda d: d.astype(
+                {"cluster_size": "int64", "n_clusters": "int64"}
+            ),
+            batch_format="pandas",
+        )
+
     def doc_kwic(sf_dir: str):
         """Oracle-checked: KWIC concordance for the 21st-ranked token
         (just outside the top-20 vocab, deterministic (n DESC, token)
@@ -3445,6 +3485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bursts": events_bursts,
         "source_distinctive_tokens": source_distinctive_tokens,
         "doc_kwic": doc_kwic,
+        "doc_cluster_sizes": doc_cluster_sizes,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5909,6 +5950,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # dedup-yield report: same CC predicate as doc_dup_clusters,
+        # then a size histogram
+        "doc_cluster_sizes": """
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM tok
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s))) >= 0.5
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+            ), lab AS (
+              SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+              GROUP BY a
+            ), cs AS (
+              SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1
+            )
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM cs GROUP BY 1
         """,
         # KWIC: keyword = 21st by (n DESC, token); 1-based inclusive
         # list slice [max(i-3,1), i+3] matches the engine's window

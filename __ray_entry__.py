@@ -2956,6 +2956,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         target = str(sizes["source"].iloc[0])
         return discriminative_tokens(docs, "source", target, k=20)
 
+    def part_abc(sf_dir: str):
+        """Oracle-checked: ABC/Pareto inventory classification — parts
+        by cumulative revenue share over the (revenue DESC, partkey)
+        total order: class A to 80%, B to 95%, C beyond, decided by
+        exact integer fence compares (5·cum ≤ 4·tot, 20·cum ≤ 19·tot)
+        on `global_running_sum`'s two-pass range-decomposed prefix —
+        no single-task sort, no float shares."""
+        import pandas as _pd
+
+        from kgflow.ops.shuffle import (
+            bucketed_group_reduce,
+            global_running_sum,
+        )
+        from kgflow.sources.parquet import read_parquet_clean
+
+        pr = bucketed_group_reduce(
+            read_parquet_clean(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_partkey", "l_extendedprice"],
+            ).map_batches(
+                lambda d: _pd.DataFrame(
+                    {
+                        "l_partkey": d["l_partkey"].astype(np.int64),
+                        "r_fp": np.round(
+                            d["l_extendedprice"].to_numpy(dtype=np.float64)
+                            * 100
+                        ).astype(np.int64),
+                    }
+                ).groupby("l_partkey", as_index=False)["r_fp"].sum(),
+                batch_format="pandas",
+            ),
+            key_cols=["l_partkey"],
+            reduce_fn=lambda g: g.groupby("l_partkey", as_index=False)[
+                "r_fp"
+            ].sum(),
+        ).map_batches(
+            lambda d: d.assign(_neg=-d["r_fp"].to_numpy()),
+            batch_format="pandas",
+        ).materialize()  # part-bounded; running-sum passes + total fold
+
+        tot = int(
+            pr.map_batches(
+                lambda d: _pd.DataFrame({"t": [d["r_fp"].sum()]}),
+                batch_format="pandas",
+            )
+            .to_pandas()["t"]
+            .sum()
+        )
+        cum = global_running_sum(
+            pr, sort_cols=["_neg", "l_partkey"], value_col="r_fp",
+            out_col="cum",
+        )
+
+        def classify(d: _pd.DataFrame) -> _pd.DataFrame:
+            c = d["cum"].to_numpy(dtype=np.int64)
+            cls = np.where(
+                5 * c <= 4 * tot, "A", np.where(20 * c <= 19 * tot, "B", "C")
+            )
+            return _pd.DataFrame(
+                {
+                    "l_partkey": d["l_partkey"].astype(np.int64),
+                    "r_fp": d["r_fp"].astype(np.int64),
+                    "cls": cls,
+                }
+            )
+
+        return cum.map_batches(classify, batch_format="pandas")
+
     def doc_cluster_sizes(sf_dir: str):
         """Oracle-checked: dedup-yield report — the near-dup cluster
         SIZE histogram (cluster_size, n_clusters), the number every
@@ -3486,6 +3554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_distinctive_tokens": source_distinctive_tokens,
         "doc_kwic": doc_kwic,
         "doc_cluster_sizes": doc_cluster_sizes,
+        "part_abc": part_abc,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -5950,6 +6019,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # ABC classes by integer cumulative-share fences over the
+        # (revenue DESC, partkey) total order
+        "part_abc": """
+            WITH pr AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS r_fp
+              FROM lineitem GROUP BY 1
+            ), w AS (
+              SELECT l_partkey, r_fp,
+                     sum(r_fp) OVER (
+                       ORDER BY r_fp DESC, l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+                     sum(r_fp) OVER () AS tot
+              FROM pr
+            )
+            SELECT l_partkey, r_fp,
+                   CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                        WHEN 20 * cum <= 19 * tot THEN 'B'
+                        ELSE 'C' END AS cls
+            FROM w
         """,
         # dedup-yield report: same CC predicate as doc_dup_clusters,
         # then a size histogram

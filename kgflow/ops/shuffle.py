@@ -560,3 +560,102 @@ def _rank_filter(
     rank = rn[np.maximum.accumulate(np.where(new, np.arange(len(d)), 0))]
     d = d.assign(rank=rank.astype(np.int64))
     return d.loc[d["rank"] <= k]
+
+
+def global_running_sum(
+    ds: "rd.Dataset",
+    sort_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Distributed RUNNING SUM over a TOTAL order —
+    SUM(value) OVER (ORDER BY sort_cols ROWS UNBOUNDED PRECEDING),
+    the primitive behind Pareto/ABC classification, Lorenz curves and
+    cumulative-share cutoffs. Same two-pass range decomposition as
+    `global_row_number`: pass A pulls per-value-bucket SUMS (bucket-
+    bounded) whose exclusive prefix is each bucket's offset; pass B
+    sorts within the bucket and adds offset + in-bucket cumsum.
+    ``sort_cols`` must form a total order with a numeric/datetime
+    first column; ``value_col`` must be int64 (the running sum is
+    exact; a cumulative total beyond int64 needs upstream rescaling —
+    fail-fast overflow is numpy's, not silent float drift)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def _first(df: pd.DataFrame) -> np.ndarray:
+        a = df[sort_cols[0]].to_numpy()
+        if np.issubdtype(a.dtype, np.datetime64):
+            a = a.astype("datetime64[us]").astype(np.int64)
+        return a
+
+    mm = bucketed_group_reduce(
+        ds.map_batches(
+            lambda d: pd.DataFrame(
+                {"_g": [np.int64(0)], "lo": [float(_first(d).min())],
+                 "hi": [float(_first(d).max())]}
+            )
+            if len(d)
+            else pd.DataFrame(
+                {"_g": pd.Series([], dtype="int64"),
+                 "lo": pd.Series([], dtype="float64"),
+                 "hi": pd.Series([], dtype="float64")}
+            ),
+            batch_format="pandas",
+        ),
+        key_cols=["_g"],
+        reduce_fn=lambda g: pd.DataFrame(
+            {"lo": [float(g["lo"].min())], "hi": [float(g["hi"].max())]}
+        ),
+        num_buckets=1,
+    ).to_pandas()
+    lo, hi = float(mm["lo"].iloc[0]), float(mm["hi"].iloc[0])
+    span = max(hi - lo, 1e-300)
+
+    def add_vb(df: pd.DataFrame) -> pd.DataFrame:
+        a = _first(df).astype(np.float64)
+        vb = np.clip(
+            ((a - lo) / span * num_buckets).astype(np.int64),
+            0,
+            num_buckets - 1,
+        )
+        return df.assign(_vb=vb)
+
+    tagged = ds.map_batches(add_vb, batch_format="pandas").materialize()
+
+    sums = bucketed_group_reduce(
+        tagged.map_batches(
+            lambda d: d.groupby("_vb", as_index=False)[value_col]
+            .sum()
+            .rename(columns={value_col: "s"}),
+            batch_format="pandas",
+        ),
+        key_cols=["_vb"],
+        reduce_fn=lambda g: g.groupby("_vb", as_index=False)["s"].sum(),
+    ).to_pandas()  # ≤ num_buckets rows
+    sums = sums.sort_values("_vb")
+    offs = dict(
+        zip(
+            sums["_vb"].to_numpy(dtype=np.int64),
+            np.concatenate(
+                [[0], np.cumsum(sums["s"].to_numpy(dtype=np.int64))[:-1]]
+            ),
+        )
+    )
+    import ray
+
+    offs_ref = ray.put(offs)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offs_ref)
+        outs = []
+        for vb, gg in g.groupby("_vb", sort=False):
+            gg = gg.sort_values(sort_cols, kind="mergesort")
+            cs = np.cumsum(gg[value_col].to_numpy(dtype=np.int64))
+            gg = gg.assign(**{out_col: cs + offsets[int(vb)]})
+            outs.append(gg.drop(columns=["_vb"]))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_reduce(
+        tagged, key_cols=["_vb"], reduce_fn=run, num_buckets=num_buckets
+    )

@@ -543,3 +543,25 @@ def test_bloom_semi_join_exact_despite_fp():
     )
     out = bloom_semi_join(left, right, on="k", n_bits=64).to_pandas()
     assert sorted(out["k"]) == list(range(0, 200, 10))
+
+
+def test_global_running_sum_matches_serial():
+    from kgflow.ops.shuffle import global_running_sum
+
+    rng_vals = np.array([5, 1, 9, 3, 7, 2, 8, 4, 6, 10], dtype=np.int64)
+    df = pd.DataFrame(
+        {"k": np.arange(10, dtype=np.int64), "v": rng_vals}
+    )
+    out = (
+        global_running_sum(
+            rd.from_pandas(df).repartition(4),
+            sort_cols=["v", "k"],
+            value_col="v",
+            out_col="rs",
+        )
+        .to_pandas()
+        .sort_values("rs")
+    )
+    ordered = df.sort_values(["v", "k"])
+    assert list(out["v"]) == list(ordered["v"])
+    assert list(out["rs"]) == list(np.cumsum(ordered["v"].to_numpy()))

@@ -2956,6 +2956,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         target = str(sizes["source"].iloc[0])
         return discriminative_tokens(docs, "source", target, k=20)
 
+    def events_locf(sf_dir: str):
+        """Oracle-checked: LOCF grid resampling — the telemetry
+        regularization op: a synthesized weekly grid (users × day-0 +
+        7d·i) as-of joined to the event stream, so every grid point
+        carries the last observation at or before it (inner semantics:
+        points before a user's first event drop). Grid synthesis is a
+        broadcast day array over the distinct-user exchange; the join
+        is the shipped one-exchange `asof_join`."""
+        import pandas as _pd
+
+        from kgflow.ops.joins import distinct_rows
+        from kgflow.ops.window import asof_join
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        mm = (
+            ev.map_batches(
+                lambda d: _pd.DataFrame(
+                    {
+                        "lo": [d["ts"].min()],
+                        "hi": [d["ts"].max()],
+                    }
+                ),
+                batch_format="pandas",
+            ).to_pandas()
+        )
+        lo = mm["lo"].min().floor("D")
+        hi = mm["hi"].max().floor("D")
+        n_steps = int((hi - lo) / _pd.Timedelta(days=7)) + 1
+        days = _pd.date_range(lo, periods=n_steps, freq="7D")
+
+        def grid(df: _pd.DataFrame) -> _pd.DataFrame:
+            u = df["user_id"].to_numpy(dtype=np.int64)
+            return _pd.DataFrame(
+                {
+                    "event_id": np.repeat(u, n_steps) * 1000
+                    + np.tile(np.arange(n_steps, dtype=np.int64), len(u)),
+                    "user_id": np.repeat(u, n_steps),
+                    "ts": np.tile(days.to_numpy(), len(u)),
+                }
+            )
+
+        g = distinct_rows(ev, ["user_id"]).map_batches(
+            grid, batch_format="pandas"
+        )
+        joined = asof_join(g, ev, key="user_id", ts_col="ts",
+                           id_col="event_id")
+        return joined.map_batches(
+            lambda d: _pd.DataFrame(
+                {
+                    "user_id": d["user_id"].astype(np.int64),
+                    "grid_ts": d["ts"],
+                    "prior_event_id": d["prior_event_id"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
     def part_abc(sf_dir: str):
         """Oracle-checked: ABC/Pareto inventory classification — parts
         by cumulative revenue share over the (revenue DESC, partkey)
@@ -3555,6 +3616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_kwic": doc_kwic,
         "doc_cluster_sizes": doc_cluster_sizes,
         "part_abc": part_abc,
+        "events_locf": events_locf,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -6019,6 +6081,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # LOCF grid resample: weekly grid x users, ASOF to the last
+        # event at or before each point (inner; constant 200-step cap
+        # covers the corpus span, engine computes exact steps)
+        "events_locf": """
+            WITH b AS (
+              SELECT date_trunc('day', min(ts)) AS lo,
+                     date_trunc('day', max(ts)) AS hi
+              FROM events
+            ), off AS (SELECT unnest(range(0, 200)) AS i),
+            grid AS (
+              SELECT u.user_id, b.lo + i * INTERVAL 7 DAY AS grid_ts
+              FROM (SELECT DISTINCT user_id FROM events) u, b, off
+              WHERE b.lo + i * INTERVAL 7 DAY <= b.hi
+            )
+            SELECT grid.user_id, grid.grid_ts,
+                   e.event_id AS prior_event_id
+            FROM grid
+            ASOF JOIN events e
+              ON grid.user_id = e.user_id AND grid.grid_ts >= e.ts
         """,
         # ABC classes by integer cumulative-share fences over the
         # (revenue DESC, partkey) total order

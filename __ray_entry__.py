@@ -47,6 +47,11 @@ def _docs(sf_dir: str):
 # between the engine call and the SQL oracle
 _BM25_TERMS = ("hash", "merge", "vector", "window")
 
+# fixed blocklist for the multi-pattern gate demo (borderless patterns:
+# no prefix==suffix, so non-overlapping counts are scan-order-free);
+# shared verbatim with the doc_blocklist_hits SQL oracle
+_BLOCKLIST = ("merge", "slow join", "spark", "vector")
+
 
 def _floor_scale_pd(df, col, scale):
     df[col] = np.floor(df[col].to_numpy(dtype=np.float64) * scale) / scale
@@ -3449,6 +3454,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cols=["doc_id", "n_chars"],
         )
 
+    def doc_perplexity(sf_dir: str):
+        """Oracle-checked: CCNet-style LM filter score — per-document
+        MLE bigram-LM log-probability (n_bigrams, logprob_sum) with
+        the LM trained on the same corpus it scores. One tokenize pass
+        (the materialized per-doc bigram table feeds both training and
+        scoring); broadcast-LM fast path with a co-partitioned
+        two-join fallback, parity-tested."""
+        from kgflow.ops.text import bigram_perplexity
+
+        return bigram_perplexity(_docs(sf_dir))
+
+    def doc_blocklist_hits(sf_dir: str):
+        """Oracle-checked: banned-term / lexicon gate — (doc_id,
+        pattern, n_hits) for every doc × fixed-string blocklist entry
+        with ≥ 1 non-overlapping occurrence. Zero-copy Arrow: one
+        `count_substring` C pass per pattern, no pandas, no exchange."""
+        from kgflow.ops.text import multi_match
+
+        return multi_match(_docs(sf_dir), list(_BLOCKLIST))
+
     return {
         "kg_sentences": kg_sentences,
         "kg_triples": kg_triples,
@@ -3557,6 +3582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": media_audio_features,
         "media_video_features": media_video_features,
         "doc_bigram_lm": doc_bigram_lm,
+        "doc_perplexity": doc_perplexity,
+        "doc_blocklist_hits": doc_blocklist_hits,
         "events_corr": events_corr,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
@@ -5123,6 +5150,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram adjacency counts + first-wins argmax per first token
         # (row_number window, the doc_langid tie-break convention)
+        # MLE bigram LM trained on the scored corpus itself: every doc
+        # bigram has pair_n >= 1, so no smoothing term and the log is
+        # always finite; ln-term magnitudes ~1e0 x ~3e2 terms keep float
+        # drift ~1e-13 << the 1e-6 comparator
+        "doc_perplexity": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, unnest(list_transform(
+                       range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS p
+              FROM tok
+            ), d AS (
+              SELECT doc_id, split_part(p, ' ', 1) AS token,
+                     split_part(p, ' ', 2) AS next_token, count(*) AS c
+              FROM bg GROUP BY 1, 2, 3
+            ), pair AS (
+              SELECT token, next_token, CAST(sum(c) AS BIGINT) AS pair_n
+              FROM d GROUP BY 1, 2
+            ), ctx AS (
+              SELECT token, CAST(sum(pair_n) AS BIGINT) AS ctx_n
+              FROM pair GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   sum(c * (ln(CAST(pair_n AS DOUBLE))
+                            - ln(CAST(ctx_n AS DOUBLE)))) AS logprob_sum
+            FROM d JOIN pair USING (token, next_token) JOIN ctx USING (token)
+            GROUP BY d.doc_id
+        """,
+        # patterns shared verbatim with _BLOCKLIST; replace() counts
+        # non-overlapping left-to-right occurrences, same as Arrow's
+        # count_substring
+        "doc_blocklist_hits": """
+            WITH p AS (SELECT * FROM (VALUES
+              ('merge'), ('slow join'), ('spark'), ('vector')) AS t(pattern))
+            SELECT doc_id, pattern,
+                   CAST((length(text) - length(replace(text, pattern, '')))
+                        // length(pattern) AS BIGINT) AS n_hits
+            FROM documents CROSS JOIN p
+            WHERE length(text) - length(replace(text, pattern, '')) > 0
+        """,
         "doc_bigram_lm": r"""
             WITH tok AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w

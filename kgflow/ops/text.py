@@ -1577,3 +1577,220 @@ def kwic_windows(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def doc_bigram_freqs(docs: "rd.Dataset") -> "rd.Dataset":
+    """(doc_id, token, next_token, c) — exact per-document bigram
+    frequencies. A document is ONE input row (the `doc_term_freqs`
+    invariant), so the shifted-array pairing + two-key groupby is
+    globally exact with zero exchanges; cross-document seams are masked
+    by the doc ordinal (the `bigram_successors` kernel, keyed)."""
+    import pandas as pd_
+
+    def per_doc(df: pd_.DataFrame) -> pd_.DataFrame:
+        empty = pd_.DataFrame(
+            {
+                "doc_id": pd_.Series([], dtype="int64"),
+                "token": pd_.Series([], dtype="object"),
+                "next_token": pd_.Series([], dtype="object"),
+                "c": pd_.Series([], dtype="int64"),
+            }
+        )
+        toks = df.set_index("doc_id")["text"].str.lower().str.findall(_WORD_RE)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return empty
+        words = ex.to_numpy(dtype=object)
+        did = ex.index.to_numpy()
+        same = did[:-1] == did[1:]
+        if not same.any():
+            return empty
+        t = pd_.DataFrame(
+            {
+                "doc_id": did[:-1][same],
+                "token": words[:-1][same],
+                "next_token": words[1:][same],
+            }
+        )
+        out = t.groupby(
+            ["doc_id", "token", "next_token"], sort=False, as_index=False
+        ).size().rename(columns={"size": "c"})
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        per_doc, batch_format="pandas"
+    )
+
+
+def bigram_perplexity(
+    docs: "rd.Dataset",
+    num_buckets: int | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> "rd.Dataset":
+    """Per-document bigram-LM log-probability — the CCNet "score each
+    document under a language model trained on the corpus" filter
+    (CCNet uses KenLM perplexity; this is the exactly-checkable MLE
+    bigram core: the LM is trained on the SAME corpus it scores, so
+    every document bigram has count ≥ 1 and no smoothing is needed).
+
+    Returns (doc_id, n_bigrams, logprob_sum) where ``logprob_sum`` =
+    Σ over bigram instances of ln(pair_n / ctx_n); perplexity is the
+    caller's single division exp(−logprob_sum / n_bigrams) and stays
+    out of the compared schema (the `grouped_corr_moments` convention).
+    Documents with < 2 tokens drop (no bigrams — inner semantics).
+
+    Scale shape: tokenization happens ONCE — the per-doc bigram table
+    is materialized and feeds both LM training and scoring. Training
+    is one bigram-keyed bucketed sum (distinct-bigram bounded) plus a
+    derived first-token sum. Scoring: when the LM fits under
+    ``broadcast_limit`` rows it ships once via ``ray.put`` and the
+    scoring pass is exchange-free (per-doc groups are block-local by
+    the one-row-per-doc invariant); otherwise two co-partitioned
+    `hash_join`s attach (pair_n, ctx_n) and one doc-keyed bucketed
+    reduce sums the per-doc terms. Both paths are parity-tested."""
+    import pandas as pd_
+
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    dbg = doc_bigram_freqs(docs).materialize()
+
+    def pair_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        g = d.groupby(["token", "next_token"], as_index=False)["c"].sum()
+        return g.rename(columns={"c": "pair_n"})
+
+    def pair_sum(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby(["token", "next_token"], as_index=False)["pair_n"].sum()
+        out["pair_n"] = out["pair_n"].astype("int64")
+        return out
+
+    pairs = bucketed_group_reduce(
+        dbg.map_batches(pair_partial, batch_format="pandas"),
+        key_cols=["token", "next_token"],
+        reduce_fn=pair_sum,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    if pairs.count() <= broadcast_limit:
+        import ray
+
+        lm = pairs.to_pandas()
+        ctx = lm.groupby("token")["pair_n"].sum()
+        lm["logp"] = np.log(lm["pair_n"].to_numpy(dtype=np.float64)) - np.log(
+            ctx.reindex(lm["token"]).to_numpy(dtype=np.float64)
+        )
+        ref = ray.put(lm[["token", "next_token", "logp"]])
+
+        class Score:
+            def __init__(self):
+                self.lm = ray.get(ref)
+
+            def __call__(self, d: pd_.DataFrame) -> pd_.DataFrame:
+                m = d.merge(self.lm, on=["token", "next_token"], how="left")
+                m["lp"] = m["c"].to_numpy(dtype=np.float64) * m["logp"].to_numpy()
+                g = m.groupby("doc_id", as_index=False).agg(
+                    n_bigrams=("c", "sum"), logprob_sum=("lp", "sum")
+                )
+                g["n_bigrams"] = g["n_bigrams"].astype("int64")
+                return g
+
+        return dbg.map_batches(Score, batch_format="pandas", concurrency=(1, 4))
+
+    def ctx_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        g = d.groupby("token", as_index=False)["pair_n"].sum()
+        return g.rename(columns={"pair_n": "ctx_n"})
+
+    def ctx_sum(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby("token", as_index=False)["ctx_n"].sum()
+        out["ctx_n"] = out["ctx_n"].astype("int64")
+        return out
+
+    ctxs = bucketed_group_reduce(
+        pairs.map_batches(ctx_partial, batch_format="pandas"),
+        key_cols=["token"],
+        reduce_fn=ctx_sum,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    j = hash_join(dbg, pairs, on=["token", "next_token"], num_buckets=num_buckets)
+    j = hash_join(j, ctxs, on="token", num_buckets=num_buckets)
+
+    def doc_partial(d: pd_.DataFrame) -> pd_.DataFrame:
+        lp = d["c"].to_numpy(dtype=np.float64) * (
+            np.log(d["pair_n"].to_numpy(dtype=np.float64))
+            - np.log(d["ctx_n"].to_numpy(dtype=np.float64))
+        )
+        g = d.assign(lp=lp).groupby("doc_id", as_index=False).agg(
+            n_bigrams=("c", "sum"), logprob_sum=("lp", "sum")
+        )
+        return g
+
+    def doc_final(g: pd_.DataFrame) -> pd_.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("n_bigrams", "sum"), logprob_sum=("logprob_sum", "sum")
+        )
+        out["n_bigrams"] = out["n_bigrams"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        j.map_batches(doc_partial, batch_format="pandas"),
+        key_cols=["doc_id"],
+        reduce_fn=doc_final,
+        num_buckets=num_buckets,
+    )
+
+
+def multi_match(docs: "rd.Dataset", patterns: "list[str]") -> "rd.Dataset":
+    """Blocklist / lexicon multi-pattern matching: (doc_id, pattern,
+    n_hits) for every document × fixed-string pattern with ≥ 1
+    occurrence (non-overlapping counts — the left-to-right scan both
+    Arrow's ``count_substring`` and SQL ``replace`` implement).
+
+    The filtering primitive behind banned-term gates and keyword
+    lexicon scoring in webtext pipelines. Zero-copy Arrow end to end:
+    one ``pyarrow.compute.count_substring`` C pass per pattern over the
+    batch's string column — no pandas conversion, no Python loop over
+    rows; the pattern list is a closure constant (a handful of strings,
+    not actor state). Output is doc-bounded × |patterns| and carries no
+    text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pats = [str(p) for p in patterns]
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+
+    def f(batch: "pa.Table") -> "pa.Table":
+        ids = batch.column("doc_id")
+        text = batch.column("text")
+        parts = []
+        for p in pats:
+            n = pc.cast(pc.count_substring(text, pattern=p), pa.int64())
+            mask = pc.greater(n, 0)
+            k = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+            if not k:
+                continue
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.filter(ids, mask),
+                        "pattern": pa.array([p] * k, type=pa.string()),
+                        "n_hits": pc.filter(n, mask),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pattern": pa.array([], type=pa.string()),
+                    "n_hits": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

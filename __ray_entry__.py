@@ -3465,6 +3465,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_perplexity(_docs(sf_dir))
 
+    def doc_char_entropy(sf_dir: str):
+        """Oracle-checked: per-doc byte-distribution Shannon entropy
+        (nats) — the gibberish/mojibake quality signal. Zero-copy
+        Arrow: offsets+data buffers viewed as numpy, one bincount per
+        batch, no exchange."""
+        from kgflow.ops.text import char_entropy
+
+        return char_entropy(_docs(sf_dir))
+
+    def doc_hot_ngrams(sf_dir: str):
+        """Oracle-checked: Lee-et-al-style duplicate n-gram masking —
+        per doc, the count of token positions covered by any corpus-hot
+        trigram (document frequency ≥ 4). Distinct-gram pre-shrink →
+        one gram-keyed DF sum → broadcast hot-set attach → one
+        (doc_id, pos) int exchange."""
+        from kgflow.ops.dedup import hot_ngram_mask
+
+        return hot_ngram_mask(_docs(sf_dir), n=3, min_df=4)
+
     def doc_blocklist_hits(sf_dir: str):
         """Oracle-checked: banned-term / lexicon gate — (doc_id,
         pattern, n_hits) for every doc × fixed-string blocklist entry
@@ -3584,6 +3603,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_lm": doc_bigram_lm,
         "doc_perplexity": doc_perplexity,
         "doc_blocklist_hits": doc_blocklist_hits,
+        "doc_char_entropy": doc_char_entropy,
+        "doc_hot_ngrams": doc_hot_ngrams,
         "events_corr": events_corr,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
@@ -5180,6 +5201,43 @@ def oracle_sql() -> dict[str, str]:
                             - ln(CAST(ctx_n AS DOUBLE)))) AS logprob_sum
             FROM d JOIN pair USING (token, next_token) JOIN ctx USING (token)
             GROUP BY d.doc_id
+        """,
+        # byte == char on the ASCII fixtures (engine is byte-level by
+        # definition; documented in kgflow.ops.text.char_entropy)
+        "doc_char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents
+            ), c AS (
+              SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bytes,
+                   ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE) AS entropy
+            FROM c GROUP BY doc_id
+        """,
+        # trigram document frequency >= 4 (min_df shared verbatim with
+        # the engine call); DISTINCT cover positions union the [i, i+2]
+        # intervals exactly as the engine's final exchange does
+        "doc_hot_ngrams": r"""
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), tg AS (
+              SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM tok, unnest(range(1, len(w) - 1)) AS t(i)
+            ), d AS (
+              SELECT g, count(DISTINCT doc_id) AS dfn FROM tg GROUP BY g
+            ), hot AS (
+              SELECT g FROM d WHERE dfn >= 4
+            ), cov AS (
+              SELECT DISTINCT doc_id, i + o AS pos
+              FROM tg JOIN hot USING (g), unnest([0, 1, 2]) AS u(o)
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked
+            FROM cov GROUP BY doc_id
         """,
         # patterns shared verbatim with _BLOCKLIST; replace() counts
         # non-overlapping left-to-right occurrences, same as Arrow's

@@ -1202,3 +1202,128 @@ def jaccard_lookup(
         reduce_fn=verdict,
         num_buckets=num_buckets,
     )
+
+
+def hot_ngram_mask(
+    docs: "rd.Dataset",
+    n: int = 3,
+    min_df: int = 4,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Corpus-duplicate n-gram masking — the Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better", ACL'22) sub-document
+    dedup signal, at token-n-gram granularity instead of suffix-array
+    substrings: an n-gram whose corpus DOCUMENT frequency ≥ ``min_df``
+    is "hot" (boilerplate / template text), and every token position
+    covered by an occurrence of a hot n-gram is masked. Returns
+    (doc_id, n_masked) — the count of distinct masked token positions
+    per document (docs with no hot hit drop; inner semantics). The
+    masked-token RATIO against `token_counts` is the filter signal;
+    callers rebuilding filtered text apply the same position set.
+
+    Scale shape: per-doc (gram, position) rows are built in one
+    vectorized tokenize+shift pass (a doc is one input row, so
+    positions are exact block-locally); the DF count pre-shrinks to
+    per-doc DISTINCT grams before ONE gram-keyed bucketed sum
+    (distinct-gram bounded); the hot set (tiny by construction — it's
+    the ≥ min_df tail) attaches back via `hash_join`'s auto
+    broadcast; the final exchange carries (doc_id, pos) int rows only
+    and unions the ±(n−1) cover intervals vectorized per bucket."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if n < 2:
+        raise ValueError("n must be >= 2 (unigram masking is vocab_topk)")
+
+    def gram_pos(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "g": pd.Series([], dtype="object"),
+                "i": pd.Series([], dtype="int64"),
+            }
+        )
+        toks = df.set_index("doc_id")["text"].str.lower().str.findall(_WORD)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return empty
+        words = ex.to_numpy(dtype=object)
+        did = ex.index.to_numpy()
+        # n-gram at token position i (1-based) spans [i, i+n-1]; valid
+        # where all n tokens share the doc
+        valid = np.ones(max(len(words) - (n - 1), 0), dtype=bool)
+        for j in range(1, n):
+            valid &= did[: len(valid)] == did[j : j + len(valid)]
+        if not valid.any():
+            return empty
+        grams = words[: len(valid)].astype("U")
+        for j in range(1, n):
+            grams = np.char.add(
+                np.char.add(grams, " "), words[j : j + len(valid)].astype("U")
+            )
+        # position within the doc: running index reset at doc seams
+        starts = np.r_[0, np.flatnonzero(did[1:] != did[:-1]) + 1]
+        pos_all = np.arange(len(words), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.r_[starts, len(words)])
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": did[: len(valid)][valid].astype("int64"),
+                "g": grams[valid],
+                "i": pos_all[: len(valid)][valid] + 1,
+            }
+        )
+        return out
+
+    gp = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(gram_pos, batch_format="pandas")
+        .materialize()
+    )
+
+    def df_partial(d: pd.DataFrame) -> pd.DataFrame:
+        u = d[["doc_id", "g"]].drop_duplicates()
+        out = u.groupby("g", as_index=False).size().rename(columns={"size": "dfn"})
+        out["dfn"] = out["dfn"].astype("int64")
+        return out
+
+    def df_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("g", as_index=False)["dfn"].sum()
+        out = out[out["dfn"] >= min_df]
+        out["dfn"] = out["dfn"].astype("int64")
+        return out
+
+    hot = bucketed_group_reduce(
+        gp.map_batches(df_partial, batch_format="pandas"),
+        key_cols=["g"],
+        reduce_fn=df_sum,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    hits = hash_join(
+        gp, hot.drop_columns(["dfn"]), on="g", num_buckets=num_buckets
+    )
+
+    def cover_partial(d: pd.DataFrame) -> pd.DataFrame:
+        out = d[["doc_id", "i"]].drop_duplicates()
+        return out
+
+    def cover_count(g: pd.DataFrame) -> pd.DataFrame:
+        did = np.repeat(g["doc_id"].to_numpy(dtype=np.int64), n)
+        pos = (
+            g["i"].to_numpy(dtype=np.int64)[:, None]
+            + np.arange(n, dtype=np.int64)
+        ).ravel()
+        u = pd.DataFrame({"doc_id": did, "pos": pos}).drop_duplicates()
+        out = u.groupby("doc_id", as_index=False).size().rename(
+            columns={"size": "n_masked"}
+        )
+        out["n_masked"] = out["n_masked"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        hits.map_batches(cover_partial, batch_format="pandas"),
+        key_cols=["doc_id"],
+        reduce_fn=cover_count,
+        num_buckets=num_buckets,
+    )

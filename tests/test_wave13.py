@@ -120,3 +120,101 @@ def test_multi_match_empty_patterns_raises():
     )
     with pytest.raises(ValueError):
         multi_match(docs, [])
+
+
+def _entropy_brute(s: str) -> float:
+    import collections
+
+    c = collections.Counter(s.encode("utf-8"))
+    n = len(s.encode("utf-8"))
+    return math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+
+
+def test_char_entropy_matches_brute_force():
+    from kgflow.ops.text import char_entropy
+
+    texts = ["aaaa", "abab", "abcd", "", "the quick brown fox"]
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    ).repartition(2)
+    out = char_entropy(docs).to_pandas()
+    got = {int(r.doc_id): (int(r.n_bytes), float(r.entropy)) for r in out.itertuples()}
+    # empty doc (id 3) drops
+    assert set(got) == {0, 1, 2, 4}
+    assert got[0] == (4, pytest.approx(0.0))  # single-char run -> 0
+    assert got[1] == (4, pytest.approx(math.log(2)))
+    assert got[2] == (4, pytest.approx(math.log(4)))
+    assert got[4] == (19, pytest.approx(_entropy_brute(texts[4]), abs=1e-12))
+
+
+def test_char_entropy_multibyte_is_byte_level():
+    # documented byte-level semantics: a 2-byte UTF-8 char contributes
+    # its two bytes to the histogram and n_bytes
+    from kgflow.ops.text import char_entropy
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.array([1], dtype=np.int64), "text": ["éé"]})
+    )
+    out = char_entropy(docs).to_pandas()
+    assert int(out["n_bytes"].iloc[0]) == 4
+    assert float(out["entropy"].iloc[0]) == pytest.approx(math.log(2))
+
+
+def _hot_mask_brute(texts, n=3, min_df=2):
+    import collections
+    import re
+
+    toks = [re.findall(r"\w+", t.lower()) for t in texts]
+    df = collections.Counter()
+    for ws in toks:
+        grams = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        df.update(grams)
+    hot = {g for g, c in df.items() if c >= min_df}
+    out = {}
+    for i, ws in enumerate(toks):
+        cov = set()
+        for j in range(len(ws) - n + 1):
+            if " ".join(ws[j : j + n]) in hot:
+                cov.update(range(j, j + n))
+        if cov:
+            out[i] = len(cov)
+    return out
+
+
+def test_hot_ngram_mask_matches_brute_force():
+    from kgflow.ops.dedup import hot_ngram_mask
+
+    texts = [
+        "alpha beta gamma delta",       # shares 'alpha beta gamma' with doc 1
+        "alpha beta gamma epsilon",
+        "zeta eta theta iota",          # unique -> absent from output
+        "alpha beta gamma",             # exactly one hot trigram
+        "x alpha beta gamma alpha beta gamma y",  # overlapping covers union
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    ).repartition(3)
+    want = _hot_mask_brute(texts, n=3, min_df=2)
+    out = hot_ngram_mask(docs, n=3, min_df=2).to_pandas()
+    got = {int(r.doc_id): int(r.n_masked) for r in out.itertuples()}
+    assert got == want
+    assert 2 not in got  # no-hot doc absent (inner semantics)
+    assert got[4] == 6  # both occurrences' covers union to 6 positions
+
+
+def test_hot_ngram_mask_bigrams_and_guard():
+    from kgflow.ops.dedup import hot_ngram_mask
+
+    texts = ["a b c", "a b d", "e f g"]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64), "text": texts})
+    )
+    out = hot_ngram_mask(docs, n=2, min_df=2).to_pandas()
+    got = {int(r.doc_id): int(r.n_masked) for r in out.itertuples()}
+    assert got == {0: 2, 1: 2}  # 'a b' hot; covers positions {1,2}
+    with pytest.raises(ValueError):
+        hot_ngram_mask(docs, n=1)

@@ -3465,6 +3465,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bigram_perplexity(_docs(sf_dir))
 
+    def graph_adamic_adar(sf_dir: str):
+        """Oracle-checked: link-prediction scores (common-neighbor
+        count + Adamic–Adar) over the part→supplier bipartite graph,
+        high-quantity edges — hub-keyed wedge fan-out with a LOUD
+        max-degree cap, pair-keyed sum."""
+        from kgflow.ops.graph import adamic_adar_scores
+        from kgflow.sources.parquet import read_parquet_clean
+
+        li = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).filter(lambda r: r["l_quantity"] >= 45)
+        return adamic_adar_scores(li, hub_col="l_partkey", leaf_col="l_suppkey")
+
+    def events_next_entropy(sf_dir: str):
+        """Oracle-checked: per-event-type successor entropy (nats) over
+        each user's (ts, id)-ordered stream — transition_counts (one
+        user-keyed exchange) + a category-bounded entropy reduce."""
+        from kgflow.ops.window import transition_entropy
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts", "event_id"],
+        )
+        return transition_entropy(ev)
+
+    def events_anomaly3s(sf_dir: str):
+        """Oracle-checked: seasonal 3σ anomalies — events whose
+        fixed-point value breaks (n·x−Σx)² > 9·(n·Σx²−(Σx)²) within
+        their (event_type, hour-of-day) cell; the decision itself is
+        integer-exact (float fast path + exact big-int recheck inside
+        a guard band), so the flag set is hash-reproducible."""
+        from kgflow.ops.profile import seasonal_sigma_outliers
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "ts", "value"],
+        )
+        return seasonal_sigma_outliers(ev)
+
     def doc_char_entropy(sf_dir: str):
         """Oracle-checked: per-doc byte-distribution Shannon entropy
         (nats) — the gibberish/mojibake quality signal. Zero-copy
@@ -3605,6 +3647,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_blocklist_hits": doc_blocklist_hits,
         "doc_char_entropy": doc_char_entropy,
         "doc_hot_ngrams": doc_hot_ngrams,
+        "graph_adamic_adar": graph_adamic_adar,
+        "events_next_entropy": events_next_entropy,
+        "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
@@ -5201,6 +5246,61 @@ def oracle_sql() -> dict[str, str]:
                             - ln(CAST(ctx_n AS DOUBLE)))) AS logprob_sum
             FROM d JOIN pair USING (token, next_token) JOIN ctx USING (token)
             GROUP BY d.doc_id
+        """,
+        # a shared hub always has degree >= 2, so ln(d) > 0; aa float
+        # drift is sums of ~1e0 terms, far inside the 1e-6 comparator
+        "graph_adamic_adar": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey AS z, l_suppkey AS x
+              FROM lineitem WHERE l_quantity >= 45
+            ), deg AS (
+              SELECT z, count(*) AS d FROM e GROUP BY z
+            ), p AS (
+              SELECT a.x AS u, b.x AS v, deg.d
+              FROM e a JOIN e b ON a.z = b.z JOIN deg ON deg.z = a.z
+              WHERE a.x < b.x
+            )
+            SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                   sum(1.0 / ln(CAST(d AS DOUBLE))) AS aa
+            FROM p GROUP BY 1, 2
+        """,
+        # the events_user_entropy formula over first-order transition
+        # counts (lead() per user ordered by ts, event_id)
+        "events_next_entropy": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM events
+            ), c AS (
+              SELECT event_type AS from_cat, nxt, count(*) AS c
+              FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_cat,
+                   CAST(sum(c) AS BIGINT) AS n_transitions,
+                   ln(CAST(sum(c) AS DOUBLE))
+                     - sum(c * ln(CAST(c AS DOUBLE)))
+                       / CAST(sum(c) AS DOUBLE) AS next_entropy
+            FROM c GROUP BY from_cat
+        """,
+        # the 3-sigma test cross-multiplied into HUGEINT so no float
+        # mean/stddev touches the decision (engine mirrors with an
+        # exact big-int recheck inside its float guard band)
+        "events_anomaly3s": """
+            WITH q AS (
+              SELECT event_id, event_type,
+                     CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+                     CAST(floor(value * 100) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL
+            ), m AS (
+              SELECT event_type, hr, CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+              FROM q GROUP BY 1, 2
+            )
+            SELECT event_id, event_type, hr, x
+            FROM q JOIN m USING (event_type, hr)
+            WHERE n >= 2 AND (n*x - sx)*(n*x - sx) > 9*(n*sxx - sx*sx)
         """,
         # byte == char on the ASCII fixtures (engine is byte-level by
         # definition; documented in kgflow.ops.text.char_entropy)

@@ -1517,3 +1517,89 @@ def community_stats(
         reduce_fn=lambda g: g.groupby("community", as_index=False).sum(),
         num_buckets=num_buckets,
     )
+
+
+def adamic_adar_scores(
+    ds: "rd.Dataset",
+    hub_col: str,
+    leaf_col: str,
+    max_degree: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Link-prediction scores over a bipartite edge set: for every leaf
+    pair (u < v) sharing ≥ 1 hub, the common-neighbor count ``cn`` and
+    the Adamic–Adar score ``aa`` = Σ over shared hubs z of
+    1/ln(deg(z)) — the classic "weight rare shared neighbors higher"
+    similarity (Adamic & Adar 2003) behind friend/product suggestion
+    and KG missing-edge ranking. A hub with degree 1 supports no pair
+    and is skipped; a shared hub always has deg ≥ 2, so ln(deg) > 0.
+
+    Scale shape: the `cooccurrence_edges` skeleton with per-wedge
+    weights — distinct (hub, leaf) edges dedup through ONE hub-keyed
+    exchange whose reduce also owns the hub's EXACT degree (the whole
+    neighbor set is group-local); pair fan-out is a whole-bucket
+    self-merge quadratic in hub degree only, with a LOUD ``max_degree``
+    failure naming the hot hub (its n² wedges would OOM a worker —
+    salting cannot fix an irreducibly hot hub, the graph needs a cap or
+    the hub a filter); pair partials combine per block before ONE
+    pair-keyed sum."""
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates([hub_col, leaf_col])
+
+    hubs = bucketed_group_reduce(
+        ds.select_columns([hub_col, leaf_col]).map_batches(
+            dedup, batch_format="pandas"
+        ),
+        key_cols=[hub_col],
+        reduce_fn=dedup,
+        num_buckets=num_buckets,
+    )
+
+    def wedges(d: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series([], dtype="int64"),
+                "v": pd.Series([], dtype="int64"),
+                "cn": pd.Series([], dtype="int64"),
+                "aa": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(d):
+            return empty
+        deg = d.groupby(hub_col, sort=False)[leaf_col].transform("size")
+        if int(deg.max()) > max_degree:
+            hot = d.loc[deg.idxmax(), hub_col]
+            raise ValueError(
+                f"adamic_adar_scores: hub {hot!r} has degree {int(deg.max())} "
+                f"(max_degree={max_degree}); filter the graph or raise the cap"
+            )
+        d = d.assign(_w=1.0 / np.log(deg.to_numpy(dtype=np.float64)))
+        d = d[deg.to_numpy() >= 2]
+        if not len(d):
+            return empty
+        m = d.merge(
+            d[[hub_col, leaf_col]].rename(columns={leaf_col: "_b"}), on=hub_col
+        )
+        m = m[m[leaf_col] < m["_b"]]
+        out = (
+            m.rename(columns={leaf_col: "u", "_b": "v"})
+            .groupby(["u", "v"], as_index=False)
+            .agg(cn=("_w", "size"), aa=("_w", "sum"))
+        )
+        out["cn"] = out["cn"].astype("int64")
+        return out
+
+    def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "v"], as_index=False).agg(
+            cn=("cn", "sum"), aa=("aa", "sum")
+        )
+        out["cn"] = out["cn"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        hubs.map_batches(wedges, batch_format="pandas"),
+        key_cols=["u", "v"],
+        reduce_fn=pair_sum,
+        num_buckets=num_buckets,
+    )

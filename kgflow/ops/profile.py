@@ -937,3 +937,108 @@ def grouped_weighted_median(
     return bucketed_group_reduce(
         hist, key_cols=[group_col], reduce_fn=extract, num_buckets=num_buckets
     )
+
+
+def seasonal_sigma_outliers(
+    events: "rd.Dataset",
+    key_cols: tuple[str, ...] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    scale: int = 100,
+    k_sigma: int = 3,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Seasonal-baseline anomaly detection: flag events whose value
+    deviates more than ``k_sigma`` population standard deviations from
+    their (key, hour-of-day) cell's mean — the telemetry monitoring
+    rule with the diurnal cycle factored out, so a value normal at the
+    daily peak isn't flagged just for occurring at 3 am.
+
+    INTEGER-EXACT decision rule at fixed-point ``scale``: with
+    x = floor(value·scale) and the cell's BIGINT moments (n, Σx, Σx²),
+    the test |x − μ| > k·σ is evaluated as
+    (n·x − Σx)² > k²·(n·Σx² − (Σx)²) — no float μ/σ ever computed, so
+    the flag set is hash-reproducible (the `events_corr` quantize-first
+    trick applied to the DECISION, not just the moments). The hot path
+    is vectorized float64 with a relative guard band; only rows inside
+    the band re-check in exact arbitrary-precision ints, so overflow
+    at any n is impossible and the boundary is still exact. Cells with
+    n < 2 never flag (σ undefined). Output: (id, keys, hr, x) for
+    flagged events.
+
+    Scale shape: moments pre-shrink per block to one row per (key, hr)
+    cell before ONE cell-keyed exchange; the tiny cell table broadcasts
+    via ``ray.put`` and the flagging pass is exchange-free."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    keys = list(key_cols)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[value_col].notna()].copy()
+        df["hr"] = df[ts_col].dt.hour.astype("int64")
+        df["x"] = np.floor(
+            df[value_col].to_numpy(dtype=np.float64) * scale
+        ).astype("int64")
+        return df[[id_col, *keys, "hr", "x"]]
+
+    # consumed twice (moments + flagging): materialize so the read+prep
+    # doesn't re-execute (the triangle_count lesson)
+    qev = events.map_batches(prep, batch_format="pandas").materialize()
+
+    def mom_partial(d: pd.DataFrame) -> pd.DataFrame:
+        x = d["x"].to_numpy(dtype=np.int64)
+        g = d.assign(_n=1, _sx=x, _sxx=x * x).groupby(
+            [*keys, "hr"], as_index=False
+        ).agg(n=("_n", "sum"), sx=("_sx", "sum"), sxx=("_sxx", "sum"))
+        return g
+
+    def mom_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby([*keys, "hr"], as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sxx=("sxx", "sum")
+        )
+        for c in ("n", "sx", "sxx"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    cells = bucketed_group_reduce(
+        qev.map_batches(mom_partial, batch_format="pandas"),
+        key_cols=[*keys, "hr"],
+        reduce_fn=mom_sum,
+        num_buckets=num_buckets,
+    )
+    ref = ray.put(cells.to_pandas())
+
+    k2 = int(k_sigma) * int(k_sigma)
+
+    class Flag:
+        def __init__(self):
+            self.cells = ray.get(ref)
+
+        def __call__(self, d: pd.DataFrame) -> pd.DataFrame:
+            m = d.merge(self.cells, on=[*keys, "hr"], how="inner")
+            m = m[m["n"] >= 2]
+            if not len(m):
+                return m[[id_col, *keys, "hr", "x"]]
+            nf = m["n"].to_numpy(dtype=np.float64)
+            xf = m["x"].to_numpy(dtype=np.float64)
+            sxf = m["sx"].to_numpy(dtype=np.float64)
+            sxxf = m["sxx"].to_numpy(dtype=np.float64)
+            lhs = (nf * xf - sxf) ** 2
+            rhs = k2 * (nf * sxxf - sxf * sxf)
+            band = 1e-9 * (np.abs(lhs) + np.abs(rhs) + 1.0)
+            out = lhs > rhs + band
+            near = np.abs(lhs - rhs) <= band
+            for i in np.flatnonzero(near):  # rare: exact int recheck
+                n, x, sx, sxx = (
+                    int(m["n"].iat[i]),
+                    int(m["x"].iat[i]),
+                    int(m["sx"].iat[i]),
+                    int(m["sxx"].iat[i]),
+                )
+                out[i] = (n * x - sx) ** 2 > k2 * (n * sxx - sx * sx)
+            return m.loc[out, [id_col, *keys, "hr", "x"]]
+
+    return qev.map_batches(Flag, batch_format="pandas", concurrency=(1, 4))

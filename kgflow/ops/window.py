@@ -1796,3 +1796,54 @@ def transition_gap_stats(
         )[["n", "sum_gap_us"]].sum(),
         num_buckets=num_buckets,
     )
+
+
+def transition_entropy(
+    events: "rd.Dataset",
+    partition_col: str = "user_id",
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-category successor entropy: for each ``from_cat``, the
+    Shannon entropy (nats) of its next-event distribution — the
+    sequence-predictability signal (0 = deterministic next step, ln(k)
+    = uniform over k successors) that flags bot-like deterministic
+    streams and ranks categories by journey branching.
+
+    Composes :func:`transition_counts` (ONE partition-keyed exchange,
+    category²-bounded output) with a category-bounded per-from_cat
+    reduce of ln(n) − Σ c·ln(c)/n over final counts. Output:
+    (from_cat, n_transitions, next_entropy)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    counts = transition_counts(
+        events,
+        partition_col=partition_col,
+        cat_col=cat_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        num_buckets=num_buckets,
+    )
+
+    def ent(g: pd.DataFrame) -> pd.DataFrame:
+        # g holds FINAL (from_cat, to_cat, n) rows for whole from_cats
+        s = g.groupby("from_cat", sort=False)["n"]
+        tot = s.transform("sum").to_numpy(dtype=np.float64)
+        c = g["n"].to_numpy(dtype=np.float64)
+        term = c * np.log(c) / tot
+        out = (
+            g.assign(_t=term, _n=g["n"])
+            .groupby("from_cat", as_index=False)
+            .agg(n_transitions=("_n", "sum"), _ts=("_t", "sum"))
+        )
+        out["next_entropy"] = np.log(
+            out["n_transitions"].to_numpy(dtype=np.float64)
+        ) - out["_ts"].to_numpy()
+        out["n_transitions"] = out["n_transitions"].astype("int64")
+        return out[["from_cat", "n_transitions", "next_entropy"]]
+
+    return bucketed_group_reduce(
+        counts, key_cols=["from_cat"], reduce_fn=ent, num_buckets=num_buckets
+    )

@@ -218,3 +218,120 @@ def test_hot_ngram_mask_bigrams_and_guard():
     assert got == {0: 2, 1: 2}  # 'a b' hot; covers positions {1,2}
     with pytest.raises(ValueError):
         hot_ngram_mask(docs, n=1)
+
+
+def test_adamic_adar_brute_force_and_cap():
+    from kgflow.ops.graph import adamic_adar_scores
+
+    # hubs: 10->(1,2,3), 11->(1,2), 12->(2,), 13->(1,2,3,4)
+    edges = pd.DataFrame(
+        {
+            "z": np.array(
+                [10, 10, 10, 11, 11, 12, 13, 13, 13, 13, 10], dtype=np.int64
+            ),  # trailing duplicate edge (10,1) must dedup
+            "x": np.array([1, 2, 3, 1, 2, 2, 1, 2, 3, 4, 1], dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(edges).repartition(3)
+    out = adamic_adar_scores(ds, hub_col="z", leaf_col="x").to_pandas()
+    got = {
+        (int(r.u), int(r.v)): (int(r.cn), float(r.aa)) for r in out.itertuples()
+    }
+    w3, w2, w4 = 1 / math.log(3), 1 / math.log(2), 1 / math.log(4)
+    want = {
+        (1, 2): (3, w3 + w2 + w4),
+        (1, 3): (2, w3 + w4),
+        (2, 3): (2, w3 + w4),
+        (1, 4): (1, w4),
+        (2, 4): (1, w4),
+        (3, 4): (1, w4),
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
+    with pytest.raises(Exception, match="max_degree"):
+        adamic_adar_scores(ds, hub_col="z", leaf_col="x", max_degree=3).to_pandas()
+
+
+def test_transition_entropy_deterministic_and_uniform():
+    from kgflow.ops.window import transition_entropy
+
+    # user 1: a->b, b->a, a->b  (a always ->b; b always ->a)
+    # user 2: c->a, a->c        (a: b,b,c successors overall)
+    rows = [
+        (1, "a", 1, 1),
+        (1, "b", 2, 2),
+        (1, "a", 3, 3),
+        (1, "b", 4, 4),
+        (2, "c", 1, 5),
+        (2, "a", 2, 6),
+        (2, "c", 3, 7),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "t", "event_id"])
+    df["ts"] = pd.to_datetime(df["t"], unit="s")
+    ds = rd.from_pandas(
+        df[["user_id", "event_type", "ts", "event_id"]]
+    ).repartition(2)
+    out = transition_entropy(ds).to_pandas()
+    got = {
+        r.from_cat: (int(r.n_transitions), float(r.next_entropy))
+        for r in out.itertuples()
+    }
+    # a: successors b,b,c -> H = ln3 - (2ln2)/3 ; b: a (H=0); c: a (H=0)
+    assert got["b"] == (1, pytest.approx(0.0))
+    assert got["c"] == (1, pytest.approx(0.0))
+    assert got["a"] == (
+        3,
+        pytest.approx(math.log(3) - 2 * math.log(2) / 3, abs=1e-12),
+    )
+
+
+def test_seasonal_sigma_outliers_exact_boundary():
+    from kgflow.ops.profile import seasonal_sigma_outliers
+
+    # masking property of the population z-score: in a cell of n
+    # points, max |z| = sqrt(n-1), so with n=5 even an extreme spike
+    # cannot reach 3 sigma — the rule must flag NOTHING
+    ts5 = pd.to_datetime(np.arange(5) * 60, unit="s")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "event_type": ["a"] * 5,
+            "ts": ts5,
+            "value": [0.0, 0.0, 0.0, 0.06, 100.0],
+        }
+    )
+    out = seasonal_sigma_outliers(rd.from_pandas(df).repartition(2)).to_pandas()
+    assert len(out) == 0
+    # n=13 (sqrt(12) > 3): 12 zeros + one spike -> exactly the spike
+    # flags. Exact ints: n=13, sx=1300, sxx=1_690_000;
+    # spike lhs = (13*1300 - 1300)^2 = 15600^2 = 243_360_000
+    # rhs = 9*(13*1_690_000 - 1300^2) = 9*20_280_000 = 182_520_000 < lhs;
+    # zeros lhs = 1300^2 = 1_690_000 << rhs (not flagged)
+    df2 = pd.DataFrame(
+        {
+            "event_id": np.arange(13, dtype=np.int64),
+            "event_type": ["a"] * 13,
+            "ts": pd.to_datetime(np.arange(13) * 60, unit="s"),
+            "value": [0.0] * 12 + [13.0],
+        }
+    )
+    out2 = seasonal_sigma_outliers(rd.from_pandas(df2).repartition(2)).to_pandas()
+    assert out2["event_id"].tolist() == [12]
+    assert int(out2["x"].iloc[0]) == 1300
+
+
+def test_seasonal_sigma_outliers_n1_cell_never_flags():
+    from kgflow.ops.profile import seasonal_sigma_outliers
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.array([1], dtype=np.int64),
+            "event_type": ["solo"],
+            "ts": pd.to_datetime([0], unit="s"),
+            "value": [42.0],
+        }
+    )
+    out = seasonal_sigma_outliers(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 0

@@ -1804,6 +1804,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             y_scale=1,
         )
 
+    def events_skewkurt(sf_dir: str):
+        """Oracle-checked: per-type exact power sums (n, Σq..Σq⁴) of
+        quantized value — skewness/kurtosis are driver-side closed
+        forms over this one hash-exact row. Arbitrary-precision via
+        int64 lane splits (per-batch) + Python-int lane re-sum (tiny
+        reduce table); SQL side sums in HUGEINT, both ship decimal
+        strings."""
+        from kgflow.ops.profile import grouped_power_sums
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return grouped_power_sums(ev, key="event_type", col="value", scale=100)
+
+    def orders_benford(sf_dir: str):
+        """Oracle-checked: Benford first-significant-digit audit —
+        (o_orderpriority, digit, n) counts of the leading digit of
+        floor(o_totalprice·100); integer digit peel, one tiny
+        (priority, digit) count exchange."""
+        from kgflow.ops.relational import orders_benford_digits
+
+        return orders_benford_digits(sf_dir)
+
+    def events_autocorr(sf_dir: str):
+        """Oracle-checked: lag-1 autocorrelation moments of the daily
+        count per event_type — count reduce → self hash-join on
+        (type, day−1) → exact bivariate int moments; r is one
+        driver-side division."""
+        from kgflow.ops.relational import events_daily_autocorr
+
+        return events_daily_autocorr(sf_dir)
+
     def doc_weighted_sample(sf_dir: str):
         """Oracle-checked: deterministic weight-biased bottom-k sample
         (priority = FNV1a(doc_id) // n_chars — integer-exact priority
@@ -3651,6 +3685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
+        "events_skewkurt": events_skewkurt,
+        "events_autocorr": events_autocorr,
+        "orders_benford": orders_benford,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5392,6 +5429,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM q GROUP BY event_type
+        """,
+        # exact higher moments: HUGEINT sums → VARCHAR (the engine
+        # ships Python-int lane re-sums as the same decimal strings)
+        "events_skewkurt": r"""
+            WITH q AS (
+              SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS q
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(q AS HUGEINT)) AS VARCHAR) AS s1,
+                   CAST(sum(CAST(q AS HUGEINT) * q) AS VARCHAR) AS s2,
+                   CAST(sum(CAST(q AS HUGEINT) * q * q) AS VARCHAR) AS s3,
+                   CAST(sum(CAST(q AS HUGEINT) * q * q * q) AS VARCHAR) AS s4
+            FROM q GROUP BY event_type
+        """,
+        "orders_benford": r"""
+            WITH q AS (
+              SELECT o_orderpriority,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            )
+            SELECT o_orderpriority,
+                   CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   count(*) AS n
+            FROM q GROUP BY 1, 2
+        """,
+        "events_autocorr": r"""
+            WITH c AS (
+              SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT a.event_type, a.c AS x, b.c AS y
+              FROM c a JOIN c b
+                ON a.event_type = b.event_type
+               AND b.day = a.day + INTERVAL 1 DAY
+            )
+            SELECT event_type,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM p GROUP BY event_type
         """,
         # integer priority sampling: FNV1a(doc_id) folded in HUGEINT
         # (the events_value_sketch fold) integer-divided by the weight

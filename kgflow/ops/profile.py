@@ -1042,3 +1042,115 @@ def seasonal_sigma_outliers(
             return m.loc[out, [id_col, *keys, "hr", "x"]]
 
     return qev.map_batches(Flag, batch_format="pandas", concurrency=(1, 4))
+
+
+def grouped_power_sums(
+    ds: "rd.Dataset",
+    key: str,
+    col: str,
+    scale: int = 100,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key EXACT power sums (n, s1, s2, s3, s4) of q = floor(v·scale)
+    — the distributed core of skewness / kurtosis (and any method-of-
+    moments fit): g1 and g2 are driver-side closed forms over this one
+    hash-exact row, so the oracle never compares a libm pow/sqrt.
+
+    Arbitrary precision without per-row Python: q is asserted < 2^17,
+    so q³ ≤ 2^51 is elementwise-exact in int64 but q⁴ ≤ 2^68 is NOT —
+    q⁴ is carried as three int64 lanes via the split q² = a·2^17 + b
+    (q⁴ = a²·2^34 + 2ab·2^17 + b²; each lane ≤ 2^34 per element), and
+    q³ as two lanes (>>26 / &mask) so batch sums never overflow. The
+    bucketed reduce re-sums lanes per group with PYTHON ints (object
+    dtype over the tiny partial table — G×B rows, never data rows),
+    so totals are exact at ANY corpus size; s1..s4 ship as decimal
+    strings (SQL side: HUGEINT → VARCHAR).
+
+    Scale shape: one (key, 9×int64) combiner row per group per block
+    rides the single key-bucketed exchange — constant per key per
+    block, independent of row count.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    LANE3_SHIFT, LANE4_SHIFT = 26, 17
+    M3, M4 = (1 << LANE3_SHIFT) - 1, (1 << LANE4_SHIFT) - 1
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[[key, col]].dropna()
+        q = np.floor(d[col].to_numpy(dtype=np.float64) * scale).astype(np.int64)
+        if len(q):
+            mx = int(np.abs(q).max())
+            if mx >= 1 << 17:
+                raise ValueError(
+                    f"grouped_power_sums: |floor({col}*{scale})| = {mx} ≥ 2^17; "
+                    "lower the scale (q⁴ lane split assumes 17-bit q)"
+                )
+        q2 = q * q  # ≤ 2^34
+        q3 = q2 * q  # |·| ≤ 2^51, elementwise exact
+        a, b = q2 >> LANE4_SHIFT, q2 & M4  # q2 = a·2^17 + b, both < 2^17
+        t = pd.DataFrame(
+            {
+                key: d[key].to_numpy(),
+                "n": np.ones(len(q), dtype=np.int64),
+                "s1": q,
+                "s2": q2,
+                "h3": q3 >> LANE3_SHIFT,  # |·| ≤ 2^25
+                "l3": q3 & M3,  # < 2^26
+                "paa": a * a,  # ≤ 2^34
+                "pab": a * b,  # < 2^34
+                "pbb": b * b,  # < 2^34
+            }
+        )
+        return t.groupby(key, as_index=False, sort=False).sum()
+
+    lane_cols = ["n", "s1", "s2", "h3", "l3", "paa", "pab", "pbb"]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # Python-int lane sums: exact at any N (the partial table per
+        # bucket is small — groups × blocks rows, never data rows).
+        agg = g.groupby(key, sort=False)[lane_cols].agg(
+            lambda s: sum(int(x) for x in s)
+        )
+        out = pd.DataFrame({key: agg.index.to_numpy()})
+        out["n"] = np.asarray([int(v) for v in agg["n"]], dtype=np.int64)
+        out["s1"] = [str(int(v)) for v in agg["s1"]]
+        out["s2"] = [str(int(v)) for v in agg["s2"]]
+        out["s3"] = [
+            str((int(h) << LANE3_SHIFT) + int(l))
+            for h, l in zip(agg["h3"], agg["l3"])
+        ]
+        out["s4"] = [
+            str((int(aa) << 34) + (int(ab) << (LANE4_SHIFT + 1)) + int(bb))
+            for aa, ab, bb in zip(agg["paa"], agg["pab"], agg["pbb"])
+        ]
+        return out
+
+    partials = ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return bucketed_group_reduce(
+        partials, key_cols=[key], reduce_fn=finish, num_buckets=num_buckets
+    )
+
+
+def skewkurt_from_power_sums(df: pd.DataFrame, scale: int = 100) -> pd.DataFrame:
+    """Driver-side closed form over a `grouped_power_sums` result:
+    population skewness g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2²−3
+    from the exact integer power sums (m_k = central moments; the only
+    floats are these final divisions). Input stays tiny (one row per
+    group)."""
+    out = df.copy()
+    n = out["n"].to_numpy(dtype=np.float64)
+    s = scale
+    s1 = np.array([int(v) for v in out["s1"]], dtype=np.float64) / s
+    s2 = np.array([int(v) for v in out["s2"]], dtype=np.float64) / s**2
+    s3 = np.array([int(v) for v in out["s3"]], dtype=np.float64) / s**3
+    s4 = np.array([int(v) for v in out["s4"]], dtype=np.float64) / s**4
+    mu = s1 / n
+    m2 = s2 / n - mu**2
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu**3
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu**2 * s2 / n - 3 * mu**4
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["skewness"] = m3 / np.power(m2, 1.5)
+        out["kurtosis_excess"] = m4 / (m2 * m2) - 3.0
+    return out

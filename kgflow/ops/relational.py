@@ -3129,3 +3129,107 @@ def customer_rfm(sf_dir: str, tiles: int = 5) -> "rd.Dataset":
         ),
         batch_format="pandas",
     )
+
+
+def orders_benford_digits(sf_dir: str) -> "rd.Dataset":
+    """Benford's-law first-significant-digit audit of order totals —
+    (o_orderpriority, digit, n): the classic fraud / synthetic-data
+    screen (counts of leading digits 1–9 of floor(o_totalprice·100),
+    compared by the caller against log10(1+1/d)).
+
+    Quantize-first (cents as int64, both engines floor the SAME
+    double·100 product) so the leading digit is integer-exact; the
+    digit is peeled with ≤ ⌈log10(max)⌉ vectorized floor-divides, no
+    string formatting and no per-row Python. One (priority, digit)
+    count combiner per block rides a single tiny exchange."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["o_totalprice"].to_numpy(dtype=np.float64) * 100
+        ).astype(np.int64)
+        lead = np.abs(cents)
+        # peel to the first significant digit: ≤ 19 vectorized passes
+        while (lead >= 10).any():
+            big = lead >= 10
+            lead[big] //= 10
+        t = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].to_numpy(), "digit": lead}
+        )
+        out = t.groupby(
+            ["o_orderpriority", "digit"], as_index=False, sort=False
+        ).size()
+        return out.rename(columns={"size": "n"})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["o_orderpriority", "digit"], as_index=False, sort=False)[
+            "n"
+        ].sum()
+
+    partials = orders.map_batches(partial, batch_format="pandas")
+    return bucketed_group_reduce(
+        partials, key_cols=["o_orderpriority", "digit"], reduce_fn=finish
+    )
+
+
+def events_daily_autocorr(sf_dir: str) -> "rd.Dataset":
+    """Lag-1 autocorrelation moments of the daily event count per type
+    — the time-series health check (is activity momentum-driven or
+    memoryless?): per event_type, exact bivariate moments of
+    (count(day), count(day+1)) over consecutive PRESENT day pairs.
+
+    Composition of shipped primitives: one (type, day) count reduce
+    shrinks 10^12 events to ~types×days rows; the lag pairing is a
+    self hash-join of that tiny table on (type, day−1); the moment row
+    is `grouped_power_sums`' bivariate sibling `grouped_corr_moments`
+    (quantize-first int64 — counts are already exact ints). Output
+    (event_type, n, sx, sy, sxx, syy, sxy) is hash-exact; r = the one
+    driver-side division the caller applies."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.profile import grouped_corr_moments
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # keep timestamp (not date32) so the lag-1 shift below stays
+        # vectorized Timedelta arithmetic
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "day": df["ts"].dt.floor("D")}
+        )
+        out = t.groupby(["event_type", "day"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "c"})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "day"], as_index=False, sort=False)["c"].sum()
+
+    counts = bucketed_group_reduce(
+        ev.map_batches(day_counts, batch_format="pandas"),
+        key_cols=["event_type", "day"],
+        reduce_fn=finish,
+    )
+
+    def shift_back(df: pd.DataFrame) -> pd.DataFrame:
+        # tomorrow's count keyed at today: join gives (c_t, c_{t+1})
+        out = df.copy()
+        out["day"] = out["day"] - pd.Timedelta(days=1)
+        return out.rename(columns={"c": "c_next"})
+
+    paired = hash_join(
+        counts,
+        counts.map_batches(shift_back, batch_format="pandas"),
+        on=["event_type", "day"],
+        how="inner",
+    )
+    return grouped_corr_moments(
+        paired, key="event_type", x_col="c", y_col="c_next", x_scale=1, y_scale=1
+    )

@@ -1,0 +1,115 @@
+"""Wave-50.. operator tests: exact distributed higher moments
+(grouped_power_sums → skewness/kurtosis, arbitrary-precision lane
+splits), Benford first-digit audit, and lag-1 daily autocorrelation
+moments.
+
+The SQL-oracle parity for the three registered queries
+(events_skewkurt / orders_benford / events_autocorr) runs in
+test_entry.py's auto-parametrized sweep; these tests pin the pieces
+the oracle can't see — float closed forms, overflow lanes, negative
+values, and pairing semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_power_sums_match_numpy_and_precision():
+    rng = np.random.default_rng(7)
+    # include negatives and values near the 2^17/scale quantization edge
+    vals = np.round(rng.normal(0, 300, size=5_000), 2)
+    keys = rng.choice(["a", "b", "c"], size=vals.size)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals})).repartition(8)
+
+    from kgflow.ops.profile import grouped_power_sums
+
+    out = grouped_power_sums(ds, key="k", col="v", scale=100).to_pandas()
+    assert sorted(out["k"]) == ["a", "b", "c"]
+    q = np.floor(vals * 100).astype(object)  # Python ints: exact reference
+    for _, row in out.iterrows():
+        m = keys == row["k"]
+        qs = [int(x) for x in q[m]]
+        assert row["n"] == len(qs)
+        assert int(row["s1"]) == sum(qs)
+        assert int(row["s2"]) == sum(x * x for x in qs)
+        assert int(row["s3"]) == sum(x**3 for x in qs)
+        assert int(row["s4"]) == sum(x**4 for x in qs)
+
+
+def test_power_sums_scale_guard():
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a"], "v": [2_000_000.0]}))
+    from kgflow.ops.profile import grouped_power_sums
+
+    with pytest.raises(Exception, match="2\\^17|lower the scale"):
+        grouped_power_sums(ds, key="k", col="v", scale=100).to_pandas()
+
+
+def test_skewkurt_closed_form():
+    rng = np.random.default_rng(11)
+    vals = np.round(np.abs(rng.lognormal(3, 1, size=4_000)), 2)  # skewed
+    ds = rd.from_pandas(
+        pd.DataFrame({"k": ["g"] * vals.size, "v": vals})
+    ).repartition(4)
+
+    from kgflow.ops.profile import grouped_power_sums, skewkurt_from_power_sums
+
+    out = skewkurt_from_power_sums(
+        grouped_power_sums(ds, key="k", col="v", scale=100).to_pandas()
+    )
+    qv = np.floor(vals * 100) / 100  # the quantized population the op sees
+    mu = qv.mean()
+    m2, m3, m4 = ((qv - mu) ** 2).mean(), ((qv - mu) ** 3).mean(), (
+        (qv - mu) ** 4
+    ).mean()
+    assert out["skewness"].iloc[0] == pytest.approx(m3 / m2**1.5, rel=1e-9)
+    assert out["kurtosis_excess"].iloc[0] == pytest.approx(
+        m4 / m2**2 - 3.0, rel=1e-9
+    )
+    assert out["skewness"].iloc[0] > 1.0  # lognormal is right-skewed
+
+
+def test_benford_digit_peel(tmp_path):
+    # synthetic orders hitting every magnitude incl. single digits
+    prices = [1.00, 9.99, 10.01, 99.99, 123.45, 4_567.89, 98_765.43, 2.50]
+    df = pd.DataFrame(
+        {"o_orderpriority": ["P"] * len(prices), "o_totalprice": prices}
+    )
+    df.to_parquet(tmp_path / "orders.parquet")
+
+    from kgflow.ops.relational import orders_benford_digits
+
+    out = orders_benford_digits(str(tmp_path)).to_pandas()
+    got = dict(zip(out["digit"], out["n"]))
+    # leading digits of cents: 100→1, 999→9, 1001→1, 9999→9, 12345→1,
+    # 456789→4, 9876543→9, 250→2
+    assert got == {1: 3, 9: 3, 4: 1, 2: 1}
+
+
+def test_daily_autocorr_pairing(tmp_path):
+    # type "x": days 1,2,3 present with counts 1,2,3 → pairs (1,2),(2,3)
+    # type "y": days 1 and 3 only (gap) → no consecutive pair
+    ts = (
+        [pd.Timestamp("2024-01-01 05:00")] * 1
+        + [pd.Timestamp("2024-01-02 05:00")] * 2
+        + [pd.Timestamp("2024-01-03 05:00")] * 3
+        + [pd.Timestamp("2024-01-01 05:00"), pd.Timestamp("2024-01-03 05:00")]
+    )
+    types = ["x"] * 6 + ["y"] * 2
+    pd.DataFrame({"event_type": types, "ts": ts}).to_parquet(
+        tmp_path / "events.parquet"
+    )
+
+    from kgflow.ops.relational import events_daily_autocorr
+
+    out = events_daily_autocorr(str(tmp_path)).to_pandas()
+    assert list(out["event_type"]) == ["x"]
+    row = out.iloc[0]
+    # pairs (x,y) = (1,2),(2,3)
+    assert (row["n"], row["sx"], row["sy"]) == (2, 3, 5)
+    assert (row["sxx"], row["syy"], row["sxy"]) == (5, 13, 8)

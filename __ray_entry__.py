@@ -954,6 +954,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         planted = _docs(sf_dir).map_batches(plant, batch_format="pandas")
         return edit_distance_pairs(planted)
 
+    def doc_vocab_editdist(sf_dir: str):
+        """Oracle-checked: symmetric-deletion edit-distance self-join
+        (SymSpell blocking, recall-complete for Levenshtein ≤ 2 —
+        catches the first-char typos prefix blocking misses) over the
+        clean a-z vocabulary. The fixture lexicon is closed with no
+        natural near-tokens, so the query plants two deterministic
+        mutations per token (t+'x', t[1:]) on BOTH engines — real
+        pair discovery, known ED-1/ED-2 structure."""
+        import pandas as pd
+
+        from kgflow.ops.dedup import symdelete_pairs
+        from kgflow.ops.text import filtered_vocab
+
+        vocab = filtered_vocab(_docs(sf_dir), min_len=5, max_len=20, min_count=2)
+
+        def augment(df):
+            t = df["token"].astype(str)
+            out = pd.concat(
+                [t, t + "x", t.str[1:]], ignore_index=True
+            ).drop_duplicates()
+            return pd.DataFrame({"token": out})
+
+        aug = vocab.map_batches(augment, batch_format="pandas")
+        return symdelete_pairs(aug, token_col="token", max_dist=2)
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3688,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_skewkurt": events_skewkurt,
         "events_autocorr": events_autocorr,
         "orders_benford": orders_benford,
+        "doc_vocab_editdist": doc_vocab_editdist,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5474,6 +5500,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # the engine's symmetric-deletion blocking is recall-complete
+        # for lev<=2, so the brute-force SQL join is the exact oracle
+        "doc_vocab_editdist": r"""
+            WITH t AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ), v AS (
+              SELECT token FROM t
+              WHERE regexp_matches(token, '^[a-z]+$')
+                AND length(token) BETWEEN 5 AND 20
+              GROUP BY token HAVING count(*) >= 2
+            ), aug AS (
+              SELECT DISTINCT token FROM (
+                SELECT token FROM v
+                UNION ALL SELECT token || 'x' FROM v
+                UNION ALL SELECT substr(token, 2) FROM v
+              )
+            )
+            SELECT a.token AS tok_a, b.token AS tok_b,
+                   CAST(levenshtein(a.token, b.token) AS BIGINT) AS dist
+            FROM aug a JOIN aug b
+              ON a.token < b.token
+             AND abs(length(a.token) - length(b.token)) <= 2
+            WHERE levenshtein(a.token, b.token) <= 2
         """,
         # integer priority sampling: FNV1a(doc_id) folded in HUGEINT
         # (the events_value_sketch fold) integer-divided by the weight

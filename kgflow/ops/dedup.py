@@ -1327,3 +1327,142 @@ def hot_ngram_mask(
         reduce_fn=cover_count,
         num_buckets=num_buckets,
     )
+
+
+def symdelete_pairs(
+    vocab: "rd.Dataset",
+    token_col: str = "token",
+    max_dist: int = 2,
+    max_bucket: int = 2_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Symmetric-deletion edit-distance self-join over a vocabulary —
+    all distinct (tok_a, tok_b, dist) with Levenshtein ≤ ``max_dist``
+    (typo/OCR clustering, spell-candidate generation; the SymSpell
+    blocking trick made distributed).
+
+    Recall-COMPLETE blocking, unlike prefix blocking (a first-character
+    typo never shares a prefix) and unlike q-gram count filters (two
+    length-5 tokens at distance 2 can share zero bigrams): if
+    lev(a,b) ≤ k then deleting from a the ≤ k alignment positions that
+    are substituted-or-deleted and from b the ≤ k positions that are
+    substituted-or-inserted leaves the SAME subsequence — so a and b
+    share a ≤ k-deletion variant, and joining on variants misses
+    nothing.
+
+    Scale shape: variant generation runs on the VOCABULARY (V-bounded,
+    never the corpus) with pandas-vectorized double-slice loops —
+    ≤ L + L²/2 ≈ 211 vector ops for L = 20, no per-token Python; one
+    variant-keyed exchange emits candidate pairs (hot variants capped
+    at ``max_bucket`` with a logged drop — short variants of long-tail
+    tokens can fan in), then one pair-keyed exchange dedupes (the same
+    pair surfaces via many shared variants) and runs the capped
+    row-vectorized DP verify (`_lev_capped`) exactly once per distinct
+    candidate pair."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[token_col].drop_duplicates()
+        s = toks.reset_index(drop=True)
+        lens = s.str.len().to_numpy()
+        maxlen = int(lens.max()) if len(s) else 0
+        outs = [pd.DataFrame({"variant": s, token_col: s})]
+        # single deletions: one vectorized two-slice concat per position
+        for d in range(maxlen):
+            m = s[lens > d]
+            if not len(m):
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {"variant": m.str[:d] + m.str[d + 1 :], token_col: m}
+                )
+            )
+        if max_dist >= 2:
+            # double deletions at original positions d < j: slice around
+            # both (j shifts left by one after the first deletion)
+            for d in range(maxlen):
+                for j in range(d + 1, maxlen):
+                    m = s[lens > j]
+                    if not len(m):
+                        continue
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "variant": m.str[:d]
+                                + m.str[d + 1 : j]
+                                + m.str[j + 1 :],
+                                token_col: m,
+                            }
+                        )
+                    )
+        if max_dist >= 3:
+            raise NotImplementedError("symdelete_pairs supports max_dist <= 2")
+        out = pd.concat(outs, ignore_index=True)
+        return out.drop_duplicates()
+
+    EMPTY = pd.DataFrame(
+        {
+            "tok_a": pd.Series([], dtype=object),
+            "tok_b": pd.Series([], dtype=object),
+        }
+    )
+
+    def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return EMPTY.copy()
+        g = g.sort_values(["variant", token_col], kind="mergesort")
+        v = g["variant"].to_numpy()
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = v[1:] != v[:-1]
+        i_idx, j_idx, keep_rows = _segment_pair_indices(
+            new_seg, max_bucket, "symdelete_pairs"
+        )
+        toks = g[token_col].to_numpy()
+        if keep_rows is not None:
+            toks = toks[keep_rows]
+        if not len(i_idx):
+            return EMPTY.copy()
+        out = pd.DataFrame({"tok_a": toks[i_idx], "tok_b": toks[j_idx]})
+        # i<j in variant-sorted order guarantees tok_a <= tok_b lexically;
+        # equal tokens (same token via two of ITS OWN variants) are
+        # impossible post drop_duplicates, but a==b via distinct source
+        # rows is filtered here for safety
+        out = out[out["tok_a"] != out["tok_b"]]
+        return out.drop_duplicates()
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["tok_a", "tok_b"])
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "tok_a": pd.Series([], dtype=object),
+                    "tok_b": pd.Series([], dtype=object),
+                    "dist": pd.Series([], dtype="int64"),
+                }
+            )
+        a = g["tok_a"].to_numpy()
+        b = g["tok_b"].to_numpy()
+        la = np.fromiter((len(t) for t in a), dtype=np.int64, count=len(a))
+        lb = np.fromiter((len(t) for t in b), dtype=np.int64, count=len(b))
+        close = np.abs(la - lb) <= max_dist
+        dists = np.empty(len(a), dtype=np.int64)
+        dists.fill(max_dist + 1)
+        for i in np.flatnonzero(close):
+            dists[i] = _lev_capped(
+                np.frombuffer(a[i].encode("utf-32-le"), dtype=np.uint32),
+                np.frombuffer(b[i].encode("utf-32-le"), dtype=np.uint32),
+                max_dist,
+            )
+        keep = dists <= max_dist
+        return pd.DataFrame(
+            {"tok_a": a[keep], "tok_b": b[keep], "dist": dists[keep]}
+        )
+
+    var = vocab.map_batches(variants, batch_format="pandas")
+    cands = bucketed_group_reduce(
+        var, key_cols=["variant"], reduce_fn=candidate_pairs, num_buckets=num_buckets
+    )
+    return bucketed_group_reduce(
+        cands, key_cols=["tok_a", "tok_b"], reduce_fn=verify, num_buckets=num_buckets
+    )

@@ -1880,3 +1880,44 @@ def char_entropy(docs: "rd.Dataset") -> "rd.Dataset":
     return docs.select_columns(["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def filtered_vocab(
+    docs: "rd.Dataset",
+    min_len: int = 5,
+    max_len: int = 20,
+    min_count: int = 2,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Corpus vocabulary restricted to clean lowercase-alpha tokens of
+    ``min_len``..``max_len`` chars appearing ≥ ``min_count`` times —
+    the candidate set for spell/typo analysis (`symdelete_pairs`) and
+    lexicon induction. Returns (token, n).
+
+    Scale shape: the standard vocab combiner (per-block explode +
+    value_counts, C kernels, filtered BEFORE the exchange so junk
+    tokens never ship) and ONE token-keyed bucketed count reduce —
+    the exchange is vocabulary-bounded, never corpus-bounded."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+").explode().dropna()
+        toks = toks[
+            toks.str.fullmatch(r"[a-z]+")
+            & toks.str.len().between(min_len, max_len)
+        ]
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", as_index=False, sort=False)["n"].sum()
+        return out[out["n"] >= min_count]
+
+    return bucketed_group_reduce(
+        docs.select_columns(["text"]).map_batches(partial, batch_format="pandas"),
+        key_cols=["token"],
+        reduce_fn=finish,
+        num_buckets=num_buckets,
+    )

@@ -113,3 +113,58 @@ def test_daily_autocorr_pairing(tmp_path):
     # pairs (x,y) = (1,2),(2,3)
     assert (row["n"], row["sx"], row["sy"]) == (2, 3, 5)
     assert (row["sxx"], row["syy"], row["sxy"]) == (5, 13, 8)
+
+
+def test_symdelete_pairs_recall_complete_cases():
+    # adversarial for weaker blockings: "zpple" (first-char typo —
+    # prefix blocking is blind), "azcze" (shares ZERO bigrams with
+    # "abcde" at dist 2 — q-gram count filters are blind), "applesx"
+    # (dist 2 via two inserts), "orange" (dist > 2 from everything)
+    toks = ["apple", "zpple", "abcde", "azcze", "applesx", "orange"]
+    ds = rd.from_pandas(pd.DataFrame({"token": toks})).repartition(3)
+
+    from kgflow.ops.dedup import symdelete_pairs
+
+    out = symdelete_pairs(ds).to_pandas()
+    got = {(r.tok_a, r.tok_b): r.dist for r in out.itertuples()}
+    assert got[("apple", "zpple")] == 1
+    assert got[("abcde", "azcze")] == 2
+    assert got[("apple", "applesx")] == 2
+    assert all(a < b for (a, b) in got)  # canonical order, no dupes
+    assert not any("orange" in p for p in got)
+
+
+def test_symdelete_pairs_levenshtein_not_damerau():
+    # transposition = 2 edits under plain Levenshtein
+    ds = rd.from_pandas(pd.DataFrame({"token": ["abcdef", "abcdfe"]}))
+    from kgflow.ops.dedup import symdelete_pairs
+
+    out = symdelete_pairs(ds).to_pandas()
+    assert len(out) == 1 and out["dist"].iloc[0] == 2
+
+
+def test_symdelete_pairs_exhaustive_vs_brute():
+    # random small-alphabet soup → verify against brute-force DP
+    rng = np.random.default_rng(3)
+    toks = sorted(
+        {
+            "".join(rng.choice(list("abc"), size=rng.integers(4, 8)))
+            for _ in range(60)
+        }
+    )
+    ds = rd.from_pandas(pd.DataFrame({"token": toks})).repartition(4)
+    from kgflow.ops.dedup import _lev_capped, symdelete_pairs
+
+    out = symdelete_pairs(ds).to_pandas()
+    got = {(r.tok_a, r.tok_b): r.dist for r in out.itertuples()}
+
+    def enc(t):
+        return np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+
+    want = {}
+    for i, a in enumerate(toks):
+        for b in toks[i + 1 :]:
+            d = _lev_capped(enc(a), enc(b), 2)
+            if d <= 2:
+                want[(a, b)] = d
+    assert got == want

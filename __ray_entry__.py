@@ -979,6 +979,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aug = vocab.map_batches(augment, batch_format="pandas")
         return symdelete_pairs(aug, token_col="token", max_dist=2)
 
+    def events_cusum(sf_dir: str):
+        """Oracle-checked: CUSUM change-point detection over daily
+        counts per type — integer-exact via the prefix identity
+        S_t = P_t − min(0, min prefix P); k = exact nearest-rank
+        median daily count."""
+        from kgflow.ops.relational import events_daily_cusum
+
+        return events_daily_cusum(sf_dir)
+
+    def events_streaks(sf_dir: str):
+        """Oracle-checked: longest consecutive-active-day streak per
+        user — gaps-and-islands via day − rank island keys, one
+        user-bucketed exchange over deduped (user, day) rows."""
+        from kgflow.ops.relational import events_daily_streaks
+
+        return events_daily_streaks(sf_dir)
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3714,6 +3731,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": events_autocorr,
         "orders_benford": orders_benford,
         "doc_vocab_editdist": doc_vocab_editdist,
+        "events_cusum": events_cusum,
+        "events_streaks": events_streaks,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5500,6 +5519,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # CUSUM via the prefix-min identity: S_t = P_t - min(0, min
+        # prefix P) with P = running sum of (count - median)
+        "events_cusum": r"""
+            WITH c AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2
+            ), k AS (
+              SELECT event_type, quantile_disc(c, 0.5) AS k
+              FROM c GROUP BY 1
+            ), p AS (
+              SELECT c.event_type, c.day, k.k,
+                     sum(c.c - k.k) OVER (PARTITION BY c.event_type
+                                          ORDER BY c.day) AS pt,
+                     count(*) OVER (PARTITION BY c.event_type) AS n_days
+              FROM c JOIN k USING (event_type)
+            ), s AS (
+              SELECT event_type, day, k, n_days,
+                     pt - least(0, min(pt) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     )) AS s
+              FROM p
+            ), r AS (
+              SELECT event_type, k, s AS s_max, day AS day_max, n_days,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY s DESC, day ASC) AS rn
+              FROM s
+            )
+            SELECT event_type, k, CAST(s_max AS BIGINT) AS s_max,
+                   day_max, CAST(n_days AS BIGINT) AS n_days
+            FROM r WHERE rn = 1
+        """,
+        # gaps-and-islands: day - rank(day) is constant within a
+        # consecutive-day run
+        "events_streaks": r"""
+            WITH d AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              FROM events
+            ), i AS (
+              SELECT user_id,
+                     CAST(day AS DATE)
+                     - CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INTEGER)
+                       AS grp
+              FROM d
+            ), l AS (
+              SELECT user_id, grp, count(*)::BIGINT AS len
+              FROM i GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS max_streak
+            FROM l GROUP BY user_id
         """,
         # the engine's symmetric-deletion blocking is recall-complete
         # for lev<=2, so the brute-force SQL join is the exact oracle

@@ -3233,3 +3233,127 @@ def events_daily_autocorr(sf_dir: str) -> "rd.Dataset":
     return grouped_corr_moments(
         paired, key="event_type", x_col="c", y_col="c_next", x_scale=1, y_scale=1
     )
+
+
+def events_daily_cusum(sf_dir: str) -> "rd.Dataset":
+    """CUSUM change-point detection over the daily event count per
+    type — the streaming-monitoring classic (Page 1954): per type,
+    S_t = max(0, S_{t−1} + c_t − k) over present days in order, with
+    k = the exact nearest-rank median daily count. Emits
+    (event_type, k, s_max, day_max, n_days): a large s_max flags a
+    sustained upward shift; day_max is the FIRST day attaining it.
+
+    Integer-exact end to end: counts and the median are int64, and the
+    recursion is vectorized via the prefix identity
+    S_t = P_t − min(0, min_{j≤t} P_j) with P = cumsum(c − k) — one
+    cumsum + one minimum.accumulate, no sequential Python. Scale
+    shape: the corpus collapses to a (type, day) count table (ONE
+    count exchange, V-bounded); the scan runs per type inside one
+    type-bucketed reduce whose state is days-bounded."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "day": df["ts"].dt.floor("D")}
+        )
+        out = t.groupby(["event_type", "day"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "c"})
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "day"], as_index=False, sort=False)["c"].sum()
+
+    counts = bucketed_group_reduce(
+        ev.map_batches(day_counts, batch_format="pandas"),
+        key_cols=["event_type", "day"],
+        reduce_fn=sum_counts,
+    )
+
+    def cusum(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("day", kind="mergesort")
+            c = grp["c"].to_numpy(dtype=np.int64)
+            n = len(c)
+            k = int(np.sort(c)[int(np.ceil(0.5 * n)) - 1])  # nearest-rank
+            p = np.cumsum(c - k)
+            runmin = np.minimum(np.minimum.accumulate(p), 0)
+            s = p - runmin
+            i = int(np.argmax(s))  # first max (argmax ties → lowest index)
+            rows.append(
+                {
+                    "event_type": et,
+                    "k": k,
+                    "s_max": int(s[i]),
+                    "day_max": grp["day"].iloc[i],
+                    "n_days": n,
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "k", "s_max", "day_max", "n_days"]
+        )
+
+    return bucketed_group_reduce(counts, key_cols=["event_type"], reduce_fn=cusum)
+
+
+def events_daily_streaks(sf_dir: str) -> "rd.Dataset":
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands classic: distinct active days, islands keyed by
+    day − rank(day) (constant within a consecutive run), longest run
+    per user. Emits (user_id, n_active_days, max_streak).
+
+    Scale shape: a per-block (user, day) dedup combiner shrinks the
+    corpus before ONE user-bucketed exchange (same skeleton as the
+    distinct-count ops); the island scan is vectorized int day-number
+    arithmetic over each bucket — no per-row Python, state bounded by
+    the bucket's (user, day) rows."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def user_days(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"user_id": df["user_id"], "day": df["ts"].dt.floor("D")})
+        return t.drop_duplicates()
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy(dtype=np.int64)
+        dayn = (g["day"].to_numpy().astype("datetime64[D]")).astype(np.int64)
+        new_seg = np.empty(len(g), dtype=bool)
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_active_days": pd.Series([], dtype="int64"),
+                    "max_streak": pd.Series([], dtype="int64"),
+                }
+            )
+        new_seg[0] = True
+        # a new island starts at a user change OR a >1-day jump
+        new_seg[1:] = (uid[1:] != uid[:-1]) | (dayn[1:] != dayn[:-1] + 1)
+        island = np.cumsum(new_seg)
+        lens = np.bincount(island)[1:]  # length of each island
+        island_user = uid[new_seg]
+        t = pd.DataFrame({"user_id": island_user, "len": lens})
+        out = t.groupby("user_id", as_index=False).agg(max_streak=("len", "max"))
+        days = (
+            g.groupby("user_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_active_days"})
+        )
+        return days.merge(out, on="user_id")
+
+    return bucketed_group_reduce(
+        ev.map_batches(user_days, batch_format="pandas"),
+        key_cols=["user_id"],
+        reduce_fn=streaks,
+    )

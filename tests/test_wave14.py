@@ -168,3 +168,37 @@ def test_symdelete_pairs_exhaustive_vs_brute():
             if d <= 2:
                 want[(a, b)] = d
     assert got == want
+
+
+def test_cusum_prefix_identity(tmp_path):
+    # counts by day: 2,2,2,10,10,2 → median k=2, d=0,0,0,8,8,0
+    # naive recursion: S=0,0,0,8,16,16 → s_max=16 at day 5
+    days = [1, 1, 2, 2, 3, 3] + [4] * 10 + [5] * 10 + [6, 6]
+    ts = [pd.Timestamp(f"2024-02-0{d} 12:00") for d in days]
+    pd.DataFrame({"event_type": ["t"] * len(ts), "ts": ts}).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    from kgflow.ops.relational import events_daily_cusum
+
+    out = events_daily_cusum(str(tmp_path)).to_pandas()
+    row = out.iloc[0]
+    assert (row["k"], row["s_max"], row["n_days"]) == (2, 16, 6)
+    assert row["day_max"] == pd.Timestamp("2024-02-05")
+
+
+def test_streak_islands(tmp_path):
+    # user 1: days 1,2,3 then 7,8 → max streak 3, 5 active days
+    # user 2: day 1 only (two events same day dedupe) → streak 1
+    rows = []
+    for d in [1, 2, 3, 7, 8]:
+        rows.append((1, pd.Timestamp(f"2024-03-0{d} 01:00")))
+    rows.append((2, pd.Timestamp("2024-03-01 05:00")))
+    rows.append((2, pd.Timestamp("2024-03-01 09:00")))
+    pd.DataFrame(rows, columns=["user_id", "ts"]).to_parquet(
+        tmp_path / "events.parquet"
+    )
+    from kgflow.ops.relational import events_daily_streaks
+
+    out = events_daily_streaks(str(tmp_path)).to_pandas().set_index("user_id")
+    assert out.loc[1, "max_streak"] == 3 and out.loc[1, "n_active_days"] == 5
+    assert out.loc[2, "max_streak"] == 1 and out.loc[2, "n_active_days"] == 1

@@ -996,6 +996,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return events_daily_streaks(sf_dir)
 
+    def lineitem_fd_audit(sf_dir: str):
+        """Oracle-checked: functional-dependency audit — l_partkey
+        values served by MORE than one supplier, with the exact
+        distinct-supplier count (schema discovery / candidate-key
+        mining; `kgflow.ops.checks.fd_violations`)."""
+        from kgflow.ops.checks import fd_violations
+        from kgflow.sources.parquet import read_parquet_clean
+
+        li = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"],
+        )
+        return fd_violations(li, det_col="l_partkey", dep_col="l_suppkey")
+
+    def lineitem_corr_matrix(sf_dir: str):
+        """Oracle-checked: all-pairs bivariate moment MATRIX over the
+        four numeric lineitem columns in ONE pass — (col_a, col_b, n,
+        sx, sy, sxy) exact via chunked Python-int accumulation;
+        Pearson r / cov are driver-side closed forms over the 10
+        hash-exact rows (`kgflow.ops.profile.moment_matrix`)."""
+        from kgflow.ops.profile import moment_matrix
+        from kgflow.sources.parquet import read_parquet_clean
+
+        cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        li = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=cols
+        )
+        return moment_matrix(li, cols=cols, scales={c: 100 for c in cols})
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3733,6 +3762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_editdist": doc_vocab_editdist,
         "events_cusum": events_cusum,
         "events_streaks": events_streaks,
+        "lineitem_fd_audit": lineitem_fd_audit,
+        "lineitem_corr_matrix": lineitem_corr_matrix,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5519,6 +5550,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        "lineitem_fd_audit": r"""
+            SELECT l_partkey, count(DISTINCT l_suppkey) AS n_dep
+            FROM lineitem GROUP BY 1
+            HAVING count(DISTINCT l_suppkey) > 1
+        """,
+        # one-pass all-pairs moment matrix: HUGEINT pair sums -> VARCHAR
+        "lineitem_corr_matrix": r"""
+              SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)
+                              * CAST(floor(l_quantity*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_quantity IS NOT NULL
+              UNION ALL
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)
+                              * CAST(floor(l_extendedprice*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              UNION ALL
+              SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)
+                              * CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+              UNION ALL
+              SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_quantity*100) AS HUGEINT)
+                              * CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_tax IS NOT NULL
+              UNION ALL
+              SELECT 'l_extendedprice' AS col_a, 'l_extendedprice' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)
+                              * CAST(floor(l_extendedprice*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_extendedprice IS NOT NULL
+              UNION ALL
+              SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)
+                              * CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+              UNION ALL
+              SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_extendedprice*100) AS HUGEINT)
+                              * CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_tax IS NOT NULL
+              UNION ALL
+              SELECT 'l_discount' AS col_a, 'l_discount' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_discount*100) AS HUGEINT)
+                              * CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_discount IS NOT NULL AND l_discount IS NOT NULL
+              UNION ALL
+              SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_discount*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_discount*100) AS HUGEINT)
+                              * CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+              UNION ALL
+              SELECT 'l_tax' AS col_a, 'l_tax' AS col_b,
+                     count(*) AS n,
+                     CAST(sum(CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sx,
+                     CAST(sum(CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sy,
+                     CAST(sum(CAST(floor(l_tax*100) AS HUGEINT)
+                              * CAST(floor(l_tax*100) AS HUGEINT)) AS VARCHAR) AS sxy
+              FROM lineitem
+              WHERE l_tax IS NOT NULL AND l_tax IS NOT NULL
         """,
         # CUSUM via the prefix-min identity: S_t = P_t - min(0, min
         # prefix P) with P = running sum of (count - median)

@@ -227,3 +227,43 @@ def snapshot_diff(
         tagged, key_cols=[key_col], reduce_fn=classify,
         num_buckets=num_buckets,
     )
+
+
+def fd_violations(
+    ds: "rd.Dataset",
+    det_col: str,
+    dep_col: str,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Functional-dependency audit: keys of ``det_col`` that map to
+    MORE than one distinct ``dep_col`` value, with the exact distinct
+    count — the schema-discovery / data-quality primitive behind
+    "is X a reliable key for Y" (denormalization checks, merge-conflict
+    detection, candidate-key mining). Emits (det, n_dep) for violating
+    keys only.
+
+    Scale shape: a per-block (det, dep) DISTINCT combiner shrinks each
+    block before ONE det-bucketed exchange (same skeleton as the
+    grouped distinct-count ops — a hot det key's distinct pairs spread
+    across blocks still land in one bucket, bounded by its distinct
+    dep cardinality, not its row count); the in-bucket pass is a
+    vectorized drop_duplicates + value_counts."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[det_col, dep_col]].drop_duplicates()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(subset=[det_col, dep_col])
+        vc = u.groupby(det_col, as_index=False, sort=False).size()
+        vc = vc.rename(columns={"size": "n_dep"})
+        return vc[vc["n_dep"] > 1]
+
+    return bucketed_group_reduce(
+        ds.select_columns([det_col, dep_col]).map_batches(
+            pairs, batch_format="pandas"
+        ),
+        key_cols=[det_col],
+        reduce_fn=finish,
+        num_buckets=num_buckets,
+    )

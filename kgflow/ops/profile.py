@@ -1154,3 +1154,88 @@ def skewkurt_from_power_sums(df: pd.DataFrame, scale: int = 100) -> pd.DataFrame
         out["skewness"] = m3 / np.power(m2, 1.5)
         out["kurtosis_excess"] = m4 / (m2 * m2) - 3.0
     return out
+
+
+def moment_matrix(
+    ds: "rd.Dataset",
+    cols: list[str],
+    scales: dict[str, int] | None = None,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """EXACT all-pairs bivariate moments over numeric columns in ONE
+    data pass — the correlation/covariance MATRIX primitive (feature
+    screening, redundancy detection, drift audits): for every pair
+    i ≤ j emits (col_a, col_b, n, sx, sy, sxy) with
+    q_c = floor(v_c·scale_c); Pearson r / cov are driver-side closed
+    forms (variances come from the diagonal a = b rows).
+
+    Exactness at any N: each quantized column is asserted < 2^24, so
+    elementwise products ≤ 2^48 are int64-exact; per-batch sums run in
+    2^14-row chunks (chunk sum ≤ 2^62) and accumulate into Python ints
+    so nothing ever wraps; sums ship as decimal strings (SQL mirrors
+    with HUGEINT → VARCHAR). Rows are dropped pairwise-NULL per pair,
+    matching SQL's WHERE a IS NOT NULL AND b IS NOT NULL.
+
+    Scale shape: the exchange carries ~|pairs| string rows per block —
+    constant in row count; p columns cost p(p+1)/2 vectorized
+    multiply-sums inside the single read pass, never p passes."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if scales is None:
+        scales = {}
+    CHUNK = 1 << 14
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        qs = {}
+        for c in cols:
+            v = d[c].to_numpy(dtype=np.float64)
+            q = np.floor(v * scales.get(c, 1))
+            qs[c] = q  # float carrying exact ints; NaN marks null
+            finite = q[np.isfinite(q)]
+            if len(finite) and np.abs(finite).max() >= 1 << 24:
+                raise ValueError(
+                    f"moment_matrix: |floor({c}*scale)| >= 2^24; lower the scale"
+                )
+        rows = []
+        for i, ca in enumerate(cols):
+            for cb in cols[i:]:
+                ok = np.isfinite(qs[ca]) & np.isfinite(qs[cb])
+                a = qs[ca][ok].astype(np.int64)
+                b = qs[cb][ok].astype(np.int64)
+                sx = sy = sxy = 0
+                for lo in range(0, len(a), CHUNK):
+                    aa, bb = a[lo : lo + CHUNK], b[lo : lo + CHUNK]
+                    sx += int(aa.sum())
+                    sy += int(bb.sum())
+                    sxy += int((aa * bb).sum())
+                rows.append(
+                    {
+                        "col_a": ca,
+                        "col_b": cb,
+                        "n": len(a),
+                        "sx": str(sx),
+                        "sy": str(sy),
+                        "sxy": str(sxy),
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (ca, cb), grp in g.groupby(["col_a", "col_b"], sort=False):
+            out.append(
+                {
+                    "col_a": ca,
+                    "col_b": cb,
+                    "n": np.int64(grp["n"].sum()),
+                    "sx": str(sum(int(v) for v in grp["sx"])),
+                    "sy": str(sum(int(v) for v in grp["sy"])),
+                    "sxy": str(sum(int(v) for v in grp["sxy"])),
+                }
+            )
+        return pd.DataFrame(out, columns=["col_a", "col_b", "n", "sx", "sy", "sxy"])
+
+    partials = ds.select_columns(cols).map_batches(partial, batch_format="pandas")
+    return bucketed_group_reduce(
+        partials, key_cols=["col_a", "col_b"], reduce_fn=finish, num_buckets=num_buckets
+    )

@@ -202,3 +202,59 @@ def test_streak_islands(tmp_path):
     out = events_daily_streaks(str(tmp_path)).to_pandas().set_index("user_id")
     assert out.loc[1, "max_streak"] == 3 and out.loc[1, "n_active_days"] == 5
     assert out.loc[2, "max_streak"] == 1 and out.loc[2, "n_active_days"] == 1
+
+
+def test_moment_matrix_exact_and_pairwise_null():
+    rng = np.random.default_rng(5)
+    n = 3_000
+    df = pd.DataFrame(
+        {
+            "a": np.round(rng.uniform(0, 160_000, n), 2),  # near the 2^24 edge
+            "b": np.round(rng.normal(0, 40, n), 2),
+        }
+    )
+    df.loc[::7, "b"] = np.nan  # pairwise-null drops
+    ds = rd.from_pandas(df).repartition(6)
+    from kgflow.ops.profile import moment_matrix
+
+    out = (
+        moment_matrix(ds, cols=["a", "b"], scales={"a": 100, "b": 100})
+        .to_pandas()
+        .set_index(["col_a", "col_b"])
+    )
+    qa = np.floor(df["a"].to_numpy() * 100)
+    qb = np.floor(df["b"].to_numpy() * 100)
+    ok = np.isfinite(qb)
+    # diagonal (a,a): all rows; off-diagonal (a,b): pairwise complete
+    assert out.loc[("a", "a"), "n"] == n
+    assert int(out.loc[("a", "a"), "sxy"]) == sum(
+        int(x) * int(x) for x in qa
+    )
+    assert out.loc[("a", "b"), "n"] == int(ok.sum())
+    assert int(out.loc[("a", "b"), "sx"]) == sum(int(x) for x in qa[ok])
+    assert int(out.loc[("a", "b"), "sxy"]) == sum(
+        int(x) * int(y) for x, y in zip(qa[ok], qb[ok])
+    )
+
+
+def test_moment_matrix_scale_guard():
+    ds = rd.from_pandas(pd.DataFrame({"a": [200_000.0]}))
+    from kgflow.ops.profile import moment_matrix
+
+    with pytest.raises(Exception, match="2\\^24|lower the scale"):
+        moment_matrix(ds, cols=["a"], scales={"a": 100}).to_pandas()
+
+
+def test_fd_violations_semantics():
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3, 3, 3],
+            "v": ["x", "x", "y", "z", "z", "a", "b", "c"],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    from kgflow.ops.checks import fd_violations
+
+    out = fd_violations(ds, det_col="k", dep_col="v").to_pandas()
+    got = dict(zip(out["k"], out["n_dep"]))
+    assert got == {1: 2, 3: 3}  # key 2 is FD-clean and absent

@@ -1025,6 +1025,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return moment_matrix(li, cols=cols, scales={c: 100 for c in cols})
 
+    def events_target_encode(sf_dir: str):
+        """Oracle-checked: leave-one-out target encoding of event_type
+        by value — integer-exact (te_num, te_den) fraction per row;
+        category stats broadcast, the corpus never shuffles
+        (`kgflow.ops.encode.loo_target_encode`)."""
+        from kgflow.ops.encode import loo_target_encode
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        return loo_target_encode(
+            ev, id_col="event_id", cat_col="event_type", y_col="value"
+        )
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3764,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaks": events_streaks,
         "lineitem_fd_audit": lineitem_fd_audit,
         "lineitem_corr_matrix": lineitem_corr_matrix,
+        "events_target_encode": events_target_encode,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5550,6 +5567,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # LOO target encoding: exact integer fraction per row
+        "events_target_encode": r"""
+            WITH s AS (
+              SELECT event_type, count(*) AS n,
+                     sum(CAST(floor(value * 100) AS BIGINT)) AS sq
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   s.sq - CAST(floor(e.value * 100) AS BIGINT) AS te_num,
+                   CAST(s.n - 1 AS BIGINT) AS te_den
+            FROM events e JOIN s USING (event_type)
+            WHERE e.value IS NOT NULL
         """,
         "lineitem_fd_audit": r"""
             SELECT l_partkey, count(DISTINCT l_suppkey) AS n_dep

@@ -258,3 +258,38 @@ def test_fd_violations_semantics():
     out = fd_violations(ds, det_col="k", dep_col="v").to_pandas()
     got = dict(zip(out["k"], out["n_dep"]))
     assert got == {1: 2, 3: 3}  # key 2 is FD-clean and absent
+
+
+def test_loo_target_encode_semantics():
+    # category "a": q values 100, 200, 300 → LOO for 100 is (500, 2)
+    # category "b": single row → te_den 0 (caller decides the prior)
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "cat": ["a", "a", "a", "b", "a"],
+            "y": [1.0, 2.0, 3.0, 9.0, None],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(3)
+    from kgflow.ops.encode import loo_target_encode
+
+    out = (
+        loo_target_encode(ds, id_col="id", cat_col="cat", y_col="y")
+        .to_pandas()
+        .set_index("id")
+    )
+    assert 5 not in out.index  # NULL target excluded
+    assert (out.loc[1, "te_num"], out.loc[1, "te_den"]) == (500, 2)
+    assert (out.loc[2, "te_num"], out.loc[2, "te_den"]) == (400, 2)
+    assert (out.loc[4, "te_num"], out.loc[4, "te_den"]) == (0, 0)
+
+
+def test_loo_target_encode_category_guard():
+    df = pd.DataFrame({"id": range(10), "cat": [str(i) for i in range(10)], "y": 1.0})
+    from kgflow.ops.encode import loo_target_encode
+
+    with pytest.raises(Exception, match="categories exceed"):
+        loo_target_encode(
+            rd.from_pandas(df), id_col="id", cat_col="cat", y_col="y",
+            max_categories=5,
+        ).to_pandas()

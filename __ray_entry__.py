@@ -1041,6 +1041,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev, id_col="event_id", cat_col="event_type", y_col="value"
         )
 
+    def events_feature_hash(sf_dir: str):
+        """Oracle-checked: feature-hashing trick — the event_type ×
+        hour-of-day cross hashed into 64 fixed buckets with the
+        engine/SQL-identical FNV-1a fold; purely map-side, no
+        vocabulary pass (`kgflow.ops.encode.hash_bucket_encode`)."""
+        import pandas as pd
+
+        from kgflow.ops.encode import hash_bucket_encode
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "ts"],
+        )
+
+        def add_hour(d: pd.DataFrame) -> pd.DataFrame:
+            d = d.copy()
+            d["hr"] = d["ts"].dt.hour.astype(np.int64)
+            return d[["event_id", "event_type", "hr"]]
+
+        return hash_bucket_encode(
+            ev.map_batches(add_hour, batch_format="pandas"),
+            id_col="event_id",
+            cat_cols=["event_type", "hr"],
+            n_buckets=64,
+        )
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3781,6 +3808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_fd_audit": lineitem_fd_audit,
         "lineitem_corr_matrix": lineitem_corr_matrix,
         "events_target_encode": events_target_encode,
+        "events_feature_hash": events_feature_hash,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5567,6 +5595,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # feature hashing: the same FNV-1a fold as the simhash oracle,
+        # over the crossed key event_type || '|' || hour
+        "events_feature_hash": r"""
+            WITH k AS (
+              SELECT event_id,
+                     event_type || '|'
+                       || CAST(CAST(extract(hour FROM ts) AS BIGINT) AS VARCHAR)
+                       AS key
+              FROM events
+            )
+            SELECT event_id,
+                   CAST((CAST(list_reduce(
+                     list_prepend(
+                       CAST(14695981039346656037 AS HUGEINT),
+                       list_transform(range(1, length(key) + 1),
+                                      i -> CAST(unicode(key[i]) AS HUGEINT))),
+                     (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                           CAST(c AS UBIGINT)) AS HUGEINT)
+                                  * 1099511628211)
+                                 % 18446744073709551616
+                   ) AS UBIGINT) % 64) AS BIGINT) AS bucket
+            FROM k
         """,
         # LOO target encoding: exact integer fraction per row
         "events_target_encode": r"""

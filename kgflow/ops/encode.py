@@ -91,3 +91,39 @@ def loo_target_encode(
     return ds.select_columns([id_col, cat_col, y_col]).map_batches(
         apply, batch_format="pandas"
     )
+
+
+def hash_bucket_encode(
+    ds: "rd.Dataset",
+    id_col: str,
+    cat_cols: list[str],
+    n_buckets: int = 64,
+) -> "rd.Dataset":
+    """The feature-hashing trick (Weinberger et al. 2009): map a
+    (possibly crossed) categorical key into a fixed bucket space with
+    a deterministic hash — unbounded-cardinality categoricals (urls,
+    token crosses) become fixed-width model inputs with NO trained
+    state, no vocabulary pass, no shuffle.
+
+    bucket = FNV-1a-64(col₁ || '|' || col₂ …) mod ``n_buckets`` —
+    the engine's vectorized string fold (`_fnv1a_strings`, dense
+    codepoint matrices per length class) and the SQL list_reduce fold
+    compute the identical value, so the oracle hashes exactly. Purely
+    map-side: one streaming pass, embarrassingly parallel."""
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    def encode(d: pd.DataFrame) -> pd.DataFrame:
+        key = d[cat_cols[0]].astype(str)
+        for c in cat_cols[1:]:
+            key = key + "|" + d[c].astype(str)
+        h = _fnv1a_strings(key.to_numpy())
+        return pd.DataFrame(
+            {
+                id_col: d[id_col].to_numpy(),
+                "bucket": (h % np.uint64(n_buckets)).astype(np.int64),
+            }
+        )
+
+    return ds.select_columns([id_col, *cat_cols]).map_batches(
+        encode, batch_format="pandas"
+    )

@@ -293,3 +293,24 @@ def test_loo_target_encode_category_guard():
             rd.from_pandas(df), id_col="id", cat_col="cat", y_col="y",
             max_categories=5,
         ).to_pandas()
+
+
+def test_hash_bucket_encode_deterministic_and_crossed():
+    df = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "a": ["x", "x", "y", "y"], "b": [0, 1, 0, 0]}
+    )
+    ds = rd.from_pandas(df).repartition(2)
+    from kgflow.ops.encode import hash_bucket_encode
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    out = (
+        hash_bucket_encode(ds, id_col="id", cat_cols=["a", "b"], n_buckets=8)
+        .to_pandas()
+        .set_index("id")["bucket"]
+    )
+    # same crossed key → same bucket; matches the direct fold
+    for i, key in [(1, "x|0"), (2, "x|1"), (3, "y|0"), (4, "y|0")]:
+        # int() BEFORE the modulo: np.uint64 % python-int promotes to
+        # float64 and silently corrupts 64-bit hashes
+        assert out.loc[i] == int(_fnv1a_strings(np.array([key]))[0]) % 8
+    assert out.loc[3] == out.loc[4]

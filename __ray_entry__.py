@@ -1068,6 +1068,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             n_buckets=64,
         )
 
+    def embed_quantize(sf_dir: str):
+        """Oracle-checked: per-dimension int8-style scalar quantization
+        of the embedding store (the compression pass before IVF/PQ
+        indexing) — global per-dim min/max broadcast, codes evaluated
+        in float64 on both engines so IEEE makes them bit-identical
+        (`kgflow.ops.ann.quantize_embeddings`)."""
+        from kgflow.ops.ann import quantize_embeddings
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return quantize_embeddings(emb)
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3809,6 +3824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": lineitem_corr_matrix,
         "events_target_encode": events_target_encode,
         "events_feature_hash": events_feature_hash,
+        "embed_quantize": embed_quantize,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5595,6 +5611,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # scalar quantization: per-dim min/max are pure selections;
+        # the code expression runs in DOUBLE on both engines (IEEE
+        # bit-identical), so codes hash exactly
+        "embed_quantize": r"""
+            WITH v AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS x
+              FROM embeddings
+            ), s AS (
+              SELECT dim, min(x) AS mn, max(x) AS mx FROM v GROUP BY dim
+            )
+            SELECT v.vec_id, CAST(v.dim AS BIGINT) AS dim,
+                   CASE WHEN s.mx > s.mn THEN
+                     CAST(floor((CAST(v.x AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                                / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                                * 255) AS BIGINT)
+                   ELSE 0 END AS code
+            FROM v JOIN s USING (dim)
         """,
         # feature hashing: the same FNV-1a fold as the simhash oracle,
         # over the crossed key event_type || '|' || hour

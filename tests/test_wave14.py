@@ -314,3 +314,23 @@ def test_hash_bucket_encode_deterministic_and_crossed():
         # float64 and silently corrupts 64-bit hashes
         assert out.loc[i] == int(_fnv1a_strings(np.array([key]))[0]) % 8
     assert out.loc[3] == out.loc[4]
+
+
+def test_quantize_embeddings_semantics():
+    # dim 1 spans [0, 2] → codes 0 / 127 / 255; dim 2 constant → 0
+    vecs = [[0.0, 5.0], [1.0, 5.0], [2.0, 5.0]]
+    df = pd.DataFrame({"vec_id": [10, 11, 12], "embedding": vecs})
+    ds = rd.from_pandas(df).repartition(2)
+    from kgflow.ops.ann import quantize_embeddings
+
+    out = (
+        quantize_embeddings(ds)
+        .to_pandas()
+        .set_index(["vec_id", "dim"])["code"]
+        .to_dict()
+    )
+    assert out[(10, 1)] == 0 and out[(12, 1)] == 255
+    assert out[(11, 1)] == 127  # floor(0.5 * 255)
+    assert all(out[(v, 2)] == 0 for v in (10, 11, 12))  # constant dim
+    # max value always codes to exactly n_levels-1, min to 0
+    assert min(out.values()) >= 0 and max(out.values()) <= 255

@@ -1083,6 +1083,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return quantize_embeddings(emb)
 
+    def embed_pq(sf_dir: str):
+        """Rows-only (approximate by design, like the pruned IVF
+        paths): product-quantization codes — per-subspace L2 k-means
+        codebooks trained on the sorted bounded sample, map-only
+        encode; determinism + nearest-centroid + compression-quality
+        properties are pytest-pinned (`kgflow.ops.ann.pq_encode`)."""
+        from kgflow.ops.ann import pq_encode
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return pq_encode(emb)
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3825,6 +3840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_target_encode": events_target_encode,
         "events_feature_hash": events_feature_hash,
         "embed_quantize": embed_quantize,
+        "embed_pq": embed_pq,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,

@@ -755,3 +755,111 @@ def quantize_embeddings(
     return emb.select_columns([id_col, col]).map_batches(
         codes, batch_format="pyarrow"
     )
+
+
+def _kmeans_l2(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means under L2 (PQ codebooks are Euclidean,
+    unlike the spherical coarse quantizer): seeded init over the
+    caller-sorted sample, fixed iteration count, empty clusters
+    re-seeded to the farthest point — byte-identical codebooks for the
+    same (rows, params) regardless of block arrival order."""
+    rng = np.random.RandomState(seed)
+    X = np.asarray(X, dtype=np.float32)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+            else:  # deterministic re-seed: farthest point from its centroid
+                C[j] = X[int(np.argmax(d2.min(axis=1)))]
+    return C
+
+
+def pq_encode(
+    emb: "rd.Dataset",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2000,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """Product quantization (Jégou et al., TPAMI 2011) — the
+    high-compression vector codec behind billion-scale ANN: split each
+    vector into ``n_subspaces`` contiguous sub-vectors, train an L2
+    k-means codebook of ``n_codes`` centroids per subspace on a
+    bounded sample, and encode every vector as one code per subspace
+    (64-dim float32 → 8 bytes at 8×16). Emits (vec_id, subspace,
+    code), 1-based subspace.
+
+    Deterministic: the training sample is pulled bounded and sorted by
+    id (the `_train_centroids` rule — Ray block order is not stable),
+    k-means is seeded with a fixed iteration count, so codes are
+    byte-identical across runs and partitionings (property-tested).
+    Approximate by design → rows-only gate, like the pruned IVF paths.
+
+    Scale shape: training is sample-bounded driver work; codebooks
+    broadcast once via ``ray.put`` ([S, K, d/S] floats); encoding is
+    map-only — per batch ONE [B, d/S] × [d/S, K] matmul per subspace
+    via the ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² expansion (argmin over
+    2x·c − ‖c‖², no [B, K, d] broadcast), no shuffle anywhere."""
+    import pandas as pd
+
+    sample = (
+        emb.select_columns([id_col, col])
+        .limit(sample_size)
+        .to_pandas()
+        .sort_values(id_col, kind="mergesort")
+    )
+    M = np.asarray(list(sample[col]), dtype=np.float32)
+    d = M.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"pq_encode: dim {d} not divisible by {n_subspaces}")
+    sub = d // n_subspaces
+    books = np.stack(
+        [
+            _kmeans_l2(M[:, s * sub : (s + 1) * sub], n_codes, seed=seed + s)
+            for s in range(n_subspaces)
+        ]
+    )  # [S, K, sub]
+    ref = ray.put(books)
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(ref)
+            # precompute per-subspace ||c||^2: [S, K]
+            self.c2 = (self.books**2).sum(axis=2)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            X = embed_matrix(batch, col)
+            ids = batch.column(id_col).to_numpy()
+            n = X.shape[0]
+            if n == 0:
+                return pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype="int64"),
+                        "subspace": pd.Series([], dtype="int64"),
+                        "code": pd.Series([], dtype="int64"),
+                    }
+                )
+            S, K, subd = self.books.shape
+            codes = np.empty((n, S), dtype=np.int64)
+            for s in range(S):
+                Xs = X[:, s * subd : (s + 1) * subd]
+                score = 2.0 * (Xs @ self.books[s].T) - self.c2[s]  # [B, K]
+                codes[:, s] = np.argmax(score, axis=1)
+            return pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, S),
+                    "subspace": np.tile(np.arange(1, S + 1, dtype=np.int64), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return emb.select_columns([id_col, col]).map_batches(
+        Encode, batch_format="pyarrow", concurrency=(1, 4)
+    )

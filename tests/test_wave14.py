@@ -334,3 +334,51 @@ def test_quantize_embeddings_semantics():
     assert all(out[(v, 2)] == 0 for v in (10, 11, 12))  # constant dim
     # max value always codes to exactly n_levels-1, min to 0
     assert min(out.values()) >= 0 and max(out.values()) <= 255
+
+
+def test_pq_encode_properties():
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 1, (200, 16)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs)})
+    from kgflow.ops.ann import pq_encode
+
+    a = (
+        pq_encode(rd.from_pandas(df).repartition(5), n_subspaces=4, n_codes=8)
+        .to_pandas()
+        .sort_values(["vec_id", "subspace"])
+        .reset_index(drop=True)
+    )
+    # determinism across partitionings
+    b = (
+        pq_encode(rd.from_pandas(df).repartition(2), n_subspaces=4, n_codes=8)
+        .to_pandas()
+        .sort_values(["vec_id", "subspace"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 200 * 4
+    assert a["code"].between(0, 7).all()
+    # nearest-centroid property: re-derive codebooks and brute-check rows
+    from kgflow.ops.ann import _kmeans_l2
+
+    sample = df.sort_values("vec_id")
+    M = np.asarray(list(sample["embedding"]), dtype=np.float32)
+    for s in range(4):
+        book = _kmeans_l2(M[:, s * 4 : (s + 1) * 4], 8, seed=42 + s)
+        sub = vecs[:, s * 4 : (s + 1) * 4]
+        want = np.argmin(
+            ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2), axis=1
+        )
+        got = a[a["subspace"] == s + 1].sort_values("vec_id")["code"].to_numpy()
+        assert (got == want).all()
+    # compression quality: PQ reconstruction beats the 1-centroid baseline
+    books = np.stack(
+        [_kmeans_l2(M[:, s * 4 : (s + 1) * 4], 8, seed=42 + s) for s in range(4)]
+    )
+    codes = a["code"].to_numpy().reshape(200, 4)
+    recon = np.concatenate(
+        [books[s][codes[:, s]] for s in range(4)], axis=1
+    )
+    mse_pq = ((vecs - recon) ** 2).mean()
+    mse_mean = ((vecs - vecs.mean(axis=0)) ** 2).mean()
+    assert mse_pq < 0.5 * mse_mean

@@ -1098,6 +1098,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pq_encode(emb)
 
+    def ann_pq_topk(sf_dir: str):
+        """Rows-only (approximate by design): PQ-ADC search — queries
+        in float32, corpus scanned as 8-byte PQ codes, distances via S
+        table lookups per vector; recall@k vs the exact scan is
+        pytest-pinned (`kgflow.ops.ann.pq_adc_topk`)."""
+        from kgflow.ops.ann import pq_adc_topk
+        from kgflow.sources.parquet import read_parquet_clean
+
+        qids, qm = _queries_for(sf_dir)
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return pq_adc_topk(emb, qids, qm, k=5).select_columns(
+            ["query_id", "neighbor_id"]
+        )
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3841,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_feature_hash": events_feature_hash,
         "embed_quantize": embed_quantize,
         "embed_pq": embed_pq,
+        "ann_pq_topk": ann_pq_topk,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,

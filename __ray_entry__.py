@@ -1115,6 +1115,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["query_id", "neighbor_id"]
         )
 
+    def doc_auc(sf_dir: str):
+        """Oracle-checked: exact corpus-scale ROC-AUC via the
+        Mann-Whitney identity over a score-domain-bounded histogram —
+        does document length rank the long-form sources above the
+        rest? One row (n_pos, n_neg, u2); auc = u2/(2·n_pos·n_neg) is
+        the caller's float (`kgflow.ops.profile.binary_auc_exact`)."""
+        import pandas as pd
+
+        from kgflow.ops.profile import binary_auc_exact
+
+        POS = {"src1", "src7", "src11", "src13"}
+
+        def label(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "y": d["source"].isin(POS).astype(np.int64),
+                    "n_chars": d["n_chars"].astype(np.int64),
+                }
+            )
+
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "n_chars"],
+        )
+        return binary_auc_exact(
+            docs.map_batches(label, batch_format="pandas"),
+            label_col="y",
+            score_col="n_chars",
+        )
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3859,6 +3891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_quantize": embed_quantize,
         "embed_pq": embed_pq,
         "ann_pq_topk": ann_pq_topk,
+        "doc_auc": doc_auc,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5645,6 +5678,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # exact AUC: Mann-Whitney 2U over the score histogram (ties
+        # count once via np*nn); HUGEINT -> VARCHAR like the power sums
+        "doc_auc": r"""
+            WITH d AS (
+              SELECT n_chars AS s,
+                     CASE WHEN source IN ('src1','src7','src11','src13')
+                          THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), h AS (
+              SELECT s, sum(y)::HUGEINT AS np, sum(1 - y)::HUGEINT AS nn
+              FROM d GROUP BY s
+            ), c AS (
+              SELECT s, np, nn,
+                     coalesce(sum(nn) OVER (ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumneg
+              FROM h
+            )
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                   CAST(sum(nn) AS BIGINT) AS n_neg,
+                   CAST(CAST(sum(2 * np * cumneg + np * nn) AS HUGEINT)
+                        AS VARCHAR) AS u2
+            FROM c
         """,
         # scalar quantization: per-dim min/max are pure selections;
         # the code expression runs in DOUBLE on both engines (IEEE

@@ -1239,3 +1239,76 @@ def moment_matrix(
     return bucketed_group_reduce(
         partials, key_cols=["col_a", "col_b"], reduce_fn=finish, num_buckets=num_buckets
     )
+
+
+def binary_auc_exact(
+    ds: "rd.Dataset",
+    label_col: str,
+    score_col: str,
+    max_distinct_scores: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """EXACT ROC-AUC of an integer score against a binary label — the
+    distributed model-evaluation primitive (ranking quality of a
+    filter/classifier signal over the whole corpus, no sampling): via
+    the Mann-Whitney identity AUC = U / (n_pos·n_neg) with
+    U = #(pos, neg) pairs scored pos > neg, ties counting ½. Returns
+    ONE row (n_pos, n_neg, u2) where u2 = 2U stays integer under ties
+    and ships as a decimal string (u2 ~ n_pos·n_neg can exceed int64
+    at corpus scale); auc = u2 / (2·n_pos·n_neg) is the caller's one
+    float op (`auc_from_u2`).
+
+    Scale shape: a per-block (score, n_pos, n_neg) count combiner →
+    ONE score-keyed reduce; the exchange and the final pull are
+    SCORE-DOMAIN-bounded (guarded by ``max_distinct_scores`` via a
+    distributed count BEFORE the pull — the pivot-guard rule), never
+    row-bounded; the cumulative pair count runs over the tiny sorted
+    histogram with Python-int exactness."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        y = d[label_col].to_numpy()
+        s = d[score_col].to_numpy(dtype=np.int64)
+        t = pd.DataFrame(
+            {
+                "s": s,
+                "np_": (y != 0).astype(np.int64),
+                "nn_": (y == 0).astype(np.int64),
+            }
+        )
+        return t.groupby("s", as_index=False, sort=False).sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s", as_index=False, sort=False)[["np_", "nn_"]].sum()
+
+    hist_ds = bucketed_group_reduce(
+        ds.select_columns([label_col, score_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["s"],
+        reduce_fn=finish,
+        num_buckets=num_buckets,
+    )
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct_scores:
+        raise ValueError(
+            f"binary_auc_exact: {n_distinct} distinct scores exceed the pull "
+            f"guard ({max_distinct_scores}); quantize the score coarser"
+        )
+    h = hist_ds.to_pandas().sort_values("s", kind="mergesort")
+    npos = int(h["np_"].sum())
+    nneg = int(h["nn_"].sum())
+    u2 = 0
+    cumneg = 0
+    for np_s, nn_s in zip(h["np_"], h["nn_"]):  # score-domain-bounded loop
+        u2 += 2 * int(np_s) * cumneg + int(np_s) * int(nn_s)
+        cumneg += int(nn_s)
+    return pd.DataFrame(
+        {"n_pos": [np.int64(npos)], "n_neg": [np.int64(nneg)], "u2": [str(u2)]}
+    )
+
+
+def auc_from_u2(df: pd.DataFrame) -> float:
+    """The one float op over a `binary_auc_exact` row."""
+    r = df.iloc[0]
+    return int(r["u2"]) / (2.0 * int(r["n_pos"]) * int(r["n_neg"]))

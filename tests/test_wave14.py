@@ -419,3 +419,32 @@ def test_pq_adc_recall_on_clustered_data():
         assert len(got[qi]) == 5
         cluster = set(range((qi // 50) * 50, (qi // 50) * 50 + 50))
         assert got[qi] <= cluster, (qi, got[qi] - cluster)
+
+
+def test_binary_auc_exact_vs_brute():
+    rng = np.random.default_rng(17)
+    y = (rng.random(2_000) < 0.3).astype(np.int64)
+    s = (rng.normal(0, 10, 2_000) + 8 * y).astype(np.int64)  # informative
+    ds = rd.from_pandas(pd.DataFrame({"y": y, "s": s})).repartition(6)
+    from kgflow.ops.profile import auc_from_u2, binary_auc_exact
+
+    out = binary_auc_exact(ds, label_col="y", score_col="s")
+    # brute-force pair count with half-ties
+    pos, neg = s[y == 1], s[y == 0]
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    assert int(out["u2"].iloc[0]) == 2 * int(gt) + int(eq)
+    assert out["n_pos"].iloc[0] == len(pos) and out["n_neg"].iloc[0] == len(neg)
+    auc = auc_from_u2(out)
+    assert 0.6 < auc < 1.0  # informative score ranks positives higher
+
+
+def test_binary_auc_distinct_guard():
+    df = pd.DataFrame({"y": [0, 1] * 50, "s": np.arange(100)})
+    from kgflow.ops.profile import binary_auc_exact
+
+    with pytest.raises(Exception, match="distinct scores exceed"):
+        binary_auc_exact(
+            rd.from_pandas(df), label_col="y", score_col="s",
+            max_distinct_scores=10,
+        )

@@ -1147,6 +1147,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             score_col="n_chars",
         )
 
+    def events_survival(sf_dir: str):
+        """Oracle-checked: Kaplan-Meier input table over user
+        lifetimes — exact (t, n_event, n_censored, n_at_risk) with
+        7-day right-censoring at the corpus horizon, all time math in
+        int64 microseconds (`kgflow.ops.window.survival_counts`)."""
+        from kgflow.ops.window import survival_counts
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+        )
+        return survival_counts(ev)
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3892,6 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_pq": embed_pq,
         "ann_pq_topk": ann_pq_topk,
         "doc_auc": doc_auc,
+        "events_survival": events_survival,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5678,6 +5692,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # Kaplan-Meier counts: int64-microsecond lifetimes (epoch_us,
+        # never epoch-seconds doubles), reversed-window at-risk sum
+        "events_survival": r"""
+            WITH u AS (
+              SELECT user_id, epoch_us(min(ts)) AS f, epoch_us(max(ts)) AS l
+              FROM events GROUP BY 1
+            ), g AS (
+              SELECT max(l) AS gmax FROM u
+            ), d AS (
+              SELECT (l - f) // 86400000000 AS t,
+                     CASE WHEN (g.gmax - l) < 7 * 86400000000
+                          THEN 1 ELSE 0 END AS censored
+              FROM u, g
+            ), h AS (
+              SELECT t, sum(1 - censored)::BIGINT AS n_event,
+                     sum(censored)::BIGINT AS n_censored
+              FROM d GROUP BY t
+            )
+            SELECT CAST(t AS BIGINT) AS t, n_event, n_censored,
+                   CAST(sum(n_event + n_censored) OVER (ORDER BY t DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_at_risk
+            FROM h
         """,
         # exact AUC: Mann-Whitney 2U over the score histogram (ties
         # count once via np*nn); HUGEINT -> VARCHAR like the power sums

@@ -1847,3 +1847,91 @@ def transition_entropy(
     return bucketed_group_reduce(
         counts, key_cols=["from_cat"], reduce_fn=ent, num_buckets=num_buckets
     )
+
+
+def survival_counts(
+    ev: "rd.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_days: int = 7,
+    max_lifetime_days: int = 100_000,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Kaplan-Meier input table over entity lifetimes — the survival/
+    churn-analysis primitive: lifetime t = whole 86400-second buckets
+    between an entity's first and last event; an entity whose last
+    event falls within ``censor_window_days`` of the corpus's global
+    max timestamp is CENSORED (still alive at observation end), not
+    churned. Returns (t, n_event, n_censored, n_at_risk) — the KM
+    estimator Ŝ = Π (1 − n_event/n_at_risk) is the caller's float
+    product over this exact-integer table.
+
+    Integer-exact across engines: all time arithmetic runs in int64
+    MICROSECONDS (never epoch-seconds doubles — 1e-6 is not binary, a
+    float path can flip a floor at bucket boundaries).
+
+    Scale shape: per-batch (key, min, max) combiners → ONE key-bucketed
+    reduce; the per-entity table is entity-bounded and MATERIALIZED
+    (the documented V-bounded exception — it is consumed twice: a
+    distributed max for the censor horizon, then the lifetime
+    histogram); the final pull is lifetime-DOMAIN-bounded (guarded
+    like the AUC histogram), with the reversed at-risk cumsum over
+    that tiny table."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def span_partial(d: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({key_col: d[key_col], "us": _ts_us(d[ts_col])})
+        g = t.groupby(key_col, as_index=False, sort=False).agg(
+            f=("us", "min"), l=("us", "max")
+        )
+        return g
+
+    def span_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key_col, as_index=False, sort=False).agg(
+            f=("f", "min"), l=("l", "max")
+        )
+
+    users = bucketed_group_reduce(
+        ev.select_columns([key_col, ts_col]).map_batches(
+            span_partial, batch_format="pandas"
+        ),
+        key_cols=[key_col],
+        reduce_fn=span_reduce,
+        num_buckets=num_buckets,
+    ).materialize()  # entity-bounded; consumed twice (max + histogram)
+    gmax = int(users.max("l"))
+    DAY_US = 86_400_000_000
+    win_us = censor_window_days * DAY_US
+
+    def lifetimes(d: pd.DataFrame) -> pd.DataFrame:
+        f = d["f"].to_numpy(dtype=np.int64)
+        l = d["l"].to_numpy(dtype=np.int64)
+        t = (l - f) // DAY_US
+        censored = ((gmax - l) < win_us).astype(np.int64)
+        out = pd.DataFrame(
+            {"t": t, "n_event": 1 - censored, "n_censored": censored}
+        )
+        return out.groupby("t", as_index=False, sort=False).sum()
+
+    def hist_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("t", as_index=False, sort=False)[
+            ["n_event", "n_censored"]
+        ].sum()
+
+    hist_ds = bucketed_group_reduce(
+        users.map_batches(lifetimes, batch_format="pandas"),
+        key_cols=["t"],
+        reduce_fn=hist_reduce,
+        num_buckets=num_buckets,
+    )
+    n_distinct = hist_ds.count()
+    if n_distinct > max_lifetime_days:
+        raise ValueError(
+            f"survival_counts: {n_distinct} distinct lifetimes exceed the "
+            f"pull guard ({max_lifetime_days})"
+        )
+    h = hist_ds.to_pandas().sort_values("t", kind="mergesort").reset_index(drop=True)
+    total = (h["n_event"] + h["n_censored"]).to_numpy(dtype=np.int64)
+    # at risk at time t = entities with lifetime >= t (reversed cumsum)
+    h["n_at_risk"] = total[::-1].cumsum()[::-1]
+    return h[["t", "n_event", "n_censored", "n_at_risk"]]

@@ -448,3 +448,32 @@ def test_binary_auc_distinct_guard():
             rd.from_pandas(df), label_col="y", score_col="s",
             max_distinct_scores=10,
         )
+
+
+def test_survival_counts_km_semantics(tmp_path):
+    # corpus horizon = day 30. users:
+    #  u1: day 1..3  → lifetime 2, churned (gap to horizon ≥ 7d)
+    #  u2: day 1..28 → lifetime 27, CENSORED (within 7d of horizon)
+    #  u3: day 5..5  → lifetime 0, churned
+    #  u4: day 30    → lifetime 0, censored (defines the horizon)
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-03"),
+        (2, "2024-01-01"), (2, "2024-01-28"),
+        (3, "2024-01-05"),
+        (4, "2024-01-30"),
+    ]
+    df = pd.DataFrame(
+        [(u, pd.Timestamp(d + " 12:00")) for u, d in rows],
+        columns=["user_id", "ts"],
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    from kgflow.ops.window import survival_counts
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(str(tmp_path / "events.parquet"))
+    out = survival_counts(ev).set_index("t")
+    assert (out.loc[0, "n_event"], out.loc[0, "n_censored"]) == (1, 1)
+    assert (out.loc[2, "n_event"], out.loc[2, "n_censored"]) == (1, 0)
+    assert (out.loc[27, "n_event"], out.loc[27, "n_censored"]) == (0, 1)
+    # at-risk: everyone at t=0, two at t>=2, one at t>=27
+    assert list(out["n_at_risk"]) == [4, 2, 1]

@@ -1160,6 +1160,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return survival_counts(ev)
 
+    def doc_ks_drift(sf_dir: str):
+        """Oracle-checked: exact two-sample Kolmogorov-Smirnov drift
+        statistic between two sources' document-length distributions,
+        cross-multiplied to stay integer — D = d_num/(n_a·n_b) is the
+        caller's float (`kgflow.ops.profile.ks_two_sample_exact`)."""
+        from kgflow.ops.profile import ks_two_sample_exact
+        from kgflow.sources.parquet import read_parquet_clean
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "n_chars"],
+        )
+        return ks_two_sample_exact(
+            docs, group_col="source", value_col="n_chars",
+            group_a="src1", group_b="src8",
+        )
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3906,6 +3923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": ann_pq_topk,
         "doc_auc": doc_auc,
         "events_survival": events_survival,
+        "doc_ks_drift": doc_ks_drift,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5692,6 +5710,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # exact KS: cross-multiplied sup-distance over the merged
+        # value histogram (HUGEINT, never an empirical-CDF float)
+        "doc_ks_drift": r"""
+            WITH d AS (
+              SELECT n_chars AS v,
+                     CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS a
+              FROM documents WHERE source IN ('src1', 'src8')
+            ), h AS (
+              SELECT v, sum(a)::HUGEINT AS ca, sum(1 - a)::HUGEINT AS cb
+              FROM d GROUP BY v
+            ), c AS (
+              SELECT sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+              FROM h
+              WINDOW w AS (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), t AS (
+              SELECT sum(ca) AS na, sum(cb) AS nb FROM h
+            )
+            SELECT CAST(t.na AS BIGINT) AS n_a,
+                   CAST(t.nb AS BIGINT) AS n_b,
+                   CAST(CAST(max(abs(t.nb * c.cuma - t.na * c.cumb))
+                        AS HUGEINT) AS VARCHAR) AS d_num
+            FROM c, t GROUP BY t.na, t.nb
         """,
         # Kaplan-Meier counts: int64-microsecond lifetimes (epoch_us,
         # never epoch-seconds doubles), reversed-window at-risk sum

@@ -1312,3 +1312,72 @@ def auc_from_u2(df: pd.DataFrame) -> float:
     """The one float op over a `binary_auc_exact` row."""
     r = df.iloc[0]
     return int(r["u2"]) / (2.0 * int(r["n_pos"]) * int(r["n_neg"]))
+
+
+def ks_two_sample_exact(
+    ds: "rd.Dataset",
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    max_distinct_values: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between two
+    groups' integer-value distributions — the drift detector a corpus
+    pipeline runs between snapshots/sources (did the length/quality/
+    score distribution move?): D = max_v |F̂_a(v) − F̂_b(v)|, carried
+    cross-multiplied so it stays integer —
+    d_num = max_v |n_b·cum_a(v) − n_a·cum_b(v)|, D = d_num/(n_a·n_b).
+    Returns ONE row (n_a, n_b, d_num) with d_num as a decimal string
+    (it reaches n_a·n_b ≫ int64 at corpus scale); the division is the
+    caller's one float op.
+
+    Scale shape: a per-block (value, c_a, c_b) count combiner → ONE
+    value-keyed reduce; exchange and pull are value-DOMAIN-bounded
+    (guarded before the pull); the cumulative max runs over the tiny
+    sorted histogram in Python ints."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        d = d[d[group_col].isin([group_a, group_b])]
+        v = d[value_col].to_numpy(dtype=np.int64)
+        is_a = (d[group_col] == group_a).to_numpy()
+        t = pd.DataFrame(
+            {
+                "v": v,
+                "ca": is_a.astype(np.int64),
+                "cb": (~is_a).astype(np.int64),
+            }
+        )
+        return t.groupby("v", as_index=False, sort=False).sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False, sort=False)[["ca", "cb"]].sum()
+
+    hist_ds = bucketed_group_reduce(
+        ds.select_columns([group_col, value_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["v"],
+        reduce_fn=finish,
+        num_buckets=num_buckets,
+    )
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct_values:
+        raise ValueError(
+            f"ks_two_sample_exact: {n_distinct} distinct values exceed the "
+            f"pull guard ({max_distinct_values}); quantize coarser"
+        )
+    h = hist_ds.to_pandas().sort_values("v", kind="mergesort")
+    na = int(h["ca"].sum())
+    nb = int(h["cb"].sum())
+    cuma = cumb = 0
+    d_num = 0
+    for ca, cb in zip(h["ca"], h["cb"]):  # value-domain-bounded loop
+        cuma += int(ca)
+        cumb += int(cb)
+        d_num = max(d_num, abs(nb * cuma - na * cumb))
+    return pd.DataFrame(
+        {"n_a": [np.int64(na)], "n_b": [np.int64(nb)], "d_num": [str(d_num)]}
+    )

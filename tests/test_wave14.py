@@ -477,3 +477,27 @@ def test_survival_counts_km_semantics(tmp_path):
     assert (out.loc[27, "n_event"], out.loc[27, "n_censored"]) == (0, 1)
     # at-risk: everyone at t=0, two at t>=2, one at t>=27
     assert list(out["n_at_risk"]) == [4, 2, 1]
+
+
+def test_ks_two_sample_vs_brute():
+    rng = np.random.default_rng(23)
+    a = rng.normal(0, 10, 800).astype(np.int64)
+    b = (rng.normal(3, 12, 600)).astype(np.int64)  # shifted + wider
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b) + ["zzz"] * 50,
+            "v": np.concatenate([a, b, np.zeros(50, dtype=np.int64)]),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    from kgflow.ops.profile import ks_two_sample_exact
+
+    out = ks_two_sample_exact(ds, "g", "v", "a", "b")  # "zzz" ignored
+    assert out["n_a"].iloc[0] == 800 and out["n_b"].iloc[0] == 600
+    # brute force sup over the merged support
+    support = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), support, side="right")
+    fb = np.searchsorted(np.sort(b), support, side="right")
+    want = int(np.abs(600 * fa - 800 * fb).max())
+    assert int(out["d_num"].iloc[0]) == want
+    assert want / (800 * 600) > 0.05  # shifted distributions do differ

@@ -1177,6 +1177,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             group_a="src1", group_b="src8",
         )
 
+    def doc_bpe_merges(sf_dir: str):
+        """Rows-only (iterative; merges are not SQL-expressible): the
+        first 10 BPE merges trained on the corpus word-frequency table
+        — one corpus pass, then vocabulary-bounded rounds; the merge
+        sequence is deterministic (count DESC, pair ASC ties) and
+        pytest-pinned against a hand-computed reference
+        (`kgflow.ops.text.bpe_merges`)."""
+        from kgflow.ops.text import bpe_merges
+
+        return bpe_merges(_docs(sf_dir), n_merges=10)
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3924,6 +3935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_auc": doc_auc,
         "events_survival": events_survival,
         "doc_ks_drift": doc_ks_drift,
+        "doc_bpe_merges": doc_bpe_merges,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,

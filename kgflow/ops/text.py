@@ -1921,3 +1921,115 @@ def filtered_vocab(
         reduce_fn=finish,
         num_buckets=num_buckets,
     )
+
+
+def bpe_merges(
+    docs: "rd.Dataset",
+    n_merges: int = 10,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Distributed BPE merge training (Sennrich et al., ACL 2016 —
+    word-frequency formulation): ONE corpus pass builds the
+    (word, count) table, then each merge round is a pair-count
+    map+reduce over the VOCABULARY followed by a global top-1 and a
+    vectorized merge apply — the corpus is never touched again.
+    Returns the merge table (rank, left, right, pair_count), the
+    artifact a tokenizer-training pipeline persists.
+
+    Determinism: ties break (count DESC, left ASC, right ASC) — the
+    same rule on every engine, so merge sequences are reproducible.
+
+    Scale shape: the only corpus-sized exchange is the initial word
+    count; every round's pair-count exchange is vocabulary-bounded and
+    the symbol table re-materializes per round (V-bounded state — the
+    PageRank/CC iterative exception, documented). The per-word pair
+    zip inside a round runs over vocab rows, not corpus rows; the
+    round count is the caller's n_merges, a constant (~10k in real
+    tokenizers)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce, global_topk
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+").explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"word": vc.index.to_numpy(), "n": vc.to_numpy(dtype=np.int64)}
+        )
+
+    def sum_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False, sort=False)["n"].sum()
+
+    vocab = bucketed_group_reduce(
+        docs.select_columns(["text"]).map_batches(word_counts, batch_format="pandas"),
+        key_cols=["word"],
+        reduce_fn=sum_counts,
+        num_buckets=num_buckets,
+    )
+
+    def to_symbols(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"syms": [list(w) for w in df["word"]], "n": df["n"].to_numpy()}
+        )
+
+    cur = vocab.map_batches(to_symbols, batch_format="pandas").materialize()
+    merges: list[tuple[int, str, str, int]] = []
+
+    for rank in range(1, n_merges + 1):
+
+        def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+            rows: dict[tuple[str, str], int] = {}
+            for syms, n in zip(df["syms"], df["n"]):
+                for a, b in zip(syms, syms[1:]):
+                    rows[(a, b)] = rows.get((a, b), 0) + int(n)
+            if not rows:
+                return pd.DataFrame(
+                    {
+                        "left": pd.Series([], dtype=object),
+                        "right": pd.Series([], dtype=object),
+                        "c": pd.Series([], dtype="int64"),
+                    }
+                )
+            ks = list(rows)
+            return pd.DataFrame(
+                {
+                    "left": [a for a, _ in ks],
+                    "right": [b for _, b in ks],
+                    "c": np.fromiter(rows.values(), dtype=np.int64, count=len(ks)),
+                }
+            )
+
+        def pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(["left", "right"], as_index=False, sort=False)["c"].sum()
+
+        pairs = bucketed_group_reduce(
+            cur.map_batches(pair_partial, batch_format="pandas"),
+            key_cols=["left", "right"],
+            reduce_fn=pair_sum,
+            num_buckets=num_buckets,
+        )
+        top = global_topk(
+            pairs, sort_cols=["c", "left", "right"],
+            ascending=[False, True, True], k=1,
+        ).to_pandas()
+        if not len(top):
+            break
+        left, right, c = top["left"].iloc[0], top["right"].iloc[0], int(top["c"].iloc[0])
+        merges.append((rank, left, right, c))
+
+        def apply_merge(df: pd.DataFrame, _l=left, _r=right) -> pd.DataFrame:
+            out = []
+            for syms in df["syms"]:
+                merged = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == _l and syms[i + 1] == _r:
+                        merged.append(_l + _r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out.append(merged)
+            return pd.DataFrame({"syms": out, "n": df["n"].to_numpy()})
+
+        cur = cur.map_batches(apply_merge, batch_format="pandas").materialize()
+
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])

@@ -501,3 +501,50 @@ def test_ks_two_sample_vs_brute():
     want = int(np.abs(600 * fa - 800 * fb).max())
     assert int(out["d_num"].iloc[0]) == want
     assert want / (800 * 600) > 0.05  # shifted distributions do differ
+
+
+def _bpe_reference(word_counts, k):
+    """Serial Sennrich BPE over a word-frequency dict."""
+    words = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + word_counts[w]
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_merges_vs_reference():
+    texts = [
+        "banana banana bandana",
+        "banana band banner",
+        "an anna and andante",
+    ]
+    docs = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    ds = rd.from_pandas(docs).repartition(3)
+    from kgflow.ops.text import bpe_merges
+
+    got = bpe_merges(ds, n_merges=6)
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _bpe_reference(counts, 6)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # the corpus is banana-heavy: the first merge must be ('a','n')
+    assert want[0][1:3] == ("a", "n")

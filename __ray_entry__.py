@@ -1188,6 +1188,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_merges(_docs(sf_dir), n_merges=10)
 
+    def doc_winnow(sf_dir: str):
+        """Oracle-checked: MOSS winnowing — the distinct set of local
+        minima of every 8 consecutive 16-token rolling hashes per doc
+        (coverage-guaranteed local fingerprints; shares doc_rolling_fp's
+        HUGEINT FNV/poly SQL restatement)."""
+        from kgflow.ops.text import winnow_fingerprints
+
+        return winnow_fingerprints(_docs(sf_dir))
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3936,6 +3945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival": events_survival,
         "doc_ks_drift": doc_ks_drift,
         "doc_bpe_merges": doc_bpe_merges,
+        "doc_winnow": doc_winnow,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5722,6 +5732,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(y * y) AS BIGINT) AS syy,
                    CAST(sum(x * y) AS BIGINT) AS sxy
             FROM p GROUP BY event_type
+        """,
+        # winnowing: the doc_rolling_fp window-hash list, then distinct
+        # minima of every 8 consecutive window hashes
+        "doc_winnow": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_transform(regexp_extract_all(text, '\w+'),
+                  w -> CAST(list_reduce(
+                         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                                          i -> CAST(unicode(w[i]) AS HUGEINT))),
+                         (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                               CAST(c AS UBIGINT)) AS HUGEINT)
+                                      * 1099511628211)
+                                     % 18446744073709551616
+                       ) AS HUGEINT)) AS hs
+              FROM documents
+            ), wh AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) < 16 THEN [list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT), hs),
+                       (acc, h) -> (acc * 1099511628211 + h)
+                                   % 18446744073709551616)]
+                     ELSE list_transform(range(1, len(hs) - 14),
+                       j -> list_reduce(
+                         list_prepend(CAST(0 AS HUGEINT),
+                                      list_slice(hs, j, j + 15)),
+                         (acc, h) -> (acc * 1099511628211 + h)
+                                     % 18446744073709551616))
+                END AS ws
+              FROM t WHERE len(hs) > 0
+            ), sel AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) <= 8 THEN [list_min(ws)]
+                     ELSE list_transform(range(1, len(ws) - 6),
+                       j -> list_min(list_slice(ws, j, j + 7)))
+                END AS mins
+              FROM wh
+            )
+            SELECT DISTINCT doc_id,
+                   CAST(CAST(v AS UBIGINT) &
+                        CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS fp
+            FROM (SELECT doc_id, unnest(mins) AS v FROM sel)
         """,
         # exact KS: cross-multiplied sup-distance over the merged
         # value histogram (HUGEINT, never an empirical-CDF float)

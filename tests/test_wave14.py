@@ -548,3 +548,34 @@ def test_bpe_merges_vs_reference():
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     # the corpus is banana-heavy: the first merge must be ('a','n')
     assert want[0][1:3] == ("a", "n")
+
+
+def test_winnow_coverage_and_subset(tmp_path):
+    # winnowing guarantee: every stretch of `winnow` consecutive window
+    # hashes contributes its minimum → selected set covers the stream
+    rng = np.random.default_rng(29)
+    words = ["w%d" % i for i in rng.integers(0, 40, 120)]
+    text = " ".join(words)
+    pd.DataFrame({"doc_id": [1], "text": [text]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    from kgflow.ops.text import hash_token, winnow_fingerprints
+    from kgflow.sources.parquet import read_parquet_clean
+
+    docs = read_parquet_clean(str(tmp_path / "documents.parquet"))
+    got = set(winnow_fingerprints(docs, window=16, winnow=8).to_pandas()["fp"])
+    # serial reference
+    B = np.uint64(1099511628211)
+    hs = np.array([hash_token(w) for w in words], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        ws = np.zeros(len(hs) - 15, dtype=np.uint64)
+        for w in range(16):
+            ws = ws * B + hs[w : w + len(ws)]
+    mins = {
+        int(ws[j : j + 8].min()) & 0x7FFFFFFFFFFFFFFF
+        for j in range(len(ws) - 7)
+    }
+    assert got == mins
+    # coverage: every 8-stretch has a selected fingerprint
+    for j in range(len(ws) - 7):
+        assert (int(ws[j : j + 8].min()) & 0x7FFFFFFFFFFFFFFF) in got

@@ -1197,6 +1197,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return winnow_fingerprints(_docs(sf_dir))
 
+    def doc_winnow_pairs(sf_dir: str):
+        """Oracle-checked: MOSS similarity pairs — docs sharing ≥ 2
+        winnowing fingerprints with the exact shared count; fp-keyed
+        pair exchange + pair-keyed count, ids-only on the wire
+        (`kgflow.ops.text.winnow_pairs`)."""
+        from kgflow.ops.text import winnow_pairs
+
+        return winnow_pairs(_docs(sf_dir))
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3946,6 +3955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ks_drift": doc_ks_drift,
         "doc_bpe_merges": doc_bpe_merges,
         "doc_winnow": doc_winnow,
+        "doc_winnow_pairs": doc_winnow_pairs,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,
@@ -5775,6 +5785,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(v AS UBIGINT) &
                         CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS fp
             FROM (SELECT doc_id, unnest(mins) AS v FROM sel)
+        """,
+        # MOSS pairs: self-join the winnow fingerprint set
+        "doc_winnow_pairs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_transform(regexp_extract_all(text, '\w+'),
+                  w -> CAST(list_reduce(
+                         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                                          i -> CAST(unicode(w[i]) AS HUGEINT))),
+                         (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                               CAST(c AS UBIGINT)) AS HUGEINT)
+                                      * 1099511628211)
+                                     % 18446744073709551616
+                       ) AS HUGEINT)) AS hs
+              FROM documents
+            ), wh AS (
+              SELECT doc_id,
+                CASE WHEN len(hs) < 16 THEN [list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT), hs),
+                       (acc, h) -> (acc * 1099511628211 + h)
+                                   % 18446744073709551616)]
+                     ELSE list_transform(range(1, len(hs) - 14),
+                       j -> list_reduce(
+                         list_prepend(CAST(0 AS HUGEINT),
+                                      list_slice(hs, j, j + 15)),
+                         (acc, h) -> (acc * 1099511628211 + h)
+                                     % 18446744073709551616))
+                END AS ws
+              FROM t WHERE len(hs) > 0
+            ), sel AS (
+              SELECT doc_id,
+                CASE WHEN len(ws) <= 8 THEN [list_min(ws)]
+                     ELSE list_transform(range(1, len(ws) - 6),
+                       j -> list_min(list_slice(ws, j, j + 7)))
+                END AS mins
+              FROM wh
+            ), f AS (
+              SELECT DISTINCT doc_id,
+                     CAST(CAST(v AS UBIGINT) &
+                          CAST(9223372036854775807 AS UBIGINT) AS BIGINT) AS fp
+              FROM (SELECT doc_id, unnest(mins) AS v FROM sel)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # exact KS: cross-multiplied sup-distance over the merged
         # value histogram (HUGEINT, never an empirical-CDF float)

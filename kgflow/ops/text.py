@@ -2104,3 +2104,65 @@ def winnow_fingerprints(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def winnow_pairs(
+    docs: "rd.Dataset",
+    min_shared: int = 2,
+    window: int = 16,
+    winnow: int = 8,
+    max_bucket: int = 2_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """MOSS similarity detection: document pairs sharing ≥
+    ``min_shared`` winnowing fingerprints, with the exact shared
+    count — local-fingerprint evidence that survives reordering and
+    insertion (unlike the single global-min `rolling_fingerprint`).
+
+    Scale shape: `winnow_fingerprints` emits set-bounded (doc_id, fp)
+    rows; ONE fp-keyed exchange pairs co-fingerprinted docs (hot
+    fingerprints — boilerplate — capped at ``max_bucket`` with a
+    logged drop, the minhash-bucket rule); ONE pair-keyed count
+    reduce. Only 16-byte id pairs ride the exchanges, never text."""
+    from kgflow.ops.dedup import _segment_pair_indices
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    fps = winnow_fingerprints(docs, window=window, winnow=winnow)
+
+    EMPTY = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return EMPTY.copy()
+        g = g.sort_values(["fp", "doc_id"], kind="mergesort")
+        v = g["fp"].to_numpy()
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = v[1:] != v[:-1]
+        i_idx, j_idx, keep_rows = _segment_pair_indices(
+            new_seg, max_bucket, "winnow_pairs"
+        )
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        if keep_rows is not None:
+            ids = ids[keep_rows]
+        if not len(i_idx):
+            return EMPTY.copy()
+        return pd.DataFrame({"doc_a": ids[i_idx], "doc_b": ids[j_idx]})
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False, sort=False).size()
+        out = out.rename(columns={"size": "n_shared"})
+        return out[out["n_shared"] >= min_shared]
+
+    cand = bucketed_group_reduce(
+        fps, key_cols=["fp"], reduce_fn=pairs, num_buckets=num_buckets
+    )
+    return bucketed_group_reduce(
+        cand, key_cols=["doc_a", "doc_b"], reduce_fn=count_pairs,
+        num_buckets=num_buckets,
+    )

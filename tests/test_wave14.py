@@ -579,3 +579,24 @@ def test_winnow_coverage_and_subset(tmp_path):
     # coverage: every 8-stretch has a selected fingerprint
     for j in range(len(ws) - 7):
         assert (int(ws[j : j + 8].min()) & 0x7FFFFFFFFFFFFFFF) in got
+
+
+def test_winnow_pairs_finds_planted_near_dup(tmp_path):
+    rng = np.random.default_rng(31)
+    base = " ".join("w%d" % i for i in rng.integers(0, 50, 100))
+    shuffled = " ".join("w%d" % i for i in rng.integers(0, 50, 100))
+    # doc 2 = doc 1 with a small middle edit → many shared local
+    # fingerprints; doc 3 unrelated
+    words = base.split()
+    words[50] = "zzz"
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base, " ".join(words), shuffled]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    from kgflow.ops.text import winnow_pairs
+    from kgflow.sources.parquet import read_parquet_clean
+
+    docs = read_parquet_clean(str(tmp_path / "documents.parquet"))
+    out = winnow_pairs(docs, min_shared=2).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in out.itertuples()}
+    assert (1, 2) in got and got[(1, 2)] >= 2  # edited copy detected
+    assert (1, 3) not in got and (2, 3) not in got  # unrelated not paired

@@ -1206,6 +1206,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return winnow_pairs(_docs(sf_dir))
 
+    def doc_calibration(sf_dir: str):
+        """Rows-only (PAV's sequential pooling is not SQL-expressible;
+        exactness is pytest-pinned against a rational-arithmetic
+        reference): isotonic calibration of P(long-form source | doc
+        length) — per distinct length, the exact pooled block fraction
+        (`kgflow.ops.profile.isotonic_calibrate`)."""
+        import pandas as pd
+
+        from kgflow.ops.profile import isotonic_calibrate
+        from kgflow.sources.parquet import read_parquet_clean
+
+        POS = {"src1", "src7", "src11", "src13"}
+
+        def label(d: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "y": d["source"].isin(POS).astype(np.int64),
+                    "n_chars": d["n_chars"].astype(np.int64),
+                }
+            )
+
+        docs = read_parquet_clean(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["source", "n_chars"],
+        )
+        return isotonic_calibrate(
+            docs.map_batches(label, batch_format="pandas"),
+            label_col="y",
+            score_col="n_chars",
+        )
+
     def events_winsorized(sf_dir: str):
         """Oracle-checked: per-event-type winsorization — clip value
         into the exact nearest-rank [⅛, ⅞] quantile band (fixed-point
@@ -3956,6 +3987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_merges": doc_bpe_merges,
         "doc_winnow": doc_winnow,
         "doc_winnow_pairs": doc_winnow_pairs,
+        "doc_calibration": doc_calibration,
         "doc_weighted_sample": doc_weighted_sample,
         "events_degree_hist": events_degree_hist,
         "doc_dice_pairs": doc_dice_pairs,

@@ -1381,3 +1381,78 @@ def ks_two_sample_exact(
     return pd.DataFrame(
         {"n_a": [np.int64(na)], "n_b": [np.int64(nb)], "d_num": [str(d_num)]}
     )
+
+
+def isotonic_calibrate(
+    ds: "rd.Dataset",
+    label_col: str,
+    score_col: str,
+    max_distinct_scores: int = 1_000_000,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Isotonic (PAV) calibration of a binary label against an integer
+    score — the monotone-probability map an ML pipeline fits on top of
+    a ranking signal (pool-adjacent-violators, Ayer et al. 1955):
+    returns per distinct score (s, cal_num, cal_den) where
+    cal_num/cal_den is the pooled P(y=1 | block) of the score's PAV
+    block. EXACT rational arithmetic throughout — violator detection
+    compares num_a·den_b vs num_b·den_a in Python ints, no float ever
+    enters the fit; the caller's calibrated probability is the one
+    division.
+
+    Scale shape: identical to `binary_auc_exact` — a (score, n_pos,
+    n_total) count combiner, ONE score-keyed reduce, a guarded
+    score-DOMAIN-bounded pull, then the PAV stack scan (linear in
+    distinct scores) driver-side."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(d: pd.DataFrame) -> pd.DataFrame:
+        y = d[label_col].to_numpy()
+        s = d[score_col].to_numpy(dtype=np.int64)
+        t = pd.DataFrame(
+            {"s": s, "np_": (y != 0).astype(np.int64), "nt_": np.int64(1)}
+        )
+        return t.groupby("s", as_index=False, sort=False).sum()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s", as_index=False, sort=False)[["np_", "nt_"]].sum()
+
+    hist_ds = bucketed_group_reduce(
+        ds.select_columns([label_col, score_col]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["s"],
+        reduce_fn=finish,
+        num_buckets=num_buckets,
+    )
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct_scores:
+        raise ValueError(
+            f"isotonic_calibrate: {n_distinct} distinct scores exceed the "
+            f"pull guard ({max_distinct_scores}); quantize the score coarser"
+        )
+    h = hist_ds.to_pandas().sort_values("s", kind="mergesort")
+    # PAV stack: blocks of (num, den, count_of_scores); merge while the
+    # top block's rate exceeds the incoming one (cross-multiplied)
+    blocks: list[list[int]] = []
+    for np_s, nt_s in zip(h["np_"], h["nt_"]):
+        blocks.append([int(np_s), int(nt_s), 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+        # (scan is amortized linear: each score joins a block once)
+    cal_num = np.empty(len(h), dtype=np.int64)
+    cal_den = np.empty(len(h), dtype=np.int64)
+    i = 0
+    for num, den, cnt in blocks:
+        cal_num[i : i + cnt] = num
+        cal_den[i : i + cnt] = den
+        i += cnt
+    out = h[["s"]].reset_index(drop=True)
+    out["cal_num"] = cal_num
+    out["cal_den"] = cal_den
+    return out

@@ -600,3 +600,46 @@ def test_winnow_pairs_finds_planted_near_dup(tmp_path):
     got = {(r.doc_a, r.doc_b): r.n_shared for r in out.itertuples()}
     assert (1, 2) in got and got[(1, 2)] >= 2  # edited copy detected
     assert (1, 3) not in got and (2, 3) not in got  # unrelated not paired
+
+
+def test_isotonic_pav_vs_fraction_reference():
+    from fractions import Fraction
+
+    rng = np.random.default_rng(37)
+    s = rng.integers(0, 30, 1_500)
+    # increasing-but-noisy label probability in s
+    y = (rng.random(1_500) < (s / 40 + 0.1)).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"y": y, "s": s})).repartition(5)
+    from kgflow.ops.profile import isotonic_calibrate
+
+    out = isotonic_calibrate(ds, label_col="y", score_col="s")
+    # reference PAV with exact fractions
+    import collections
+
+    npos = collections.Counter()
+    ntot = collections.Counter()
+    for yi, si in zip(y, s):
+        npos[si] += int(yi)
+        ntot[si] += 1
+    scores = sorted(ntot)
+    blocks = []
+    for sc in scores:
+        blocks.append([npos[sc], ntot[sc], [sc]])
+        while len(blocks) > 1 and Fraction(
+            blocks[-2][0], blocks[-2][1]
+        ) > Fraction(blocks[-1][0], blocks[-1][1]):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    want = {}
+    for num, den, scs in blocks:
+        for sc in scs:
+            want[sc] = Fraction(num, den)
+    got = {
+        r.s: Fraction(int(r.cal_num), int(r.cal_den)) for r in out.itertuples()
+    }
+    assert got == want
+    # monotone non-decreasing calibrated probabilities
+    vals = [got[sc] for sc in scores]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))

@@ -3212,11 +3212,15 @@ def events_daily_autocorr(sf_dir: str) -> "rd.Dataset":
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(["event_type", "day"], as_index=False, sort=False)["c"].sum()
 
+    # materialize: the (type, day) table is V-bounded and consumed
+    # TWICE (both join sides) — without this, each side AND the join's
+    # broadcast-size probe re-execute the full count reduce over the
+    # corpus (measured 17.7 s → ~3 s at sf0.01)
     counts = bucketed_group_reduce(
         ev.map_batches(day_counts, batch_format="pandas"),
         key_cols=["event_type", "day"],
         reduce_fn=finish,
-    )
+    ).materialize()
 
     def shift_back(df: pd.DataFrame) -> pd.DataFrame:
         # tomorrow's count keyed at today: join gives (c_t, c_{t+1})

@@ -842,6 +842,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return rolling_fingerprint(_docs(sf_dir))
 
+    def doc_dupspan(sf_dir: str):
+        """Oracle-checked (round-4): per-document duplicated-span
+        counts — the ExactSubstr signal (Lee et al. 2022) as a
+        token-window-8 metric: a gram is duplicated iff its n-gram
+        occurs in ≥2 documents. Gram fingerprints are the
+        doc_rolling_fp HUGEINT fold (FNV token hashes + window
+        polynomial), so SQL reproduces every fp bit-exactly; the
+        output is pure int64 counts → hash-stable."""
+        from kgflow.ops.dedup import dupspan_counts
+
+        return dupspan_counts(_docs(sf_dir), window=8)
+
+    def doc_dsir_score(sf_dir: str):
+        """Oracle-checked (round-4): DSIR importance weighting (Xie et
+        al. 2023) in its hashed-unigram form — FNV-1a token hashes mod
+        1024 buckets (the events_feature_hash SQL fold), add-one
+        smoothed target-vs-pool bucket distributions (target slice:
+        source = 'src0'), per-doc log importance weight. Counts are
+        exact int64 on both sides; the only float is the final ln sum
+        (doc_perplexity comparator grade)."""
+        from kgflow.ops.text import dsir_scores
+
+        return dsir_scores(_docs(sf_dir), target_source="src0")
+
     def doc_boilerplate_strip(sf_dir: str):
         """Oracle-checked (round-4): cross-document repeated-span
         (boilerplate) removal — any word 8-gram with > 20 corpus-wide
@@ -3903,6 +3927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
+        "doc_dupspan": doc_dupspan,
+        "doc_dsir_score": doc_dsir_score,
         "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_jaccard_pairs": doc_jaccard_pairs,
@@ -4949,6 +4975,86 @@ def oracle_sql() -> dict[str, str]:
         # token (HUGEINT modular arithmetic — the doc_simhash_pairs
         # trick), then min over window-16 polynomial hashes via
         # list_slice + list_reduce; sign bit masked like the engine.
+        # ExactSubstr-style duplicated-span counts: same token-FNV +
+        # window-polynomial HUGEINT fold as doc_rolling_fp, window 8,
+        # every position kept (not min); pure integer outputs.
+        "doc_dupspan": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_transform(regexp_extract_all(text, '\w+'),
+                  w -> CAST(list_reduce(
+                         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                                          i -> CAST(unicode(w[i]) AS HUGEINT))),
+                         (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                               CAST(c AS UBIGINT)) AS HUGEINT)
+                                      * 1099511628211)
+                                     % 18446744073709551616
+                       ) AS HUGEINT)) AS hs
+              FROM documents
+            ), pos AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(hs) - 6),
+                  j -> list_reduce(
+                         list_prepend(CAST(0 AS HUGEINT),
+                                      list_slice(hs, j, j + 7)),
+                         (acc, h) -> (acc * 1099511628211 + h)
+                                     % 18446744073709551616))) AS fp
+              FROM t WHERE len(hs) >= 8
+            ), agg AS (
+              SELECT fp, doc_id, count(*) AS k FROM pos GROUP BY 1, 2
+            ), ndoc AS (
+              SELECT fp, count(*) AS nd FROM agg GROUP BY 1
+            )
+            SELECT a.doc_id,
+                   CAST(sum(a.k) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN ndoc.nd >= 2 THEN a.k ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM agg a JOIN ndoc USING (fp)
+            GROUP BY 1
+        """,
+        # DSIR hashed-unigram importance weight: FNV fold per DISTINCT
+        # token (events_feature_hash trick) mod 1024, add-one smoothed
+        # target ('src0') vs whole-pool bucket counts, per-doc ln sum.
+        "doc_dsir_score": r"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ), dt AS (
+              SELECT DISTINCT w FROM tok
+            ), hb AS (
+              SELECT w, CAST(CAST(list_reduce(
+                     list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(unicode(w[i]) AS HUGEINT))),
+                     (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                           CAST(c AS UBIGINT)) AS HUGEINT)
+                                  * 1099511628211)
+                                 % 18446744073709551616
+                   ) AS UBIGINT) % 1024 AS BIGINT) AS b
+              FROM dt
+            ), tw AS (
+              SELECT tok.doc_id, tok.source, hb.b
+              FROM tok JOIN hb USING (w)
+            ), tgt AS (
+              SELECT b, count(*) AS t FROM tw WHERE source = 'src0' GROUP BY 1
+            ), pool AS (
+              SELECT b, count(*) AS p FROM tw GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT sum(t) FROM tgt) AS tt,
+                     (SELECT sum(p) FROM pool) AS pp
+            )
+            SELECT tw.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   sum(ln(CAST(coalesce(tgt.t, 0) + 1 AS DOUBLE))
+                       - ln(CAST(pool.p + 1 AS DOUBLE)))
+                     - count(*) * (ln(CAST(tot.tt + 1024 AS DOUBLE))
+                                   - ln(CAST(tot.pp + 1024 AS DOUBLE)))
+                     AS dsir_score
+            FROM tw JOIN pool USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot
+            GROUP BY tw.doc_id, tot.tt, tot.pp
+        """,
         "doc_rolling_fp": r"""
             WITH t AS (
               SELECT doc_id,

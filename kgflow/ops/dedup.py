@@ -1466,3 +1466,114 @@ def symdelete_pairs(
     return bucketed_group_reduce(
         cands, key_cols=["tok_a", "tok_b"], reduce_fn=verify, num_buckets=num_buckets
     )
+
+
+def dupspan_counts(
+    docs: "rd.Dataset",
+    window: int = 8,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-document duplicated-span counts — the token-window form of
+    the ExactSubstr signal from Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): a gram position is
+    DUPLICATED iff its ``window``-token n-gram also occurs in at least
+    one OTHER document. Returns (doc_id, n_grams, n_dup); documents
+    shorter than ``window`` tokens drop (they have no grams).
+    n_dup / n_grams is the cross-document duplication fraction used to
+    cut boilerplate-heavy documents.
+
+    Grams travel as 64-bit fingerprints (wrapping FNV-polynomial over
+    codepoint-FNV token hashes — exactly the ``doc_rolling_fp`` oracle
+    fold, so SQL reproduces every fp bit-for-bit in HUGEINT): the
+    exchanges carry (fp, doc_id, count) / (doc_id, 2×int) rows only,
+    never text. ONE fp-keyed exchange classifies positions (a gram is
+    dup iff its fp group spans ≥2 docs — per-doc totals and dup counts
+    both come out of that same group pass), ONE doc-keyed exchange
+    sums. Fingerprint collisions merge distinct grams with probability
+    ~n_grams²/2^65 (the doc_exact_dedup epistemic grade)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    B = np.uint64(1099511628211)
+    w = int(window)
+    if w < 2:
+        raise ValueError("window must be >= 2")
+
+    EMPTY = pd.DataFrame(
+        {
+            "fp": pd.Series([], dtype="int64"),
+            "doc_id": pd.Series([], dtype="int64"),
+            "k": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def gram_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [_WORD.findall(t) for t in df["text"]]
+        vocab_arr = sorted({t for toks in tok_lists for t in toks})
+        if vocab_arr:
+            h_vocab = dict(
+                zip(vocab_arr, _fnv1a_strings(np.array(vocab_arr, dtype=str)))
+            )
+        fps_all, ids_all, k_all = [], [], []
+        for doc_id, toks in zip(df["doc_id"].to_numpy(dtype=np.int64), tok_lists):
+            if len(toks) < w:
+                continue
+            hs = np.fromiter(
+                (h_vocab[t] for t in toks), dtype=np.uint64, count=len(toks)
+            )
+            with np.errstate(over="ignore"):  # wrapping uint64 by design
+                acc = np.zeros(len(hs) - w + 1, dtype=np.uint64)
+                for j in range(w):
+                    acc = acc * B + hs[j : j + len(acc)]
+            uniq, cnt = np.unique(acc, return_counts=True)
+            fps_all.append(uniq.view(np.int64))
+            ids_all.append(np.full(len(uniq), doc_id, dtype=np.int64))
+            k_all.append(cnt.astype(np.int64))
+        if not fps_all:
+            return EMPTY.copy()
+        return pd.DataFrame(
+            {
+                "fp": np.concatenate(fps_all),
+                "doc_id": np.concatenate(ids_all),
+                "k": np.concatenate(k_all),
+            }
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_dup": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.groupby(["fp", "doc_id"], as_index=False)["k"].sum()
+        nd = g.groupby("fp")["doc_id"].transform("size")
+        k = g["k"].to_numpy(dtype=np.int64)
+        part = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_grams": k,
+                "n_dup": np.where(nd.to_numpy() >= 2, k, 0),
+            }
+        )
+        return part.groupby("doc_id", as_index=False)[["n_grams", "n_dup"]].sum()
+
+    def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["n_grams", "n_dup"]].sum()
+        out["n_grams"] = out["n_grams"].astype("int64")
+        out["n_dup"] = out["n_dup"].astype("int64")
+        return out
+
+    per_fp = bucketed_group_reduce(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            gram_partial, batch_format="pandas"
+        ),
+        key_cols=["fp"],
+        reduce_fn=classify,
+        num_buckets=num_buckets,
+    )
+    return bucketed_group_reduce(
+        per_fp, key_cols=["doc_id"], reduce_fn=doc_sum, num_buckets=num_buckets
+    )

@@ -2166,3 +2166,129 @@ def winnow_pairs(
         cand, key_cols=["doc_a", "doc_b"], reduce_fn=count_pairs,
         num_buckets=num_buckets,
     )
+
+
+def dsir_scores(
+    docs: "rd.Dataset",
+    target_source: str,
+    n_buckets: int = 1024,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """DSIR-style hashed-n-gram importance score per document — the
+    data-selection weight of Xie, Santurkar, Ma & Liang 2023 ("Data
+    Selection for Language Models via Importance Resampling"), in its
+    exactly-checkable hashed-UNIGRAM form: tokens hash into
+    ``n_buckets`` feature buckets (FNV-1a over codepoints — the same
+    fold the simhash / feature-hash oracles replicate in DuckDB
+    HUGEINT arithmetic), the TARGET slice (``source == target_source``)
+    and the WHOLE pool induce add-one-smoothed bucket distributions,
+    and every document scores
+
+        dsir_score = Σ_tokens [ ln(t_b + 1) − ln(p_b + 1) ]
+                     − n_tokens · ( ln(T + B) − ln(P + B) )
+
+    i.e. the log importance weight log( P_target(doc) / P_pool(doc) )
+    under the bucket-multinomial model (t_b / p_b = bucket counts,
+    T / P = total token counts, B = ``n_buckets``). Output:
+    (doc_id, n_tokens, dsir_score); token-less documents drop.
+
+    Scale shape: pass 1 reduces per-batch to ≤ B (bucket, t, p) rows
+    before ONE bucket-keyed exchange that is ≤ B rows total; the
+    B-row distribution table is pulled to the driver (bounded by the
+    ``n_buckets`` PARAMETER, not the data) and broadcast via
+    ``ray.put``; pass 2 is a pure map — the corpus itself never
+    shuffles. Every per-token term is a function of exact int64
+    counts, so engine and SQL disagree only in float summation order
+    (within the 1e-6 comparator, like doc_perplexity)."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    B = int(n_buckets)
+
+    def _doc_buckets(df: pd.DataFrame) -> tuple[pd.Series, np.ndarray]:
+        """Exploded (doc_id-indexed) tokens → feature-bucket ids."""
+        toks = (
+            df.set_index("doc_id")["text"]
+            .str.lower()
+            .str.findall(_WORD_RE)
+            .explode()
+            .dropna()
+        )
+        if not len(toks):
+            return toks, np.empty(0, dtype=np.int64)
+        uniq, inv = np.unique(toks.to_numpy(dtype=object).astype(str), return_inverse=True)
+        b_uniq = (_fnv1a_strings(uniq) % np.uint64(B)).astype(np.int64)
+        return toks, b_uniq[inv]
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks, b = _doc_buckets(df)
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "b": pd.Series([], dtype="int64"),
+                    "t": pd.Series([], dtype="int64"),
+                    "p": pd.Series([], dtype="int64"),
+                }
+            )
+        is_tgt = (
+            df.set_index("doc_id")["source"].reindex(toks.index).to_numpy()
+            == target_source
+        )
+        p = np.bincount(b, minlength=B)
+        t = np.bincount(b[is_tgt], minlength=B)
+        nz = np.flatnonzero(p)
+        return pd.DataFrame(
+            {"b": nz.astype(np.int64), "t": t[nz], "p": p[nz]}
+        )
+
+    def count_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("b", as_index=False)[["t", "p"]].sum()
+        out["t"] = out["t"].astype("int64")
+        out["p"] = out["p"].astype("int64")
+        return out
+
+    counts = bucketed_group_reduce(
+        docs.select_columns(["doc_id", "text", "source"]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        key_cols=["b"],
+        reduce_fn=count_sum,
+        num_buckets=num_buckets,
+    ).to_pandas()  # ≤ n_buckets rows by construction
+
+    t = np.zeros(B, dtype=np.int64)
+    p = np.zeros(B, dtype=np.int64)
+    t[counts["b"].to_numpy()] = counts["t"].to_numpy()
+    p[counts["b"].to_numpy()] = counts["p"].to_numpy()
+    lr = np.log(t + 1.0) - np.log(p + 1.0)
+    const = float(np.log(t.sum() + B) - np.log(p.sum() + B))
+    ref = ray.put(lr)
+
+    class Score:
+        def __init__(self):
+            self.lr = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            toks, b = _doc_buckets(df)
+            if not len(b):
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "n_tokens": pd.Series([], dtype="int64"),
+                        "dsir_score": pd.Series([], dtype="float64"),
+                    }
+                )
+            g = (
+                pd.DataFrame({"doc_id": toks.index, "s": self.lr[b]})
+                .groupby("doc_id", as_index=False)
+                .agg(n_tokens=("s", "size"), dsir_score=("s", "sum"))
+            )
+            g["n_tokens"] = g["n_tokens"].astype(np.int64)
+            g["dsir_score"] = g["dsir_score"] - g["n_tokens"] * const
+            return g
+
+    return docs.select_columns(["doc_id", "text", "source"]).map_batches(
+        Score, batch_format="pandas", concurrency=(1, 4)
+    )

@@ -1,0 +1,152 @@
+"""Wave-61 operator tests: DSIR hashed-unigram importance scores and
+ExactSubstr-style duplicated-span counts.
+
+The SQL-oracle parity for the two registered queries
+(doc_dsir_score / doc_dupspan) runs in test_entry.py's
+auto-parametrized sweep; these tests pin the semantics the oracle
+can't see — planted duplicates, the within-doc-only repeat rule, the
+short-doc drop, and the exact numpy closed form of the DSIR weight."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+
+def test_dupspan_planted_duplicates_and_short_doc_drop():
+    from kgflow.ops.dedup import dupspan_counts
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        {"doc_id": 1, "text": shared + " one two three"},
+        {"doc_id": 2, "text": "x y " + shared},
+        {"doc_id": 3, "text": "totally different words here make no grams shared kappa"},  # 9 tokens -> 2 grams
+        {"doc_id": 4, "text": "too short"},  # < 8 tokens -> drops
+    ]
+    out = (
+        dupspan_counts(_docs(rows), window=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3]
+    # doc 1: 11 tokens -> 4 grams, exactly one (the shared 8-gram at
+    # position 0) also occurs in doc 2
+    assert out.loc[1, "n_grams"] == 4 and out.loc[1, "n_dup"] == 1
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_dup"] == 1
+    assert out.loc[3, "n_grams"] == 2 and out.loc[3, "n_dup"] == 0
+
+
+def test_dupspan_within_doc_repeat_is_not_duplicated():
+    from kgflow.ops.dedup import dupspan_counts
+
+    # the 8-gram "a b c d e f g h" occurs TWICE in doc 1 but in no
+    # other doc -> df(fp)=1 -> neither instance counts as duplicated
+    rows = [
+        {"doc_id": 1, "text": "a b c d e f g h a b c d e f g h"},
+        {"doc_id": 2, "text": "p q r s t u v w x y z zz"},
+    ]
+    out = (
+        dupspan_counts(_docs(rows), window=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_grams"] == 9
+    assert out.loc[1, "n_dup"] == 0
+    assert out.loc[2, "n_dup"] == 0
+
+
+def test_dupspan_full_duplicate_docs_are_fully_covered():
+    from kgflow.ops.dedup import dupspan_counts
+
+    text = "one two three four five six seven eight nine ten eleven"
+    rows = [{"doc_id": i, "text": text} for i in (10, 11)]
+    out = dupspan_counts(_docs(rows), window=8).to_pandas()
+    assert (out["n_dup"] == out["n_grams"]).all()
+    assert (out["n_grams"] == 4).all()  # 11 tokens -> 4 positions
+
+
+def test_dsir_matches_numpy_reference_exactly():
+    from kgflow.ops.sketch import _fnv1a_strings
+    from kgflow.ops.text import dsir_scores
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    rows = []
+    for i in range(60):
+        src = "tgt" if i % 3 == 0 else f"other{i % 2}"
+        toks = rng.choice(vocab, size=rng.integers(5, 30))
+        rows.append({"doc_id": i, "text": " ".join(toks), "source": src})
+    out = (
+        dsir_scores(_docs(rows), target_source="tgt", n_buckets=64)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    B = 64
+    # % np.uint64: a bare python-int modulus silently promotes the
+    # uint64 hash to float64 and corrupts the bucket
+    bucket = {
+        w: int(_fnv1a_strings(np.array([w]))[0] % np.uint64(B)) for w in vocab
+    }
+    t = np.zeros(B)
+    p = np.zeros(B)
+    for r in rows:
+        for w in r["text"].split():
+            p[bucket[w]] += 1
+            if r["source"] == "tgt":
+                t[bucket[w]] += 1
+    const = np.log(t.sum() + B) - np.log(p.sum() + B)
+    for r in rows:
+        toks = r["text"].split()
+        want = sum(
+            np.log(t[bucket[w]] + 1) - np.log(p[bucket[w]] + 1) for w in toks
+        ) - len(toks) * const
+        assert out.loc[r["doc_id"], "n_tokens"] == len(toks)
+        assert abs(out.loc[r["doc_id"], "dsir_score"] - want) < 1e-9
+
+
+def test_dsir_target_token_scores_higher():
+    from kgflow.ops.text import dsir_scores
+
+    # "quux"-heavy docs only exist in the target slice -> a pool doc
+    # made of "quux" must outscore one made of the uniform filler
+    rows = (
+        [{"doc_id": i, "text": "quux " * 10, "source": "tgt"} for i in range(5)]
+        + [{"doc_id": 10 + i, "text": "filler common words", "source": "oth"} for i in range(5)]
+        + [
+            {"doc_id": 100, "text": "quux quux quux quux", "source": "oth"},
+            {"doc_id": 101, "text": "filler common words filler", "source": "oth"},
+        ]
+    )
+    out = (
+        dsir_scores(_docs(rows), target_source="tgt", n_buckets=256)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert (
+        out.loc[100, "dsir_score"] / out.loc[100, "n_tokens"]
+        > out.loc[101, "dsir_score"] / out.loc[101, "n_tokens"]
+    )
+
+
+def test_dsir_tokenless_doc_drops():
+    from kgflow.ops.text import dsir_scores
+
+    rows = [
+        {"doc_id": 1, "text": "some words here", "source": "a"},
+        {"doc_id": 2, "text": "...", "source": "a"},
+    ]
+    out = dsir_scores(_docs(rows), target_source="a", n_buckets=32).to_pandas()
+    assert sorted(out["doc_id"]) == [1]

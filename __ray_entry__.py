@@ -854,6 +854,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dupspan_counts(_docs(sf_dir), window=8)
 
+    def doc_novelty(sf_dir: str):
+        """Oracle-checked (round-4): first-occurrence novelty — the
+        incremental-corpus substring-dedup view (a gram is novel iff
+        no lower-id doc contains it); same HUGEINT gram fold as
+        doc_dupspan, pure int64 outputs."""
+        from kgflow.ops.dedup import novelty_counts
+
+        return novelty_counts(_docs(sf_dir), window=8)
+
     def doc_dsir_score(sf_dir: str):
         """Oracle-checked (round-4): DSIR importance weighting (Xie et
         al. 2023) in its hashed-unigram form — FNV-1a token hashes mod
@@ -3928,6 +3937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": doc_langid,
         "doc_rolling_fp": doc_rolling_fp,
         "doc_dupspan": doc_dupspan,
+        "doc_novelty": doc_novelty,
         "doc_dsir_score": doc_dsir_score,
         "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -5011,6 +5021,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN ndoc.nd >= 2 THEN a.k ELSE 0 END)
                         AS BIGINT) AS n_dup
             FROM agg a JOIN ndoc USING (fp)
+            GROUP BY 1
+        """,
+        # first-occurrence novelty: same fold as doc_dupspan, owner =
+        # min doc_id per gram fingerprint
+        "doc_novelty": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_transform(regexp_extract_all(text, '\w+'),
+                  w -> CAST(list_reduce(
+                         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                                          i -> CAST(unicode(w[i]) AS HUGEINT))),
+                         (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                               CAST(c AS UBIGINT)) AS HUGEINT)
+                                      * 1099511628211)
+                                     % 18446744073709551616
+                       ) AS HUGEINT)) AS hs
+              FROM documents
+            ), pos AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(hs) - 6),
+                  j -> list_reduce(
+                         list_prepend(CAST(0 AS HUGEINT),
+                                      list_slice(hs, j, j + 7)),
+                         (acc, h) -> (acc * 1099511628211 + h)
+                                     % 18446744073709551616))) AS fp
+              FROM t WHERE len(hs) >= 8
+            ), agg AS (
+              SELECT fp, doc_id, count(*) AS k FROM pos GROUP BY 1, 2
+            ), owner AS (
+              SELECT fp, min(doc_id) AS md FROM agg GROUP BY 1
+            )
+            SELECT a.doc_id,
+                   CAST(sum(a.k) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN a.doc_id = owner.md THEN a.k ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM agg a JOIN owner USING (fp)
             GROUP BY 1
         """,
         # DSIR hashed-unigram importance weight: FNV fold per DISTINCT

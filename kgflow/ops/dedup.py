@@ -1468,29 +1468,27 @@ def symdelete_pairs(
     )
 
 
-def dupspan_counts(
+def _span_counts(
     docs: "rd.Dataset",
-    window: int = 8,
-    num_buckets: int | None = None,
+    window: int,
+    num_buckets: int | None,
+    out_col: str,
+    flag,
 ) -> "rd.Dataset":
-    """Per-document duplicated-span counts — the token-window form of
-    the ExactSubstr signal from Lee et al. 2022 ("Deduplicating
-    Training Data Makes Language Models Better"): a gram position is
-    DUPLICATED iff its ``window``-token n-gram also occurs in at least
-    one OTHER document. Returns (doc_id, n_grams, n_dup); documents
-    shorter than ``window`` tokens drop (they have no grams).
-    n_dup / n_grams is the cross-document duplication fraction used to
-    cut boilerplate-heavy documents.
+    """Shared skeleton for per-document gram-span classification
+    (`dupspan_counts` / `novelty_counts`): emit one (fp, doc_id, k)
+    row per distinct window-gram fingerprint per doc, ONE fp-keyed
+    exchange classifies each (fp, doc) row via ``flag`` (a vectorized
+    predicate over the fp-grouped frame), ONE doc-keyed exchange sums
+    (doc_id, n_grams, <out_col>).
 
     Grams travel as 64-bit fingerprints (wrapping FNV-polynomial over
     codepoint-FNV token hashes — exactly the ``doc_rolling_fp`` oracle
     fold, so SQL reproduces every fp bit-for-bit in HUGEINT): the
-    exchanges carry (fp, doc_id, count) / (doc_id, 2×int) rows only,
-    never text. ONE fp-keyed exchange classifies positions (a gram is
-    dup iff its fp group spans ≥2 docs — per-doc totals and dup counts
-    both come out of that same group pass), ONE doc-keyed exchange
-    sums. Fingerprint collisions merge distinct grams with probability
-    ~n_grams²/2^65 (the doc_exact_dedup epistemic grade)."""
+    exchanges carry 3-int rows only, never text. Fingerprint
+    collisions merge distinct grams with probability ~n_grams²/2^65
+    (the doc_exact_dedup epistemic grade). Documents shorter than
+    ``window`` tokens drop (they have no grams)."""
     from kgflow.ops.shuffle import bucketed_group_reduce
     from kgflow.ops.sketch import _fnv1a_strings
 
@@ -1545,25 +1543,24 @@ def dupspan_counts(
                 {
                     "doc_id": pd.Series([], dtype="int64"),
                     "n_grams": pd.Series([], dtype="int64"),
-                    "n_dup": pd.Series([], dtype="int64"),
+                    out_col: pd.Series([], dtype="int64"),
                 }
             )
         g = g.groupby(["fp", "doc_id"], as_index=False)["k"].sum()
-        nd = g.groupby("fp")["doc_id"].transform("size")
         k = g["k"].to_numpy(dtype=np.int64)
         part = pd.DataFrame(
             {
                 "doc_id": g["doc_id"],
                 "n_grams": k,
-                "n_dup": np.where(nd.to_numpy() >= 2, k, 0),
+                out_col: np.where(flag(g), k, 0),
             }
         )
-        return part.groupby("doc_id", as_index=False)[["n_grams", "n_dup"]].sum()
+        return part.groupby("doc_id", as_index=False)[["n_grams", out_col]].sum()
 
     def doc_sum(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby("doc_id", as_index=False)[["n_grams", "n_dup"]].sum()
+        out = g.groupby("doc_id", as_index=False)[["n_grams", out_col]].sum()
         out["n_grams"] = out["n_grams"].astype("int64")
-        out["n_dup"] = out["n_dup"].astype("int64")
+        out[out_col] = out[out_col].astype("int64")
         return out
 
     per_fp = bucketed_group_reduce(
@@ -1577,3 +1574,47 @@ def dupspan_counts(
     return bucketed_group_reduce(
         per_fp, key_cols=["doc_id"], reduce_fn=doc_sum, num_buckets=num_buckets
     )
+
+
+def dupspan_counts(
+    docs: "rd.Dataset",
+    window: int = 8,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-document duplicated-span counts — the token-window form of
+    the ExactSubstr signal from Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): a gram position is
+    DUPLICATED iff its ``window``-token n-gram also occurs in at least
+    one OTHER document. Returns (doc_id, n_grams, n_dup);
+    n_dup / n_grams is the cross-document duplication fraction used to
+    cut boilerplate-heavy documents. Scale shape: `_span_counts`."""
+
+    def is_dup(g: pd.DataFrame) -> np.ndarray:
+        return g.groupby("fp")["doc_id"].transform("size").to_numpy() >= 2
+
+    return _span_counts(docs, window, num_buckets, "n_dup", is_dup)
+
+
+def novelty_counts(
+    docs: "rd.Dataset",
+    window: int = 8,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-document FIRST-OCCURRENCE novelty — the incremental-corpus
+    view of substring dedup (process docs in doc_id order; a gram
+    position is NOVEL iff no lower-id document contains the same
+    ``window``-token n-gram): (doc_id, n_grams, n_novel).
+    n_novel / n_grams is the marginal-contribution signal for corpus
+    growth curves and crawl-snapshot triage (how much genuinely new
+    text a document adds over everything already ingested) — the
+    within-corpus analogue of the Bloom incremental dedup
+    (`kgflow.ops.sketch.bloom_new_docs`), exact instead of
+    probabilistic. All instances inside the owning (minimum-id)
+    document count as novel, including its own internal repeats.
+    Scale shape: `_span_counts` (two 3-int exchanges, no text)."""
+
+    def is_novel(g: pd.DataFrame) -> np.ndarray:
+        owner = g.groupby("fp")["doc_id"].transform("min").to_numpy()
+        return g["doc_id"].to_numpy() == owner
+
+    return _span_counts(docs, window, num_buckets, "n_novel", is_novel)

@@ -1,11 +1,13 @@
-"""Wave-61 operator tests: DSIR hashed-unigram importance scores and
-ExactSubstr-style duplicated-span counts.
+"""Wave-61/62 operator tests: DSIR hashed-unigram importance scores,
+ExactSubstr-style duplicated-span counts, and first-occurrence
+novelty counts.
 
-The SQL-oracle parity for the two registered queries
-(doc_dsir_score / doc_dupspan) runs in test_entry.py's
+The SQL-oracle parity for the three registered queries
+(doc_dsir_score / doc_dupspan / doc_novelty) runs in test_entry.py's
 auto-parametrized sweep; these tests pin the semantics the oracle
 can't see — planted duplicates, the within-doc-only repeat rule, the
-short-doc drop, and the exact numpy closed form of the DSIR weight."""
+short-doc drop, owner-keeps-all novelty, and the exact numpy closed
+form of the DSIR weight."""
 
 import numpy as np
 import pandas as pd
@@ -150,3 +152,34 @@ def test_dsir_tokenless_doc_drops():
     ]
     out = dsir_scores(_docs(rows), target_source="a", n_buckets=32).to_pandas()
     assert sorted(out["doc_id"]) == [1]
+
+
+def test_novelty_owner_keeps_all_later_docs_lose():
+    from kgflow.ops.dedup import novelty_counts
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        {"doc_id": 1, "text": shared},                   # owner: 1 gram, novel
+        {"doc_id": 2, "text": "x y " + shared},          # 3 grams, shared one not novel
+        {"doc_id": 3, "text": shared + " " + shared},
+    ]
+    # doc 3 = 16 tokens -> 9 grams: position 0 and 8 are `shared` (owned
+    # by doc 1); the 7 straddling grams are doc-3-only -> doc 3 OWNS them
+    out = (
+        novelty_counts(_docs(rows), window=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_grams"] == 1 and out.loc[1, "n_novel"] == 1
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_novel"] == 2
+    assert out.loc[3, "n_grams"] == 9 and out.loc[3, "n_novel"] == 7
+
+
+def test_novelty_internal_repeats_of_owner_count_novel():
+    from kgflow.ops.dedup import novelty_counts
+
+    rows = [{"doc_id": 5, "text": "a b c d e f g h a b c d e f g h"}]
+    out = novelty_counts(_docs(rows), window=8).to_pandas()
+    assert out.loc[0, "n_grams"] == 9
+    assert out.loc[0, "n_novel"] == 9  # sole owner: everything is first-seen

@@ -854,6 +854,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return dupspan_counts(_docs(sf_dir), window=8)
 
+    def doc_gopher_rules(sf_dir: str):
+        """Oracle-checked (round-4): the Gopher heuristic quality-rule
+        bundle (Rae et al. 2021 A1.1) — word-count / mean-word-length
+        / stopword / numeric-fraction / ellipsis-line rules as int64
+        0/1 flags, every ratio cross-multiplied so the whole row is
+        integer-exact and hash-stable. min_stopwords=1 here (paper
+        default 2): the synthetic corpus' closed vocabulary reaches
+        only one list word, and an all-zero rule column would be a
+        vacuous check."""
+        from kgflow.ops.clean import gopher_rules
+
+        return gopher_rules(_docs(sf_dir), min_stopwords=1)
+
     def doc_novelty(sf_dir: str):
         """Oracle-checked (round-4): first-occurrence novelty — the
         incremental-corpus substring-dedup view (a gram is novel iff
@@ -3938,6 +3951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fp": doc_rolling_fp,
         "doc_dupspan": doc_dupspan,
         "doc_novelty": doc_novelty,
+        "doc_gopher_rules": doc_gopher_rules,
         "doc_dsir_score": doc_dsir_score,
         "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -5022,6 +5036,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup
             FROM agg a JOIN ndoc USING (fp)
             GROUP BY 1
+        """,
+        # Gopher rule bundle: every ratio cross-multiplied (integer
+        # exact); stopword list shared verbatim with
+        # kgflow.ops.clean.GOPHER_STOPWORDS; rtrim charset = python
+        # str.rstrip's whitespace minus newline (lines are \n-split)
+        "doc_gopher_rules": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\w+')) AS n_words,
+                     length(regexp_replace(text, '\W', '', 'g')) AS word_chars,
+                     len(list_distinct(list_filter(
+                       regexp_extract_all(lower(text), '\w+'),
+                       w -> list_contains(
+                         ['the','be','to','of','and','that','have','with'],
+                         w)))) AS stop_hits,
+                     len(list_filter(regexp_extract_all(lower(text), '\w+'),
+                       w -> regexp_full_match(w, '[0-9]+'))) AS n_numeric,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(list_filter(string_split(text, chr(10)),
+                       l -> rtrim(l, ' ' || chr(9) || chr(13) || chr(12)
+                                  || chr(11)) LIKE '%...')) AS n_ellipsis
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_words,
+                CASE WHEN n_words >= 50 AND n_words <= 100000
+                     THEN 1 ELSE 0 END AS r_wordcount,
+                CASE WHEN word_chars >= 3 * n_words
+                          AND word_chars <= 10 * n_words
+                     THEN 1 ELSE 0 END AS r_meanlen,
+                CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS r_stopwords,
+                CASE WHEN n_numeric * 5 < n_words THEN 1 ELSE 0 END
+                  AS r_numeric,
+                CASE WHEN n_ellipsis * 10 < n_lines * 3 THEN 1 ELSE 0 END
+                  AS r_ellipsis
+              FROM s
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(r_wordcount AS BIGINT) AS r_wordcount,
+                   CAST(r_meanlen AS BIGINT) AS r_meanlen,
+                   CAST(r_stopwords AS BIGINT) AS r_stopwords,
+                   CAST(r_numeric AS BIGINT) AS r_numeric,
+                   CAST(r_ellipsis AS BIGINT) AS r_ellipsis,
+                   CAST(r_wordcount * r_meanlen * r_stopwords
+                        * r_numeric * r_ellipsis AS BIGINT) AS pass_all
+            FROM r
         """,
         # first-occurrence novelty: same fold as doc_dupspan, owner =
         # min doc_id per gram fingerprint

@@ -436,3 +436,84 @@ def source_quality_gate(docs: "rd.Dataset", num_buckets: int | None = None) -> "
     return docs.select_columns(["doc_id", "source"]).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+#: Gopher-rule stopword list (Rae et al. 2021, table A1 "stop words"):
+#: a document must contain at least 2 DISTINCT words from this set.
+#: Shared verbatim with the doc_gopher_rules SQL oracle.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: "rd.Dataset", min_words: int = 50, min_stopwords: int = 2
+) -> "rd.Dataset":
+    """Gopher-style quality-rule gate (Rae et al. 2021 "Scaling
+    Language Models: ... Gopher", appendix A1.1) — the published
+    heuristic filter bundle a web-corpus pipeline runs before
+    training, one int64 0/1 column per rule so every rule's pass rate
+    is aggregable downstream:
+
+      r_wordcount  min_words <= word count <= 100,000
+      r_meanlen    3 <= mean word length <= 10
+      r_stopwords  >= min_stopwords distinct hits in GOPHER_STOPWORDS
+                   (paper default 2; corpora whose extractor strips
+                   function words may need 1)
+      r_numeric    < 20% of words are pure digits
+      r_ellipsis   < 30% of newline-split lines end with "..."
+      pass_all     every rule passed
+
+    (The bullet-point and symbol-ratio rules of the paper key on
+    markup this corpus' extractor already strips; they belong in the
+    HTML-side extract stage.) Exchange-free: one vectorized pandas
+    `map_batches` pass, rules shared verbatim with the SQL oracle.
+    Word = `\\w+` on the lowercased text, matching the repo's other
+    token ops."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.findall(r"\w+")
+        n_words = toks.str.len().fillna(0).astype(np.int64)
+        word_chars = (
+            df["text"].str.replace(r"\W", "", regex=True).str.len()
+        ).astype(np.int64)
+        stop_hits = toks.map(
+            lambda ws: len(set(ws) & set(GOPHER_STOPWORDS))
+        ).astype(np.int64)
+        n_numeric = toks.map(
+            lambda ws: sum(1 for w in ws if w.isdigit())
+        ).astype(np.int64)
+        lines = df["text"].str.split("\n")
+        n_lines = lines.str.len().astype(np.int64)
+        n_ellipsis = lines.map(
+            lambda ls: sum(1 for l in ls if l.rstrip().endswith("..."))
+        ).astype(np.int64)
+
+        r_wordcount = ((n_words >= min_words) & (n_words <= 100_000)).astype(
+            np.int64
+        )
+        # 3 <= word_chars/n_words <= 10, cross-multiplied: integer-exact
+        r_meanlen = (
+            (word_chars >= 3 * n_words) & (word_chars <= 10 * n_words)
+        ).astype(np.int64)
+        r_stopwords = (stop_hits >= min_stopwords).astype(np.int64)
+        r_numeric = (n_numeric * 5 < n_words).astype(np.int64)  # <20%, exact
+        r_ellipsis = (n_ellipsis * 10 < n_lines * 3).astype(np.int64)  # <30%
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_words": n_words,
+                "r_wordcount": r_wordcount,
+                "r_meanlen": r_meanlen,
+                "r_stopwords": r_stopwords,
+                "r_numeric": r_numeric,
+                "r_ellipsis": r_ellipsis,
+                "pass_all": r_wordcount
+                * r_meanlen
+                * r_stopwords
+                * r_numeric
+                * r_ellipsis,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

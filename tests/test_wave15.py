@@ -1,9 +1,9 @@
-"""Wave-61/62 operator tests: DSIR hashed-unigram importance scores,
-ExactSubstr-style duplicated-span counts, and first-occurrence
-novelty counts.
+"""Wave-61/62/63 operator tests: DSIR hashed-unigram importance
+scores, ExactSubstr-style duplicated-span counts, first-occurrence
+novelty counts, and the Gopher quality-rule bundle.
 
-The SQL-oracle parity for the three registered queries
-(doc_dsir_score / doc_dupspan / doc_novelty) runs in test_entry.py's
+The SQL-oracle parity for the four registered queries (doc_dsir_score
+/ doc_dupspan / doc_novelty / doc_gopher_rules) runs in test_entry.py's
 auto-parametrized sweep; these tests pin the semantics the oracle
 can't see — planted duplicates, the within-doc-only repeat rule, the
 short-doc drop, owner-keeps-all novelty, and the exact numpy closed
@@ -183,3 +183,38 @@ def test_novelty_internal_repeats_of_owner_count_novel():
     out = novelty_counts(_docs(rows), window=8).to_pandas()
     assert out.loc[0, "n_grams"] == 9
     assert out.loc[0, "n_novel"] == 9  # sole owner: everything is first-seen
+
+
+def test_gopher_rules_edges():
+    from kgflow.ops.clean import gopher_rules
+
+    filler = " ".join(["the of and words here fine okay good"] * 8)  # 64 words
+    rows = [
+        {"doc_id": 1, "text": filler},  # passes everything
+        {"doc_id": 2, "text": "short doc the of"},  # fails wordcount
+        {"doc_id": 3, "text": filler + " " + " ".join(["7"] * 20)},  # 84 words, 20 digits -> fails numeric (20*5 >= 84)
+        {"doc_id": 4, "text": " ".join(["ab"] * 60) + " the of"},  # mean len < 3 -> fails meanlen
+        {"doc_id": 5, "text": "\n".join([filler, "trailing line..."])},  # 1/2 lines ellipsis -> fails (10 >= 6)
+    ]
+    out = (
+        gopher_rules(_docs(rows), min_stopwords=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1].drop("n_words").tolist() == [1, 1, 1, 1, 1, 1]
+    assert out.loc[2, "r_wordcount"] == 0 and out.loc[2, "pass_all"] == 0
+    assert out.loc[3, "r_numeric"] == 0 and out.loc[3, "r_wordcount"] == 1
+    assert out.loc[4, "r_meanlen"] == 0
+    assert out.loc[5, "r_ellipsis"] == 0
+
+
+def test_gopher_stopword_threshold():
+    from kgflow.ops.clean import gopher_rules
+
+    text = " ".join(["the words keep coming along nicely again today"] * 8)
+    rows = [{"doc_id": 1, "text": text}]  # only "the" from the list
+    strict = gopher_rules(_docs(rows), min_stopwords=2).to_pandas()
+    loose = gopher_rules(_docs(rows), min_stopwords=1).to_pandas()
+    assert strict.loc[0, "r_stopwords"] == 0
+    assert loose.loc[0, "r_stopwords"] == 1

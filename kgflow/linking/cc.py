@@ -35,12 +35,22 @@ import ray.data as rd
 from kgflow.ops.shuffle import bucketed_group_reduce
 
 
+#: edge-count ceiling for the driver-resident fast path (the
+#: `kgflow.ops.graph.NODE_BROADCAST_LIMIT` precedent, applied to E):
+#: below it, log-ROUND beats nothing — every distributed round is a
+#: full sort barrier (~1s of orchestration at any size), while a
+#: vectorized Shiloach-Vishkin pass over 2M in-memory edges is
+#: milliseconds. Above it, the shuffling algorithms take over.
+EDGE_DRIVER_LIMIT = 2_000_000
+
+
 def connected_components(
     edges: "rd.Dataset",
     max_rounds: int = 30,
     num_buckets: int = 32,
     algorithm: str = "minlabel",
     stats: dict | None = None,
+    driver_limit: int = EDGE_DRIVER_LIMIT,
 ) -> "rd.Dataset":
     """edges(src, dst) → (node, comp); node type is GENERIC — str or
     int64 both work end-to-end (every kernel is dtype-preserving; no
@@ -52,7 +62,20 @@ def connected_components(
     are mirrored once). ``algorithm``: "minlabel" (rounds = diameter)
     or "star" (rounds = O(log n)); identical output. ``stats`` (if
     given) receives {"rounds": N, "algorithm": ...}.
-    """
+
+    Edge sets at or below ``driver_limit`` rows take a driver-resident
+    vectorized Shiloach-Vishkin fast path (min-hooking + pointer
+    jumping — the k_core/pagerank small-graph precedent; O(log V)
+    numpy rounds, no shuffle barriers, identical min-label output);
+    pass ``driver_limit=0`` to force the distributed rounds. The probe
+    materializes the edge set once — both distributed algorithms
+    materialize their (mirrored) edge state anyway, so the distributed
+    path pays at most one extra E-bounded block set, never a driver
+    pull."""
+    if driver_limit > 0:
+        edges = edges.materialize()
+        if edges.count() <= driver_limit:
+            return _cc_driver(edges, stats)
     if algorithm == "star":
         return _cc_star(edges, max_rounds, num_buckets, stats)
     if algorithm != "minlabel":
@@ -260,3 +283,42 @@ def _cc_star(
         reduce_fn=_labels,
         num_buckets=num_buckets,
     )
+
+
+def _cc_driver(edges: "rd.Dataset", stats: dict | None) -> "rd.Dataset":
+    """Driver-resident CC for E-bounded edge sets: vectorized
+    Shiloach-Vishkin (min-hooking + full pointer jumping per round —
+    the classic PRAM algorithm, O(log V) numpy rounds). Nodes map
+    through np.unique, so code order == value order and the converged
+    root of every tree is the component's MINIMUM node — byte-identical
+    output to the distributed min-label/star rounds for str and int64
+    nodes alike."""
+    df = edges.to_pandas()
+    if not len(df):
+        if stats is not None:
+            stats.update({"rounds": 0, "algorithm": "driver"})
+        return rd.from_pandas(pd.DataFrame({"node": df["src"], "comp": df["src"]}))
+    both = np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()])
+    uniq, codes = np.unique(both, return_inverse=True)
+    src_c, dst_c = codes[: len(df)], codes[len(df) :]
+    parent = np.arange(len(uniq), dtype=np.int64)
+    rounds = 0
+    while True:
+        rounds += 1
+        pu, pv = parent[src_c], parent[dst_c]
+        lo = np.minimum(pu, pv)
+        before = parent.copy()
+        # hook both endpoints' current roots onto the edge minimum
+        np.minimum.at(parent, pu, lo)
+        np.minimum.at(parent, pv, lo)
+        # full pointer jumping: collapse every tree to a star
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, before):
+            break
+    if stats is not None:
+        stats.update({"rounds": rounds, "algorithm": "driver"})
+    return rd.from_pandas(pd.DataFrame({"node": uniq, "comp": uniq[parent]}))

@@ -54,7 +54,10 @@ def test_connected_components_smoke(ray_session):
             }
         )
     )
-    got = {r["node"]: r["comp"] for r in connected_components(edges).take_all()}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_limit=0).take_all()
+    }
     assert got["a"] == got["b"] == got["c"] == "a"
     assert got["x"] == got["y"] == "x"
     assert got["q"] == "q"
@@ -66,7 +69,10 @@ def test_connected_components_long_chain(ray_session):
     edges = rd.from_pandas(
         pd.DataFrame({"src": nodes[:-1], "dst": nodes[1:]})
     )
-    got = {r["node"]: r["comp"] for r in connected_components(edges).take_all()}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_limit=0).take_all()
+    }
     assert all(got[n] == "a" for n in nodes), got
 
 
@@ -79,10 +85,15 @@ def test_cc_star_matches_minlabel(ray_session):
             }
         )
     )
-    want = {r["node"]: r["comp"] for r in connected_components(edges).take_all()}
+    want = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_limit=0).take_all()
+    }
     got = {
         r["node"]: r["comp"]
-        for r in connected_components(edges, algorithm="star").take_all()
+        for r in connected_components(
+            edges, algorithm="star", driver_limit=0
+        ).take_all()
     }
     assert got == want
 
@@ -98,7 +109,7 @@ def test_cc_star_long_chain_log_rounds(ray_session):
     got = {
         r["node"]: r["comp"]
         for r in connected_components(
-            edges, algorithm="star", stats=stats
+            edges, algorithm="star", stats=stats, driver_limit=0
         ).take_all()
     }
     assert all(got[x] == "n00" for x in nodes), got
@@ -124,7 +135,7 @@ def test_cc_int64_nodes_both_algorithms(ray_session):
     # minlabel needs rounds = chain length, so keep its chain short
     got_ml = {
         r["node"]: r["comp"]
-        for r in connected_components(chain_edges(12)).take_all()
+        for r in connected_components(chain_edges(12), driver_limit=0).take_all()
     }
     assert all(isinstance(k, (int, np.integer)) for k in got_ml)
     assert all(got_ml[i] == 100 for i in range(100, 112))
@@ -133,7 +144,7 @@ def test_cc_int64_nodes_both_algorithms(ray_session):
     got_star = {
         r["node"]: r["comp"]
         for r in connected_components(
-            chain_edges(64), algorithm="star", stats=stats
+            chain_edges(64), algorithm="star", stats=stats, driver_limit=0
         ).take_all()
     }
     assert all(got_star[i] == 100 for i in range(100, 164))
@@ -151,7 +162,9 @@ def test_cc_star_singletons_and_dups(ray_session):
     )
     got = {
         r["node"]: r["comp"]
-        for r in connected_components(edges, algorithm="star").take_all()
+        for r in connected_components(
+            edges, algorithm="star", driver_limit=0
+        ).take_all()
     }
     assert got == {"s": "s", "a": "a", "b": "a"}
 
@@ -309,3 +322,54 @@ def test_shuffle_join_canonicalize_matches_broadcast(fixture_dir):
         canonicalize_triples_with_map(triples, emap_small, broadcast_limit=1)
     )
     pd.testing.assert_frame_equal(bro, auto)
+
+
+def test_cc_driver_fast_path_matches_distributed(ray_session):
+    # the default driver_limit routes small edge sets through the
+    # Shiloach-Vishkin driver kernel; it must be byte-identical to the
+    # distributed rounds for str AND int64 nodes, singletons included
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 200, size=500).astype(np.int64)
+    dst = rng.integers(0, 200, size=500).astype(np.int64)
+    edges_i = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    stats = {}
+    fast = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges_i, stats=stats).take_all()
+    }
+    assert stats["algorithm"] == "driver"
+    slow = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges_i, driver_limit=0).take_all()
+    }
+    assert fast == slow
+
+    edges_s = rd.from_pandas(
+        pd.DataFrame(
+            {"src": ["a", "b", "c", "x", "q"], "dst": ["b", "c", "a", "y", "q"]}
+        )
+    )
+    fast_s = {
+        r["node"]: r["comp"] for r in connected_components(edges_s).take_all()
+    }
+    assert fast_s == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "q": "q"}
+
+
+def test_cc_driver_fast_path_long_chain(ray_session):
+    # a 1000-node path: SV converges in O(log n) vectorized rounds
+    n = 1000
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": np.arange(n - 1, dtype=np.int64),
+                "dst": np.arange(1, n, dtype=np.int64),
+            }
+        )
+    )
+    stats = {}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, stats=stats).take_all()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert stats["algorithm"] == "driver" and stats["rounds"] <= 15, stats

@@ -254,11 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         drift in future rounds."""
         import pandas as pd
 
-        from kgflow.pipelines.kg import triples_ds
         from kgflow.stages.metrics import explode_gold, triple_prf
 
         pages = _pages_dir(sf_dir)
-        pred = triples_ds(pages)
+        pred = _triples_mat(sf_dir)  # shared memo: extraction runs once per sweep
         gold = explode_gold(
             rd.read_parquet(os.path.join(pages, "gold_spo.parquet"))
         )

@@ -1927,6 +1927,7 @@ def bpe_merges(
     docs: "rd.Dataset",
     n_merges: int = 10,
     num_buckets: int | None = None,
+    driver_limit: int = 2_000_000,
 ) -> pd.DataFrame:
     """Distributed BPE merge training (Sennrich et al., ACL 2016 —
     word-frequency formulation): ONE corpus pass builds the
@@ -1945,7 +1946,14 @@ def bpe_merges(
     PageRank/CC iterative exception, documented). The per-word pair
     zip inside a round runs over vocab rows, not corpus rows; the
     round count is the caller's n_merges, a constant (~10k in real
-    tokenizers)."""
+    tokenizers).
+
+    Word tables at or below ``driver_limit`` rows run the merge rounds
+    driver-resident (the CC/k_core/pagerank small-state precedent:
+    every distributed round is two sort barriers, ~1.5 s of fixed
+    orchestration, against milliseconds of in-memory pair counting on
+    a bounded vocabulary); identical tie-breaks, identical output.
+    Pass ``driver_limit=0`` to force the distributed rounds."""
     from kgflow.ops.shuffle import bucketed_group_reduce, global_topk
 
     def word_counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -1964,6 +1972,11 @@ def bpe_merges(
         reduce_fn=sum_counts,
         num_buckets=num_buckets,
     )
+
+    if driver_limit > 0:
+        vocab = vocab.materialize()
+        if vocab.count() <= driver_limit:
+            return _bpe_merges_driver(vocab.to_pandas(), n_merges)
 
     def to_symbols(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -2032,6 +2045,41 @@ def bpe_merges(
 
         cur = cur.map_batches(apply_merge, batch_format="pandas").materialize()
 
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
+
+
+def _bpe_merges_driver(vocab: pd.DataFrame, n_merges: int) -> pd.DataFrame:
+    """Driver-resident BPE rounds over a bounded (word, n) table —
+    same pair counts, same (count DESC, left ASC, right ASC)
+    tie-break, same merge apply as the distributed rounds, minus the
+    per-round sort barriers."""
+    syms = [list(w) for w in vocab["word"]]
+    ns = vocab["n"].to_numpy(dtype=np.int64)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, n in zip(syms, ns):
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + int(n)
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, c))
+        for i, s in enumerate(syms):
+            if left not in s:
+                continue
+            merged = []
+            j = 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == left and s[j + 1] == right:
+                    merged.append(left + right)
+                    j += 2
+                else:
+                    merged.append(s[j])
+                    j += 1
+            syms[i] = merged
     return pd.DataFrame(merges, columns=["rank", "left", "right", "pair_count"])
 
 

@@ -539,13 +539,15 @@ def test_bpe_merges_vs_reference():
     ds = rd.from_pandas(docs).repartition(3)
     from kgflow.ops.text import bpe_merges
 
-    got = bpe_merges(ds, n_merges=6)
+    got = bpe_merges(ds, n_merges=6)  # vocab-bounded -> driver rounds
+    got_dist = bpe_merges(ds, n_merges=6, driver_limit=0)  # forced shuffles
     counts = {}
     for t in texts:
         for w in t.split():
             counts[w] = counts.get(w, 0) + 1
     want = _bpe_reference(counts, 6)
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert [tuple(r) for r in got_dist.itertuples(index=False)] == want
     # the corpus is banana-heavy: the first merge must be ('a','n')
     assert want[0][1:3] == ("a", "n")
 

@@ -285,9 +285,41 @@ def cooccurrence_edges(
     )
 
 
+#: edge-row ceiling for the driver-resident triangle fast path: the
+#: wedge set is O(E^1.5) (arboricity bound), so 100k edges caps the
+#: in-memory wedge frame at ~3e7 rows. Above it, the distributed
+#: wedge join takes over.
+TRI_DRIVER_LIMIT = 100_000
+
+
+def _tri_driver(edf: pd.DataFrame):
+    """Driver-resident degree-oriented wedge count over a bounded
+    (u, v) u<v distinct edge frame — identical orientation, wedge and
+    closing-probe semantics to the distributed path, minus its ~8
+    sort barriers. Returns (closed wedge frame [ctr, u, v], deg
+    Series indexed by node)."""
+    x = pd.concat([edf["u"], edf["v"]], ignore_index=True)
+    deg = x.value_counts()
+    du = deg.reindex(edf["u"]).to_numpy()
+    dv = deg.reindex(edf["v"]).to_numpy()
+    ua, va = edf["u"].to_numpy(), edf["v"].to_numpy()
+    u_first = (du < dv) | ((du == dv) & (ua < va))
+    d = pd.DataFrame(
+        {"src": np.where(u_first, ua, va), "dst": np.where(u_first, va, ua)}
+    )
+    m = d.merge(d, on="src", suffixes=("_a", "_b"))
+    m = m.loc[m["dst_a"] < m["dst_b"]]
+    closed = m.merge(
+        edf.rename(columns={"u": "dst_a", "v": "dst_b"}),
+        on=["dst_a", "dst_b"],
+    ).rename(columns={"src": "ctr", "dst_a": "u", "dst_b": "v"})
+    return closed, deg
+
+
 def triangle_count(
     edges: "rd.Dataset",
     num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
 ) -> "pd.DataFrame":
     """EXACT global triangle count over an undirected (u, v) edge set
     (u < v, distinct) — the classic degree-oriented wedge-join
@@ -303,7 +335,10 @@ def triangle_count(
     argument; wedges then probe the original edge set through ONE
     co-partitioned (u, v)-keyed join, and matched rows fold to a
     per-block count → scalar sum. Returns a one-row (n_triangles)
-    frame.
+    frame. Edge sets ≤ ``driver_limit`` rows run the same wedge count
+    driver-resident (`_tri_driver`; the CC/k_core precedent — the
+    O(E^1.5) wedge bound caps its memory); ``driver_limit=0`` forces
+    the distributed path.
     """
 
     # The edge set is consumed THREE times (degree pass, degree-attach
@@ -314,6 +349,9 @@ def triangle_count(
     # E-bounded: the wedge-join algorithm requires the edge list to
     # fit the cluster anyway.
     edges = edges.select_columns(["u", "v"]).materialize()
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        closed, _ = _tri_driver(edges.to_pandas())
+        return pd.DataFrame([{"n_triangles": np.int64(len(closed))}])
 
     def deg_partial(d: pd.DataFrame) -> pd.DataFrame:
         x = pd.concat([d["u"], d["v"]], ignore_index=True)
@@ -989,6 +1027,7 @@ def degree_assortativity(
 def local_clustering(
     edges: "rd.Dataset",
     num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
 ) -> "rd.Dataset":
     """Per-node EXACT triangle count and local clustering coefficient
     over an undirected (u, v) edge set (u < v, distinct) →
@@ -1003,12 +1042,29 @@ def local_clustering(
     exchange (V-bounded). The deg table is reused from the orientation
     pass; tri attaches back with a left join so zero-triangle nodes
     keep their degree row. The single closing division is the only
-    float op (2.0·tri first, then divide — mirrored in SQL).
+    float op (2.0·tri first, then divide — mirrored in SQL). Edge sets
+    ≤ ``driver_limit`` rows run driver-resident (`_tri_driver`);
+    ``driver_limit=0`` forces the distributed path.
     """
     from kgflow.ops.joins import hash_join
     from kgflow.ops.shuffle import bucketed_group_reduce
 
     edges = edges.select_columns(["u", "v"]).materialize()
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        closed, deg = _tri_driver(edges.to_pandas())
+        credit = pd.concat(
+            [closed["ctr"], closed["u"], closed["v"]], ignore_index=True
+        ).value_counts()
+        dg = deg.sort_index()
+        t = credit.reindex(dg.index).fillna(0).to_numpy(dtype=np.int64)
+        dgv = dg.to_numpy(dtype=np.int64)
+        den = np.maximum(dgv * (dgv - 1), 1)
+        lcc = np.where(dgv >= 2, (2.0 * t) / den, 0.0)
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"node": dg.index.to_numpy(), "deg": dgv, "tri": t, "lcc": lcc}
+            )
+        )
 
     def deg_partial(d: pd.DataFrame) -> pd.DataFrame:
         x = pd.concat([d["u"], d["v"]], ignore_index=True)

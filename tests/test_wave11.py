@@ -267,6 +267,13 @@ def test_local_clustering_known_graph():
         .set_index("node")
         .sort_index()
     )
+    out_dist = (
+        local_clustering(rd.from_pandas(df).repartition(3), driver_limit=0)
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    pd.testing.assert_frame_equal(out, out_dist)
     assert out.loc[0, "deg"] == 3 and out.loc[0, "tri"] == 3
     assert out.loc[0, "lcc"] == pytest.approx(1.0)
     assert out.loc[3, "deg"] == 4 and out.loc[3, "tri"] == 3

@@ -187,6 +187,10 @@ def test_triangle_count_known_graph():
     e = list(itertools.combinations(range(4), 2)) + [(3, 9), (10, 11)]
     df = pd.DataFrame(e, columns=["u", "v"]).astype("int64")
     out = triangle_count(rd.from_pandas(df).repartition(3))
+    out_dist = triangle_count(
+        rd.from_pandas(df).repartition(3), driver_limit=0
+    )
+    assert out_dist.equals(out)
     assert out.iloc[0]["n_triangles"] == 4
 
 

@@ -866,6 +866,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gopher_rules(_docs(sf_dir), min_stopwords=1)
 
+    def doc_curation(sf_dir: str):
+        """Oracle-checked (round-4): the composed corpus-curation
+        pass — Gopher rules ∧ duplicated-span cap (<25%) ∧ DSIR score
+        attach (`kgflow.pipelines.curate.curate_docs`). Selection is
+        integer-exact on both sides; the DSIR float rides along at
+        the ln-sum comparator grade."""
+        from kgflow.pipelines.curate import curate_docs
+
+        return curate_docs(
+            _docs(sf_dir), target_source="src0", min_stopwords=1
+        )
+
     def doc_novelty(sf_dir: str):
         """Oracle-checked (round-4): first-occurrence novelty — the
         incremental-corpus substring-dedup view (a gram is novel iff
@@ -3951,6 +3963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dupspan": doc_dupspan,
         "doc_novelty": doc_novelty,
         "doc_gopher_rules": doc_gopher_rules,
+        "doc_curation": doc_curation,
         "doc_dsir_score": doc_dsir_score,
         "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -5080,6 +5093,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_wordcount * r_meanlen * r_stopwords
                         * r_numeric * r_ellipsis AS BIGINT) AS pass_all
             FROM r
+        """,
+        # composed curation: Gopher rule gate (threshold 1, see
+        # doc_gopher_rules) AND dup-span < 25% (cross-multiplied) AND
+        # DSIR score attach — each block verbatim from its own oracle
+        "doc_curation": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '\w+')) AS n_words,
+                     length(regexp_replace(text, '\W', '', 'g')) AS word_chars,
+                     len(list_distinct(list_filter(
+                       regexp_extract_all(lower(text), '\w+'),
+                       w -> list_contains(
+                         ['the','be','to','of','and','that','have','with'],
+                         w)))) AS stop_hits,
+                     len(list_filter(regexp_extract_all(lower(text), '\w+'),
+                       w -> regexp_full_match(w, '[0-9]+'))) AS n_numeric,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(list_filter(string_split(text, chr(10)),
+                       l -> rtrim(l, ' ' || chr(9) || chr(13) || chr(12)
+                                  || chr(11)) LIKE '%...')) AS n_ellipsis
+              FROM documents
+            ), keep_rules AS (
+              SELECT doc_id, CAST(n_words AS BIGINT) AS n_words
+              FROM s
+              WHERE n_words >= 50 AND n_words <= 100000
+                AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+                AND stop_hits >= 1
+                AND n_numeric * 5 < n_words
+                AND n_ellipsis * 10 < n_lines * 3
+            ), t AS (
+              SELECT doc_id,
+                list_transform(regexp_extract_all(text, '\w+'),
+                  w -> CAST(list_reduce(
+                         list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                           list_transform(range(1, length(w) + 1),
+                                          i -> CAST(unicode(w[i]) AS HUGEINT))),
+                         (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                               CAST(c AS UBIGINT)) AS HUGEINT)
+                                      * 1099511628211)
+                                     % 18446744073709551616
+                       ) AS HUGEINT)) AS hs
+              FROM documents
+            ), pos AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(hs) - 6),
+                  j -> list_reduce(
+                         list_prepend(CAST(0 AS HUGEINT),
+                                      list_slice(hs, j, j + 7)),
+                         (acc, h) -> (acc * 1099511628211 + h)
+                                     % 18446744073709551616))) AS fp
+              FROM t WHERE len(hs) >= 8
+            ), agg AS (
+              SELECT fp, doc_id, count(*) AS k FROM pos GROUP BY 1, 2
+            ), ndoc AS (
+              SELECT fp, count(*) AS nd FROM agg GROUP BY 1
+            ), keep_spans AS (
+              SELECT a.doc_id,
+                     CAST(sum(a.k) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN ndoc.nd >= 2 THEN a.k ELSE 0 END)
+                          AS BIGINT) AS n_dup
+              FROM agg a JOIN ndoc USING (fp)
+              GROUP BY 1
+              HAVING sum(CASE WHEN ndoc.nd >= 2 THEN a.k ELSE 0 END) * 100
+                     < sum(a.k) * 25
+            ), tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ), dt AS (
+              SELECT DISTINCT w FROM tok
+            ), hb AS (
+              SELECT w, CAST(CAST(list_reduce(
+                     list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(unicode(w[i]) AS HUGEINT))),
+                     (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                           CAST(c AS UBIGINT)) AS HUGEINT)
+                                  * 1099511628211)
+                                 % 18446744073709551616
+                   ) AS UBIGINT) % 1024 AS BIGINT) AS b
+              FROM dt
+            ), tw AS (
+              SELECT tok.doc_id, tok.source, hb.b
+              FROM tok JOIN hb USING (w)
+            ), tgt AS (
+              SELECT b, count(*) AS t FROM tw WHERE source = 'src0' GROUP BY 1
+            ), pool AS (
+              SELECT b, count(*) AS p FROM tw GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT sum(t) FROM tgt) AS tt,
+                     (SELECT sum(p) FROM pool) AS pp
+            ), dsir AS (
+              SELECT tw.doc_id,
+                     sum(ln(CAST(coalesce(tgt.t, 0) + 1 AS DOUBLE))
+                         - ln(CAST(pool.p + 1 AS DOUBLE)))
+                       - count(*) * (ln(CAST(tot.tt + 1024 AS DOUBLE))
+                                     - ln(CAST(tot.pp + 1024 AS DOUBLE)))
+                       AS dsir_score
+              FROM tw JOIN pool USING (b) LEFT JOIN tgt USING (b)
+                   CROSS JOIN tot
+              GROUP BY tw.doc_id, tot.tt, tot.pp
+            )
+            SELECT k.doc_id, k.n_words, ks.n_grams, ks.n_dup, d.dsir_score
+            FROM keep_rules k
+            JOIN keep_spans ks USING (doc_id)
+            JOIN dsir d USING (doc_id)
         """,
         # first-occurrence novelty: same fold as doc_dupspan, owner =
         # min doc_id per gram fingerprint

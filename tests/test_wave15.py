@@ -218,3 +218,22 @@ def test_gopher_stopword_threshold():
     loose = gopher_rules(_docs(rows), min_stopwords=1).to_pandas()
     assert strict.loc[0, "r_stopwords"] == 0
     assert loose.loc[0, "r_stopwords"] == 1
+
+
+def test_curation_each_filter_bites():
+    from kgflow.pipelines.curate import curate_docs
+
+    good = " ".join(["the of and words flow nicely here again"] * 8)  # 64 w
+    dup_half = " ".join(["alpha beta gamma delta epsilon zeta eta theta"] * 8)
+    rows = [
+        {"doc_id": 1, "text": good + " uniquely original closing words", "source": "tgt"},
+        {"doc_id": 2, "text": "the of short", "source": "oth"},  # wordcount fail
+        # 64 words but every gram duplicated across docs 3 and 4 -> dup cap
+        {"doc_id": 3, "text": dup_half, "source": "oth"},
+        {"doc_id": 4, "text": dup_half, "source": "oth"},
+    ]
+    out = curate_docs(
+        _docs(rows), target_source="tgt", min_stopwords=2, max_dup_pct=25
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1]
+    assert set(out.columns) == {"doc_id", "n_words", "n_grams", "n_dup", "dsir_score"}

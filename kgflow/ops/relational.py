@@ -3032,7 +3032,9 @@ def q20_excess_share_suppliers(
     ).map_batches(Finish, batch_format="pandas", concurrency=(1, 1))
 
 
-def customer_rfm(sf_dir: str, tiles: int = 5) -> "rd.Dataset":
+def customer_rfm(
+    sf_dir: str, tiles: int = 5, driver_limit: int = 2_000_000
+) -> "rd.Dataset":
     """RFM segmentation — the classic customer-analytics composition:
     per customer (from orders alone) recency = last order day,
     frequency = order count, monetary = total spend (int64 cents),
@@ -3046,7 +3048,13 @@ def customer_rfm(sf_dir: str, tiles: int = 5) -> "rd.Dataset":
     a negated column — NO single-bucket global sort), the NTILE split
     is the standard front-loaded integer formula from (rank, N), and
     the three rank tables join back custkey-co-bucketed. N is block
-    metadata after the materialize."""
+    metadata after the materialize.
+
+    Customer tables at or below ``driver_limit`` rows rank all three
+    dimensions driver-resident (the CC/k_core precedent: three
+    distributed rank passes are ~12 sort barriers against three numpy
+    lexsorts over a 4-int-per-row frame); identical ordering and tile
+    formula, ``driver_limit=0`` forces the distributed passes."""
     from kgflow.ops.joins import hash_join
     from kgflow.ops.shuffle import bucketed_group_reduce, global_row_number
     from kgflow.sources.parquet import read_parquet_clean
@@ -3091,6 +3099,29 @@ def customer_rfm(sf_dir: str, tiles: int = 5) -> "rd.Dataset":
                 r + (rn - 1 - cut) // max(q, 1),
             ).astype(np.int64)
             + 1
+        )
+
+    if driver_limit > 0 and n_cust <= driver_limit:
+        adf = agg.to_pandas()
+        keys = adf["c_custkey"].to_numpy(dtype=np.int64)
+
+        def driver_tiles(val_col: str) -> np.ndarray:
+            # rank = position under (value DESC, custkey ASC) — the
+            # same total order ranked_tiles feeds global_row_number
+            order = np.lexsort((keys, -adf[val_col].to_numpy(dtype=np.int64)))
+            rn = np.empty(n_cust, dtype=np.int64)
+            rn[order] = np.arange(1, n_cust + 1)
+            return tile_of(rn)
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "c_custkey": keys,
+                    "r_tile": driver_tiles("last_day"),
+                    "f_tile": driver_tiles("n"),
+                    "m_tile": driver_tiles("m_fp"),
+                }
+            )
         )
 
     def ranked_tiles(val_col: str, out_col: str) -> "rd.Dataset":

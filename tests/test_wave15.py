@@ -237,3 +237,17 @@ def test_curation_each_filter_bites():
     ).to_pandas()
     assert sorted(out["doc_id"]) == [1]
     assert set(out.columns) == {"doc_id", "n_words", "n_grams", "n_dup", "dsir_score"}
+
+
+def test_customer_rfm_driver_matches_distributed():
+    from kgflow.ops.relational import customer_rfm
+
+    sf = "/root/testdata/sf0.001"
+    fast = customer_rfm(sf).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+    slow = (
+        customer_rfm(sf, driver_limit=0)
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)

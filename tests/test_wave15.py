@@ -1,6 +1,7 @@
-"""Wave-61/62/63 operator tests: DSIR hashed-unigram importance
+"""Wave-61..64 operator tests: DSIR hashed-unigram importance
 scores, ExactSubstr-style duplicated-span counts, first-occurrence
-novelty counts, and the Gopher quality-rule bundle.
+novelty counts, the Gopher quality-rule bundle, the composed
+curation pipeline, and the RFM driver-rank parity.
 
 The SQL-oracle parity for the four registered queries (doc_dsir_score
 / doc_dupspan / doc_novelty / doc_gopher_rules) runs in test_entry.py's

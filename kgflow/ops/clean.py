@@ -470,22 +470,39 @@ def gopher_rules(
     token ops."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
         toks = df["text"].str.lower().str.findall(r"\w+")
         n_words = toks.str.len().fillna(0).astype(np.int64)
         word_chars = (
             df["text"].str.replace(r"\W", "", regex=True).str.len()
         ).astype(np.int64)
-        stop_hits = toks.map(
-            lambda ws: len(set(ws) & set(GOPHER_STOPWORDS))
-        ).astype(np.int64)
-        n_numeric = toks.map(
-            lambda ws: sum(1 for w in ws if w.isdigit())
-        ).astype(np.int64)
+        # explode once; stopword/numeric counts as C groupby kernels
+        ex = toks.explode().dropna()
+        stop_hits = (
+            ex[ex.isin(GOPHER_STOPWORDS)]
+            .groupby(level=0)
+            .nunique()
+            .reindex(df.index, fill_value=0)
+            .astype(np.int64)
+        )
+        n_numeric = (
+            ex.str.fullmatch(r"[0-9]+")
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index, fill_value=0)
+            .astype(np.int64)
+        )
         lines = df["text"].str.split("\n")
         n_lines = lines.str.len().astype(np.int64)
-        n_ellipsis = lines.map(
-            lambda ls: sum(1 for l in ls if l.rstrip().endswith("..."))
-        ).astype(np.int64)
+        lx = lines.explode()
+        n_ellipsis = (
+            lx.str.rstrip()
+            .str.endswith("...")
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index, fill_value=0)
+            .astype(np.int64)
+        )
 
         r_wordcount = ((n_words >= min_words) & (n_words <= 100_000)).astype(
             np.int64

@@ -866,6 +866,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return gopher_rules(_docs(sf_dir), min_stopwords=1)
 
+    def doc_mix_weights(sf_dir: str):
+        """Oracle-checked (round-4): temperature-based source mixture
+        weights (XLM / mC4 sampling rule, alpha=0.3) — per-source
+        token counts are exact int64; pow/divide are the only floats
+        (1e-6 comparator grade)."""
+        from kgflow.ops.text import source_mix_weights
+
+        return source_mix_weights(_docs(sf_dir), alpha=0.3)
+
+    def doc_zipf_alpha(sf_dir: str):
+        """Oracle-checked (round-4): Hill estimator of the vocabulary
+        Zipf tail over the top-20 token frequencies (the synthetic corpus
+        has 31 distinct tokens); boundary ties
+        break (n DESC, token ASC) identically on both engines."""
+        from kgflow.ops.text import zipf_alpha
+
+        return zipf_alpha(_docs(sf_dir), k=20)
+
     def doc_curation(sf_dir: str):
         """Oracle-checked (round-4): the composed corpus-curation
         pass — Gopher rules ∧ duplicated-span cap (<25%) ∧ DSIR score
@@ -3964,6 +3982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty": doc_novelty,
         "doc_gopher_rules": doc_gopher_rules,
         "doc_curation": doc_curation,
+        "doc_mix_weights": doc_mix_weights,
+        "doc_zipf_alpha": doc_zipf_alpha,
         "doc_dsir_score": doc_dsir_score,
         "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
@@ -5093,6 +5113,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_wordcount * r_meanlen * r_stopwords
                         * r_numeric * r_ellipsis AS BIGINT) AS pass_all
             FROM r
+        """,
+        # temperature mixture weights: exact int64 counts, pow/divide
+        # the only floats
+        "doc_mix_weights": r"""
+            WITH c AS (
+              SELECT source,
+                     CAST(sum(len(regexp_extract_all(lower(text), '\w+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            )
+            SELECT source, n_tokens,
+                   pow(CAST(n_tokens AS DOUBLE), 0.3)
+                     / (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3))
+                        FROM c) AS weight
+            FROM c
+        """,
+        # Hill tail estimator over the top-20 vocabulary frequencies;
+        # rank ties break (n DESC, token ASC) like doc_vocab_topk
+        "doc_zipf_alpha": r"""
+            WITH t AS (
+              SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+              FROM documents
+            ), v AS (
+              SELECT token, count(*) AS n FROM t GROUP BY token
+            ), r AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rn
+              FROM v
+            )
+            SELECT CAST(20 AS BIGINT) AS k,
+                   CAST((SELECT n FROM r WHERE rn = 21) AS BIGINT)
+                     AS f_kplus1,
+                   1.0 + 20.0
+                     / (SELECT sum(ln(CAST(n AS DOUBLE)
+                          / (SELECT CAST(n AS DOUBLE) FROM r WHERE rn = 21)))
+                        FROM r WHERE rn <= 20) AS alpha
         """,
         # composed curation: Gopher rule gate (threshold 1, see
         # doc_gopher_rules) AND dup-span < 25% (cross-multiplied) AND

@@ -2340,3 +2340,91 @@ def dsir_scores(
     return docs.select_columns(["doc_id", "text", "source"]).map_batches(
         Score, batch_format="pandas", concurrency=(1, 4)
     )
+
+
+def source_mix_weights(
+    docs: "rd.Dataset",
+    alpha: float = 0.3,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Temperature-based mixture reweighting — the multilingual/
+    multi-source corpus sampling rule of Lample & Conneau 2019 (XLM)
+    and mC4 (Xue et al. 2021): a source with n_s tokens samples with
+    probability ∝ n_s^alpha (alpha<1 up-weights low-resource
+    sources). Returns (source, n_tokens, weight) with
+    weight = n_s^alpha / Σ_s n_s^alpha.
+
+    Scale shape: per-batch (source, token-count) combiner → ONE
+    source-keyed bucketed sum (source-bounded — domains at web scale,
+    still ≪ corpus); the normalizer Σ n^alpha is ONE scalar aggregate
+    broadcast into a map — no driver pull of the source table. The
+    only floats are pow/divide on exact int64 counts (1e-6 comparator
+    grade)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df["text"].str.lower().str.count(_WORD_RE).astype(np.int64)
+        )
+        g = pd.DataFrame({"source": df["source"], "n_tokens": n})
+        return g.groupby("source", as_index=False)["n_tokens"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", as_index=False)["n_tokens"].sum()
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    counts = bucketed_group_reduce(
+        docs.select_columns(["source", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["source"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    ).materialize()  # source-bounded; consumed by the sum AND the map
+
+    denom = counts.map_batches(
+        lambda d: pd.DataFrame(
+            {"s": [np.power(d["n_tokens"].to_numpy(np.float64), alpha).sum()]}
+        ),
+        batch_format="pandas",
+    ).sum("s")
+
+    def weigh(d: pd.DataFrame) -> pd.DataFrame:
+        w = np.power(d["n_tokens"].to_numpy(np.float64), alpha) / denom
+        return pd.DataFrame(
+            {"source": d["source"], "n_tokens": d["n_tokens"], "weight": w}
+        )
+
+    return counts.map_batches(weigh, batch_format="pandas")
+
+
+def zipf_alpha(
+    docs: "rd.Dataset",
+    k: int = 50,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Zipf tail exponent of the corpus vocabulary via the Hill
+    estimator (Hill 1975) over the top-``k`` token frequencies:
+    alpha = 1 + k / Σ_{i=1..k} ln(f_i / f_{k+1}) — the standard check
+    that a corpus' token distribution has the expected power-law tail
+    (sanity signal for crawl mixes and synthetic-data detection).
+    Returns one row (k, f_kplus1, alpha).
+
+    Scale shape: the vocabulary pass is the `vocab_topk` combiner
+    (per-block distinct shrink before the token-keyed exchange); the
+    k+1 head rows come from the same semigroup top-k, so nothing
+    larger than blocks×(k+1) crosses the final exchange. Ties at the
+    boundary break (n DESC, token ASC) on both engines."""
+    head = vocab_topk(docs, k=k + 1, num_buckets=num_buckets).to_pandas()
+    if len(head) < k + 1:
+        raise ValueError(
+            f"zipf_alpha needs at least k+1={k + 1} distinct tokens; "
+            f"corpus has {len(head)}"
+        )
+    f = head["n"].to_numpy(np.float64)
+    tail = f[k]
+    alpha = 1.0 + k / float(np.log(f[:k] / tail).sum())
+    return pd.DataFrame(
+        [{"k": np.int64(k), "f_kplus1": np.int64(tail), "alpha": alpha}]
+    )

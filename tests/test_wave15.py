@@ -252,3 +252,50 @@ def test_customer_rfm_driver_matches_distributed():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_mix_weights_upweight_low_resource():
+    from kgflow.ops.text import source_mix_weights
+
+    rows = (
+        [{"doc_id": i, "text": "word " * 100, "source": "big"} for i in range(10)]
+        + [{"doc_id": 100, "text": "word " * 10, "source": "small"}]
+    )
+    out = (
+        source_mix_weights(_docs(rows), alpha=0.3)
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["big", "n_tokens"] == 1000
+    assert out.loc["small", "n_tokens"] == 10
+    w = out["weight"]
+    assert abs(w.sum() - 1.0) < 1e-12
+    # alpha=0.3 compresses the 100x token gap to 100^0.3 ~ 3.98x
+    ratio = w.loc["big"] / w.loc["small"]
+    assert abs(ratio - 100 ** 0.3) < 1e-9
+
+
+def test_zipf_alpha_recovers_planted_exponent():
+    from kgflow.ops.text import zipf_alpha
+
+    # plant an exact Zipf(alpha=2) frequency table: token i appears
+    # floor(C / (i+1)^2)... use direct counts so the estimate is clean
+    rows = []
+    doc_id = 0
+    words = []
+    for i in range(60):
+        f = max(int(12000 / (i + 1) ** 2), 1)
+        words.extend([f"tok{i:03d}"] * f)
+    # chunk into docs
+    for j in range(0, len(words), 500):
+        rows.append({"doc_id": doc_id, "text": " ".join(words[j : j + 500])})
+        doc_id += 1
+    out = zipf_alpha(_docs(rows), k=20)
+    # Hill on an exact 1/r^2 rank-frequency curve: f_i/f_{k+1} =
+    # ((k+1)/i)^2 -> alpha_hat = 1 + k / (2 * sum ln((k+1)/i))
+    import math
+
+    expect = 1.0 + 20 / (2.0 * sum(math.log(21 / i) for i in range(1, 21)))
+    got = out["alpha"].iloc[0]
+    # floors distort small counts; the estimator must land near 2-ish
+    assert abs(got - expect) < 0.2, (got, expect)

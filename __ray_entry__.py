@@ -875,6 +875,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return source_mix_weights(_docs(sf_dir), alpha=0.3)
 
+    def doc_sample_plan(sf_dir: str):
+        """Oracle-checked (round-4): exact Hamilton apportionment of a
+        10k-example epoch budget across sources proportional to token
+        counts — all-int64, Σ quota == budget exactly, remainder ties
+        break source ASC on both engines."""
+        from kgflow.ops.text import apportion_budget
+
+        return apportion_budget(_docs(sf_dir), budget=10_000)
+
     def doc_zipf_alpha(sf_dir: str):
         """Oracle-checked (round-4): Hill estimator of the vocabulary
         Zipf tail over the top-20 token frequencies (the synthetic corpus
@@ -3983,6 +3992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_gopher_rules": doc_gopher_rules,
         "doc_curation": doc_curation,
         "doc_mix_weights": doc_mix_weights,
+        "doc_sample_plan": doc_sample_plan,
         "doc_zipf_alpha": doc_zipf_alpha,
         "doc_dsir_score": doc_dsir_score,
         "doc_boilerplate_strip": doc_boilerplate_strip,
@@ -5128,6 +5138,33 @@ def oracle_sql() -> dict[str, str]:
                      / (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3))
                         FROM c) AS weight
             FROM c
+        """,
+        # Hamilton apportionment: HUGEINT products, exact floor and
+        # remainder; ties rem DESC then source ASC
+        "doc_sample_plan": r"""
+            WITH c AS (
+              SELECT source,
+                     CAST(sum(len(regexp_extract_all(lower(text), '\w+')))
+                          AS BIGINT) AS n_tokens
+              FROM documents GROUP BY 1
+            ), t AS (
+              SELECT CAST(sum(n_tokens) AS HUGEINT) AS total FROM c
+            ), q AS (
+              SELECT source, n_tokens,
+                     CAST((CAST(n_tokens AS HUGEINT) * 10000) // total
+                          AS BIGINT) AS fl,
+                     CAST((CAST(n_tokens AS HUGEINT) * 10000) % total
+                          AS BIGINT) AS rem
+              FROM c CROSS JOIN t
+            ), r AS (
+              SELECT source, n_tokens, fl, rem,
+                     row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+              FROM q
+            )
+            SELECT source, n_tokens,
+                   CAST(fl + CASE WHEN rk <= (SELECT 10000 - sum(fl) FROM q)
+                             THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM r
         """,
         # Hill tail estimator over the top-20 vocabulary frequencies;
         # rank ties break (n DESC, token ASC) like doc_vocab_topk

@@ -2428,3 +2428,80 @@ def zipf_alpha(
     return pd.DataFrame(
         [{"k": np.int64(k), "f_kplus1": np.int64(tail), "alpha": alpha}]
     )
+
+
+def apportion_budget(
+    docs: "rd.Dataset",
+    budget: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Exact largest-remainder (Hamilton) apportionment of an epoch
+    sampling budget across sources, proportional to token counts —
+    the integer artifact a mixture-sampling pipeline actually executes
+    ("draw quota_s examples from source s this epoch"). Every source's
+    quota is floor(n_s·B / T) plus one extra for the B − Σfloor
+    largest integer remainders (n_s·B mod T; ties break source ASC),
+    so Σ quota == budget EXACTLY and the whole row is int64 —
+    hash-stable with no float anywhere (contrast `source_mix_weights`,
+    whose pow() weights are the alpha<1 generalization but float).
+    Returns (source, n_tokens, quota).
+
+    Scale shape: same source-bounded count reduce as
+    `source_mix_weights`; the apportionment itself needs the GLOBAL
+    total and remainder ranking, computed in one pass over the
+    source-bounded table (a single bucket — sources ≪ corpus; at
+    web scale with 1e8 domains, shard the floor pass and rank only
+    the top B remainders via `global_topk`)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.lower().str.count(_WORD_RE).astype(np.int64)
+        g = pd.DataFrame({"source": df["source"], "n_tokens": n})
+        return g.groupby("source", as_index=False)["n_tokens"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", as_index=False)["n_tokens"].sum()
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        return out
+
+    counts = bucketed_group_reduce(
+        docs.select_columns(["source", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["source"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )
+
+    def apportion(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("source").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(dtype=np.int64).astype(object)  # py ints: no overflow
+        total = sum(n)
+        prod = [int(x) * budget for x in n]
+        floors = np.array([p // total for p in prod], dtype=np.int64)
+        rems = np.array([p % total for p in prod], dtype=np.int64)
+        extra = budget - int(floors.sum())
+        order = np.lexsort((np.arange(len(g)), -rems))  # rem DESC, source ASC
+        quota = floors.copy()
+        quota[order[:extra]] += 1
+        return pd.DataFrame(
+            {
+                "source": g["source"],
+                "n_tokens": g["n_tokens"].astype(np.int64),
+                "quota": quota,
+            }
+        )
+
+    # ONE single-bucket pass: the apportionment is a global rank over
+    # the source-bounded table (see docstring for the 1e8-domain path)
+    return bucketed_group_reduce(
+        counts.map_batches(
+            lambda d: d.assign(_g=np.int64(0)), batch_format="pandas"
+        ),
+        key_cols=["_g"],
+        reduce_fn=lambda g: apportion(g.drop(columns=["_g"])),
+        num_buckets=1,
+    )

@@ -299,3 +299,34 @@ def test_zipf_alpha_recovers_planted_exponent():
     got = out["alpha"].iloc[0]
     # floors distort small counts; the estimator must land near 2-ish
     assert abs(got - expect) < 0.2, (got, expect)
+
+
+def test_apportion_budget_exact_and_fair():
+    from kgflow.ops.text import apportion_budget
+
+    rows = (
+        [{"doc_id": i, "text": "w " * 997, "source": "a"} for i in range(3)]
+        + [{"doc_id": 10, "text": "w " * 500, "source": "b"}]
+        + [{"doc_id": 11, "text": "w " * 3, "source": "c"}]
+    )
+    out = (
+        apportion_budget(_docs(rows), budget=100)
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert out["quota"].sum() == 100  # Hamilton invariant: exact budget
+    # proportionality: every quota within 1 of its exact share
+    total = out["n_tokens"].sum()
+    for s in out.index:
+        exact = out.loc[s, "n_tokens"] * 100 / total
+        assert abs(out.loc[s, "quota"] - exact) < 1.0
+    # the 3-token source must still be representable (floor 0 or 1)
+    assert out.loc["c", "quota"] in (0, 1)
+
+
+def test_apportion_budget_rejects_bad_budget():
+    from kgflow.ops.text import apportion_budget
+
+    with pytest.raises(ValueError, match="budget"):
+        apportion_budget(_docs([{"doc_id": 1, "text": "x", "source": "a"}]), budget=0)

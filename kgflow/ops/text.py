@@ -2480,6 +2480,8 @@ def apportion_budget(
         g = g.sort_values("source").reset_index(drop=True)
         n = g["n_tokens"].to_numpy(dtype=np.int64).astype(object)  # py ints: no overflow
         total = sum(n)
+        if total == 0:
+            raise ValueError("apportion_budget: corpus has no tokens")
         prod = [int(x) * budget for x in n]
         floors = np.array([p // total for p in prod], dtype=np.int64)
         rems = np.array([p % total for p in prod], dtype=np.int64)

@@ -41,8 +41,6 @@ def curate_docs(
     ``window`` tokens have no grams and drop (nothing to dedup-check —
     the Gopher word-count floor already rejects them at real settings).
     """
-    import pandas as pd
-
     from kgflow.ops.clean import gopher_rules
     from kgflow.ops.dedup import dupspan_counts
     from kgflow.ops.joins import hash_join

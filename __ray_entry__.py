@@ -83,6 +83,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sentences_ds(read_pages(_pages_dir(sf_dir)))
 
+    def kg_domain_stats(sf_dir: str):
+        """Rows-only (the pages fixture is not a driver SQL view; the
+        exact aggregates are pinned in tests/test_wave16.py): per-
+        domain crawl stats (n_pages, first/last warc_ts, n_langs) —
+        the frontier/freshness priors of a crawl ingest."""
+        from kgflow.ops.web import domain_stats
+        from kgflow.pipelines.kg import KgConfig, read_pages
+
+        cfg = KgConfig(read_columns=["url", "warc_ts", "lang"])
+        return domain_stats(read_pages(_pages_dir(sf_dir), cfg))
+
+    def kg_url_dedup(sf_dir: str):
+        """Rows-only (pinned in tests/test_wave16.py): re-crawl
+        snapshot dedup — newest capture per canonical URL (tracking
+        params/fragments/default ports folded)."""
+        from kgflow.ops.web import latest_snapshots
+        from kgflow.pipelines.kg import KgConfig, read_pages
+
+        cfg = KgConfig(read_columns=["url", "warc_ts"])
+        return latest_snapshots(read_pages(_pages_dir(sf_dir), cfg))
+
     def kg_triples(sf_dir: str):
         from kgflow.pipelines.kg import triples_ds
 
@@ -3938,6 +3959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "kg_sentences": kg_sentences,
+        "kg_domain_stats": kg_domain_stats,
+        "kg_url_dedup": kg_url_dedup,
         "kg_triples": kg_triples,
         "kg_relations": kg_relations,
         "kg_events": kg_events,

@@ -1,0 +1,191 @@
+"""Crawl-side web analytics over the pages table
+(url, warc_ts, html, text, lang) — the input-hint schema: URL
+canonicalization, re-crawl snapshot dedup (keep the newest capture
+per canonical URL), and per-domain crawl statistics. These are the
+frontier/dedup priors a Common-Crawl-style ingest runs BEFORE any
+text processing: canonical-URL dedup alone removes the bulk of
+re-crawl duplicates without touching document bytes.
+
+All stages are vectorized `pandas.Series.str` kernels over the
+URL/timestamp columns only (`html`/`text` never enter these ops);
+the snapshot dedup's one exchange carries (canon, url, ts) triples,
+never payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+#: query parameters dropped by canonical_urls — the standard tracking
+#: params (Google/Facebook click ids, UTM campaign tags)
+TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
+                   "utm_content", "gclid", "fbclid")
+
+
+def _canonicalize(urls: pd.Series) -> pd.Series:
+    """Vectorized URL canonical form:
+
+    - scheme and host lowercased
+    - default ports stripped (:80 for http, :443 for https)
+    - fragment dropped
+    - tracking query params (TRACKING_PARAMS) dropped; survivors kept
+      in ORIGINAL order (param order is semantic for some endpoints);
+      an emptied query string drops its '?'
+    - trailing slash stripped from non-root paths
+    """
+    # positional index: explode+groupby(level=0) below must key on a
+    # unique per-row label regardless of the caller's batch index
+    s = urls.astype(str).reset_index(drop=True)
+    parts = s.str.extract(
+        r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]+)"
+        r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+    )
+    scheme = parts["scheme"].str.lower().fillna("")
+    host = parts["host"].str.lower().fillna("")
+    host = host.where(
+        ~((scheme == "http") & host.str.endswith(":80")),
+        host.str.replace(r":80$", "", regex=True),
+    )
+    host = host.where(
+        ~((scheme == "https") & host.str.endswith(":443")),
+        host.str.replace(r":443$", "", regex=True),
+    )
+    path = parts["path"].fillna("")
+    path = path.where(path == "/", path.str.replace(r"/$", "", regex=True))
+    path = path.where(path != "", "/")
+
+    # query params: explode once, filter by key, groupby-rejoin — C
+    # kernels throughout (no per-row Python on the page hot path)
+    q = parts["query"]
+    nonempty = q[q.notna() & (q != "")]
+    query = pd.Series("", index=q.index, dtype=object)
+    if len(nonempty):
+        ex = nonempty.str.split("&").explode()
+        keys = ex.str.split("=", n=1).str[0]
+        kept = ex[~keys.isin(TRACKING_PARAMS)]
+        if len(kept):
+            query.update(kept.groupby(level=0).agg("&".join))
+    out = scheme + "://" + host + path + np.where(query != "", "?" + query, "")
+    # rows that did not parse as absolute URLs pass through unchanged
+    return pd.Series(
+        np.where(scheme == "", s.to_numpy(), out), index=urls.index
+    )
+
+
+def canonical_urls(pages: "rd.Dataset") -> "rd.Dataset":
+    """(url, canon_url): the canonical form of every page URL —
+    exchange-free map over the url column only."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"url": df["url"], "canon_url": _canonicalize(df["url"])}
+        )
+
+    return pages.select_columns(["url"]).map_batches(f, batch_format="pandas")
+
+
+def latest_snapshots(pages: "rd.Dataset", num_buckets: int | None = None) -> "rd.Dataset":
+    """Re-crawl dedup: one row per canonical URL — the capture with the
+    NEWEST warc_ts (ties break url DESC, a total order) plus the number
+    of captures folded in: (canon_url, url, warc_ts, n_snapshots).
+    The caller semi-joins the winner urls back to the pages table for
+    payloads; only (canon, url, int64-ts) triples ride the exchange.
+
+    This is the first dedup pass of a crawl ingest — canonical-URL
+    collapse removes re-crawls and tracking-param aliases before any
+    content hashing."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "canon_url": _canonicalize(df["url"]),
+                "url": df["url"],
+                "ts_us": df["warc_ts"].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        # per-batch combiner: keep each canon's local winner + count
+        d = d.sort_values(["canon_url", "ts_us", "url"])
+        g = d.groupby("canon_url", as_index=False).agg(
+            url=("url", "last"), ts_us=("ts_us", "last"), n=("url", "size")
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["canon_url", "ts_us", "url"])
+        out = g.groupby("canon_url", as_index=False).agg(
+            url=("url", "last"), ts_us=("ts_us", "last"), n=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "canon_url": out["canon_url"],
+                "url": out["url"],
+                "warc_ts": out["ts_us"].astype("datetime64[us]"),
+                "n_snapshots": out["n"].astype(np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        pages.select_columns(["url", "warc_ts"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["canon_url"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )
+
+
+def domain_stats(pages: "rd.Dataset", num_buckets: int | None = None) -> "rd.Dataset":
+    """Per-domain crawl statistics: (domain, n_pages, first_ts, last_ts,
+    n_langs) — the domain-level priors (crawl breadth, freshness,
+    language mix) a frontier scheduler and per-domain quality gates
+    consume. One (domain, lang)-grain combiner per batch, ONE
+    domain-keyed exchange of count/min/max rows."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        host = (
+            df["url"]
+            .astype(str)
+            .str.extract(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)")[0]
+            .str.lower()
+            .fillna("")
+        )
+        ts = df["warc_ts"].astype("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame(
+            {"domain": host, "lang": df["lang"], "ts_us": ts}
+        )
+        return d.groupby(["domain", "lang"], as_index=False).agg(
+            n=("ts_us", "size"), mn=("ts_us", "min"), mx=("ts_us", "max")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        per_lang = g.groupby(["domain", "lang"], as_index=False).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        out = per_lang.groupby("domain", as_index=False).agg(
+            n_pages=("n", "sum"),
+            first_ts=("mn", "min"),
+            last_ts=("mx", "max"),
+            n_langs=("lang", "nunique"),
+        )
+        return pd.DataFrame(
+            {
+                "domain": out["domain"],
+                "n_pages": out["n_pages"].astype(np.int64),
+                "first_ts": out["first_ts"].astype("datetime64[us]"),
+                "last_ts": out["last_ts"].astype("datetime64[us]"),
+                "n_langs": out["n_langs"].astype(np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        pages.select_columns(["url", "warc_ts", "lang"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=["domain"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )

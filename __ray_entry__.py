@@ -104,6 +104,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cfg = KgConfig(read_columns=["url", "warc_ts"])
         return latest_snapshots(read_pages(_pages_dir(sf_dir), cfg))
 
+    def kg_domain_yield(sf_dir: str):
+        """Rows-only: per-domain triple yield — (domain, n_triples,
+        n_rels) over the memoized extracted-triple set. The crawl-
+        prioritization signal (which domains produce KG facts); joins
+        nothing, ONE domain-keyed reduce over (domain, rel) partials."""
+        import pandas as _pd
+
+        from kgflow.ops.shuffle import bucketed_group_reduce
+
+        def partial(df: _pd.DataFrame) -> _pd.DataFrame:
+            host = (
+                df["url"]
+                .astype(str)
+                .str.extract(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)")[0]
+                .str.lower()
+                .fillna("")
+            )
+            d = _pd.DataFrame({"domain": host, "rel": df["rel"]})
+            return d.groupby(["domain", "rel"], as_index=False).agg(
+                n=("rel", "size")
+            )
+
+        def final(g: _pd.DataFrame) -> _pd.DataFrame:
+            pr = g.groupby(["domain", "rel"], as_index=False)["n"].sum()
+            out = pr.groupby("domain", as_index=False).agg(
+                n_triples=("n", "sum"), n_rels=("rel", "nunique")
+            )
+            out["n_triples"] = out["n_triples"].astype("int64")
+            out["n_rels"] = out["n_rels"].astype("int64")
+            return out
+
+        tri = _triples_mat(sf_dir).select_columns(["url", "rel"])
+        return bucketed_group_reduce(
+            tri.map_batches(partial, batch_format="pandas"),
+            key_cols=["domain"],
+            reduce_fn=final,
+        )
+
     def kg_triples(sf_dir: str):
         from kgflow.pipelines.kg import triples_ds
 
@@ -3961,6 +3999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sentences": kg_sentences,
         "kg_domain_stats": kg_domain_stats,
         "kg_url_dedup": kg_url_dedup,
+        "kg_domain_yield": kg_domain_yield,
         "kg_triples": kg_triples,
         "kg_relations": kg_relations,
         "kg_events": kg_events,

@@ -15,12 +15,14 @@ the DSIR score rides along as a float column for downstream sampling
 rather than gating here (float order near ties is not hash-stable).
 
 Scale shape: the three legs each stream the corpus once (their own
-documented exchanges); the composition is two doc-keyed hash joins
-over V-bounded per-doc stat rows — never text.
+documented exchanges); the composition is ONE doc-keyed co-grouped
+exchange over V-bounded per-doc stat rows — never text.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import ray.data as rd
 
 
@@ -43,7 +45,7 @@ def curate_docs(
     """
     from kgflow.ops.clean import gopher_rules
     from kgflow.ops.dedup import dupspan_counts
-    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
     from kgflow.ops.text import dsir_scores
 
     rules = gopher_rules(docs, min_words=min_words, min_stopwords=min_stopwords)
@@ -68,5 +70,56 @@ def curate_docs(
         lambda df: df[["doc_id", "dsir_score"]], batch_format="pandas"
     )
 
-    out = hash_join(kept_rules, kept_spans, on="doc_id", num_buckets=num_buckets)
-    return hash_join(out, scored, on="doc_id", num_buckets=num_buckets)
+    # one doc-keyed co-grouped exchange instead of two hash joins:
+    # tag each leg's rows into a uniform nullable frame, reduce per
+    # doc, keep docs present in ALL THREE legs (inner semantics).
+    # Int64 nullable carries the absent columns without float upcast.
+    COLS = ["n_words", "n_grams", "n_dup"]
+
+    def tag(df: pd.DataFrame, flag: str) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64")})
+        for c in COLS:
+            out[c] = (
+                df[c].astype("Int64")
+                if c in df.columns
+                else pd.Series([pd.NA] * len(df), dtype="Int64")
+            )
+        out["dsir_score"] = (
+            df["dsir_score"].astype("float64")
+            if "dsir_score" in df.columns
+            else np.nan
+        )
+        out["_legs"] = np.int64(1)
+        del flag
+        return out
+
+    union = (
+        kept_rules.map_batches(lambda d: tag(d, "r"), batch_format="pandas")
+        .union(
+            kept_spans.map_batches(lambda d: tag(d, "s"), batch_format="pandas")
+        )
+        .union(scored.map_batches(lambda d: tag(d, "d"), batch_format="pandas"))
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False).agg(
+            n_words=("n_words", "max"),
+            n_grams=("n_grams", "max"),
+            n_dup=("n_dup", "max"),
+            dsir_score=("dsir_score", "max"),
+            _legs=("_legs", "sum"),
+        )
+        agg = agg[agg["_legs"] == 3]
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].astype("int64"),
+                "n_words": agg["n_words"].astype("int64"),
+                "n_grams": agg["n_grams"].astype("int64"),
+                "n_dup": agg["n_dup"].astype("int64"),
+                "dsir_score": agg["dsir_score"].astype("float64"),
+            }
+        )
+
+    return bucketed_group_reduce(
+        union, key_cols=["doc_id"], reduce_fn=assemble, num_buckets=num_buckets
+    )

@@ -2472,11 +2472,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return brand_revenue(sf_dir)
 
     def events_kcore(sf_dir: str):
-        """2-core of the co-purchase graph (the events_components
-        edge set): iterative peeling, rows-only (true k-core needs the
-        recursive table twice per round — not expressible in a DuckDB
-        recursive CTE); gated by golden-graph unit tests
-        (tests/test_wave10.py)."""
+        """Oracle-checked: 2-core of the co-purchase graph (the
+        events_components edge set) by iterative peeling. The SQL
+        oracle sidesteps the recursive-CTE single-reference rule with
+        UNNEST([u, v]): one pass over the recursive table yields both
+        endpoint degrees, so each peel round is expressible after all;
+        also gated by golden-graph unit tests (tests/test_wave10.py)."""
         import pandas as _pd
 
         from kgflow.ops.graph import cooccurrence_edges, k_core
@@ -4475,6 +4476,57 @@ def oracle_sql() -> dict[str, str]:
             FROM nstat n
             LEFT JOIN estat es ON es.community = n.community
             LEFT JOIN estat_v ev2 ON ev2.community = n.community
+        """,
+        # exact k-core via a recursive CTE despite the single-reference
+        # rule: UNNEST([u, v]) doubles each edge so ONE pass over the
+        # recursive table yields both endpoint degrees (window COUNT
+        # PARTITION BY node); an edge survives a peel round iff
+        # min(endpoint degree) >= k; QUALIFY emits the survivors only
+        # while the set strictly shrinks (guaranteed termination), and
+        # the finalizer applies ONE extra peel to the max-round set so
+        # the fully-peeled-to-empty case is exact too (the recursion
+        # cannot emit an empty row-set, so its last set may be one
+        # round short).
+        "events_kcore": """
+            WITH RECURSIVE cells AS (
+              SELECT DISTINCT user_id, props FROM events
+              WHERE event_type = 'purchase' AND value > 99.0
+            ), e0 AS (
+              SELECT DISTINCT c1.user_id AS u, c2.user_id AS v
+              FROM cells c1 JOIN cells c2
+                ON c1.props = c2.props AND c1.user_id < c2.user_id
+            ), peel(it, u, v) AS (
+              SELECT 0 AS it, u, v FROM e0
+              UNION ALL
+              SELECT it + 1 AS it, u, v FROM (
+                SELECT it, u, v, any_value(n_prev) AS n_prev
+                FROM (
+                  SELECT it, u, v, node,
+                         count(*) OVER (PARTITION BY node) AS nd,
+                         (count(*) OVER ()) / 2 AS n_prev
+                  FROM (SELECT it, u, v, unnest([u, v]) AS node
+                        FROM peel)
+                )
+                GROUP BY it, u, v
+                HAVING min(nd) >= 2
+                QUALIFY count(*) OVER () < any_value(n_prev)
+              )
+            ), final_set AS (
+              SELECT u, v FROM peel
+              WHERE it = (SELECT max(it) FROM (SELECT it FROM peel))
+            ), fpeel AS (
+              SELECT u, v FROM (
+                SELECT u, v, min(nd) AS min_nd FROM (
+                  SELECT u, v, node,
+                         count(*) OVER (PARTITION BY node) AS nd
+                  FROM (SELECT u, v, unnest([u, v]) AS node
+                        FROM final_set)
+                ) GROUP BY u, v HAVING min(nd) >= 2
+              )
+            )
+            SELECT node, count(*) AS core_deg
+            FROM (SELECT unnest([u, v]) AS node FROM fpeel)
+            GROUP BY node
         """,
         "events_type_gini": """
             WITH c AS (

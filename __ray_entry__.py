@@ -1629,6 +1629,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    def embed_semdedup(sf_dir: str):
+        """Oracle-checked: SemDeDup (Abbas et al. 2023) — exact k-means
+        E-step clustering (8 smallest-id seed centroids, quantized
+        int64 distances), then within-cluster greedy semantic dedup:
+        drop a vector iff some smaller-id vector of the SAME cluster
+        has quantized cosine ≥ 19/20 (integer-exact: den²·dot² ≥
+        num²·‖a‖²·‖b‖² over floor(x·1000) vectors — SQL replays it
+        verbatim). Like embed_neardup, exact duplicates are planted
+        (vec_id+1e6 copies of vec_id<25) on BOTH sides so the drop set
+        is non-vacuous: exactly the 25 copies fall
+        (`kgflow.ops.dedup.semdedup`)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from kgflow.ops.dedup import semdedup
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+
+        def dup_batch(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.less(t.column("vec_id"), 25))
+            return pa.table(
+                {
+                    "vec_id": pc.add(f.column("vec_id"), 1_000_000),
+                    "embedding": f.column("embedding"),
+                }
+            )
+
+        aug = emb.union(emb.map_batches(dup_batch, batch_format="pyarrow"))
+        return semdedup(aug, k=8)
+
     # --- relational demos (SQL-checked)
     def q1_pricing(sf_dir: str):
         from kgflow.ops.relational import pricing_summary
@@ -4076,6 +4110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exact": ann_ivf_exact,
         "embed_pca": embed_pca,
         "embed_neardup": embed_neardup,
+        "embed_semdedup": embed_semdedup,
         "q1_pricing": q1_pricing,
         "top_customers": top_customers,
         "events_hourly": events_hourly,
@@ -7395,6 +7430,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cid AS centroid, CAST(d2 AS BIGINT) AS d2
             FROM r WHERE rn = 1
+        """,
+        # SemDeDup replay: E-step at scale 1e4 (the embed_kmeans_assign
+        # SQL on the dup-planted union), then the integer cosine test
+        # at scale 1e3 — a vector drops iff a smaller-id same-cluster
+        # vector has dot > 0 AND 400·dot² >= 361·‖a‖²·‖b‖² (19/20)
+        "embed_semdedup": """
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id < 25
+            ), q AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000) AS BIGINT) AS xq
+              FROM base
+            ), seeds AS (
+              SELECT vec_id FROM base ORDER BY vec_id LIMIT 8
+            ), c AS (
+              SELECT q.vec_id AS cid, dim, xq AS cq
+              FROM q JOIN seeds USING (vec_id)
+            ), dd AS (
+              SELECT q.vec_id, c.cid,
+                     sum((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+              FROM q JOIN c USING (dim) GROUP BY 1, 2
+            ), asg AS (
+              SELECT vec_id, cid AS centroid FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                FROM dd
+              ) WHERE rn = 1
+            ), qs AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                * 1000) AS BIGINT) AS xq
+              FROM base
+            ), n2 AS (
+              SELECT vec_id, sum(xq * xq) AS n2 FROM qs GROUP BY 1
+            ), qa AS (
+              SELECT qs.vec_id, asg.centroid, qs.dim, qs.xq
+              FROM qs JOIN asg USING (vec_id)
+            ), dots AS (
+              SELECT b.vec_id AS idb, sum(a.xq * b.xq) AS dot,
+                     a.vec_id AS ida
+              FROM qa a JOIN qa b
+                ON a.centroid = b.centroid AND a.dim = b.dim
+               AND a.vec_id < b.vec_id
+              GROUP BY idb, ida
+            ), dropped AS (
+              SELECT DISTINCT d.idb AS vec_id
+              FROM dots d
+              JOIN n2 na ON na.vec_id = d.ida
+              JOIN n2 nb ON nb.vec_id = d.idb
+              WHERE d.dot > 0
+                AND 400 * d.dot * d.dot >= 361 * na.n2 * nb.n2
+            )
+            SELECT a.vec_id, a.centroid,
+                   CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS kept
+            FROM asg a LEFT JOIN dropped dr USING (vec_id)
         """,
         "events_props_stats": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -568,34 +568,20 @@ def label_centroids(
     )
 
 
-def kmeans_assign(
+def seed_centroid_matrix(
     emb: "rd.Dataset",
-    k: int = 8,
-    scale: int = 10_000,
+    k: int,
+    scale: int,
     col: str = "embedding",
     id_col: str = "vec_id",
-    num_buckets: int | None = None,
-) -> "rd.Dataset":
-    """One EXACT k-means assignment step (E-step) with deterministic
-    seeds: centroids are the ``k`` smallest-id vectors, every vector's
-    squared L2 distance to each centroid is computed in QUANTIZED
-    int64 space (floor(x·scale), the `label_centroids`/`embed_gram`
-    trick) so d² = Σ(xq−cq)² is exact integer arithmetic and the
-    argmin is hash-identical in every engine — no float partial-sum
-    noise. Returns (vec_id, centroid, d2); ties break to the smaller
-    centroid id (np.argmin first-occurrence over id-sorted centroids
-    ≡ SQL ORDER BY d2, cid).
-
-    Scale shape: the seed fetch is a k-bounded min-k semigroup
-    combiner (every block shrinks to its local k before ONE 1-bucket
-    reduce) + a broadcast-filter pull of exactly k rows; assignment is
-    a single streaming pass — per batch one int64 [B,D]×[D,k] matmul
-    against the broadcast centroid matrix (expanded ‖x‖²+‖c‖²−2xc
-    form), no exchange at all. int64 is safe while
-    D·(2·scale·‖x‖∞)² < 2⁶³ — e.g. D=1024, scale=1e4, ‖x‖∞=10 →
-    4·10¹³ per dim, 4·10¹⁶ summed."""
-    import ray
-
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Deterministic seed centroids: the ``k`` smallest-id vectors,
+    quantized to int64 (floor(x·scale)). The seed-id fetch is a
+    k-bounded min-k semigroup combiner (every block shrinks to its
+    local k before ONE 1-bucket reduce) + a broadcast-filter pull of
+    exactly k rows — nothing V-sized leaves the workers. Returns
+    (cids sorted asc, Cq [k, D] int64, ‖Cq‖² [k] int64); shared by
+    :func:`kmeans_assign` and :func:`kgflow.ops.dedup.semdedup`."""
     from kgflow.ops.shuffle import bucketed_group_reduce
 
     def local_mink(df: pd.DataFrame) -> pd.DataFrame:
@@ -625,7 +611,39 @@ def kmeans_assign(
     C = np.stack([np.asarray(v, dtype=np.float64) for v in seeds[col]])
     Cq = np.floor(C * scale).astype(np.int64)
     cids = seeds[id_col].to_numpy(dtype=np.int64)
-    cref = ray.put((cids, Cq, (Cq * Cq).sum(axis=1)))
+    return cids, Cq, (Cq * Cq).sum(axis=1)
+
+
+def kmeans_assign(
+    emb: "rd.Dataset",
+    k: int = 8,
+    scale: int = 10_000,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """One EXACT k-means assignment step (E-step) with deterministic
+    seeds: centroids are the ``k`` smallest-id vectors, every vector's
+    squared L2 distance to each centroid is computed in QUANTIZED
+    int64 space (floor(x·scale), the `label_centroids`/`embed_gram`
+    trick) so d² = Σ(xq−cq)² is exact integer arithmetic and the
+    argmin is hash-identical in every engine — no float partial-sum
+    noise. Returns (vec_id, centroid, d2); ties break to the smaller
+    centroid id (np.argmin first-occurrence over id-sorted centroids
+    ≡ SQL ORDER BY d2, cid).
+
+    Scale shape: the seed fetch is a k-bounded min-k semigroup
+    combiner (every block shrinks to its local k before ONE 1-bucket
+    reduce) + a broadcast-filter pull of exactly k rows; assignment is
+    a single streaming pass — per batch one int64 [B,D]×[D,k] matmul
+    against the broadcast centroid matrix (expanded ‖x‖²+‖c‖²−2xc
+    form), no exchange at all. int64 is safe while
+    D·(2·scale·‖x‖∞)² < 2⁶³ — e.g. D=1024, scale=1e4, ‖x‖∞=10 →
+    4·10¹³ per dim, 4·10¹⁶ summed."""
+    import ray
+
+    cids, Cq, c2 = seed_centroid_matrix(emb, k, scale, col=col, id_col=id_col)
+    cref = ray.put((cids, Cq, c2))
 
     class Assign:
         def __init__(self):

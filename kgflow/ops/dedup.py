@@ -883,6 +883,146 @@ def embedding_neardup_pairs(
     )
 
 
+def semdedup(
+    emb: "rd.Dataset",
+    k: int = 8,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+    assign_scale: int = 10_000,
+    sim_scale: int = 1_000,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    max_cluster: int = 20_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Semantic deduplication à la SemDeDup (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding space with one exact
+    k-means E-step (deterministic smallest-id seeds, the
+    :func:`kgflow.ops.ann.kmeans_assign` trick), then WITHIN each
+    cluster drop every vector whose quantized cosine similarity to ANY
+    smaller-id vector of the same cluster reaches
+    ``threshold_num/threshold_den`` — each drop needs a DIRECT witness
+    with a smaller id (kept or itself dropped), so the smallest id of
+    a near-dup group always survives (same keep rule as
+    ``exact_dedup``; deterministic, unlike the paper's random keep).
+    Not a connected-component rule: similarity chains propagate drops
+    only when they descend in id order — a~b, b~c, a≁c with ids
+    a<c<b keeps both a and c (c's only witness would be b, which has
+    a larger id). Returns one row per vector:
+    (vec_id, centroid, kept ∈ {0, 1}).
+
+    Everything is integer-exact so an oracle can replay it: the
+    similarity test is dot > 0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖² over
+    floor(x·sim_scale) int64 vectors (no sqrt, no float), and a
+    per-cluster guard asserts den²·(D·max|xq|²)² < 2⁶² so the int64
+    arithmetic cannot overflow silently.
+
+    Scale shape: assignment is exchange-free (broadcast centroid
+    matrix, one int64 matmul per batch); ONE embedding-bearing
+    exchange keyed by centroid; the quadratic part is confined to a
+    cluster and runs as CHUNKED int64 matmuls against the id-sorted
+    prefix (memory ≤ chunk·|cluster| i64, no N² allocation); a cluster
+    over ``max_cluster`` fails LOUDLY naming its centroid — at corpus
+    scale you raise ``k`` (SemDeDup's own regime: k ~ √n keeps
+    clusters bounded), never the cap."""
+    import ray
+
+    from kgflow.ops.ann import seed_centroid_matrix
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    cids, Cq, c2 = seed_centroid_matrix(
+        emb, k, assign_scale, col=col, id_col=id_col
+    )
+    cref = ray.put((cids, Cq, c2))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+
+    def assign_keep(batch: pa.Table) -> pa.Table:
+        cids_, Cq_, c2_ = ray.get(cref)
+        X = embed_matrix(batch, col).astype(np.float64)
+        if not len(X):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "centroid": pa.array([], pa.int64()),
+                    col: pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        Xq = np.floor(X * assign_scale).astype(np.int64)
+        d2 = (
+            (Xq * Xq).sum(axis=1)[:, None]
+            + c2_[None, :]
+            - 2 * (Xq @ Cq_.T)
+        )
+        j = np.argmin(d2, axis=1)  # first min = smallest cid
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "centroid": pa.array(cids_[j]),
+                col: batch.column(col),
+            }
+        )
+
+    def one_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster:
+            raise ValueError(
+                f"semdedup: cluster centroid={int(g['centroid'].iloc[0])} "
+                f"has {len(g)} vectors (> max_cluster={max_cluster}); "
+                f"raise k so clusters stay bounded"
+            )
+        g = g.sort_values(id_col, kind="mergesort")
+        X = np.asarray(list(g[col]), dtype=np.float64)
+        Xq = np.floor(X * sim_scale).astype(np.int64)
+        n2 = (Xq * Xq).sum(axis=1)
+        dot_max = X.shape[1] * int(np.abs(Xq).max() or 0) ** 2
+        if max(num2, den2) * dot_max * dot_max >= 1 << 62:
+            raise ValueError(
+                f"semdedup: sim_scale={sim_scale} overflows int64 for "
+                f"dim={X.shape[1]}, max|xq|={int(np.abs(Xq).max())}; "
+                f"lower sim_scale"
+            )
+        n = len(g)
+        dropped = np.zeros(n, dtype=bool)
+        chunk = 512
+        for s in range(1, n, chunk):
+            e = min(s + chunk, n)
+            S = Xq[s:e] @ Xq[:e].T  # [e-s, e] int64
+            hit = (S > 0) & (den2 * S * S >= num2 * np.outer(n2[s:e], n2[:e]))
+            # only columns j strictly below the global row index count
+            rows = np.arange(s, e)[:, None]
+            hit &= np.arange(e)[None, :] < rows
+            dropped[s:e] |= hit.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "centroid": g["centroid"].to_numpy(dtype=np.int64),
+                "kept": (~dropped).astype(np.int64),
+            }
+        )
+
+    def cluster_dedup(bucket: pd.DataFrame) -> pd.DataFrame:
+        # a hash bucket may hold several centroids — dedup each alone
+        out_cols = [id_col, "centroid", "kept"]
+        if not len(bucket):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in out_cols}
+            )
+        outs = [
+            one_cluster(g) for _, g in bucket.groupby("centroid", sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    assigned = emb.select_columns([id_col, col]).map_batches(
+        assign_keep, batch_format="pyarrow"
+    )
+    return bucketed_group_reduce(
+        assigned,
+        key_cols=["centroid"],
+        reduce_fn=cluster_dedup,
+        num_buckets=num_buckets,
+    )
+
+
 def sorted_neighborhood_pairs(
     docs: "rd.Dataset",
     key_chars: int = 24,

@@ -1,0 +1,101 @@
+"""Wave-68 SemDeDup (Abbas et al. 2023, arXiv:2303.09540): exact
+k-means E-step clustering + within-cluster greedy integer-cosine
+dedup. The registered embed_semdedup query is SQL-oracled (planted
+exact duplicates); these tests pin the semantics the oracle cannot
+see — non-identical near-dups, the greedy-chain keep rule, the loud
+cluster cap, and the int64 overflow guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from kgflow.ops.dedup import semdedup
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _emb(rows):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "embedding": [np.asarray(r[1], dtype=np.float32) for r in rows],
+            }
+        )
+    )
+
+
+def test_semdedup_drops_near_identical_keeps_lowest_id():
+    # two tight groups along orthogonal axes + one far-off singleton;
+    # k=2 so the E-step splits the space, near-dups are NOT byte-equal
+    a = [0.9, 0.01, 0.0, 0.0]
+    a2 = [0.89, 0.012, 0.001, 0.0]  # cos(a, a2) ~ 0.99997
+    b = [0.0, 0.0, 0.9, 0.02]
+    b2 = [0.001, 0.0, 0.91, 0.021]
+    far = [-0.9, 0.0, 0.0, 0.3]
+    out = (
+        semdedup(_emb([(1, a), (2, b), (3, a2), (4, b2), (5, far)]), k=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    kept = dict(zip(out["vec_id"], out["kept"]))
+    assert kept[1] == 1 and kept[3] == 0  # 3 is a near-dup of 1
+    assert kept[2] == 1 and kept[4] == 0  # 4 is a near-dup of 2
+    assert kept[5] == 1
+
+
+def _ang(deg):
+    t = np.deg2rad(deg)
+    return [float(np.cos(t)) * 0.9, float(np.sin(t)) * 0.9, 0.0, 0.0]
+
+
+def test_semdedup_chain_descending_ids_propagates():
+    # angles 0/13/26 deg, threshold 19/20 = cos ~18.2deg: ids along
+    # the chain — 2 drops (witness 1 at 13deg), 3 drops too (direct
+    # witness 2 at 13deg, even though 2 itself was dropped)
+    out = (
+        semdedup(_emb([(1, _ang(0)), (2, _ang(13)), (3, _ang(26))]), k=1)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert out["kept"].tolist() == [1, 0, 0]
+
+
+def test_semdedup_chain_ascending_id_breaks_propagation():
+    # same geometry, but the middle vector has the LARGEST id: the
+    # 26deg vector's only candidate witnesses are smaller ids = {1},
+    # and cos(26deg) < 19/20 — so it survives; only id 3 drops
+    out = (
+        semdedup(_emb([(1, _ang(0)), (2, _ang(26)), (3, _ang(13))]), k=1)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert out["kept"].tolist() == [1, 1, 0]
+
+
+def test_semdedup_cluster_cap_fails_loudly():
+    rows = [(i, [0.5, 0.0]) for i in range(10)]
+    with pytest.raises(Exception, match="max_cluster"):
+        semdedup(_emb(rows), k=1, max_cluster=5).materialize()
+
+
+def test_semdedup_overflow_guard():
+    # huge magnitudes at the default sim_scale overflow int64 loudly
+    rows = [(1, [3000.0] * 64), (2, [2999.0] * 64)]
+    with pytest.raises(Exception, match="overflow"):
+        semdedup(_emb(rows), k=1).materialize()
+
+
+def test_semdedup_all_rows_present_once():
+    rng = np.random.RandomState(0)
+    rows = [(i, rng.randn(8) * 0.3) for i in range(60)]
+    out = semdedup(_emb(rows), k=4).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(60))
+    assert set(out["kept"]).issubset({0, 1})
+    # random gaussians at cos >= 0.95: nothing should drop
+    assert out["kept"].sum() == 60

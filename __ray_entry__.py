@@ -2531,6 +2531,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_core(edges, k=2)
 
+    def events_lpa(sf_dir: str):
+        """Oracle-checked: 5 rounds of deterministic SYNCHRONOUS label
+        propagation (Raghavan et al. 2007) over the co-purchase graph
+        (the events_components edge set) — each round every node
+        adopts its neighbors' most frequent label, ties to the
+        smallest; the fixed round count makes the oracle an exact
+        recursive-CTE replay, oscillations and all
+        (`kgflow.ops.graph.label_propagation`)."""
+        import pandas as _pd
+
+        from kgflow.ops.graph import cooccurrence_edges, label_propagation
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "props", "value"],
+        )
+
+        def cells(df: _pd.DataFrame) -> _pd.DataFrame:
+            m = (df["event_type"] == "purchase") & (df["value"] > 99.0)
+            return df.loc[m, ["user_id", "props"]]
+
+        edges = cooccurrence_edges(
+            ev.map_batches(cells, batch_format="pandas"), "user_id", ["props"]
+        )
+        return label_propagation(edges, rounds=5)
+
     def doc_csv_roundtrip(sf_dir: str):
         """Oracle-checked: CSV sink → CSV source round-trip — write
         documents(doc_id, n_chars) as partitioned CSV under /tmp, read
@@ -4198,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_concentration": orders_concentration,
         "doc_csv_roundtrip": doc_csv_roundtrip,
         "events_kcore": events_kcore,
+        "events_lpa": events_lpa,
         "q13_custdist": q13_custdist,
         "q14_promo": q14_promo,
         "q15_top_supplier": q15_top_supplier,
@@ -4562,6 +4590,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*) AS core_deg
             FROM (SELECT unnest([u, v]) AS node FROM fpeel)
             GROUP BY node
+        """,
+        # 5-round synchronous LPA, replayed exactly: the recursive
+        # state carries (it, node, label); each round joins the state
+        # to the static undirected edge list (non-recursive CTEs may be
+        # referenced freely), counts neighbor labels per node, and
+        # QUALIFY keeps the (count DESC, label ASC) winner
+        "events_lpa": """
+            WITH RECURSIVE cells AS (
+              SELECT DISTINCT user_id, props FROM events
+              WHERE event_type = 'purchase' AND value > 99.0
+            ), e AS (
+              SELECT DISTINCT c1.user_id AS u, c2.user_id AS v
+              FROM cells c1 JOIN cells c2
+                ON c1.props = c2.props AND c1.user_id < c2.user_id
+            ), und AS (
+              SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+            ), nodes AS (
+              SELECT DISTINCT u AS node FROM und
+            ), state(it, node, label) AS (
+              SELECT 0 AS it, node, node AS label FROM nodes
+              UNION ALL
+              SELECT it + 1 AS it, node, label FROM (
+                SELECT s.it AS it, d.u AS node, s.label AS label,
+                       count(*) AS c
+                FROM state s JOIN und d ON d.v = s.node
+                WHERE s.it < 5
+                GROUP BY 1, 2, 3
+                QUALIFY row_number() OVER (
+                          PARTITION BY d.u
+                          ORDER BY count(*) DESC, s.label ASC) = 1
+              )
+            )
+            SELECT node, label AS community FROM state WHERE it = 5
         """,
         "events_type_gini": """
             WITH c AS (

@@ -1659,3 +1659,138 @@ def adamic_adar_scores(
         reduce_fn=pair_sum,
         num_buckets=num_buckets,
     )
+
+
+def _lpa_round(
+    s: np.ndarray, d: np.ndarray, nodes: np.ndarray, labels: np.ndarray
+) -> np.ndarray:
+    """One synchronous LPA round over directed half-edge arrays
+    (s receives d's label): counts per (node, neighbor label) via one
+    lexsort-free np.unique pass, winner = (count desc, label asc).
+    ``nodes`` must be sorted; returns the new label array."""
+    si = np.searchsorted(nodes, s)
+    nl = labels[np.searchsorted(nodes, d)]
+    pairs = np.stack([si, nl], axis=1)
+    uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+    # per node: max count, tie -> smallest label. Sort by
+    # (node asc, count desc, label asc) and take the first row.
+    order = np.lexsort((uniq[:, 1], -cnt, uniq[:, 0]))
+    uo = uniq[order]
+    first = np.ones(len(uo), dtype=bool)
+    first[1:] = uo[1:, 0] != uo[:-1, 0]
+    new = labels.copy()
+    new[uo[first, 0]] = uo[first, 1]
+    return new
+
+
+def label_propagation(
+    edges: "rd.Dataset",
+    rounds: int = 5,
+    u_col: str = "u",
+    v_col: str = "v",
+    num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
+) -> "rd.Dataset":
+    """``rounds`` rounds of SYNCHRONOUS label propagation (Raghavan,
+    Albert & Kumara 2007, deterministic variant): every node starts
+    labeled with its own id; each round every node simultaneously
+    adopts the most frequent label among its NEIGHBORS (its own label
+    does not vote), ties to the smallest label. A FIXED round count —
+    not convergence detection — keeps the op deterministic under the
+    oscillations synchronous LPA is known for (a lone edge swaps
+    labels forever) and lets a recursive-CTE oracle replay it exactly,
+    round for round. Returns (node, community) after ``rounds``
+    rounds, community = the surviving label (a node id).
+
+    Scale shape: label state is V-bounded driver state (the documented
+    pagerank/bfs/k_core iterative exception); per round ONE E-bounded
+    pass over the (materialized, reused) edge set — each batch looks
+    its endpoints' labels up in the broadcast (nodes, labels) arrays
+    and emits per-batch (node, label, count) partials — followed by
+    ONE node-bucketed reduce and a V-bounded pull. Edge sets ≤
+    ``driver_limit`` rows run the identical rounds driver-resident
+    (the `_tri_driver` precedent); ``driver_limit=0`` forces the
+    distributed path."""
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[u_col].to_numpy(dtype=np.int64)
+        v = df[v_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"s": np.concatenate([u, v]), "d": np.concatenate([v, u])}
+        )
+
+    e = (
+        edges.select_columns([u_col, v_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    if driver_limit > 0 and e.count() <= 2 * driver_limit:
+        edf = e.to_pandas()
+        s = edf["s"].to_numpy(dtype=np.int64)
+        d = edf["d"].to_numpy(dtype=np.int64)
+        nodes = np.unique(s)
+        labels = nodes.copy()
+        for _ in range(rounds):
+            labels = _lpa_round(s, d, nodes, labels)
+        return rd.from_pandas(
+            pd.DataFrame({"node": nodes, "community": labels})
+        )
+
+    # distributed rounds: per-block (node, label) count partials
+    # against the broadcast label map, one node-keyed reduce per round
+    nodes = (
+        bucketed_group_reduce(
+            e.map_batches(
+                lambda df: pd.DataFrame({"node": np.unique(df["s"])}),
+                batch_format="pandas",
+            ),
+            key_cols=["node"],
+            reduce_fn=lambda g: g.drop_duplicates(),
+            num_buckets=num_buckets,
+        )
+        .to_pandas()["node"]
+        .to_numpy(dtype=np.int64)
+    )
+    nodes = np.sort(nodes)
+    labels = nodes.copy()
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["node", "lab"], as_index=False)["c"].sum()
+        g = g.sort_values(
+            ["node", "c", "lab"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.drop_duplicates("node")[["node", "lab"]]
+
+    for _ in range(rounds):
+        lref = ray.put((nodes, labels))
+
+        def emit(df: pd.DataFrame, _l=lref) -> pd.DataFrame:
+            nds, lbs = ray.get(_l)
+            sarr = df["s"].to_numpy(dtype=np.int64)
+            darr = df["d"].to_numpy(dtype=np.int64)
+            t = pd.DataFrame(
+                {"node": sarr, "lab": lbs[np.searchsorted(nds, darr)]}
+            )
+            return t.groupby(["node", "lab"], as_index=False).size().rename(
+                columns={"size": "c"}
+            )
+
+        ndf = bucketed_group_reduce(
+            e.map_batches(emit, batch_format="pandas"),
+            key_cols=["node"],
+            reduce_fn=pick,
+            num_buckets=num_buckets,
+        ).to_pandas()  # V-bounded pull (iterative state)
+        ndf = ndf.sort_values("node")
+        new = labels.copy()
+        new[np.searchsorted(nodes, ndf["node"].to_numpy(dtype=np.int64))] = (
+            ndf["lab"].to_numpy(dtype=np.int64)
+        )
+        labels = new
+    return rd.from_pandas(pd.DataFrame({"node": nodes, "community": labels}))

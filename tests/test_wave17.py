@@ -99,3 +99,82 @@ def test_semdedup_all_rows_present_once():
     assert set(out["kept"]).issubset({0, 1})
     # random gaussians at cos >= 0.95: nothing should drop
     assert out["kept"].sum() == 60
+
+
+def _edges(rows):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "u": pd.Series([r[0] for r in rows], dtype="int64"),
+                "v": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
+    )
+
+
+def _lpa_ref(rows, rounds):
+    # brute-force synchronous LPA: neighbor-label mode, tie -> min
+    import collections
+
+    adj = collections.defaultdict(list)
+    for u, v in rows:
+        adj[u].append(v)
+        adj[v].append(u)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            cnt = collections.Counter(lab[m] for m in adj[n])
+            top = max(cnt.values())  # tie -> smallest label
+            new[n] = min(l for l, c in cnt.items() if c == top)
+        lab = new
+    return lab
+
+
+def _check_lpa(rows, rounds, **kw):
+    from kgflow.ops.graph import label_propagation
+
+    out = (
+        label_propagation(_edges(rows), rounds=rounds, **kw)
+        .to_pandas()
+        .sort_values("node")
+    )
+    got = dict(zip(out["node"], out["community"]))
+    assert got == _lpa_ref(rows, rounds)
+
+
+def test_lpa_barbell_two_communities():
+    # two triangles joined by one bridge edge
+    rows = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    _check_lpa(rows, 5)
+
+
+def test_lpa_lone_edge_oscillates_deterministically():
+    from kgflow.ops.graph import label_propagation
+
+    # a single edge swaps labels every round: odd rounds -> swapped
+    out = (
+        label_propagation(_edges([(1, 2)]), rounds=5)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert out["community"].tolist() == [2, 1]
+    out = (
+        label_propagation(_edges([(1, 2)]), rounds=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert out["community"].tolist() == [1, 2]
+
+
+def test_lpa_distributed_path_matches_driver():
+    rng = np.random.RandomState(7)
+    rows = list(
+        {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 40, size=(120, 2))
+            if a < b
+        }
+    )
+    _check_lpa(rows, 5, driver_limit=0)  # force the distributed rounds
+    _check_lpa(rows, 3)

@@ -2531,6 +2531,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_core(edges, k=2)
 
+    def doc_line_dedup(sf_dir: str):
+        """Oracle-checked: CCNet-style corpus-level line dedup
+        (Wenzek et al. 2020) — every occurrence of a line seen more
+        than once corpus-wide drops; lines under 10 chars never
+        participate; kept lines rejoin by newline in original order.
+        The synthetic docs are single-line, so the query plants crawl
+        boilerplate on BOTH sides (shared newsletter header on even
+        doc_ids, shared copyright footer on all) — the op must strip
+        exactly those and return each unique body intact
+        (`kgflow.ops.clean.line_dedup`)."""
+        import pandas as _pd
+
+        from kgflow.ops.clean import line_dedup
+
+        HEADER = "subscribe to our newsletter for updates"
+        FOOTER = "copyright 2026 example corp all rights reserved"
+
+        def plant(df: _pd.DataFrame) -> _pd.DataFrame:
+            even = (df["doc_id"] % 2) == 0
+            t = df["text"].copy()
+            t[even] = HEADER + "\n" + t[even]
+            return _pd.DataFrame(
+                {"doc_id": df["doc_id"], "text": t + "\n" + FOOTER}
+            )
+
+        aug = _docs(sf_dir).map_batches(plant, batch_format="pandas")
+        return line_dedup(aug, min_chars=10)
+
     def events_lpa(sf_dir: str):
         """Oracle-checked: 5 rounds of deterministic SYNCHRONOUS label
         propagation (Raghavan et al. 2007) over the co-purchase graph
@@ -4226,6 +4254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_csv_roundtrip": doc_csv_roundtrip,
         "events_kcore": events_kcore,
         "events_lpa": events_lpa,
+        "doc_line_dedup": doc_line_dedup,
         "q13_custdist": q13_custdist,
         "q14_promo": q14_promo,
         "q15_top_supplier": q15_top_supplier,
@@ -4590,6 +4619,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*) AS core_deg
             FROM (SELECT unnest([u, v]) AS node FROM fpeel)
             GROUP BY node
+        """,
+        # CCNet line dedup replay: plant the same boilerplate, explode
+        # lines with ordinality, count eligible lines corpus-wide,
+        # rebuild with string_agg ORDER BY pos (CASE skips dropped)
+        "doc_line_dedup": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN 'subscribe to our newsletter for updates'
+                               || chr(10) || text || chr(10) ||
+                               'copyright 2026 example corp all rights reserved'
+                          ELSE text || chr(10) ||
+                               'copyright 2026 example corp all rights reserved'
+                     END AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                     unnest(ls) AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM aug)
+            ), cnt AS (
+              SELECT line, count(*) AS n FROM lines
+              WHERE length(line) >= 10 GROUP BY 1
+            ), marked AS (
+              SELECT l.doc_id, l.pos, l.line,
+                     CASE WHEN length(l.line) >= 10
+                           AND coalesce(c.n, 0) > 1
+                          THEN 1 ELSE 0 END AS dropped
+              FROM lines l LEFT JOIN cnt c USING (line)
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(
+                     CASE WHEN dropped = 0 THEN line END,
+                     chr(10) ORDER BY pos), '') AS text_clean,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(dropped) AS BIGINT) AS n_dropped
+            FROM marked GROUP BY doc_id
         """,
         # 5-round synchronous LPA, replayed exactly: the recursive
         # state carries (it, node, label); each round joins the state

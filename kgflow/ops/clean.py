@@ -534,3 +534,192 @@ def gopher_rules(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def line_dedup(
+    docs: "rd.Dataset",
+    min_chars: int = 10,
+    max_count: int = 1,
+    num_buckets: int | None = None,
+    broadcast_limit: int = 2_000_000,
+    strategy: str = "auto",
+) -> "rd.Dataset":
+    """CCNet-style corpus-level LINE deduplication (Wenzek et al. 2020,
+    CCNet; the pass that strips crawl boilerplate — nav bars, cookie
+    banners, footers — before model training): drop EVERY occurrence of
+    a line whose corpus-wide occurrence count exceeds ``max_count``;
+    lines shorter than ``min_chars`` characters never participate
+    (structural / empty lines are kept, so paragraph breaks survive).
+    Returns (doc_id, text_clean, n_lines, n_dropped) with the kept
+    lines rejoined by \\n in original order — a doc whose every line
+    drops comes back with text_clean = ''.
+
+    Scale shape, ``strategy="auto"``: line counts ride ONE md5-digest
+    exchange (32-char fingerprints, never text — the ``exact_dedup``
+    trick, digests computed once per batch-DISTINCT line); duplicated
+    lines are then, in the common case, a bounded boilerplate set, so
+    their digests broadcast via ``ray.put`` and the rebuild is a single
+    exchange-FREE map pass (split → membership → rejoin per batch).
+    When the dup set exceeds ``broadcast_limit`` the op falls back to
+    the shuffle path (``strategy="shuffle"``): the exploded corpus
+    materializes once and moves through TWO text-bearing exchanges —
+    fp-keyed in-bucket counting, then doc-keyed reassembly.
+    """
+    import hashlib
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def _split(texts: pd.Series) -> pd.Series:
+        return texts.str.split("\n")
+
+    def _digests(lines: pd.Series) -> pd.Series:
+        uniq = pd.Series(lines.unique())
+        fps = pd.Series(
+            [hashlib.md5(t.encode("utf-8")).hexdigest() for t in uniq],
+            index=uniq,
+        )
+        return lines.map(fps)
+
+    if strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"line_dedup: unknown strategy {strategy!r}")
+
+    if strategy in ("auto", "broadcast"):
+
+        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+            lx = _split(df["text"]).explode()
+            lx = lx[lx.str.len() >= min_chars]
+            if not len(lx):
+                return pd.DataFrame(
+                    {"fp": pd.Series([], dtype=object),
+                     "c": pd.Series([], dtype="int64")}
+                )
+            g = lx.value_counts()
+            return pd.DataFrame(
+                {"fp": _digests(pd.Series(g.index)).to_numpy(),
+                 "c": g.to_numpy(dtype=np.int64)}
+            )
+
+        counts = bucketed_group_reduce(
+            docs.select_columns(["text"]).map_batches(
+                count_partial, batch_format="pandas"
+            ),
+            key_cols=["fp"],
+            reduce_fn=lambda g: g.groupby("fp", as_index=False)["c"].sum(),
+            num_buckets=num_buckets,
+        )
+        dups = counts.map_batches(
+            lambda d: d.loc[d["c"] > max_count, ["fp"]],
+            batch_format="pandas",
+        ).materialize()
+        n_dup = dups.count()
+        if n_dup <= broadcast_limit:
+            dup_arr = (
+                np.sort(dups.to_pandas()["fp"].to_numpy(dtype=object))
+                if n_dup
+                else np.array([], dtype=object)
+            )
+            dref = ray.put(dup_arr)
+
+            def rebuild(df: pd.DataFrame, _d=dref) -> pd.DataFrame:
+                dup_fps = ray.get(_d)
+                ls = _split(df["text"])
+                lx = ls.explode()
+                eligible = lx.str.len() >= min_chars
+                fps = _digests(lx[eligible])
+                dropped = pd.Series(False, index=lx.index)
+                dropped[eligible] = np.isin(
+                    fps.to_numpy(dtype=object), dup_fps
+                )
+                keep = lx[~dropped]
+                clean = keep.groupby(level=0).agg("\n".join)
+                out = pd.DataFrame(
+                    {
+                        "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                        "text_clean": clean.reindex(df.index).fillna(""),
+                        "n_lines": ls.str.len().to_numpy(dtype=np.int64),
+                        "n_dropped": dropped.groupby(level=0)
+                        .sum()
+                        .reindex(df.index)
+                        .fillna(0)
+                        .to_numpy(dtype=np.int64),
+                    }
+                )
+                return out
+
+            return docs.select_columns(["doc_id", "text"]).map_batches(
+                rebuild, batch_format="pandas"
+            )
+        if strategy == "broadcast":
+            raise ValueError(
+                f"line_dedup: {n_dup} duplicated lines exceed "
+                f"broadcast_limit={broadcast_limit}; use strategy="
+                f"'shuffle' (or 'auto')"
+            )
+
+    # shuffle path: explode once, count in-bucket, reassemble by doc
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ls = _split(df["text"])
+        lx = ls.explode()
+        pos = lx.groupby(level=0).cumcount().to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].reindex(lx.index).to_numpy(
+                    dtype=np.int64
+                ),
+                "pos": pos,
+                "line": lx.to_numpy(dtype=object),
+            }
+        )
+
+    lines = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas")
+        .materialize()  # consumed by both branches below
+    )
+    eligible = lines.map_batches(
+        lambda d: d.loc[d["line"].str.len() >= min_chars].assign(
+            fp=lambda x: _digests(x["line"]).to_numpy(dtype=object)
+        ),
+        batch_format="pandas",
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby("fp")["doc_id"].transform("size")
+        out = g.loc[n <= max_count, ["doc_id", "pos", "line"]].copy()
+        dropped = g.loc[n > max_count, ["doc_id", "pos"]].copy()
+        dropped["line"] = None  # tombstone rows keep the drop count
+        return pd.concat([out, dropped], ignore_index=True)
+
+    marked = bucketed_group_reduce(
+        eligible, key_cols=["fp"], reduce_fn=mark, num_buckets=num_buckets
+    )
+    ineligible = lines.map_batches(
+        lambda d: d.loc[d["line"].str.len() < min_chars],
+        batch_format="pandas",
+    )
+
+    def rebuild_doc(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for doc_id, d in g.groupby("doc_id", sort=False):
+            d = d.sort_values("pos", kind="mergesort")
+            kept = d["line"].notna()
+            outs.append(
+                (
+                    int(doc_id),
+                    "\n".join(d.loc[kept, "line"]),
+                    len(d),
+                    int((~kept).sum()),
+                )
+            )
+        return pd.DataFrame(
+            outs, columns=["doc_id", "text_clean", "n_lines", "n_dropped"]
+        ).astype(
+            {"doc_id": "int64", "n_lines": "int64", "n_dropped": "int64"}
+        )
+
+    return bucketed_group_reduce(
+        marked.union(ineligible),
+        key_cols=["doc_id"],
+        reduce_fn=rebuild_doc,
+        num_buckets=num_buckets,
+    )

@@ -178,3 +178,61 @@ def test_lpa_distributed_path_matches_driver():
     )
     _check_lpa(rows, 5, driver_limit=0)  # force the distributed rounds
     _check_lpa(rows, 3)
+
+
+def _docs_ds(texts):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(len(texts)), dtype="int64"),
+                "text": texts,
+            }
+        )
+    )
+
+
+LINE_CASES = [
+    "the shared boilerplate footer line\nunique body one here",
+    "the shared boilerplate footer line\nunique body two here",
+    "the shared boilerplate footer line",  # all lines drop -> ""
+    "short\nunique body three here\nshort",  # short lines immune
+    "repeated inside one doc only\nrepeated inside one doc only",
+]
+
+LINE_EXPECT = {
+    # doc_id: (text_clean, n_lines, n_dropped)
+    0: ("unique body one here", 2, 1),
+    1: ("unique body two here", 2, 1),
+    2: ("", 1, 1),
+    3: ("short\nunique body three here\nshort", 3, 0),
+    4: ("", 2, 2),  # within-doc repeats count as occurrences
+}
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_line_dedup_semantics(strategy):
+    from kgflow.ops.clean import line_dedup
+
+    out = (
+        line_dedup(_docs_ds(LINE_CASES), min_chars=10, strategy=strategy)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r.doc_id): (r.text_clean, int(r.n_lines), int(r.n_dropped))
+        for r in out.itertuples()
+    }
+    assert got == LINE_EXPECT
+
+
+def test_line_dedup_broadcast_overflow_raises():
+    from kgflow.ops.clean import line_dedup
+
+    with pytest.raises(Exception, match="broadcast_limit"):
+        line_dedup(
+            _docs_ds(LINE_CASES),
+            min_chars=10,
+            strategy="broadcast",
+            broadcast_limit=0,
+        ).materialize()

@@ -4029,6 +4029,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).filter(lambda r: r["l_quantity"] >= 45)
         return adamic_adar_scores(li, hub_col="l_partkey", leaf_col="l_suppkey")
 
+    def graph_jaccard(sf_dir: str):
+        """Oracle-checked: neighbor-set Jaccard link prediction
+        (Liben-Nowell & Kleinberg 2003) over the same part→supplier
+        bipartite graph as graph_adamic_adar — exact int64
+        common-neighbor counts and degrees, one IEEE division
+        (`kgflow.ops.graph.jaccard_link_scores`)."""
+        from kgflow.ops.graph import jaccard_link_scores
+        from kgflow.sources.parquet import read_parquet_clean
+
+        li = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).filter(lambda r: r["l_quantity"] >= 45)
+        return jaccard_link_scores(
+            li, hub_col="l_partkey", leaf_col="l_suppkey"
+        )
+
     def events_next_entropy(sf_dir: str):
         """Oracle-checked: per-event-type successor entropy (nats) over
         each user's (ts, id)-ordered stream — transition_counts (one
@@ -4210,6 +4227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_entropy": doc_char_entropy,
         "doc_hot_ngrams": doc_hot_ngrams,
         "graph_adamic_adar": graph_adamic_adar,
+        "graph_jaccard": graph_jaccard,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -6284,6 +6302,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # a shared hub always has degree >= 2, so ln(d) > 0; aa float
         # drift is sums of ~1e0 terms, far inside the 1e-6 comparator
+        "graph_jaccard": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey AS hub, l_suppkey AS leaf
+              FROM lineitem WHERE l_quantity >= 45
+            ), deg AS (
+              SELECT leaf, CAST(count(*) AS BIGINT) AS deg
+              FROM e GROUP BY 1
+            ), pairs AS (
+              SELECT a.leaf AS u, b.leaf AS v,
+                     CAST(count(*) AS BIGINT) AS cn
+              FROM e a JOIN e b ON a.hub = b.hub AND a.leaf < b.leaf
+              GROUP BY 1, 2
+            )
+            SELECT p.u, p.v, p.cn, du.deg AS deg_u, dv.deg AS deg_v,
+                   CAST(p.cn AS DOUBLE) / (du.deg + dv.deg - p.cn) AS jac
+            FROM pairs p
+            JOIN deg du ON du.leaf = p.u
+            JOIN deg dv ON dv.leaf = p.v
+        """,
         "graph_adamic_adar": """
             WITH e AS (
               SELECT DISTINCT l_partkey AS z, l_suppkey AS x

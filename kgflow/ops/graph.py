@@ -1794,3 +1794,121 @@ def label_propagation(
         )
         labels = new
     return rd.from_pandas(pd.DataFrame({"node": nodes, "community": labels}))
+
+
+def jaccard_link_scores(
+    ds: "rd.Dataset",
+    hub_col: str,
+    leaf_col: str,
+    max_degree: int = 10_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Neighbor-set Jaccard link prediction over a bipartite edge set
+    (Liben-Nowell & Kleinberg 2003's baseline): for every leaf pair
+    (u < v) sharing ≥ 1 hub, jac = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| where
+    N(x) is x's distinct hub set. Returns
+    (u, v, cn, deg_u, deg_v, jac) — cn and the degrees are exact int64
+    so the ratio is one deterministic IEEE division on both engine and
+    oracle.
+
+    Scale shape: the `adamic_adar_scores` skeleton — distinct edges
+    dedup through ONE hub-keyed exchange, wedge fan-out is quadratic in
+    hub degree only with the same LOUD ``max_degree`` failure, pair
+    partials combine per block before ONE pair-keyed sum; leaf degrees
+    come from ONE leaf-keyed distinct-count reduce (V-bounded output)
+    and attach via two auto-broadcast-or-shuffle `hash_join`s."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def dedup(d: pd.DataFrame) -> pd.DataFrame:
+        return d.drop_duplicates([hub_col, leaf_col])
+
+    hubs = bucketed_group_reduce(
+        ds.select_columns([hub_col, leaf_col]).map_batches(
+            dedup, batch_format="pandas"
+        ),
+        key_cols=[hub_col],
+        reduce_fn=dedup,
+        num_buckets=num_buckets,
+    ).materialize()  # globally distinct edges: feeds wedges AND degrees
+    # (the per-block dedup above is only a combiner — leaf degrees must
+    # count DISTINCT edges, so they read this post-exchange stream)
+
+    def wedges(d: pd.DataFrame) -> pd.DataFrame:
+        if not len(d):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in ("u", "v", "cn")}
+            )
+        deg = d.groupby(hub_col, sort=False)[leaf_col].transform("size")
+        if int(deg.max()) > max_degree:
+            hot = d.loc[deg.idxmax(), hub_col]
+            raise ValueError(
+                f"jaccard_link_scores: hub {hot!r} has degree "
+                f"{int(deg.max())} (max_degree={max_degree}); filter the "
+                f"graph or raise the cap"
+            )
+        d = d[deg.to_numpy() >= 2]
+        m = d.merge(
+            d[[hub_col, leaf_col]].rename(columns={leaf_col: "_b"}),
+            on=hub_col,
+        )
+        m = m[m[leaf_col] < m["_b"]]
+        out = (
+            m.rename(columns={leaf_col: "u", "_b": "v"})
+            .groupby(["u", "v"], as_index=False)
+            .size()
+            .rename(columns={"size": "cn"})
+        )
+        out["cn"] = out["cn"].astype("int64")
+        return out
+
+    pairs = bucketed_group_reduce(
+        hubs.map_batches(wedges, batch_format="pandas"),
+        key_cols=["u", "v"],
+        reduce_fn=lambda g: g.groupby(["u", "v"], as_index=False)["cn"]
+        .sum()
+        .astype({"cn": "int64"}),
+        num_buckets=num_buckets,
+    )
+
+    def leaf_deg_partial(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby(leaf_col, as_index=False)[hub_col].size()
+        return g.rename(columns={leaf_col: "leaf", "size": "deg"}).astype(
+            {"deg": "int64"}
+        )
+
+    deg = bucketed_group_reduce(
+        hubs.map_batches(leaf_deg_partial, batch_format="pandas"),
+        key_cols=["leaf"],
+        reduce_fn=lambda g: g.groupby("leaf", as_index=False)["deg"]
+        .sum()
+        .astype({"deg": "int64"}),
+        num_buckets=num_buckets,
+    )
+
+    du = deg.map_batches(
+        lambda d: d.rename(columns={"leaf": "u", "deg": "deg_u"}),
+        batch_format="pandas",
+    )
+    dv = deg.map_batches(
+        lambda d: d.rename(columns={"leaf": "v", "deg": "deg_v"}),
+        batch_format="pandas",
+    )
+    out = hash_join(hash_join(pairs, du, on="u"), dv, on="v")
+
+    def finish(d: pd.DataFrame) -> pd.DataFrame:
+        cn = d["cn"].to_numpy(dtype=np.int64)
+        a = d["deg_u"].to_numpy(dtype=np.int64)
+        b = d["deg_v"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "u": d["u"].to_numpy(dtype=np.int64),
+                "v": d["v"].to_numpy(dtype=np.int64),
+                "cn": cn,
+                "deg_u": a,
+                "deg_v": b,
+                "jac": cn / (a + b - cn),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -236,3 +236,59 @@ def test_line_dedup_broadcast_overflow_raises():
             strategy="broadcast",
             broadcast_limit=0,
         ).materialize()
+
+
+def test_jaccard_link_scores_exact():
+    from kgflow.ops.graph import jaccard_link_scores
+
+    # hubs: 10 -> {1,2,3}, 20 -> {1,2}, 30 -> {2,4}, 40 -> {5} (deg-1
+    # hub supports no pair); duplicate edge rows must not inflate cn
+    rows = [
+        (10, 1), (10, 2), (10, 3), (10, 2),
+        (20, 1), (20, 2),
+        (30, 2), (30, 4),
+        (40, 5),
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "hub": pd.Series([r[0] for r in rows], dtype="int64"),
+                "leaf": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
+    )
+    out = (
+        jaccard_link_scores(ds, hub_col="hub", leaf_col="leaf")
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (int(r.u), int(r.v)): (int(r.cn), int(r.deg_u), int(r.deg_v), r.jac)
+        for r in out.itertuples()
+    }
+    # N(1)={10,20}, N(2)={10,20,30}, N(3)={10}, N(4)={30}, N(5)={40}
+    assert got == {
+        (1, 2): (2, 2, 3, 2 / 3),
+        (1, 3): (1, 2, 1, 1 / 2),
+        (2, 3): (1, 3, 1, 1 / 3),
+        (2, 4): (1, 3, 1, 1 / 3),
+    }
+
+
+def test_jaccard_hot_hub_fails_loudly():
+    from kgflow.ops.graph import jaccard_link_scores
+
+    rows = [(1, i) for i in range(20)]
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "hub": pd.Series([r[0] for r in rows], dtype="int64"),
+                "leaf": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="max_degree"):
+        jaccard_link_scores(
+            ds, hub_col="hub", leaf_col="leaf", max_degree=5
+        ).materialize()

@@ -184,6 +184,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         canon, _ = canonical_triples(_triples_mat(sf_dir))
         return dedup_edges(canon)
 
+    def kg_edge_evidence(sf_dir: str):
+        """Rows-only (exact semantics pinned on planted inputs in
+        tests/test_wave17.py): evidence aggregation per canonical edge
+        — supporting-occurrence weight, DISTINCT source-domain count,
+        first/last capture timestamps. The fact-confidence signal that
+        separates single-domain assertion spam from independently
+        corroborated facts (`kgflow.ops.web.edge_evidence`)."""
+        from kgflow.linking.link import canonical_triples
+        from kgflow.ops.web import edge_evidence
+        from kgflow.pipelines.kg import KgConfig, read_pages
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        cfg = KgConfig(read_columns=["url", "warc_ts"])
+        return edge_evidence(canon, read_pages(_pages_dir(sf_dir), cfg))
+
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
@@ -4112,6 +4127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_events": kg_events,
         "kg_entity_map": kg_entity_map,
         "kg_edges": kg_edges,
+        "kg_edge_evidence": kg_edge_evidence,
         "kg_nodes": kg_nodes,
         "kg_pagerank": kg_pagerank,
         "kg_triple_prf": kg_triple_prf,

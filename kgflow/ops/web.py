@@ -189,3 +189,103 @@ def domain_stats(pages: "rd.Dataset", num_buckets: int | None = None) -> "rd.Dat
         reduce_fn=final,
         num_buckets=num_buckets,
     )
+
+
+def edge_evidence(
+    canon: "rd.Dataset",
+    pages: "rd.Dataset",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Evidence aggregation for canonicalized triples — the
+    KG-construction QA signal separating a fact asserted by 40 pages
+    of ONE domain from one asserted across five independent domains:
+    per canonical edge (subj_id, rel_id, obj_id) return
+    (subj_canonical, rel, obj_canonical, weight, n_domains, first_ts,
+    last_ts) where weight counts supporting triple OCCURRENCES,
+    n_domains counts DISTINCT source domains, and first/last_ts bound
+    the supporting captures' warc timestamps (microseconds since
+    epoch).
+
+    Scale shape: page metadata reduces to (url, domain, ts) before the
+    ONE url-keyed join against triple occurrences (auto broadcast vs
+    shuffle via `hash_join` — the metadata side is page-bounded, never
+    html/text-bearing); per-block combiners collapse to
+    (edge, domain) grain with min/max ts, so the edge-keyed exchange
+    carries at most |edges|·|domains-per-edge| rows; the final reduce
+    is a vectorized two-level groupby."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def page_meta(df: pd.DataFrame) -> pd.DataFrame:
+        host = (
+            df["url"]
+            .astype(str)
+            .str.extract(r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)")[0]
+            .str.lower()
+            .fillna("")
+        )
+        return pd.DataFrame(
+            {
+                "url": df["url"].astype(str),
+                "domain": host,
+                "ts_us": df["warc_ts"]
+                .astype("datetime64[us]")
+                .astype(np.int64),
+            }
+        )
+
+    meta = pages.select_columns(["url", "warc_ts"]).map_batches(
+        page_meta, batch_format="pandas"
+    )
+    occ = canon.select_columns(
+        [
+            "subj_id",
+            "rel_id",
+            "obj_id",
+            "subj_canonical",
+            "rel",
+            "obj_canonical",
+            "url",
+        ]
+    )
+    joined = hash_join(occ, meta, on="url")
+
+    EDGE = [
+        "subj_id",
+        "rel_id",
+        "obj_id",
+        "subj_canonical",
+        "rel",
+        "obj_canonical",
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([*EDGE, "domain"], as_index=False).agg(
+            w=("ts_us", "size"), mn=("ts_us", "min"), mx=("ts_us", "max")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        per_dom = g.groupby([*EDGE, "domain"], as_index=False).agg(
+            w=("w", "sum"), mn=("mn", "min"), mx=("mx", "max")
+        )
+        out = per_dom.groupby(EDGE, as_index=False).agg(
+            weight=("w", "sum"),
+            n_domains=("domain", "nunique"),
+            first_ts=("mn", "min"),
+            last_ts=("mx", "max"),
+        )
+        return out.astype(
+            {
+                "weight": "int64",
+                "n_domains": "int64",
+                "first_ts": "int64",
+                "last_ts": "int64",
+            }
+        )
+
+    return bucketed_group_reduce(
+        joined.map_batches(partial, batch_format="pandas"),
+        key_cols=["subj_id", "rel_id", "obj_id"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )

@@ -292,3 +292,52 @@ def test_jaccard_hot_hub_fails_loudly():
         jaccard_link_scores(
             ds, hub_col="hub", leaf_col="leaf", max_degree=5
         ).materialize()
+
+
+def test_edge_evidence_domains_and_timestamps():
+    from kgflow.ops.web import edge_evidence
+
+    canon = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj_id": pd.Series([1, 1, 1, 2], dtype="int64"),
+                "rel_id": pd.Series([7, 7, 7, 8], dtype="int64"),
+                "obj_id": pd.Series([3, 3, 3, 4], dtype="int64"),
+                "subj_canonical": ["alice"] * 3 + ["bob"],
+                "rel": ["works_for"] * 3 + ["born_in"],
+                "obj_canonical": ["acme"] * 3 + ["osaka"],
+                "url": [
+                    "https://a.example/p1",
+                    "https://a.example/p2",  # same domain, 2nd capture
+                    "https://b.example/p9",  # independent domain
+                    "https://a.example/p1",
+                ],
+            }
+        )
+    )
+    pages = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://a.example/p1",
+                    "https://a.example/p2",
+                    "https://b.example/p9",
+                ],
+                "warc_ts": pd.to_datetime(
+                    ["2026-01-01", "2026-03-01", "2026-02-01"]
+                ).astype("datetime64[us]"),
+            }
+        )
+    )
+    out = (
+        edge_evidence(canon, pages)
+        .to_pandas()
+        .sort_values("subj_id")
+        .reset_index(drop=True)
+    )
+    t = lambda s: int(pd.Timestamp(s).value // 1000)  # ns -> us
+    assert out.loc[0, ["weight", "n_domains"]].tolist() == [3, 2]
+    assert int(out.loc[0, "first_ts"]) == t("2026-01-01")
+    assert int(out.loc[0, "last_ts"]) == t("2026-03-01")
+    assert out.loc[1, ["weight", "n_domains"]].tolist() == [1, 1]
+    assert out.loc[1, "subj_canonical"] == "bob"

@@ -199,6 +199,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cfg = KgConfig(read_columns=["url", "warc_ts"])
         return edge_evidence(canon, read_pages(_pages_dir(sf_dir), cfg))
 
+    def kg_functional_violations(sf_dir: str):
+        """Rows-only (semantics pinned on planted inputs in
+        tests/test_wave17.py): constraint audit — subjects asserting
+        more than one DISTINCT object for a functional relation
+        (born_in, capital_of), i.e. extraction errors or unresolved
+        entity aliases (`kgflow.ops.web.functional_violations`)."""
+        from kgflow.linking.link import canonical_triples
+        from kgflow.ops.web import functional_violations
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        return functional_violations(canon, ["born_in", "capital_of"])
+
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
@@ -4128,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_map": kg_entity_map,
         "kg_edges": kg_edges,
         "kg_edge_evidence": kg_edge_evidence,
+        "kg_functional_violations": kg_functional_violations,
         "kg_nodes": kg_nodes,
         "kg_pagerank": kg_pagerank,
         "kg_triple_prf": kg_triple_prf,

@@ -289,3 +289,58 @@ def edge_evidence(
         reduce_fn=final,
         num_buckets=num_buckets,
     )
+
+
+def functional_violations(
+    edges: "rd.Dataset",
+    functional_rels: "list[str]",
+    subj_col: str = "subj_canonical",
+    rel_col: str = "rel",
+    obj_col: str = "obj_canonical",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Constraint audit for KG construction: a FUNCTIONAL relation
+    (born_in, date_of_birth, capital_of …) admits at most one object
+    per subject, so a subject asserting several is either an extraction
+    error or entity-resolution debt. For every (subject, functional
+    rel) with > 1 DISTINCT object, return
+    (rel, subj, n_objects, objects_sample) where objects_sample holds
+    up to 3 lexicographically-smallest conflicting objects joined by
+    '|' (enough to eyeball the conflict without shipping the full
+    object set).
+
+    Scale shape: rows filter to the functional relations FIRST (the
+    audit never touches the non-functional bulk); per-block combiners
+    dedup (subj, rel, obj); ONE (rel, subj)-keyed exchange whose
+    reduce counts distinct objects and keeps the bounded sample."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    rels = sorted(set(functional_rels))
+    if not rels:
+        raise ValueError("functional_violations: functional_rels is empty")
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[rel_col].isin(rels)
+        d = df.loc[m, [subj_col, rel_col, obj_col]]
+        return d.drop_duplicates().rename(
+            columns={subj_col: "subj", rel_col: "rel", obj_col: "obj"}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["rel", "subj", "obj"])
+        g = g.sort_values(["rel", "subj", "obj"], kind="mergesort")
+        agg = g.groupby(["rel", "subj"], as_index=False).agg(
+            n_objects=("obj", "size"),
+            objects_sample=("obj", lambda s: "|".join(s.iloc[:3])),
+        )
+        out = agg.loc[agg["n_objects"] > 1]
+        return out.astype({"n_objects": "int64"})
+
+    return bucketed_group_reduce(
+        edges.select_columns([subj_col, rel_col, obj_col]).map_batches(
+            prefilter, batch_format="pandas"
+        ),
+        key_cols=["rel", "subj"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )

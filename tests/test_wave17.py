@@ -341,3 +341,51 @@ def test_edge_evidence_domains_and_timestamps():
     assert int(out.loc[0, "last_ts"]) == t("2026-03-01")
     assert out.loc[1, ["weight", "n_domains"]].tolist() == [1, 1]
     assert out.loc[1, "subj_canonical"] == "bob"
+
+
+def test_functional_violations_planted():
+    from kgflow.ops.web import functional_violations
+
+    canon = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "subj_canonical": [
+                    "alice", "alice", "alice",   # 2 distinct birthplaces
+                    "bob", "bob",                # same object twice: fine
+                    "carol",                     # one object: fine
+                    "acme", "acme",              # non-functional rel
+                ],
+                "rel": [
+                    "born_in", "born_in", "born_in",
+                    "born_in", "born_in",
+                    "capital_of",
+                    "founded_by", "founded_by",
+                ],
+                "obj_canonical": [
+                    "osaka", "kyoto", "osaka",
+                    "lima", "lima",
+                    "peru",
+                    "dan", "eve",
+                ],
+            }
+        )
+    )
+    out = (
+        functional_violations(canon, ["born_in", "capital_of"])
+        .to_pandas()
+        .sort_values(["rel", "subj"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["rel"], r["subj"], int(r["n_objects"])) == (
+        "born_in", "alice", 2,
+    )
+    assert r["objects_sample"] == "kyoto|osaka"
+
+
+def test_functional_violations_empty_rels_raises():
+    from kgflow.ops.web import functional_violations
+
+    with pytest.raises(ValueError, match="empty"):
+        functional_violations(rd.from_items([]), [])

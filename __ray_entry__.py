@@ -199,6 +199,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cfg = KgConfig(read_columns=["url", "warc_ts"])
         return edge_evidence(canon, read_pages(_pages_dir(sf_dir), cfg))
 
+    def kg_snapshot_delta(sf_dir: str):
+        """Rows-only (semantics pinned on planted inputs in
+        tests/test_wave17.py): incremental KG diff between the edge
+        set built from the even-numbered pages ("snapshot N-1") and
+        the full corpus ("snapshot N") — added / removed / reweighted
+        edges only, delta-bounded output. Both snapshots derive from
+        the ONE memoized triple set (a deterministic url-number
+        filter), so the gate pays no second model pass
+        (`kgflow.materialize.edges.edges_delta`)."""
+        import pandas as _pd
+
+        from kgflow.linking.link import canonical_triples
+        from kgflow.materialize.edges import dedup_edges, edges_delta
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+
+        def evens(df: _pd.DataFrame) -> _pd.DataFrame:
+            n = (
+                df["url"]
+                .astype(str)
+                .str.extract(r"(\d+)$")[0]
+                .fillna("1")
+                .astype("int64")
+            )
+            return df.loc[(n % 2) == 0]
+
+        old = dedup_edges(canon.map_batches(evens, batch_format="pandas"))
+        new = dedup_edges(canon)
+        return edges_delta(old, new)
+
     def kg_functional_violations(sf_dir: str):
         """Rows-only (semantics pinned on planted inputs in
         tests/test_wave17.py): constraint audit — subjects asserting
@@ -4141,6 +4171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_edge_evidence": kg_edge_evidence,
         "kg_functional_violations": kg_functional_violations,
+        "kg_snapshot_delta": kg_snapshot_delta,
         "kg_nodes": kg_nodes,
         "kg_pagerank": kg_pagerank,
         "kg_triple_prf": kg_triple_prf,

@@ -112,3 +112,62 @@ def nodes_table(emap_ds: "rd.Dataset") -> "rd.Dataset":
     return bucketed_group_reduce(
         emap_ds, key_cols=["entity_id"], reduce_fn=reduce_nodes
     )
+
+
+def edges_delta(
+    old: "rd.Dataset",
+    new: "rd.Dataset",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Incremental-build diff between two canonical edge sets (the
+    re-crawl primitive: what changed in the KG between snapshot N-1
+    and N): per edge key (subj_id, rel_id, obj_id) emit
+    (change ∈ {'added', 'removed', 'reweighted'}, old_weight,
+    new_weight) — unchanged edges are dropped, so the output is
+    delta-bounded, not KG-bounded.
+
+    PRECONDITION: both inputs must already be key-UNIQUE (one row per
+    edge key — i.e. `dedup_edges` output); joining partial rows would
+    multiply them. The per-block groupby below is a slimming
+    projection, not a global reduce.
+
+    Scale shape: both sides slim to (edge key, weight) BEFORE the
+    ONE full-outer key-keyed join (names/urls never ride the diff);
+    missing-side weights are 0 via the join's nullable-Int64 path.
+    Downstream, a partitioned sink only rewrites the subj_buckets the
+    delta touches."""
+    from kgflow.ops.joins import hash_join
+
+    KEY = ["subj_id", "rel_id", "obj_id"]
+
+    def slim(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        g = df.groupby(KEY, as_index=False)["weight"].sum()
+        return g.rename(columns={"weight": col}).astype({col: "int64"})
+
+    o = old.select_columns([*KEY, "weight"]).map_batches(
+        lambda d: slim(d, "old_weight"), batch_format="pandas"
+    )
+    n = new.select_columns([*KEY, "weight"]).map_batches(
+        lambda d: slim(d, "new_weight"), batch_format="pandas"
+    )
+    j = hash_join(o, n, on=KEY, how="full", num_buckets=num_buckets)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        ow = df["old_weight"].fillna(0).to_numpy(dtype=np.int64)
+        nw = df["new_weight"].fillna(0).to_numpy(dtype=np.int64)
+        change = np.where(
+            ow == 0, "added", np.where(nw == 0, "removed", "reweighted")
+        )
+        out = pd.DataFrame(
+            {
+                "subj_id": df["subj_id"].to_numpy(dtype=np.int64),
+                "rel_id": df["rel_id"].to_numpy(dtype=np.int64),
+                "obj_id": df["obj_id"].to_numpy(dtype=np.int64),
+                "change": change,
+                "old_weight": ow,
+                "new_weight": nw,
+            }
+        )
+        return out.loc[ow != nw]
+
+    return j.map_batches(classify, batch_format="pandas")

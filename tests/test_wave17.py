@@ -389,3 +389,37 @@ def test_functional_violations_empty_rels_raises():
 
     with pytest.raises(ValueError, match="empty"):
         functional_violations(rd.from_items([]), [])
+
+
+def test_edges_delta_classification():
+    from kgflow.materialize.edges import edges_delta
+
+    def edges(rows):
+        return rd.from_pandas(
+            pd.DataFrame(
+                rows,
+                columns=["subj_id", "rel_id", "obj_id", "weight"],
+            ).astype("int64")
+        )
+
+    old = edges([(1, 1, 2, 5), (3, 1, 4, 2), (5, 2, 6, 1)])
+    new = edges([(1, 1, 2, 5), (3, 1, 4, 7), (7, 2, 8, 3)])
+    out = (
+        edges_delta(old, new)
+        .to_pandas()
+        .sort_values(["subj_id"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (int(r.subj_id), int(r.rel_id), int(r.obj_id)): (
+            r.change, int(r.old_weight), int(r.new_weight)
+        )
+        for r in out.itertuples()
+    }
+    # (1,1,2) unchanged -> absent; (3,1,4) reweighted; (5,2,6) removed;
+    # (7,2,8) added
+    assert got == {
+        (3, 1, 4): ("reweighted", 2, 7),
+        (5, 2, 6): ("removed", 1, 0),
+        (7, 2, 8): ("added", 0, 3),
+    }

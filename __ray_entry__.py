@@ -2616,6 +2616,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aug = _docs(sf_dir).map_batches(plant, batch_format="pandas")
         return line_dedup(aug, min_chars=10)
 
+    def events_decayed_avg(sf_dir: str):
+        """Oracle-checked: per-user exponentially-decayed trailing
+        average (powers-of-two weights over the last 8 rows) — emitted
+        as the EXACT integer numerator/denominator pair so the hash
+        compare is bit-for-bit vs 8 SQL lag() terms with integer
+        shifts (`kgflow.ops.window.decayed_moving_avg`)."""
+        from kgflow.ops.window import decayed_moving_avg
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_id", "ts", "value"],
+        )
+        return decayed_moving_avg(ev, window=8)
+
     def events_lpa(sf_dir: str):
         """Oracle-checked: 5 rounds of deterministic SYNCHRONOUS label
         propagation (Raghavan et al. 2007) over the co-purchase graph
@@ -4333,6 +4348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kcore": events_kcore,
         "events_lpa": events_lpa,
         "doc_line_dedup": doc_line_dedup,
+        "events_decayed_avg": events_decayed_avg,
         "q13_custdist": q13_custdist,
         "q14_promo": q14_promo,
         "q15_top_supplier": q15_top_supplier,
@@ -4734,6 +4750,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_lines,
                    CAST(sum(dropped) AS BIGINT) AS n_dropped
             FROM marked GROUP BY doc_id
+        """,
+        # exact decayed trailing average: m = least(rn, 8); term j
+        # contributes lag_j << (m-1-j) while j < m (lag_j is NULL
+        # exactly when j >= rn, i.e. outside the frame); den = 2^m - 1
+        "events_decayed_avg": """
+            WITH q AS (
+              SELECT user_id, event_id, ts,
+                     CAST(round(value * 10000) AS BIGINT) AS vfp
+              FROM events
+            ), l AS (
+              SELECT user_id, event_id,
+                     LEAST(row_number() OVER w, 8) AS m,
+                     vfp AS l0,
+                     lag(vfp, 1) OVER w AS l1,
+                     lag(vfp, 2) OVER w AS l2,
+                     lag(vfp, 3) OVER w AS l3,
+                     lag(vfp, 4) OVER w AS l4,
+                     lag(vfp, 5) OVER w AS l5,
+                     lag(vfp, 6) OVER w AS l6,
+                     lag(vfp, 7) OVER w AS l7
+              FROM q
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   (l0 << (m - 1))
+                   + CASE WHEN m > 1 THEN l1 << (m - 2) ELSE 0 END
+                   + CASE WHEN m > 2 THEN l2 << (m - 3) ELSE 0 END
+                   + CASE WHEN m > 3 THEN l3 << (m - 4) ELSE 0 END
+                   + CASE WHEN m > 4 THEN l4 << (m - 5) ELSE 0 END
+                   + CASE WHEN m > 5 THEN l5 << (m - 6) ELSE 0 END
+                   + CASE WHEN m > 6 THEN l6 << (m - 7) ELSE 0 END
+                   + CASE WHEN m > 7 THEN l7 ELSE 0 END AS num,
+                   (CAST(1 AS BIGINT) << m) - 1 AS den
+            FROM l
         """,
         # 5-round synchronous LPA, replayed exactly: the recursive
         # state carries (it, node, label); each round joins the state

@@ -1935,3 +1935,70 @@ def survival_counts(
     # at risk at time t = entities with lifetime >= t (reversed cumsum)
     h["n_at_risk"] = total[::-1].cumsum()[::-1]
     return h[["t", "n_event", "n_censored", "n_at_risk"]]
+
+
+def decayed_moving_avg(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 8,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Per-key exponentially-DECAYED trailing average — the telemetry
+    smoother that weights the last ``window`` rows by powers of two
+    (most recent row weight 2^(m-1), oldest weight 1, m = rows in
+    frame): for every row, num = Σ_{j=0}^{m-1} vfp[i-j]·2^(m-1-j) and
+    den = 2^m − 1 over int64 fixed-point values (round(value·1e4)).
+    Emitting the EXACT integer numerator/denominator instead of a
+    float quotient keeps the result hash-identical to a SQL replay
+    (8 lag() terms with integer shifts) — consumers divide.
+    → (key, id, num, den).
+
+    Scale shape: the `keyed_window` layout — raw rows ship ONCE
+    hash-partitioned on the key; the in-bucket kernel is ``window``
+    shifted adds (no per-row Python, no scan recurrence — the
+    power-of-two weights make the decayed sum window-bounded and
+    therefore vectorizable, where a true infinite-memory EWMA would
+    force a sequential scan)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if not 1 <= window <= 32:
+        raise ValueError("decayed_moving_avg: window must be in [1, 32]")
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        vfp = np.round(
+            g[value_col].to_numpy(dtype=np.float64) * 1e4
+        ).astype(np.int64)
+        rn = g.groupby(key, sort=False).cumcount().to_numpy() + 1
+        m = np.minimum(rn, window)
+        num = np.zeros(len(g), dtype=np.int64)
+        kcol = g[key].to_numpy()
+        for j in range(window):
+            # lag-j value within the key (0 outside the key's frame)
+            lag = np.zeros(len(g), dtype=np.int64)
+            if j < len(g):
+                lag[j:] = vfp[: len(g) - j]
+                same = np.zeros(len(g), dtype=bool)
+                same[j:] = kcol[j:] == kcol[: len(g) - j]
+                lag[~same] = 0
+            in_frame = j < m
+            num += np.where(in_frame, lag << np.maximum(m - 1 - j, 0), 0)
+        den = (np.int64(1) << m) - 1
+        return pd.DataFrame(
+            {
+                key: kcol,
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "num": num,
+                "den": den.astype(np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        events.select_columns([key, ts_col, id_col, value_col]),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

@@ -423,3 +423,37 @@ def test_edges_delta_classification():
         (5, 2, 6): ("removed", 1, 0),
         (7, 2, 8): ("added", 0, 3),
     }
+
+
+def test_decayed_moving_avg_exact_weights():
+    from kgflow.ops.window import decayed_moving_avg
+
+    ev = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "user_id": pd.Series([1, 1, 1, 2], dtype="int64"),
+                "event_id": pd.Series([10, 11, 12, 20], dtype="int64"),
+                "ts": pd.to_datetime(
+                    ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-01"]
+                ),
+                "value": [1.0, 2.0, 4.0, 9.0],
+            }
+        )
+    )
+    out = (
+        decayed_moving_avg(ev, window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r.event_id): (int(r.num), int(r.den)) for r in out.itertuples()
+    }
+    # fixed-point 1e4: v = 10000, 20000, 40000; weights double toward
+    # the most recent row; den = 2^m - 1
+    assert got == {
+        10: (10000, 1),                         # m=1: 1*v0
+        11: (2 * 20000 + 10000, 3),             # m=2: 2*v1 + v0
+        12: (4 * 40000 + 2 * 20000 + 10000, 7), # m=3
+        20: (90000, 1),                         # other key untouched
+    }

@@ -2280,6 +2280,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return video_frame_features(_media())
 
+    def media_phash_pairs(sf_dir: str):
+        """Rows-only (semantics pinned in tests/test_wave17.py):
+        near-duplicate IMAGE pairs — per-image 63-bit average hash
+        (aHash over an exact integral-image 8×8 grid) via the
+        actor-pool decode stage, then the SAME banded hamming exchange
+        as the text simhash path. Near-dups are planted: every 5th
+        image re-encodes with one perturbed pixel, so the pairs are
+        non-vacuous (`kgflow.ops.multimodal.image_phash_pairs`)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import numpy as _np
+
+        from kgflow.ops.multimodal import (
+            decode_bmp,
+            encode_bmp,
+            image_phash_pairs,
+        )
+
+        media = _media()
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t.column("media_id").to_numpy(zero_copy_only=False)
+            kinds = _np.asarray(t.column("kind").to_pylist())
+            f = t.filter(pa.array((kinds == "image") & (ids % 5 == 0)))
+            payloads = []
+            for codec, payload, w, h in zip(
+                f.column("codec").to_pylist(),
+                f.column("payload").to_pylist(),
+                f.column("width").to_pylist(),
+                f.column("height").to_pylist(),
+            ):
+                if codec == "bmp":
+                    img = decode_bmp(payload).copy()
+                else:  # fake codec: raw RGB bytes
+                    img = (
+                        _np.frombuffer(payload, dtype=_np.uint8)[: w * h * 3]
+                        .reshape(h, w, 3)
+                        .copy()
+                    )
+                img[0, 0, 0] ^= 1  # one-bit pixel perturbation
+                payloads.append(
+                    encode_bmp(img) if codec == "bmp" else img.tobytes()
+                )
+            cols = {name: f.column(name) for name in f.schema.names}
+            cols["media_id"] = pc.add(f.column("media_id"), 5_000_000)
+            cols["payload"] = pa.array(payloads, pa.binary())
+            return pa.table(cols)
+
+        aug = media.union(media.map_batches(plant, batch_format="pyarrow"))
+        return image_phash_pairs(aug, max_hamming=3)
+
     # --- ninth wave (round 4 continuation): LM counts, exact bivariate
     # moments, weighted sampling, graph degree histogram, Dice pairs
     def doc_bigram_lm(sf_dir: str):
@@ -4296,6 +4347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": media_image_features,
         "media_audio_features": media_audio_features,
         "media_video_features": media_video_features,
+        "media_phash_pairs": media_phash_pairs,
         "doc_bigram_lm": doc_bigram_lm,
         "doc_perplexity": doc_perplexity,
         "doc_blocklist_hits": doc_blocklist_hits,

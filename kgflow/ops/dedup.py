@@ -689,32 +689,41 @@ def simhash_table(docs: "rd.Dataset", seed: int = 42) -> "rd.Dataset":
     return docs.select_columns(["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
-def simhash_pairs(
-    docs: "rd.Dataset", max_hamming: int = 6, bands: int = 4, seed: int = 42
+def hamming_band_pairs(
+    hashes: "rd.Dataset",
+    max_hamming: int = 6,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    bucket_cap: int = 200,
 ) -> "rd.Dataset":
-    """Near-dup pairs by simhash: band the 64-bit hash into ``bands``
-    16-bit blocks (Manku et al.: two hashes within hamming distance d
-    agree on at least one block if d < bands), groupby block value,
-    verify hamming distance in-bucket."""
+    """Near-dup pairs over a precomputed 63-bit hash column (simhash,
+    image pHash, …): band the hash into ``bands`` 16-bit blocks
+    (Manku et al.: two hashes within hamming distance d agree on at
+    least one block if d < bands), groupby block value, verify hamming
+    distance in-bucket with a vectorized xor+popcount. The band
+    fan-out is pure int shifts — fully vectorized. Returns
+    (doc_a, doc_b, hamming) deduped across bands."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        cache: dict = {}
-        o_band, o_key, o_id, o_sh = [], [], [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sh = simhash64(t, seed, _cache=cache) & 0x7FFFFFFFFFFFFFFF
-            for b in range(bands):
-                o_band.append(b)
-                o_key.append((sh >> (16 * b)) & 0xFFFF)
-                o_id.append(did)
-                o_sh.append(sh)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sh = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = len(ids)
+        o_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        tiled = np.tile(sh, bands)
+        o_key = (
+            (tiled >> (16 * o_band.astype(np.int64))) & 0xFFFF
+        ).astype(np.int32)
         return pa.table(
             {
-                "band_id": pa.array(o_band, pa.int32()),
-                "band_key": pa.array(o_key, pa.int32()),
-                "doc_id": pa.array(o_id, pa.int64()),
-                "simhash": pa.array(o_sh, pa.int64()),
+                "band_id": pa.array(o_band),
+                "band_key": pa.array(o_key),
+                "doc_id": pa.array(np.tile(ids, bands)),
+                "simhash": pa.array(tiled),
             }
         )
 
@@ -724,7 +733,7 @@ def simhash_pairs(
             grp = grp.drop_duplicates("doc_id")
             if len(grp) < 2:
                 continue
-            grp = grp.sort_values("doc_id").head(200)
+            grp = grp.sort_values("doc_id").head(bucket_cap)
             ids = grp["doc_id"].to_numpy()
             shs = grp["simhash"].to_numpy(dtype=np.uint64)
             # vectorized hamming over all in-bucket pairs: xor the triu
@@ -753,7 +762,7 @@ def simhash_pairs(
     from kgflow.ops.shuffle import bucketed_group_reduce
 
     pairs = bucketed_group_reduce(
-        docs.select_columns(["doc_id", "text"]).map_batches(
+        hashes.select_columns([id_col, hash_col]).map_batches(
             band_rows, batch_format="pyarrow"
         ),
         key_cols=["band_id", "band_key"],
@@ -763,6 +772,36 @@ def simhash_pairs(
         pairs,
         key_cols=["doc_a", "doc_b"],
         reduce_fn=lambda g: g.drop_duplicates(["doc_a", "doc_b"]),
+    )
+
+
+def simhash_pairs(
+    docs: "rd.Dataset", max_hamming: int = 6, bands: int = 4, seed: int = 42
+) -> "rd.Dataset":
+    """Near-dup pairs by simhash: compute the 63-bit simhash per doc
+    (per-batch token-hash memoization), then delegate banding +
+    in-bucket hamming verify to :func:`hamming_band_pairs` (shared
+    with the image-pHash path)."""
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        cache: dict = {}
+        sh = [
+            simhash64(t, seed, _cache=cache) & 0x7FFFFFFFFFFFFFFF
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(sh, pa.int64()),
+            }
+        )
+
+    return hamming_band_pairs(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            hash_rows, batch_format="pyarrow"
+        ),
+        max_hamming=max_hamming,
+        bands=bands,
     )
 
 

@@ -371,3 +371,97 @@ def video_frame_features(
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+def ahash64(img: np.ndarray) -> int:
+    """63-bit average hash (aHash — the classic perceptual image
+    fingerprint): grayscale → 8×8 grid of cell means → bit j set iff
+    cell j exceeds the grid mean. Near-identical images (recompressed,
+    lightly edited, resized) land within a few bits of hamming
+    distance; the top bit is masked so the hash rides int64 columns
+    like simhash does. Grid cells are computed with an exact 2-D
+    prefix-sum (integral image), so any width/height ≥ 8 hashes
+    without a resampling step — cell means are exact area averages
+    even when 8 does not divide the dimensions."""
+    g = img.mean(axis=2, dtype=np.float64)  # [h, w] grayscale
+    h, w = g.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"ahash64: image {h}x{w} smaller than the 8x8 grid")
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ii[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = (
+        ii[np.ix_(ys[1:], xs[1:])]
+        - ii[np.ix_(ys[:-1], xs[1:])]
+        - ii[np.ix_(ys[1:], xs[:-1])]
+        + ii[np.ix_(ys[:-1], xs[:-1])]
+    )
+    area = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+    means = cells / area
+    bits = (means > means.mean()).ravel()
+    out = 0
+    for j in range(63):  # 63 bits: top bit masked for int64 columns
+        if bits[j]:
+            out |= 1 << j
+    return out
+
+
+class PHashStage:
+    """Actor-pool perceptual-hash stage: decode (real BMP or the fake
+    raw-RGB codec, same branch logic as `DecodeImageStage`) then emit
+    (media_id, phash) int64 rows — the input to
+    `kgflow.ops.dedup.hamming_band_pairs`."""
+
+    def __init__(self):
+        self._decoder = DecodeImageStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, codec, payload, w, h in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("codec").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            img = self._decoder._decode(payload, codec, w, h)
+            ids.append(mid)
+            hashes.append(ahash64(img))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def image_phash_pairs(
+    media: "rd.Dataset",
+    max_hamming: int = 6,
+    bands: int = 4,
+    batch_size: int = 64,
+) -> "rd.Dataset":
+    """Near-duplicate IMAGE pairs: per-image aHash via an actor-pool
+    decode stage (small batches — payload bytes × batch × concurrency
+    bounds the heap), then the SAME banded hamming exchange the text
+    simhash path uses (`hamming_band_pairs`) — hashes ride the
+    shuffle, pixels never do. → (doc_a, doc_b, hamming) of media_ids."""
+    from kgflow.ops.dedup import hamming_band_pairs
+
+    hashes = media.map_batches(
+        PHashStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+    return hamming_band_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        id_col="media_id",
+        hash_col="phash",
+    )

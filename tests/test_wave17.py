@@ -457,3 +457,54 @@ def test_decayed_moving_avg_exact_weights():
         12: (4 * 40000 + 2 * 20000 + 10000, 7), # m=3
         20: (90000, 1),                         # other key untouched
     }
+
+
+def test_ahash_perturbation_small_hamming():
+    from kgflow.ops.multimodal import ahash64
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    tweaked = img.copy()
+    tweaked[0, 0, 0] ^= 1
+    other = rng.randint(0, 256, (24, 17, 3)).astype(np.uint8)
+    h0, h1, h2 = ahash64(img), ahash64(tweaked), ahash64(other)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h0, h1) <= 3
+    assert ham(h0, h2) > 10  # random images are far apart
+    assert 0 <= h0 < 1 << 63  # rides int64 columns
+    with pytest.raises(ValueError, match="8x8"):
+        ahash64(np.zeros((4, 12, 3), dtype=np.uint8))
+
+
+def test_image_phash_pairs_recovers_planted():
+    from kgflow.ops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        image_phash_pairs,
+    )
+    import pyarrow as pa
+
+    rng = np.random.RandomState(11)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+
+    def add(mid, img):
+        rows["media_id"].append(mid)
+        rows["kind"].append("image")
+        rows["codec"].append("bmp")
+        rows["payload"].append(encode_bmp(img))
+        rows["width"].append(img.shape[1])
+        rows["height"].append(img.shape[0])
+        rows["sample_rate"].append(0)
+        rows["n_frames"].append(0)
+
+    a = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    b = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    a2 = a.copy()
+    a2[3, 3, 1] ^= 1
+    add(1, a)
+    add(2, b)
+    add(3, a2)
+    media = rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+    out = image_phash_pairs(media, max_hamming=3).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
+    assert got == {(1, 3)}

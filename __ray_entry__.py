@@ -2331,6 +2331,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
         aug = media.union(media.map_batches(plant, batch_format="pyarrow"))
         return image_phash_pairs(aug, max_hamming=3)
 
+    def media_afp_pairs(sf_dir: str):
+        """Rows-only (semantics pinned in tests/test_wave17.py):
+        near-duplicate AUDIO pairs — 63-bit spectral fingerprint
+        (8×8 frame-by-band energy threshold) per clip, shared banded
+        hamming exchange. Every 5th clip re-encodes with one sample
+        nudged by one quantum; the planted copies all surface, PLUS
+        the fixture's sine tones 10 Hz apart — genuinely
+        near-identical spectra, the fingerprint treating them as
+        near-dups is the correct perceptual behavior (the unit test
+        pins exact recovery on well-separated clips)
+        (`kgflow.ops.multimodal.audio_fp_pairs`)."""
+        import numpy as _np
+        import pyarrow as pa
+
+        from kgflow.ops.multimodal import (
+            audio_fp_pairs,
+            decode_wav,
+            encode_wav,
+        )
+
+        media = _media()
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t.column("media_id").to_numpy(zero_copy_only=False)
+            kinds = _np.asarray(t.column("kind").to_pylist())
+            f = t.filter(pa.array((kinds == "audio") & (ids % 5 == 0)))
+            payloads = []
+            for codec, payload, sr in zip(
+                f.column("codec").to_pylist(),
+                f.column("payload").to_pylist(),
+                f.column("sample_rate").to_pylist(),
+            ):
+                if codec == "wav":
+                    w, sr_ = decode_wav(payload)
+                    s = (w * 32768.0).astype(_np.int16).copy()
+                    s[0] ^= 1
+                    payloads.append(encode_wav(s, sr_))
+                else:  # fake codec: raw byte stream
+                    b = bytearray(payload)
+                    b[0] ^= 1
+                    payloads.append(bytes(b))
+            cols = {name: f.column(name) for name in f.schema.names}
+            cols["media_id"] = pa.array(
+                f.column("media_id").to_numpy(zero_copy_only=False)
+                + 5_000_000
+            )
+            cols["payload"] = pa.array(payloads, pa.binary())
+            return pa.table(cols)
+
+        aug = media.union(media.map_batches(plant, batch_format="pyarrow"))
+        return audio_fp_pairs(aug, max_hamming=3)
+
+    def media_vhash_pairs(sf_dir: str):
+        """Rows-only (semantics pinned in tests/test_wave17.py):
+        near-duplicate VIDEO pairs — middle-frame aHash per clip,
+        shared banded hamming exchange. Every 5th clip re-encodes
+        with one pixel of its FIRST frame perturbed (the middle-frame
+        hash is untouched: hamming 0), so the pair set is exactly the
+        planted copies (`kgflow.ops.multimodal.video_hash_pairs`)."""
+        import numpy as _np
+        import pyarrow as pa
+
+        from kgflow.ops.multimodal import (
+            decode_kgv1,
+            encode_kgv1,
+            video_hash_pairs,
+        )
+
+        media = _media()
+
+        def plant(t: pa.Table) -> pa.Table:
+            ids = t.column("media_id").to_numpy(zero_copy_only=False)
+            kinds = _np.asarray(t.column("kind").to_pylist())
+            f = t.filter(pa.array((kinds == "video") & (ids % 5 == 0)))
+            payloads = []
+            for codec, payload, w, h, nf in zip(
+                f.column("codec").to_pylist(),
+                f.column("payload").to_pylist(),
+                f.column("width").to_pylist(),
+                f.column("height").to_pylist(),
+                f.column("n_frames").to_pylist(),
+            ):
+                if codec == "kgv1":
+                    frames = decode_kgv1(payload).copy()
+                    frames[0, 0, 0, 0] ^= 1
+                    payloads.append(encode_kgv1(frames))
+                else:  # fake codec: raw frame bytes
+                    b = bytearray(payload)
+                    b[0] ^= 1
+                    payloads.append(bytes(b))
+            cols = {name: f.column(name) for name in f.schema.names}
+            cols["media_id"] = pa.array(
+                f.column("media_id").to_numpy(zero_copy_only=False)
+                + 5_000_000
+            )
+            cols["payload"] = pa.array(payloads, pa.binary())
+            return pa.table(cols)
+
+        aug = media.union(media.map_batches(plant, batch_format="pyarrow"))
+        return video_hash_pairs(aug, max_hamming=3)
+
     # --- ninth wave (round 4 continuation): LM counts, exact bivariate
     # moments, weighted sampling, graph degree histogram, Dice pairs
     def doc_bigram_lm(sf_dir: str):
@@ -4348,6 +4449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_audio_features": media_audio_features,
         "media_video_features": media_video_features,
         "media_phash_pairs": media_phash_pairs,
+        "media_afp_pairs": media_afp_pairs,
+        "media_vhash_pairs": media_vhash_pairs,
         "doc_bigram_lm": doc_bigram_lm,
         "doc_perplexity": doc_perplexity,
         "doc_blocklist_hits": doc_blocklist_hits,

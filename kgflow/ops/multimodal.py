@@ -465,3 +465,136 @@ def image_phash_pairs(
         id_col="media_id",
         hash_col="phash",
     )
+
+
+def afp64(wave: np.ndarray) -> int:
+    """63-bit audio fingerprint (the Haitsma-Kalker shape): the first
+    4096 samples (zero-padded) split into 8 frames, each rFFT'd; the
+    8×8 frame-by-band spectral-energy matrix thresholds against its
+    own mean — bit set iff a cell carries above-average energy. Small
+    perturbations flip few bits; unrelated audio lands far away in
+    hamming space. Top bit masked so the hash rides int64 columns."""
+    w = np.zeros(4096, dtype=np.float64)
+    n = min(len(wave), 4096)
+    w[:n] = np.asarray(wave[:n], dtype=np.float64)
+    frames = w.reshape(8, 512)
+    mag = np.abs(np.fft.rfft(frames, axis=1))  # [8, 257]
+    bands = mag[:, 1:257].reshape(8, 8, 32).sum(axis=2)  # drop DC
+    bits = (bands > bands.mean()).ravel()
+    out = 0
+    for j in range(63):
+        if bits[j]:
+            out |= 1 << j
+    return out
+
+
+class AudioFPStage:
+    """Actor-pool audio fingerprint: decode (real WAV or fake codec,
+    the `ResampleAudioStage` branch logic) → (media_id, phash)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, codec, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("codec").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            if codec == "wav":
+                wave, _ = decode_wav(payload)
+                wave = wave * 128.0
+            elif codec == "fake":
+                wave = (
+                    np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+                    - 128.0
+                )
+            else:
+                raise NotImplementedError(f"codec {codec!r}: needs ffmpeg")
+            ids.append(mid)
+            hashes.append(afp64(wave))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+class VideoHashStage:
+    """Actor-pool video hash: decode the KGV1 container (or fake raw
+    frames), aHash the MIDDLE frame — the cheap shot-representative
+    (order-stable, robust to appended/trimmed tails) →
+    (media_id, phash)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, codec, payload, w, h, nf in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("codec").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+            batch.column("n_frames").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            if codec == "kgv1":
+                frames = decode_kgv1(payload)
+            elif codec == "fake":
+                arr = np.frombuffer(payload, dtype=np.uint8)[: nf * h * w * 3]
+                frames = arr.reshape(nf, h, w, 3)
+            else:
+                raise NotImplementedError(f"codec {codec!r}: needs ffmpeg")
+            ids.append(mid)
+            hashes.append(ahash64(frames[len(frames) // 2]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "phash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def _hash_pairs(media, stage, max_hamming, bands, batch_size):
+    from kgflow.ops.dedup import hamming_band_pairs
+
+    hashes = media.map_batches(
+        stage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+    return hamming_band_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        id_col="media_id",
+        hash_col="phash",
+    )
+
+
+def audio_fp_pairs(
+    media: "rd.Dataset",
+    max_hamming: int = 6,
+    bands: int = 4,
+    batch_size: int = 64,
+) -> "rd.Dataset":
+    """Near-duplicate AUDIO pairs: spectral fingerprint per clip, then
+    the shared banded hamming exchange — fingerprints ride the
+    shuffle, samples never do."""
+    return _hash_pairs(media, AudioFPStage, max_hamming, bands, batch_size)
+
+
+def video_hash_pairs(
+    media: "rd.Dataset",
+    max_hamming: int = 6,
+    bands: int = 4,
+    batch_size: int = 16,
+) -> "rd.Dataset":
+    """Near-duplicate VIDEO pairs: middle-frame aHash per clip (small
+    batch_size — frame payloads are the largest rows), then the shared
+    banded hamming exchange."""
+    return _hash_pairs(media, VideoHashStage, max_hamming, bands, batch_size)

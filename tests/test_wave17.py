@@ -508,3 +508,71 @@ def test_image_phash_pairs_recovers_planted():
     out = image_phash_pairs(media, max_hamming=3).to_pandas()
     got = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
     assert got == {(1, 3)}
+
+
+def _media_rows(entries):
+    from kgflow.ops.multimodal import MEDIA_SCHEMA
+    import pyarrow as pa
+
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for e in entries:
+        for k in MEDIA_SCHEMA.names:
+            rows[k].append(e[k])
+    return rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+
+
+def test_audio_fp_pairs_separated_tones():
+    from kgflow.ops.multimodal import audio_fp_pairs, encode_wav
+
+    sr = 16000
+    t = np.arange(4096)
+
+    def tone(freq):
+        return encode_wav(
+            (np.sin(2 * np.pi * freq * t / sr) * 12000).astype(np.int16), sr
+        )
+
+    def clip(mid, payload):
+        return {
+            "media_id": mid, "kind": "audio", "codec": "wav",
+            "payload": payload, "width": 0, "height": 0,
+            "sample_rate": sr, "n_frames": 0,
+        }
+
+    # 500 Hz vs 3 kHz vs 7 kHz: distinct spectral bands; one perturbed
+    # copy of the 500 Hz clip (sample 0 nudged a quantum)
+    from kgflow.ops.multimodal import decode_wav
+
+    p500 = tone(500)
+    w, _ = decode_wav(p500)
+    s = (w * 32768.0).astype(np.int16).copy()
+    s[0] ^= 1
+    near = encode_wav(s, sr)
+    media = _media_rows(
+        [clip(1, p500), clip(2, tone(3000)), clip(3, tone(7000)), clip(4, near)]
+    )
+    out = audio_fp_pairs(media, max_hamming=3).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
+    assert got == {(1, 4)}
+
+
+def test_video_hash_pairs_middle_frame():
+    from kgflow.ops.multimodal import encode_kgv1, video_hash_pairs
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, (5, 12, 12, 3)).astype(np.uint8)
+    b = rng.randint(0, 256, (5, 12, 12, 3)).astype(np.uint8)
+    a_tail = a.copy()
+    a_tail[4] ^= 255  # different LAST frame: middle frame untouched
+
+    def clip(mid, frames):
+        return {
+            "media_id": mid, "kind": "video", "codec": "kgv1",
+            "payload": encode_kgv1(frames), "width": 12, "height": 12,
+            "sample_rate": 0, "n_frames": len(frames),
+        }
+
+    media = _media_rows([clip(1, a), clip(2, b), clip(3, a_tail)])
+    out = video_hash_pairs(media, max_hamming=3).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
+    assert got == {(1, 3)}

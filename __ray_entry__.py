@@ -2740,6 +2740,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_core(edges, k=2)
 
+    def doc_chunks(sf_dir: str):
+        """Oracle-checked: RAG-style overlapping token chunking —
+        chunk c covers lowercase \\w+ tokens [c·48, c·48+64); the
+        oracle hash-checks the CHUNK TEXT itself
+        (range + list_slice + array_to_string)
+        (`kgflow.ops.text.chunk_documents`)."""
+        from kgflow.ops.text import chunk_documents
+
+        return chunk_documents(_docs(sf_dir), size=64, stride=48)
+
     def doc_line_dedup(sf_dir: str):
         """Oracle-checked: CCNet-style corpus-level line dedup
         (Wenzek et al. 2020) — every occurrence of a line seen more
@@ -4504,6 +4514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lpa": events_lpa,
         "doc_line_dedup": doc_line_dedup,
         "events_decayed_avg": events_decayed_avg,
+        "doc_chunks": doc_chunks,
         "q13_custdist": q13_custdist,
         "q14_promo": q14_promo,
         "q15_top_supplier": q15_top_supplier,
@@ -4868,6 +4879,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*) AS core_deg
             FROM (SELECT unnest([u, v]) AS node FROM fpeel)
             GROUP BY node
+        """,
+        "doc_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\w+') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks, length(toks) AS n,
+                     unnest(range(0, length(toks), 48)) AS s
+              FROM t WHERE length(toks) > 0
+            )
+            SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_id,
+                   array_to_string(
+                     list_slice(toks, s + 1, least(s + 64, n)), ' ')
+                     AS chunk_text,
+                   CAST(least(s + 64, n) - s AS BIGINT) AS n_tokens
+            FROM c
         """,
         # CCNet line dedup replay: plant the same boilerplate, explode
         # lines with ordinality, count eligible lines corpus-wide,

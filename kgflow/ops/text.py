@@ -2507,3 +2507,74 @@ def apportion_budget(
         reduce_fn=lambda g: apportion(g.drop(columns=["_g"])),
         num_buckets=1,
     )
+
+
+def chunk_documents(
+    docs: "rd.Dataset",
+    size: int = 64,
+    stride: int = 48,
+) -> "rd.Dataset":
+    """RAG-style overlapping token chunking: lowercase ``\\w+`` tokens,
+    chunk c covers tokens [c·stride, c·stride + size) for every
+    c·stride < n_tokens → (doc_id, chunk_id, chunk_text, n_tokens),
+    chunk_text the space-joined slice. Deterministic and exactly
+    replayable in SQL (range() + list_slice + array_to_string), so the
+    driver gate hash-checks the chunk text itself.
+
+    Exchange-free (chunks never cross documents — the embarrassingly
+    parallel shape): per batch, tokens explode ONCE with positions and
+    each token replicates into the ≤ ceil(size/stride) chunks that
+    cover it via vectorized index arithmetic; only the final per-chunk
+    join assembles strings (one C-loop join per OUTPUT row, the same
+    cost string_agg pays in SQL)."""
+    if size < 1 or stride < 1:
+        raise ValueError("chunk_documents: size and stride must be >= 1")
+    n_cover = -(-size // stride)  # chunks covering one token
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "chunk_id": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        toks = df["text"].str.lower().str.findall(r"\w+")
+        tx = toks.explode().dropna()
+        if not len(tx):
+            return empty
+        doc_ids = df["doc_id"].to_numpy(dtype=np.int64)
+        # map each exploded token back to its df ROW position once
+        row_of = df.index.get_indexer(pd.Index(tx.index))
+        pos = tx.groupby(level=0).cumcount().to_numpy(dtype=np.int64)
+        tok_arr = tx.to_numpy(dtype=object)
+        rows = {"doc": [], "chunk": [], "pos": [], "tok": []}
+        base = pos // stride
+        for j in range(n_cover):
+            c = base - j
+            ok = (c >= 0) & (pos - c * stride < size)
+            rows["doc"].append(doc_ids[row_of[ok]])
+            rows["chunk"].append(c[ok])
+            rows["pos"].append(pos[ok])
+            rows["tok"].append(tok_arr[ok])
+        t = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(rows["doc"]),
+                "chunk_id": np.concatenate(rows["chunk"]),
+                "pos": np.concatenate(rows["pos"]),
+                "tok": np.concatenate(rows["tok"]),
+            }
+        ).sort_values(["doc_id", "chunk_id", "pos"], kind="mergesort")
+        g = t.groupby(["doc_id", "chunk_id"], as_index=False).agg(
+            chunk_text=("tok", " ".join), n_tokens=("tok", "size")
+        )
+        return g.astype(
+            {"doc_id": "int64", "chunk_id": "int64", "n_tokens": "int64"}
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        chunk, batch_format="pandas"
+    )

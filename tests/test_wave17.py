@@ -576,3 +576,34 @@ def test_video_hash_pairs_middle_frame():
     out = video_hash_pairs(media, max_hamming=3).to_pandas()
     got = {(int(r.doc_a), int(r.doc_b)) for r in out.itertuples()}
     assert got == {(1, 3)}
+
+
+def test_chunk_documents_overlap_and_tail():
+    from kgflow.ops.text import chunk_documents
+
+    # 10 tokens, size=4, stride=3 -> starts 0,3,6,9
+    text = " ".join(f"w{i}" for i in range(10))
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([7], dtype="int64"),
+                      "text": [text]})
+    )
+    out = (
+        chunk_documents(ds, size=4, stride=3)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert out["chunk_id"].tolist() == [0, 1, 2, 3]
+    assert out["chunk_text"].tolist() == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+        "w9",
+    ]
+    assert out["n_tokens"].tolist() == [4, 4, 4, 1]
+    # empty doc contributes no chunks
+    ds2 = rd.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([1], dtype="int64"),
+                      "text": ["   "]})
+    )
+    assert chunk_documents(ds2).count() == 0

@@ -2740,6 +2740,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_core(edges, k=2)
 
+    def events_kanon(sf_dir: str):
+        """Oracle-checked: k-anonymity audit (Sweeney 2002) — the
+        (event_type, props) quasi-identifier combinations held by
+        fewer than 12 distinct users, i.e. the re-identifying rows a
+        release gate must suppress (k chosen so the audit bites at
+        both test scale factors — non-vacuous oracle)
+        (`kgflow.ops.checks.k_anonymity_violations`)."""
+        from kgflow.ops.checks import k_anonymity_violations
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "props", "user_id"],
+        )
+        return k_anonymity_violations(
+            ev, quasi_cols=["event_type", "props"], id_col="user_id", k=12
+        )
+
     def doc_chunks(sf_dir: str):
         """Oracle-checked: RAG-style overlapping token chunking —
         chunk c covers lowercase \\w+ tokens [c·48, c·48+64); the
@@ -4515,6 +4533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": doc_line_dedup,
         "events_decayed_avg": events_decayed_avg,
         "doc_chunks": doc_chunks,
+        "events_kanon": events_kanon,
         "q13_custdist": q13_custdist,
         "q14_promo": q14_promo,
         "q15_top_supplier": q15_top_supplier,
@@ -4879,6 +4898,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*) AS core_deg
             FROM (SELECT unnest([u, v]) AS node FROM fpeel)
             GROUP BY node
+        """,
+        "events_kanon": """
+            SELECT event_type, props,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects
+            FROM events GROUP BY 1, 2
+            HAVING count(DISTINCT user_id) < 12
         """,
         "doc_chunks": r"""
             WITH t AS (

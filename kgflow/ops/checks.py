@@ -267,3 +267,34 @@ def fd_violations(
         reduce_fn=finish,
         num_buckets=num_buckets,
     )
+
+
+def k_anonymity_violations(
+    ds: "rd.Dataset",
+    quasi_cols: "list[str]",
+    id_col: str,
+    k: int = 5,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Privacy audit (Sweeney 2002 k-anonymity): a quasi-identifier
+    combination held by FEWER than ``k`` distinct subjects
+    re-identifies them — return exactly those combinations with their
+    subject counts (quasi_cols…, n_subjects), the rows a release gate
+    must suppress or generalize before data leaves the pipeline.
+
+    Scale shape: rides :func:`kgflow.ops.shuffle.grouped_distinct_count`
+    — per-batch (quasi, subject) dedup combiners, a (quasi, subject)-
+    bucketed exchange (hot quasi-groups SPREAD across buckets), tiny
+    partial-sum shuffle — then a map-side ``< k`` filter; the output is
+    violation-bounded, not table-bounded."""
+    from kgflow.ops.shuffle import grouped_distinct_count
+
+    if k < 2:
+        raise ValueError("k_anonymity_violations: k must be >= 2")
+    counts = grouped_distinct_count(
+        ds, group_cols=list(quasi_cols), value_col=id_col,
+        out_col="n_subjects", num_buckets=num_buckets,
+    )
+    return counts.map_batches(
+        lambda d: d.loc[d["n_subjects"] < k], batch_format="pandas"
+    )

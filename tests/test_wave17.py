@@ -607,3 +607,25 @@ def test_chunk_documents_overlap_and_tail():
                       "text": ["   "]})
     )
     assert chunk_documents(ds2).count() == 0
+
+
+def test_k_anonymity_violations():
+    from kgflow.ops.checks import k_anonymity_violations
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "zip": ["111", "111", "111", "222", "222", "222"],
+                "age": ["30", "30", "30", "40", "40", "40"],
+                "uid": pd.Series([1, 2, 3, 7, 7, 8], dtype="int64"),
+            }
+        )
+    )
+    out = k_anonymity_violations(
+        ds, quasi_cols=["zip", "age"], id_col="uid", k=3
+    ).to_pandas()
+    # (111,30) has 3 distinct uids -> safe; (222,40) has 2 -> violation
+    assert len(out) == 1
+    assert out.iloc[0]["zip"] == "222" and int(out.iloc[0]["n_subjects"]) == 2
+    with pytest.raises(ValueError, match=">= 2"):
+        k_anonymity_violations(ds, ["zip"], "uid", k=1)

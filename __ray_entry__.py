@@ -229,6 +229,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         new = dedup_edges(canon)
         return edges_delta(old, new)
 
+    def kg_link_graph(sf_dir: str):
+        """Rows-only (semantics pinned on planted html in
+        tests/test_wave17.py): domain-level link graph from raw crawl
+        html — anchors planted deterministically (page i links to
+        pages 2i and 3i+1 of the url wheel) since the fixture html has
+        none; extraction is one vectorized extractall per batch, html
+        never rides a shuffle (`kgflow.ops.web.domain_link_graph`)."""
+        import pandas as _pd
+
+        from kgflow.ops.web import domain_link_graph
+        from kgflow.pipelines.kg import KgConfig, read_pages
+
+        def plant(df: _pd.DataFrame) -> _pd.DataFrame:
+            n = (
+                df["url"]
+                .astype(str)
+                .str.extract(r"(\d+)$")[0]
+                .fillna("0")
+                .astype("int64")
+            )
+            a1 = (
+                "<a href=\"https://site"
+                + ((2 * n) % 1000).astype(str)
+                + ".example/page/"
+                + (2 * n).astype(str)
+                + "\">next</a>"
+            )
+            a2 = (
+                "<a href=\"https://site"
+                + ((3 * n + 1) % 1000).astype(str)
+                + ".example/page/"
+                + (3 * n + 1).astype(str)
+                + "\">related</a>"
+            )
+            html = df["html"].apply(
+                lambda b: b.decode("utf-8", "replace")
+                if isinstance(b, (bytes, bytearray))
+                else str(b)
+            )
+            out = (html + a1 + a2).str.encode("utf-8")
+            return _pd.DataFrame({"url": df["url"], "html": out})
+
+        cfg = KgConfig(read_columns=["url", "html"])
+        pages = read_pages(_pages_dir(sf_dir), cfg).map_batches(
+            plant, batch_format="pandas"
+        )
+        return domain_link_graph(pages)
+
     def kg_functional_violations(sf_dir: str):
         """Rows-only (semantics pinned on planted inputs in
         tests/test_wave17.py): constraint audit — subjects asserting
@@ -4367,6 +4415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_evidence": kg_edge_evidence,
         "kg_functional_violations": kg_functional_violations,
         "kg_snapshot_delta": kg_snapshot_delta,
+        "kg_link_graph": kg_link_graph,
         "kg_nodes": kg_nodes,
         "kg_pagerank": kg_pagerank,
         "kg_triple_prf": kg_triple_prf,

@@ -344,3 +344,81 @@ def functional_violations(
         reduce_fn=final,
         num_buckets=num_buckets,
     )
+
+
+_HREF_RE = r'<a\s+[^>]*href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def extract_links(pages: "rd.Dataset") -> "rd.Dataset":
+    """Anchor extraction from raw html — the crawl's link-graph feed:
+    (src_url, href, anchor) per <a href="..."> tag, in document order.
+    Vectorized: one pandas ``str.extractall`` (compiled C regex) per
+    batch over the decoded html column; no per-row Python. The regex
+    deliberately handles only well-formed double-quoted hrefs with
+    text-only anchors — crawl-grade HTML needs a real parser behind
+    the same signature (the multimodal codec precedent)."""
+
+    def links(df: pd.DataFrame) -> pd.DataFrame:
+        html = df["html"].apply(
+            lambda b: b.decode("utf-8", "replace")
+            if isinstance(b, (bytes, bytearray))
+            else str(b)
+        )
+        m = html.str.extractall(_HREF_RE)
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "src_url": pd.Series([], dtype=object),
+                    "href": pd.Series([], dtype=object),
+                    "anchor": pd.Series([], dtype=object),
+                }
+            )
+        src = df["url"].astype(str)
+        return pd.DataFrame(
+            {
+                "src_url": src.reindex(
+                    m.index.get_level_values(0)
+                ).to_numpy(),
+                "href": m[0].to_numpy(dtype=object),
+                "anchor": m[1].to_numpy(dtype=object),
+            }
+        )
+
+    return pages.select_columns(["url", "html"]).map_batches(
+        links, batch_format="pandas"
+    )
+
+
+def domain_link_graph(
+    pages: "rd.Dataset", num_buckets: int | None = None
+) -> "rd.Dataset":
+    """Domain-level link graph from raw crawl html: extract anchors,
+    reduce (src_domain, dst_domain) pairs to link counts — the edge
+    list PageRank/HITS-style crawl prioritization runs on. Self-loops
+    (intra-domain navigation) are kept: their weight is the
+    site-structure signal. ONE domain-pair-keyed exchange of count
+    partials; html never rides a shuffle."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    host_re = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)"
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        src = (
+            df["src_url"].astype(str).str.extract(host_re)[0].str.lower()
+        )
+        dst = df["href"].astype(str).str.extract(host_re)[0].str.lower()
+        d = pd.DataFrame({"src_domain": src, "dst_domain": dst}).dropna()
+        return d.groupby(
+            ["src_domain", "dst_domain"], as_index=False
+        ).size().rename(columns={"size": "n_links"})
+
+    return bucketed_group_reduce(
+        extract_links(pages).map_batches(
+            pair_partial, batch_format="pandas"
+        ),
+        key_cols=["src_domain", "dst_domain"],
+        reduce_fn=lambda g: g.groupby(
+            ["src_domain", "dst_domain"], as_index=False
+        )["n_links"].sum().astype({"n_links": "int64"}),
+        num_buckets=num_buckets,
+    )

@@ -629,3 +629,46 @@ def test_k_anonymity_violations():
     assert out.iloc[0]["zip"] == "222" and int(out.iloc[0]["n_subjects"]) == 2
     with pytest.raises(ValueError, match=">= 2"):
         k_anonymity_violations(ds, ["zip"], "uid", k=1)
+
+
+def test_extract_links_and_domain_graph():
+    from kgflow.ops.web import domain_link_graph, extract_links
+
+    pages = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "url": [
+                    "https://a.example/p1",
+                    "https://a.example/p2",
+                    "https://b.example/x",
+                ],
+                "html": [
+                    b'<p>hi</p><a href="https://b.example/y">to b</a>'
+                    b'<a href="https://a.example/p2">self</a>',
+                    b"<p>no links here</p>",
+                    b'<a class="z" href="https://a.example/p1">back</a>',
+                ],
+            }
+        )
+    )
+    links = (
+        extract_links(pages)
+        .to_pandas()
+        .sort_values(["src_url", "href"])
+        .reset_index(drop=True)
+    )
+    assert links["href"].tolist() == [
+        "https://a.example/p2",
+        "https://b.example/y",
+        "https://a.example/p1",
+    ]
+    assert links["anchor"].tolist() == ["self", "to b", "back"]
+    g = domain_link_graph(pages).to_pandas()
+    got = {
+        (r.src_domain, r.dst_domain): int(r.n_links) for r in g.itertuples()
+    }
+    assert got == {
+        ("a.example", "b.example"): 1,
+        ("a.example", "a.example"): 1,  # self-loop kept
+        ("b.example", "a.example"): 1,
+    }

@@ -733,6 +733,13 @@ def hamming_band_pairs(
             grp = grp.drop_duplicates("doc_id")
             if len(grp) < 2:
                 continue
+            if len(grp) > bucket_cap:
+                # no silent caps: surface the drop in task logs
+                print(
+                    f"hamming_band_pairs: capping band bucket of "
+                    f"{len(grp)} ids to {bucket_cap} "
+                    f"({len(grp) - bucket_cap} dropped)"
+                )
             grp = grp.sort_values("doc_id").head(bucket_cap)
             ids = grp["doc_id"].to_numpy()
             shs = grp["simhash"].to_numpy(dtype=np.uint64)

@@ -1,9 +1,11 @@
-"""Wave-68 SemDeDup (Abbas et al. 2023, arXiv:2303.09540): exact
-k-means E-step clustering + within-cluster greedy integer-cosine
-dedup. The registered embed_semdedup query is SQL-oracled (planted
-exact duplicates); these tests pin the semantics the oracle cannot
-see — non-identical near-dups, the greedy-chain keep rule, the loud
-cluster cap, and the int64 overflow guard."""
+"""Wave-68 session additions: SemDeDup (Abbas et al. 2023),
+synchronous label propagation, CCNet line dedup, neighbor-Jaccard
+link scores, KG edge evidence / functional-constraint / snapshot
+delta, perceptual near-dup across image/audio/video, RAG chunking,
+k-anonymity audit, crawl link graph. Oracled queries get their exact
+gate from the driver sweep; these tests pin what the oracles cannot
+see — non-identical near-dups, chain/keep-rule semantics, loud caps
+and guards, forced distributed paths, planted-input exactness."""
 
 import numpy as np
 import pandas as pd

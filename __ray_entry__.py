@@ -4346,6 +4346,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             li, hub_col="l_partkey", leaf_col="l_suppkey"
         )
 
+    def graph_scc(sf_dir: str):
+        """Oracle-checked (recursive-CTE mutual-reach closure): EXACT
+        strongly connected components over a DIRECTED mod-389
+        part→supplier graph from high-quantity lineitems — the
+        directed counterpart of connected components (KG use: cycle
+        detection in is-a taxonomies, mutual-link crawl cores).
+        Distributed path = Orzan-style max-id coloring (forward-max
+        propagation + backward collect per peel round, E-bounded
+        passes, V-bounded driver state); gate-scale edge sets take
+        the driver-resident Kosaraju fast path with the same output
+        contract (`kgflow.ops.graph.strongly_connected_components`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import strongly_connected_components
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 49.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 389,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 389,
+                }
+            ).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return strongly_connected_components(edges)
+
     def events_next_entropy(sf_dir: str):
         """Oracle-checked: per-event-type successor entropy (nats) over
         each user's (ts, id)-ordered stream — transition_counts (one
@@ -4535,6 +4566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hot_ngrams": doc_hot_ngrams,
         "graph_adamic_adar": graph_adamic_adar,
         "graph_jaccard": graph_jaccard,
+        "graph_scc": graph_scc,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -7896,6 +7928,31 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.hop < 4
             )
             SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        # SCC = mutual reachability: scc_id(u) = min over {u} ∪ {v :
+        # u →* v AND v →* u}, computed from the full recursive reach
+        # closure (V ≤ 389, so the closure stays tiny)
+        "graph_scc": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT (l_partkey % 389)::BIGINT AS src,
+                              (l_suppkey % 389)::BIGINT AS dst
+              FROM lineitem WHERE l_quantity >= 49
+            ), n AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), reach(a, b) AS (
+              SELECT src, dst FROM e
+              UNION
+              SELECT r.a, e2.dst FROM reach r JOIN e e2 ON e2.src = r.b
+            )
+            SELECT n.node AS node,
+                   LEAST(n.node,
+                         COALESCE(MIN(CASE WHEN r2.a IS NOT NULL
+                                           THEN r1.b END),
+                                  n.node)) AS scc_id
+            FROM n
+            LEFT JOIN reach r1 ON r1.a = n.node
+            LEFT JOIN reach r2 ON r2.a = r1.b AND r2.b = n.node
+            GROUP BY n.node
         """,
         # sorted-neighborhood blocking: rank by the normalized 24-char
         # prefix (doc_id tiebreak), pair everything within 5 positions

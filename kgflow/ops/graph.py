@@ -1912,3 +1912,262 @@ def jaccard_link_scores(
         )
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def _scc_driver(edf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-resident Kosaraju SCC over a bounded (src, dst) edge
+    frame — same output contract as the distributed coloring path
+    (scc_id = smallest member id) via a different exact algorithm
+    (two iterative DFS sweeps, O(V+E), no round caps needed)."""
+    src = edf["src"].to_numpy(dtype=np.int64)
+    dst = edf["dst"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "scc_id": pd.Series([], dtype="int64"),
+            }
+        )
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    fwd: list[list[int]] = [[] for _ in range(n)]
+    rev: list[list[int]] = [[] for _ in range(n)]
+    for a, b in zip(si.tolist(), di.tolist()):
+        fwd[a].append(b)
+        rev[b].append(a)
+
+    # pass 1: DFS finish order on the forward graph (iterative stack)
+    seen = np.zeros(n, dtype=bool)
+    order: list[int] = []
+    for root in range(n):
+        if seen[root]:
+            continue
+        seen[root] = True
+        stack: list[list[int]] = [[root, 0]]
+        while stack:
+            u, i = stack[-1]
+            if i < len(fwd[u]):
+                stack[-1][1] = i + 1
+                v = fwd[u][i]
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append([v, 0])
+            else:
+                order.append(u)
+                stack.pop()
+
+    # pass 2: reverse-graph DFS in reverse finish order
+    comp = np.full(n, -1, dtype=np.int64)
+    for u in reversed(order):
+        if comp[u] != -1:
+            continue
+        comp[u] = u
+        st = [u]
+        while st:
+            x = st.pop()
+            for y in rev[x]:
+                if comp[y] == -1:
+                    comp[y] = u
+                    st.append(y)
+
+    out = pd.DataFrame({"node": nodes, "g": comp})
+    out["scc_id"] = out.groupby("g")["node"].transform("min")
+    return out[["node", "scc_id"]].astype("int64")
+
+
+def strongly_connected_components(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
+    max_peel_rounds: int = 64,
+    max_prop_rounds: int = 512,
+) -> "rd.Dataset":
+    """EXACT strongly connected components over a DIRECTED edge list:
+    returns (node, scc_id) where scc_id is the smallest member id of
+    the node's SCC — the directed counterpart of `linking.cc` (the KG
+    use: cycle detection in is-a/part-of taxonomies, mutual-link
+    cores in the crawl domain graph; every SCC of size > 1 is a
+    cycle the reference's triple post-processing would never find).
+
+    Distributed path = the classic max-id COLORING algorithm (Orzan's
+    forward-max / backward-collect scheme, the standard Pregel-style
+    SCC): per peel round (1) propagate the max node id forward along
+    active edges to fixpoint — each iteration is ONE E-bounded pass
+    (broadcast color array, per-batch dst-max combiner) + one
+    node-keyed max reduce + a ≤V-row driver pull; (2) each color
+    class has exactly one root (the class max, color[r]==r); collect
+    the root's SCC by backward BFS within its color class (same
+    E-bounded pass shape); (3) label members scc_id = min member id
+    and deactivate. The overall-max active node is always a root, so
+    every round peels ≥1 SCC. The color/active arrays are V-bounded
+    driver state — the same documented iterative-state exception as
+    `pagerank`/`bfs_hops`.
+
+    Loud caps, not silent ones: an adversarial id-decreasing DAG
+    chain needs O(chain) peel rounds — past ``max_peel_rounds`` /
+    ``max_prop_rounds`` this raises with the unresolved count rather
+    than degrading. Edge sets ≤ ``driver_limit`` rows run
+    driver-resident Kosaraju instead (`_scc_driver`, the
+    `_tri_driver`/CC precedent); ``driver_limit=0`` forces the
+    distributed path (tests pin driver == distributed).
+    """
+    import ray
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(dtype=np.int64),
+                "dst": df[dst_col].to_numpy(dtype=np.int64),
+            }
+        )
+
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()  # E-bounded; re-read every propagation pass
+    )
+
+    empty = pd.DataFrame(
+        {
+            "node": pd.Series([], dtype="int64"),
+            "scc_id": pd.Series([], dtype="int64"),
+        }
+    )
+    if e.count() == 0:
+        return rd.from_pandas(empty)
+
+    if driver_limit > 0 and e.count() <= driver_limit:
+        return rd.from_pandas(_scc_driver(e.to_pandas()))
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.unique(
+                    np.concatenate(
+                        [df["src"].to_numpy(), df["dst"].to_numpy()]
+                    )
+                )
+            }
+        )
+
+    nd = bucketed_group_reduce(
+        e.map_batches(node_partial, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=lambda g: g.drop_duplicates(),
+        num_buckets=num_buckets,
+    ).to_pandas()  # V-bounded pull (iterative state, pagerank precedent)
+    node_ids = np.sort(nd["node"].to_numpy(dtype=np.int64))
+    n_nodes = len(node_ids)
+
+    scc = np.full(n_nodes, -1, dtype=np.int64)
+    active = np.ones(n_nodes, dtype=bool)
+
+    for _peel in range(max_peel_rounds):
+        if not active.any():
+            break
+        color = node_ids.copy()
+
+        # (1) forward max-id propagation to fixpoint
+        for _it in range(max_prop_rounds):
+            ref = ray.put((node_ids, color, active))
+
+            def push(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+                ids, col, act = ray.get(_r)
+                s = df["src"].to_numpy(dtype=np.int64)
+                d = df["dst"].to_numpy(dtype=np.int64)
+                a = np.searchsorted(ids, s)
+                b = np.searchsorted(ids, d)
+                m = act[a] & act[b] & (col[a] > col[b])
+                if not m.any():
+                    return pd.DataFrame(
+                        {
+                            "node": pd.Series([], dtype="int64"),
+                            "c": pd.Series([], dtype="int64"),
+                        }
+                    )
+                g = pd.DataFrame({"node": d[m], "c": col[a[m]]})
+                return g.groupby("node", as_index=False)["c"].max()
+
+            upd = bucketed_group_reduce(
+                e.map_batches(push, batch_format="pandas"),
+                key_cols=["node"],
+                reduce_fn=lambda g: g.groupby("node", as_index=False)[
+                    "c"
+                ].max(),
+                num_buckets=num_buckets,
+            ).to_pandas()  # ≤V rows (iterative state)
+            if upd.empty:
+                break
+            at = np.searchsorted(node_ids, upd["node"].to_numpy(np.int64))
+            newc = upd["c"].to_numpy(np.int64)
+            better = newc > color[at]
+            if not better.any():
+                break
+            color[at[better]] = newc[better]
+        else:
+            raise RuntimeError(
+                "strongly_connected_components: forward propagation "
+                f"exceeded max_prop_rounds={max_prop_rounds}"
+            )
+
+        # (2) backward collect within each color class from its root
+        member = active & (color == node_ids)
+        frontier = node_ids[member]
+        while frontier.size:
+            ref = ray.put((node_ids, color, active, member, frontier))
+
+            def back(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+                ids, col, act, mem, fr = ray.get(_r)
+                s = df["src"].to_numpy(dtype=np.int64)
+                d = df["dst"].to_numpy(dtype=np.int64)
+                a = np.searchsorted(ids, s)
+                b = np.searchsorted(ids, d)
+                m = (
+                    act[a]
+                    & act[b]
+                    & (col[a] == col[b])
+                    & np.isin(d, fr)
+                    & ~mem[a]
+                )
+                return pd.DataFrame({"node": np.unique(s[m])})
+
+            nxt = bucketed_group_reduce(
+                e.map_batches(back, batch_format="pandas"),
+                key_cols=["node"],
+                reduce_fn=lambda g: g.drop_duplicates(),
+                num_buckets=num_buckets,
+            ).to_pandas()  # ≤|new frontier| rows
+            if nxt.empty:
+                break
+            ni = np.searchsorted(
+                node_ids, np.sort(nxt["node"].to_numpy(np.int64))
+            )
+            ni = ni[~member[ni]]
+            if ni.size == 0:
+                break
+            member[ni] = True
+            frontier = node_ids[ni]
+
+        # (3) label scc_id = min member id per color class; deactivate
+        midx = np.flatnonzero(member)
+        lab = pd.DataFrame(
+            {"root": color[midx], "node": node_ids[midx]}
+        )
+        lab["scc_id"] = lab.groupby("root")["node"].transform("min")
+        scc[midx] = lab["scc_id"].to_numpy(dtype=np.int64)
+        active[midx] = False
+    else:
+        if active.any():
+            raise RuntimeError(
+                "strongly_connected_components: exceeded "
+                f"max_peel_rounds={max_peel_rounds} with "
+                f"{int(active.sum())} nodes unresolved"
+            )
+
+    return rd.from_pandas(pd.DataFrame({"node": node_ids, "scc_id": scc}))

@@ -674,3 +674,81 @@ def test_extract_links_and_domain_graph():
         ("a.example", "a.example"): 1,  # self-loop kept
         ("b.example", "a.example"): 1,
     }
+
+
+class TestStronglyConnectedComponents:
+    """Planted-graph semantics for `graph.strongly_connected_components`
+    — both the driver Kosaraju fast path and the FORCED distributed
+    coloring path (driver_limit=0), which the gate-scale query never
+    exercises on its own."""
+
+    def _run(self, edf, **kw):
+        from kgflow.ops.graph import strongly_connected_components
+
+        return (
+            strongly_connected_components(rd.from_pandas(edf), **kw)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+
+    def test_planted_cycles_both_paths(self):
+        # cycle {1,2,3}, cycle {10,11}, DAG bridge 3->10, tail 3->20,
+        # separate pair 30->31 (no back edge => two singletons)
+        edf = pd.DataFrame(
+            {
+                "src": [1, 2, 3, 10, 11, 3, 3, 30],
+                "dst": [2, 3, 1, 11, 10, 10, 20, 31],
+            }
+        )
+        exp = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 30: 30, 31: 31}
+        for dl in (10**6, 0):
+            out = self._run(edf, driver_limit=dl)
+            assert dict(zip(out["node"], out["scc_id"])) == exp
+            assert out["scc_id"].dtype == np.int64
+
+    def test_id_decreasing_chain_peels_one_per_round(self):
+        # worst case for coloring: 5->4->3->2->1 needs 5 peel rounds,
+        # all singleton SCCs
+        edf = pd.DataFrame({"src": [5, 4, 3, 2], "dst": [4, 3, 2, 1]})
+        out = self._run(edf, driver_limit=0, max_peel_rounds=5)
+        assert sorted(out["scc_id"].tolist()) == [1, 2, 3, 4, 5]
+
+    def test_peel_cap_raises_loudly(self):
+        from kgflow.ops.graph import strongly_connected_components
+
+        edf = pd.DataFrame({"src": [5, 4, 3, 2], "dst": [4, 3, 2, 1]})
+        with pytest.raises(RuntimeError, match="max_peel_rounds"):
+            strongly_connected_components(
+                rd.from_pandas(edf), driver_limit=0, max_peel_rounds=2
+            )
+
+    def test_random_functional_graph_distributed_matches_kosaraju(self):
+        rng = np.random.default_rng(7)
+        v = 200
+        edf = pd.DataFrame(
+            {
+                "src": np.arange(v, dtype=np.int64),
+                "dst": rng.integers(0, v, v).astype(np.int64),
+            }
+        )
+        a = self._run(edf, driver_limit=10**6)
+        b = self._run(edf, driver_limit=0)
+        pd.testing.assert_frame_equal(a, b)
+        # a functional graph's non-singleton SCCs are exactly its cycles
+        assert a["scc_id"].nunique() > 1
+
+    def test_empty_and_self_loop(self):
+        out = self._run(pd.DataFrame({"src": [7], "dst": [7]}))
+        assert out["node"].tolist() == [7] and out["scc_id"].tolist() == [7]
+        from kgflow.ops.graph import strongly_connected_components
+
+        e = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+        assert strongly_connected_components(e).count() == 0

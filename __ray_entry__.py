@@ -289,6 +289,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         canon, _ = canonical_triples(_triples_mat(sf_dir))
         return functional_violations(canon, ["born_in", "capital_of"])
 
+    def kg_inverse_relations(sf_dir: str):
+        """Rows-only (semantics pinned on planted inputs in
+        tests/test_wave17.py): schema induction — detect inverse and
+        symmetric relation pairs from the canonical triples alone
+        (the AMIE-style r1(a,b) ⇒ r2(b,a) pattern): one unordered
+        entity-pair exchange, relation²-bounded tail
+        (`kgflow.ops.web.inverse_relation_audit`)."""
+        from kgflow.linking.link import canonical_triples
+        from kgflow.ops.web import inverse_relation_audit
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        return inverse_relation_audit(canon)
+
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
@@ -4445,6 +4458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_edge_evidence": kg_edge_evidence,
         "kg_functional_violations": kg_functional_violations,
+        "kg_inverse_relations": kg_inverse_relations,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_link_graph": kg_link_graph,
         "kg_nodes": kg_nodes,

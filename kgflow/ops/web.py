@@ -422,3 +422,178 @@ def domain_link_graph(
         )["n_links"].sum().astype({"n_links": "int64"}),
         num_buckets=num_buckets,
     )
+
+
+def inverse_relation_audit(
+    edges: "rd.Dataset",
+    subj_col: str = "subj_canonical",
+    rel_col: str = "rel",
+    obj_col: str = "obj_canonical",
+    min_support: int = 1,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Schema-induction audit for KG construction: detect INVERSE and
+    SYMMETRIC relation pairs from the data alone (the AMIE-style
+    r1(a,b) ⇒ r2(b,a) pattern) — e.g. `capital_of` vs `has_capital`,
+    or a symmetric `borders`. For every unordered relation pair
+    {rel_a ≤ rel_b} (rel_a == rel_b scores symmetry), return
+    (rel_a, rel_b, n_a, n_b, n_pairs, score) where n_pairs counts
+    distinct entity pairs (a, b), a ≠ b, asserting rel_a(a,b) AND
+    rel_b(b,a), n_* are each relation's distinct non-loop pair
+    counts, and score = n_pairs / min(n_a, n_b) ∈ [0, 1]. High score
+    ⇒ the pair is (near-)inverse: merge candidates for the ontology,
+    or redundant extractions to canonicalize.
+
+    Scale shape: per-block combiners dedup (subj, rel, obj) and fold
+    each triple to ONE 4-int-ish row keyed by the UNORDERED entity
+    pair (lo, hi) with an orientation bit; one (lo, hi)-keyed
+    exchange emits per-group relation-pair partials (group fan-out is
+    |rels-in-group|², relation-vocab-bounded); a second
+    relation²-bounded sum and a relation-bounded count table finish
+    on tiny tables. Self-loops (a == a) are excluded — they satisfy
+    every inverse vacuously."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if min_support < 1:
+        raise ValueError("inverse_relation_audit: min_support must be >= 1")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[subj_col, rel_col, obj_col]].drop_duplicates()
+        d = d.rename(
+            columns={subj_col: "s", rel_col: "rel", obj_col: "o"}
+        )
+        d = d.loc[d["s"] != d["o"]]
+        s = d["s"].astype(str)
+        o = d["o"].astype(str)
+        swap = s > o
+        return pd.DataFrame(
+            {
+                "lo": s.where(~swap, o),
+                "hi": o.where(~swap, s),
+                "dir": swap.astype(np.int64),
+                "rel": d["rel"].astype(str),
+            }
+        ).drop_duplicates()
+
+    folded = bucketed_group_reduce(
+        edges.select_columns([subj_col, rel_col, obj_col]).map_batches(
+            fold, batch_format="pandas"
+        ),
+        key_cols=["lo", "hi"],
+        reduce_fn=lambda g: g.drop_duplicates(),
+        num_buckets=num_buckets,
+    ).materialize()  # distinct-triple-bounded; reused by both sums
+
+    # per-relation distinct non-loop pair counts (relation-bounded)
+    def rel_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "rel" not in df.columns:  # schema-less empty
+            return pd.DataFrame(
+                {
+                    "rel": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("rel", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    rel_counts = (
+        bucketed_group_reduce(
+            folded.map_batches(rel_partial, batch_format="pandas"),
+            key_cols=["rel"],
+            reduce_fn=lambda g: g.groupby("rel", as_index=False)["n"].sum(),
+            num_buckets=num_buckets,
+        ).to_pandas()  # relation-vocab-bounded pull
+    )
+
+    # per-entity-pair relation-pair partials: for (r1, d) and (r2, 1-d)
+    # in the same group, the unordered pair {r1, r2} gains one instance
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "dir" not in df.columns:  # schema-less empty
+            return pd.DataFrame(
+                {
+                    "rel_a": pd.Series([], dtype="object"),
+                    "rel_b": pd.Series([], dtype="object"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                }
+            )
+        d0 = df.loc[df["dir"] == 0, ["lo", "hi", "rel"]]
+        d1 = df.loc[df["dir"] == 1, ["lo", "hi", "rel"]]
+        m = d0.merge(d1, on=["lo", "hi"], suffixes=("_0", "_1"))
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "rel_a": pd.Series([], dtype="object"),
+                    "rel_b": pd.Series([], dtype="object"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                }
+            )
+        ra = m["rel_0"].to_numpy(dtype=object)
+        rb = m["rel_1"].to_numpy(dtype=object)
+        sw = ra > rb
+        t = pd.DataFrame(
+            {
+                "lo": m["lo"],
+                "hi": m["hi"],
+                "rel_a": np.where(sw, rb, ra),
+                "rel_b": np.where(sw, ra, rb),
+            }
+        )
+        # one count per unordered ENTITY pair: r1/r2 both asserted in
+        # both directions must not double-count the same entity pair
+        t = t.drop_duplicates()
+        g = t.groupby(["rel_a", "rel_b"], as_index=False).size()
+        return g.rename(columns={"size": "n_pairs"})
+
+    # batch_size=None: whole blocks — the folded reduce emits each
+    # (lo, hi) bucket as ONE block, so the merge sees complete groups
+    pairs = bucketed_group_reduce(
+        folded.map_batches(
+            pair_partial, batch_format="pandas", batch_size=None
+        ),
+        key_cols=["rel_a", "rel_b"],
+        reduce_fn=lambda g: g.groupby(["rel_a", "rel_b"], as_index=False)[
+            "n_pairs"
+        ].sum(),
+        num_buckets=num_buckets,
+    )
+
+    import ray
+
+    if "rel" not in rel_counts.columns:  # schema-less empty pull
+        rel_counts = pd.DataFrame({"rel": [], "n": []})
+    rc_ref = ray.put(
+        dict(zip(rel_counts["rel"].astype(str), rel_counts["n"].astype(int)))
+    )
+
+    def finish(df: pd.DataFrame, _rc=rc_ref) -> pd.DataFrame:
+        rc = ray.get(_rc)
+        if not len(df) or "n_pairs" not in df.columns:
+            d = pd.DataFrame()
+        else:
+            d = df.loc[df["n_pairs"] >= min_support].copy()
+        if not len(d):
+            return pd.DataFrame(
+                {
+                    "rel_a": pd.Series([], dtype="object"),
+                    "rel_b": pd.Series([], dtype="object"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_b": pd.Series([], dtype="int64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        na = d["rel_a"].map(rc).astype("int64")
+        nb = d["rel_b"].map(rc).astype("int64")
+        d["n_a"] = na
+        d["n_b"] = nb
+        d["n_pairs"] = d["n_pairs"].astype("int64")
+        # diagonal (symmetry) counts each unordered pair once against a
+        # directed n_r, so it saturates at 0.5 — scale by 2 so a fully
+        # symmetric relation scores 1.0 like a perfect inverse pair
+        diag = (d["rel_a"] == d["rel_b"]).to_numpy()
+        d["score"] = np.where(diag, 2.0, 1.0) * d["n_pairs"] / np.minimum(
+            na, nb
+        )
+        return d[["rel_a", "rel_b", "n_a", "n_b", "n_pairs", "score"]]
+
+    return pairs.map_batches(finish, batch_format="pandas")

@@ -752,3 +752,84 @@ class TestStronglyConnectedComponents:
             )
         )
         assert strongly_connected_components(e).count() == 0
+
+
+class TestInverseRelationAudit:
+    """Planted semantics for `web.inverse_relation_audit` — the
+    kg_inverse_relations query is rows-only (stub-model triples), so
+    these pin the exact counts/scores."""
+
+    def _run(self, tri, **kw):
+        from kgflow.ops.web import inverse_relation_audit
+
+        return (
+            inverse_relation_audit(rd.from_pandas(tri), **kw)
+            .to_pandas()
+            .sort_values(["rel_a", "rel_b"])
+            .reset_index(drop=True)
+        )
+
+    def _tri(self):
+        return pd.DataFrame(
+            {
+                "subj_canonical": [
+                    "a", "b", "c", "x", "y", "p", "q", "m", "m2", "a",
+                ],
+                "rel": [
+                    "cap_of", "has_cap", "cap_of", "borders", "borders",
+                    "born_in", "born_in", "cap_of", "has_cap", "cap_of",
+                ],
+                "obj_canonical": [
+                    "b", "a", "d", "y", "x", "q", "r", "m2", "m", "b",
+                ],
+            }
+        )
+
+    def test_inverse_and_symmetric_scores(self):
+        out = self._run(self._tri())
+        got = {
+            (r.rel_a, r.rel_b): (
+                int(r.n_a), int(r.n_b), int(r.n_pairs), float(r.score)
+            )
+            for r in out.itertuples()
+        }
+        # cap_of: pairs (a,b),(c,d),(m,m2) [dup triple deduped] n=3;
+        # has_cap: (b,a),(m2,m) n=2; overlap {a,b},{m,m2} -> 2 -> 1.0
+        # borders: symmetric on {x,y}: n=2 directed, 1 pair, 2*1/2=1.0
+        assert got == {
+            ("borders", "borders"): (2, 2, 1, 1.0),
+            ("cap_of", "has_cap"): (3, 2, 2, 1.0),
+        }
+
+    def test_min_support_and_double_direction_dedup(self):
+        out = self._run(self._tri(), min_support=2)
+        assert len(out) == 1 and out.iloc[0]["rel_a"] == "cap_of"
+        # r1 and r2 both asserted in BOTH directions on one entity
+        # pair: still one entity-pair instance, not two
+        tri = pd.DataFrame(
+            {
+                "subj_canonical": ["a", "b", "a", "b"],
+                "rel": ["r1", "r1", "r2", "r2"],
+                "obj_canonical": ["b", "a", "b", "a"],
+            }
+        )
+        out = self._run(tri)
+        row = out.loc[
+            (out["rel_a"] == "r1") & (out["rel_b"] == "r2")
+        ].iloc[0]
+        assert int(row["n_pairs"]) == 1 and float(row["score"]) == 0.5
+
+    def test_self_loops_excluded_and_validation(self):
+        tri = pd.DataFrame(
+            {
+                "subj_canonical": ["a"],
+                "rel": ["r"],
+                "obj_canonical": ["a"],
+            }
+        )
+        from kgflow.ops.web import inverse_relation_audit
+
+        assert inverse_relation_audit(rd.from_pandas(tri)).count() == 0
+
+        with pytest.raises(ValueError, match="min_support"):
+            inverse_relation_audit(rd.from_pandas(tri), min_support=0)

@@ -4390,6 +4390,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(pairs, batch_format="pandas")
         return strongly_connected_components(edges)
 
+    def graph_reach(sf_dir: str):
+        """Oracle-checked (recursive CTE, GROUP BY MIN(hops)): bounded
+        transitive closure — every (src, dst, min-hops ≤ 3) pair of the
+        directed mod-389 part→supplier graph (the KG taxonomy-closure /
+        bounded-cycle-detection shape; self pairs certify cycles).
+        Fully dataset-resident pair state: per round ONE mid-keyed
+        expansion exchange + ONE (src, dst)-keyed anti-join against the
+        accumulated closure (`kgflow.ops.graph.reach_pairs`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import reach_pairs
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 49.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 389,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 389,
+                }
+            ).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return reach_pairs(edges, max_hops=3)
+
+    def graph_layers(sf_dir: str):
+        """Oracle-checked (recursive CTE from the source set, GROUP BY
+        MAX(len)): topological layering — longest-path depth per node
+        of the mod-32 src<dst part→supplier DAG (the is-a hierarchy
+        level assignment; raises on cycles). Max-relaxation rounds with
+        broadcast frontier + node-bucketed max-reduce, V-bounded driver
+        state (`kgflow.ops.graph.topo_layers`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import topo_layers
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 47.0]
+            s = d["l_partkey"].to_numpy(dtype=np.int64) % 32
+            t = d["l_suppkey"].to_numpy(dtype=np.int64) % 32
+            m = s < t
+            return pd.DataFrame({"src": s[m], "dst": t[m]}).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return topo_layers(edges)
+
     def events_next_entropy(sf_dir: str):
         """Oracle-checked: per-event-type successor entropy (nats) over
         each user's (ts, id)-ordered stream — transition_counts (one
@@ -4581,6 +4634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_adamic_adar": graph_adamic_adar,
         "graph_jaccard": graph_jaccard,
         "graph_scc": graph_scc,
+        "graph_reach": graph_reach,
+        "graph_layers": graph_layers,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -7942,6 +7997,45 @@ def oracle_sql() -> dict[str, str]:
               WHERE walk.hop < 4
             )
             SELECT node, min(dist) AS dist FROM walk GROUP BY node
+        """,
+        # bounded transitive closure: UNION dedups (src, dst, hops)
+        # states so the hop-bounded recursion terminates on cycles;
+        # min(hops) per pair = BFS-layer shortest path, exactly the
+        # engine's anti-join-per-round semantics
+        "graph_reach": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT (l_partkey % 389)::BIGINT AS src,
+                              (l_suppkey % 389)::BIGINT AS dst
+              FROM lineitem WHERE l_quantity >= 49
+            ), r(src, dst, hops) AS (
+              SELECT src, dst, 1 FROM e
+              UNION
+              SELECT r.src, e.dst, r.hops + 1
+              FROM r JOIN e ON e.src = r.dst
+              WHERE r.hops < 3
+            )
+            SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
+            FROM r GROUP BY src, dst
+        """,
+        # topological layering of the src<dst (hence acyclic) mod-32
+        # graph: recurse all (node, path-len-from-a-source) states
+        # (UNION-deduped, <= V * depth rows), then layer = max(len)
+        "graph_layers": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT (l_partkey % 32)::BIGINT AS src,
+                              (l_suppkey % 32)::BIGINT AS dst
+              FROM lineitem
+              WHERE l_quantity >= 47 AND (l_partkey % 32) < (l_suppkey % 32)
+            ), n AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), p(node, len) AS (
+              SELECT node, 0 FROM n
+              WHERE node NOT IN (SELECT dst FROM e)
+              UNION
+              SELECT e.dst, p.len + 1 FROM p JOIN e ON e.src = p.node
+            )
+            SELECT node, CAST(max(len) AS BIGINT) AS layer
+            FROM p GROUP BY node
         """,
         # SCC = mutual reachability: scc_id(u) = min over {u} ∪ {v :
         # u →* v AND v →* u}, computed from the full recursive reach

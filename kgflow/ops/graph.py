@@ -2171,3 +2171,378 @@ def strongly_connected_components(
             )
 
     return rd.from_pandas(pd.DataFrame({"node": node_ids, "scc_id": scc}))
+
+
+def reach_pairs(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 3,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Bounded transitive closure of a directed edge list: every
+    (src, dst, hops) with hops = the MINIMUM path length ≤ ``max_hops``
+    from src to dst. The KG-construction use is taxonomy / is-a
+    closure (materialize "x is transitively part_of y" up to a depth)
+    and bounded-cycle detection — a self pair (a, a, h) certifies a
+    directed cycle of length h through a.
+
+    Scale shape: unlike `bfs_hops`/`sssp_weighted` (V-bounded driver
+    state), the pair set itself can be V² ≫ driver memory, so ALL
+    state stays in datasets. Per round TWO bucketed exchanges:
+    (1) frontier ⋈ edges keyed on the middle node (tagged union —
+    frontier pairs keyed by their dst, edges by their src; an in-bucket
+    merge emits the h+1 candidates), (2) candidates anti-joined
+    against the accumulated closure keyed (src, dst) so only truly new
+    pairs survive (this re-ships the known closure each round: total
+    exchange cost O(max_hops · |closure|), the semijoin floor for a
+    level-synchronous closure). New pairs are materialized per round
+    (iterative-state exception, see module docstring) and the loop
+    stops early when a round adds nothing.
+
+    Min-hop semantics are exact because rounds are BFS layers: a pair
+    first produced in round h and anti-joined against all pairs of
+    hops < h gets hops = h = its shortest path length. SQL-replayable
+    as a recursive CTE with a hop bound + GROUP BY MIN(hops).
+    """
+    if max_hops < 1:
+        raise ValueError("reach_pairs: max_hops must be >= 1")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(dtype=np.int64),
+                "dst": df[dst_col].to_numpy(dtype=np.int64),
+            }
+        ).drop_duplicates()
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    e = bucketed_group_reduce(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            prep, batch_format="pandas"
+        ),
+        key_cols=["src", "dst"],
+        reduce_fn=_dedup,
+        num_buckets=num_buckets,
+    ).materialize()  # distinct-edge-bounded; re-read every round
+
+    def base_tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["hops"] = np.int64(1)
+        return out
+
+    parts = [e.map_batches(base_tag, batch_format="pandas").materialize()]
+    frontier = parts[0]
+
+    for hop in range(2, max_hops + 1):
+
+        def f_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "mid": pd.Series([], dtype="int64"),
+                        "val": pd.Series([], dtype="int64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "mid": df["dst"].to_numpy(dtype=np.int64),
+                    "val": df["src"].to_numpy(dtype=np.int64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def e_tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "mid": df["src"].to_numpy(dtype=np.int64),
+                    "val": df["dst"].to_numpy(dtype=np.int64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                    }
+                )
+            f = g.loc[g["kind"] == 0, ["mid", "val"]].rename(
+                columns={"val": "src"}
+            )
+            t = g.loc[g["kind"] == 1, ["mid", "val"]].rename(
+                columns={"val": "dst"}
+            )
+            m = f.merge(t, on="mid")
+            return m[["src", "dst"]].drop_duplicates()
+
+        cands = bucketed_group_reduce(
+            frontier.map_batches(f_tag, batch_format="pandas").union(
+                e.map_batches(e_tag, batch_format="pandas")
+            ),
+            key_cols=["mid"],
+            reduce_fn=expand,
+            num_buckets=num_buckets,
+        )
+
+        def known_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "src": df["src"].to_numpy(dtype=np.int64),
+                    "dst": df["dst"].to_numpy(dtype=np.int64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def cand_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "src": df["src"].to_numpy(dtype=np.int64),
+                    "dst": df["dst"].to_numpy(dtype=np.int64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        known = parts[0]
+        for p in parts[1:]:
+            known = known.union(p)
+
+        def anti(g: pd.DataFrame, _h=hop) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "hops": pd.Series([], dtype="int64"),
+                }
+            )
+            if not len(g) or "kind" not in g.columns:
+                return empty
+            k = g.loc[g["kind"] == 0, ["src", "dst"]].drop_duplicates()
+            c = g.loc[g["kind"] == 1, ["src", "dst"]].drop_duplicates()
+            if not len(c):
+                return empty
+            m = c.merge(k, on=["src", "dst"], how="left", indicator=True)
+            new = m.loc[m["_merge"] == "left_only", ["src", "dst"]]
+            if not len(new):
+                return empty
+            new = new.copy()
+            new["hops"] = np.int64(_h)
+            return new
+
+        new_pairs = bucketed_group_reduce(
+            known.map_batches(known_tag, batch_format="pandas").union(
+                cands.map_batches(cand_tag, batch_format="pandas")
+            ),
+            key_cols=["src", "dst"],
+            reduce_fn=anti,
+            num_buckets=num_buckets,
+        ).materialize()  # new-pair-bounded; next round's frontier
+
+        if new_pairs.count() == 0:
+            break
+        parts.append(new_pairs)
+        frontier = new_pairs
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def topo_layers(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_buckets: int | None = None,
+    max_rounds: int | None = None,
+) -> "rd.Dataset":
+    """Topological layering of a DAG: (node, layer) where layer is the
+    LONGEST path length from any source (a node with no incoming
+    edge) — the hierarchy-level assignment for an is-a taxonomy, and a
+    schedule depth for dependency graphs. Raises ``ValueError`` on a
+    cycle: either the max-relaxation fails to converge within V rounds
+    (a cycle reachable from a source inflates layers forever) or the
+    fixpoint leaves nodes uncovered (a cycle no source can reach).
+
+    Scale shape: longest-path max-relaxation with the frontier
+    optimization (only nodes whose layer grew last round re-offer) —
+    per round ONE E-bounded pass over the (reused, materialized) edge
+    set with a broadcast (nodes, layers) frontier + one node-bucketed
+    max-reduce; the driver holds the V-bounded layer table (the same
+    documented iterative exception as `pagerank`/`bfs_hops`). Rounds =
+    longest path length ≤ V; total O(L·E) — the level-synchronous
+    price vs a sequential O(E) topological sort, paid for never
+    holding the edge set in one process. Integer layers are hash-exact
+    in SQL: a recursive CTE from the source set with GROUP BY
+    MAX(len) replays it.
+    """
+    import ray
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(dtype=np.int64),
+                "dst": df[dst_col].to_numpy(dtype=np.int64),
+            }
+        ).drop_duplicates()
+
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    # ONE exchange computes the V-bounded (node, has_incoming) table
+    def node_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [
+                        df["src"].to_numpy(dtype=np.int64),
+                        df["dst"].to_numpy(dtype=np.int64),
+                    ]
+                ),
+                "inc": np.concatenate(
+                    [
+                        np.zeros(len(df), dtype=np.int8),
+                        np.ones(len(df), dtype=np.int8),
+                    ]
+                ),
+            }
+        ).groupby("node", as_index=False)["inc"].max()
+
+    def node_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "inc": pd.Series([], dtype="int8"),
+                }
+            )
+        return g.groupby("node", as_index=False)["inc"].max()
+
+    ndf = bucketed_group_reduce(
+        e.map_batches(node_tag, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=node_red,
+        num_buckets=num_buckets,
+    ).to_pandas()  # V-bounded pull (iterative driver state)
+
+    empty_out = pd.DataFrame(
+        {
+            "node": pd.Series([], dtype="int64"),
+            "layer": pd.Series([], dtype="int64"),
+        }
+    )
+    if "node" not in ndf.columns or not len(ndf):
+        return rd.from_pandas(empty_out)
+
+    n_nodes = len(ndf)
+    sources = ndf.loc[ndf["inc"] == 0, "node"].to_numpy(dtype=np.int64)
+    if not len(sources):
+        raise ValueError(
+            "topo_layers: cycle detected — no source node "
+            f"(all {n_nodes} nodes have an incoming edge)"
+        )
+
+    layer: dict[int, int] = {int(n): 0 for n in sources}
+    f_nodes = np.sort(sources)
+    f_layers = np.zeros(len(f_nodes), dtype=np.int64)
+    rounds_cap = max_rounds if max_rounds is not None else n_nodes + 1
+
+    converged = False
+    for _r in range(rounds_cap):
+        f_ref = ray.put((f_nodes, f_layers))
+
+        def relax(df: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            fn, fl = ray.get(_f)
+            s = df["src"].to_numpy(dtype=np.int64)
+            idx = np.searchsorted(fn, s)
+            idx_c = np.minimum(idx, len(fn) - 1) if len(fn) else idx
+            m = (
+                (idx < len(fn)) & (fn[idx_c] == s)
+                if len(fn)
+                else np.zeros(len(s), dtype=bool)
+            )
+            d = df.loc[m]
+            cand = fl[idx[m]] + 1
+            out = pd.DataFrame(
+                {"node": d["dst"].to_numpy(dtype=np.int64), "layer": cand}
+            )
+            return out.groupby("node", as_index=False)["layer"].max()
+
+        def max_red(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "node" not in g.columns:
+                return pd.DataFrame(
+                    {
+                        "node": pd.Series([], dtype="int64"),
+                        "layer": pd.Series([], dtype="int64"),
+                    }
+                )
+            return g.groupby("node", as_index=False)["layer"].max()
+
+        cand_df = bucketed_group_reduce(
+            e.map_batches(relax, batch_format="pandas"),
+            key_cols=["node"],
+            reduce_fn=max_red,
+            num_buckets=num_buckets,
+        ).to_pandas()  # candidate-bounded pull (iterative driver state)
+
+        improved_n: list[int] = []
+        improved_l: list[int] = []
+        if len(cand_df) and "node" in cand_df.columns:
+            for n, lv in zip(
+                cand_df["node"].to_numpy(dtype=np.int64),
+                cand_df["layer"].to_numpy(dtype=np.int64),
+            ):
+                if int(lv) > layer.get(int(n), -1):
+                    layer[int(n)] = int(lv)
+                    improved_n.append(int(n))
+                    improved_l.append(int(lv))
+        if not improved_n:
+            converged = True
+            break
+        order = np.argsort(np.array(improved_n, dtype=np.int64))
+        f_nodes = np.array(improved_n, dtype=np.int64)[order]
+        f_layers = np.array(improved_l, dtype=np.int64)[order]
+
+    if not converged:
+        raise ValueError(
+            "topo_layers: cycle detected — layering still growing after "
+            f"{rounds_cap} rounds (longest acyclic path is < V)"
+        )
+    if len(layer) < n_nodes:
+        raise ValueError(
+            "topo_layers: cycle detected — "
+            f"{n_nodes - len(layer)} nodes unreachable from any source"
+        )
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "node": np.fromiter(layer.keys(), dtype=np.int64),
+                "layer": np.fromiter(layer.values(), dtype=np.int64),
+            }
+        )
+    )

@@ -833,3 +833,78 @@ class TestInverseRelationAudit:
 
         with pytest.raises(ValueError, match="min_support"):
             inverse_relation_audit(rd.from_pandas(tri), min_support=0)
+
+
+class TestReachPairs:
+    """Bounded transitive closure (`graph.reach_pairs`) — the oracled
+    graph_reach query gates gate-scale; these pin chain/cycle/min-hop
+    semantics and the early stop on planted graphs."""
+
+    def _run(self, edges, **kw):
+        from kgflow.ops.graph import reach_pairs
+
+        df = reach_pairs(rd.from_pandas(edges), **kw).to_pandas()
+        return sorted(map(tuple, df[["src", "dst", "hops"]].values.tolist()))
+
+    def test_chain_min_hops_and_cycle_self_pairs(self):
+        e = pd.DataFrame(
+            {"src": [1, 2, 3, 10, 11], "dst": [2, 3, 4, 11, 10]}
+        )
+        assert self._run(e, max_hops=3) == [
+            (1, 2, 1), (1, 3, 2), (1, 4, 3),
+            (2, 3, 1), (2, 4, 2), (3, 4, 1),
+            (10, 10, 2), (10, 11, 1), (11, 10, 1), (11, 11, 2),
+        ]
+
+    def test_shortcut_keeps_min_hop_and_early_stop(self):
+        # 1->2->3 plus direct 1->3: (1,3) must report hops=1, and the
+        # closure is complete after round 2 so max_hops=5 stops early
+        e = pd.DataFrame({"src": [1, 2, 1], "dst": [2, 3, 3]})
+        assert self._run(e, max_hops=5) == [
+            (1, 2, 1), (1, 3, 1), (2, 3, 1),
+        ]
+
+    def test_validation(self):
+        from kgflow.ops.graph import reach_pairs
+
+        with pytest.raises(ValueError, match="max_hops"):
+            reach_pairs(
+                rd.from_pandas(pd.DataFrame({"src": [1], "dst": [2]})),
+                max_hops=0,
+            )
+
+
+class TestTopoLayers:
+    """DAG longest-path layering (`graph.topo_layers`) — the oracled
+    graph_layers query gates gate-scale; these pin the diamond
+    longest-path (not shortest) semantics and BOTH cycle-detection
+    paths (source-reachable growth, source-less cycle)."""
+
+    def _run(self, edges, **kw):
+        from kgflow.ops.graph import topo_layers
+
+        df = topo_layers(rd.from_pandas(edges), **kw).to_pandas()
+        return sorted(map(tuple, df[["node", "layer"]].values.tolist()))
+
+    def test_diamond_takes_longest_path(self):
+        # 1->2->3->4 and 1->4: layer(4) = 3 (longest), not 1
+        e = pd.DataFrame({"src": [1, 2, 3, 1], "dst": [2, 3, 4, 4]})
+        assert self._run(e) == [(1, 0), (2, 1), (3, 2), (4, 3)]
+
+    def test_multiple_sources(self):
+        e = pd.DataFrame({"src": [1, 5, 2], "dst": [2, 2, 3]})
+        assert self._run(e) == [(1, 0), (2, 1), (3, 2), (5, 0)]
+
+    def test_cycle_reachable_from_source_raises(self):
+        from kgflow.ops.graph import topo_layers
+
+        e = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 2]})
+        with pytest.raises(ValueError, match="cycle"):
+            topo_layers(rd.from_pandas(e))
+
+    def test_sourceless_cycle_raises(self):
+        from kgflow.ops.graph import topo_layers
+
+        e = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+        with pytest.raises(ValueError, match="cycle"):
+            topo_layers(rd.from_pandas(e))

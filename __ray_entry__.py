@@ -302,6 +302,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         canon, _ = canonical_triples(_triples_mat(sf_dir))
         return inverse_relation_audit(canon)
 
+    def kg_relation_cardinality(sf_dir: str):
+        """Rows-only (semantics pinned on planted inputs in
+        tests/test_wave17.py): AMIE-style per-relation functionality /
+        inverse-functionality profile over DISTINCT canonical triples
+        — one triple-keyed distinct exchange + two shrinking (rel, x)
+        distinct exchanges, relation-vocab-bounded tail
+        (`kgflow.ops.web.relation_cardinality_stats`)."""
+        from kgflow.linking.link import canonical_triples
+        from kgflow.ops.web import relation_cardinality_stats
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        return relation_cardinality_stats(canon)
+
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
@@ -2269,6 +2282,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         return merge_intervals(ev.map_batches(mk, batch_format="pandas"))
+
+    def events_overlap(sf_dir: str):
+        """Oracle-checked: interval-interval overlap self-join (range
+        join) — every purchase event opens a 10-60 minute half-open
+        interval; all overlapping pairs with exact µs overlap length.
+        Time-bucket decomposition (4 h buckets), exactly-once by the
+        later-start-home rule, output-bounded contiguous-run
+        enumeration (`kgflow.ops.window.interval_overlap_pairs`)."""
+        import os as _os
+
+        import pandas as pd
+
+        from kgflow.ops.window import interval_overlap_pairs
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            _os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "event_type"],
+        )
+
+        def mk(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["event_type"] == "purchase"]
+            s = d["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            eid = d["event_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {"id": eid, "s": s, "e": s + 600_000_000 * (1 + eid % 6)}
+            )
+
+        return interval_overlap_pairs(
+            ev.map_batches(mk, batch_format="pandas"),
+            bucket_width=14_400 * 1_000_000,
+        )
 
     def doc_normalize(sf_dir: str):
         """Oracle-checked: canonical text form — NFC unicode
@@ -4512,6 +4557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_evidence": kg_edge_evidence,
         "kg_functional_violations": kg_functional_violations,
         "kg_inverse_relations": kg_inverse_relations,
+        "kg_relation_cardinality": kg_relation_cardinality,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_link_graph": kg_link_graph,
         "kg_nodes": kg_nodes,
@@ -4611,6 +4657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_boundary": events_boundary,
         "q5_region_volume": q5_region_volume,
         "events_intervals": events_intervals,
+        "events_overlap": events_overlap,
         "doc_normalize": doc_normalize,
         "doc_freq_score": doc_freq_score,
         "doc_quality_filter": doc_quality_filter,
@@ -6617,6 +6664,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(tf.tf * cf.cf) AS BIGINT) AS freq_sum
             FROM tf JOIN cf USING (token)
             GROUP BY tf.doc_id
+        """,
+        # interval overlap self-join: 10-60 min purchase windows,
+        # exact integer-microsecond overlap = least(e) - greatest(s)
+        "events_overlap": """
+            WITH iv AS (
+              SELECT event_id AS id,
+                     epoch_us(ts) AS s,
+                     epoch_us(ts) + 600000000 * (1 + event_id % 6) AS e
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT least(a.id, b.id) AS id_a,
+                   greatest(a.id, b.id) AS id_b,
+                   least(a.e, b.e) - greatest(a.s, b.s) AS ov
+            FROM iv a JOIN iv b
+              ON a.id < b.id AND a.s < b.e AND b.s < a.e
         """,
         "events_intervals": """
             WITH iv AS (

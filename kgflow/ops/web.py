@@ -597,3 +597,130 @@ def inverse_relation_audit(
         return d[["rel_a", "rel_b", "n_a", "n_b", "n_pairs", "score"]]
 
     return pairs.map_batches(finish, batch_format="pandas")
+
+
+def relation_cardinality_stats(
+    edges: "rd.Dataset",
+    subj_col: str = "subj_canonical",
+    rel_col: str = "rel",
+    obj_col: str = "obj_canonical",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """AMIE-style per-relation cardinality profile for schema
+    induction: (rel, n_triples, n_subj, n_obj, fun, inv_fun) over
+    DISTINCT triples, where fun = n_subj / n_triples (the
+    functionality — 1.0 means every subject asserts the relation at
+    most once, a candidate functional constraint for
+    `functional_violations`) and inv_fun = n_obj / n_triples. Pairs
+    with `inverse_relation_audit`: fun/inv_fun decide which direction
+    of a detected inverse pair to keep as primary.
+
+    Scale shape: one (subj, rel, obj)-keyed distinct exchange
+    (triple-bounded), then two SHRINKING distinct exchanges — keyed
+    (rel, subj) and (rel, obj) — whose per-block partials pre-dedup,
+    and a final relation-bounded count merge. No driver state beyond
+    the relation-vocab-bounded result."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[[subj_col, rel_col, obj_col]]
+            .rename(
+                columns={subj_col: "s", rel_col: "rel", obj_col: "o"}
+            )
+            .astype({"rel": str})
+            .drop_duplicates()
+        )
+
+    tri = bucketed_group_reduce(
+        edges.select_columns([subj_col, rel_col, obj_col]).map_batches(
+            fold, batch_format="pandas"
+        ),
+        key_cols=["s", "rel", "o"],
+        reduce_fn=lambda g: g.drop_duplicates(),
+        num_buckets=num_buckets,
+    ).materialize()  # distinct-triple-bounded; feeds all three counts
+
+    def _counts(key2: str, out_col: str) -> pd.DataFrame:
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "rel" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "rel": pd.Series([], dtype="object"),
+                        key2: pd.Series([], dtype="object"),
+                    }
+                )
+            return df[["rel", key2]].drop_duplicates()
+
+        dd = bucketed_group_reduce(
+            tri.map_batches(part, batch_format="pandas"),
+            key_cols=["rel", key2],
+            reduce_fn=lambda g: g.drop_duplicates(),
+            num_buckets=num_buckets,
+        )
+
+        def cnt(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "rel" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "rel": pd.Series([], dtype="object"),
+                        out_col: pd.Series([], dtype="int64"),
+                    }
+                )
+            g = df.groupby("rel", as_index=False).size()
+            return g.rename(columns={"size": out_col})
+
+        return bucketed_group_reduce(
+            dd.map_batches(cnt, batch_format="pandas"),
+            key_cols=["rel"],
+            reduce_fn=lambda g, _c=out_col: g.groupby(
+                "rel", as_index=False
+            )[_c].sum(),
+            num_buckets=num_buckets,
+        ).to_pandas()  # relation-vocab-bounded pull
+
+    def tri_cnt(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "rel" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "rel": pd.Series([], dtype="object"),
+                    "n_triples": pd.Series([], dtype="int64"),
+                }
+            )
+        g = df.groupby("rel", as_index=False).size()
+        return g.rename(columns={"size": "n_triples"})
+
+    nt = bucketed_group_reduce(
+        tri.map_batches(tri_cnt, batch_format="pandas"),
+        key_cols=["rel"],
+        reduce_fn=lambda g: g.groupby("rel", as_index=False)[
+            "n_triples"
+        ].sum(),
+        num_buckets=num_buckets,
+    ).to_pandas()  # relation-vocab-bounded pull
+
+    if "rel" not in nt.columns or not len(nt):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "rel": pd.Series([], dtype="object"),
+                    "n_triples": pd.Series([], dtype="int64"),
+                    "n_subj": pd.Series([], dtype="int64"),
+                    "n_obj": pd.Series([], dtype="int64"),
+                    "fun": pd.Series([], dtype="float64"),
+                    "inv_fun": pd.Series([], dtype="float64"),
+                }
+            )
+        )
+
+    ns = _counts("s", "n_subj")
+    no = _counts("o", "n_obj")
+    out = nt.merge(ns, on="rel").merge(no, on="rel")
+    out["n_triples"] = out["n_triples"].astype("int64")
+    out["n_subj"] = out["n_subj"].astype("int64")
+    out["n_obj"] = out["n_obj"].astype("int64")
+    out["fun"] = out["n_subj"] / out["n_triples"]
+    out["inv_fun"] = out["n_obj"] / out["n_triples"]
+    return rd.from_pandas(
+        out[["rel", "n_triples", "n_subj", "n_obj", "fun", "inv_fun"]]
+    )

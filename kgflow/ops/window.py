@@ -2002,3 +2002,135 @@ def decayed_moving_avg(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def interval_overlap_pairs(
+    intervals: "rd.Dataset",
+    id_col: str = "id",
+    start_col: str = "s",
+    end_col: str = "e",
+    bucket_width: int = 3_600 * _US,
+    max_span_buckets: int = 64,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """All overlapping pairs of half-open int64 intervals [s, e):
+    (id_a, id_b, ov) with id_a < id_b and ov = min(e) − max(s) > 0 —
+    the interval-interval self-join (range join) Ray Data lacks
+    natively; KG/curation uses: co-occurring crawl fetch windows,
+    session collision detection, temporal fact overlap.
+
+    Scale shape: time-bucket decomposition — each interval replicates
+    to the ⌈span/bucket_width⌉ buckets it touches (capped LOUDLY at
+    ``max_span_buckets``; pick the width near the typical span so
+    replication stays O(1)), ONE bucket-keyed exchange co-locates
+    co-bucketed intervals, and the in-bucket kernel is fully
+    vectorized: sort by (s, id), then for each interval the
+    later-starting partners are one CONTIGUOUS run ending at
+    searchsorted(s, e_a) — enumeration is np.repeat/arange, cost
+    output-bounded, never all-pairs. Exactly-once across replicas by
+    the canonical rule: a pair is emitted only in the bucket holding
+    the LATER start (the earlier interval provably replicates there).
+
+    Density caveat (documented, not silent): output is inherently
+    quadratic in per-bucket overlap density; the exchange carries only
+    (id, s, e) rows — payload columns should be joined back after.
+    """
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if bucket_width <= 0:
+        raise ValueError("interval_overlap_pairs: bucket_width must be > 0")
+
+    W = int(bucket_width)
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        s = df[start_col].to_numpy(dtype=np.int64)
+        e = df[end_col].to_numpy(dtype=np.int64)
+        if len(s) and (e <= s).any():
+            bad = int(ids[(e <= s).argmax()])
+            raise ValueError(
+                f"interval_overlap_pairs: empty/negative interval (e <= s)"
+                f" at id={bad}"
+            )
+        b0 = np.floor_divide(s, W)
+        b1 = np.floor_divide(e - 1, W)
+        spans = b1 - b0 + 1
+        if len(spans) and spans.max() > max_span_buckets:
+            bad = int(ids[spans.argmax()])
+            raise ValueError(
+                "interval_overlap_pairs: interval id="
+                f"{bad} spans {int(spans.max())} buckets >"
+                f" max_span_buckets={max_span_buckets}; raise bucket_width"
+            )
+        n = spans.sum()
+        reps = np.repeat(np.arange(len(s)), spans)
+        offs = np.concatenate([[0], np.cumsum(spans)])[:-1]
+        tb = np.repeat(b0, spans) + (np.arange(n) - np.repeat(offs, spans))
+        return pd.DataFrame(
+            {
+                "tb": tb,
+                "id": ids[reps],
+                "s": s[reps],
+                "e": e[reps],
+            }
+        )
+
+    EMPTY = pd.DataFrame(
+        {
+            "id_a": pd.Series([], dtype="int64"),
+            "id_b": pd.Series([], dtype="int64"),
+            "ov": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "tb" not in g.columns:
+            return EMPTY.copy()
+        out = []
+        for tb, grp in g.groupby("tb", sort=False):
+            grp = grp.sort_values(["s", "id"], kind="mergesort")
+            s = grp["s"].to_numpy(dtype=np.int64)
+            e = grp["e"].to_numpy(dtype=np.int64)
+            ids = grp["id"].to_numpy(dtype=np.int64)
+            n = len(s)
+            if n < 2:
+                continue
+            hi = np.searchsorted(s, e, side="left")
+            pos = np.arange(n, dtype=np.int64)
+            cnt = np.maximum(hi - pos - 1, 0)
+            total = int(cnt.sum())
+            if not total:
+                continue
+            a_idx = np.repeat(pos, cnt)
+            offs = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+            b_idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offs, cnt)
+                + np.repeat(pos + 1, cnt)
+            )
+            # exactly-once: only pairs whose LATER start homes here
+            home = np.floor_divide(s[b_idx], W) == int(tb)
+            a_idx, b_idx = a_idx[home], b_idx[home]
+            if not len(a_idx):
+                continue
+            ov = np.minimum(e[a_idx], e[b_idx]) - s[b_idx]
+            ia, ib = ids[a_idx], ids[b_idx]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "ov": ov,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else EMPTY.copy()
+
+    return bucketed_group_reduce(
+        intervals.select_columns([id_col, start_col, end_col]).map_batches(
+            replicate, batch_format="pandas"
+        ),
+        key_cols=["tb"],
+        reduce_fn=pairs_in_bucket,
+        num_buckets=num_buckets,
+    )

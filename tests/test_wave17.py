@@ -908,3 +908,130 @@ class TestTopoLayers:
         e = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
         with pytest.raises(ValueError, match="cycle"):
             topo_layers(rd.from_pandas(e))
+
+
+class TestIntervalOverlapPairs:
+    """Range join (`window.interval_overlap_pairs`) — the oracled
+    events_overlap query gates gate-scale; these pin the exactly-once
+    replica rule against brute force and the loud caps."""
+
+    def _brute(self, df):
+        s = df["s"].to_numpy()
+        e = df["e"].to_numpy()
+        ids = df["id"].to_numpy()
+        out = set()
+        for i in range(len(df)):
+            for j in range(i + 1, len(df)):
+                if s[i] < e[j] and s[j] < e[i]:
+                    out.add(
+                        (
+                            int(min(ids[i], ids[j])),
+                            int(max(ids[i], ids[j])),
+                            int(min(e[i], e[j]) - max(s[i], s[j])),
+                        )
+                    )
+        return out
+
+    def test_random_matches_brute_force_across_widths(self):
+        from kgflow.ops.window import interval_overlap_pairs
+
+        rng = np.random.RandomState(11)
+        n = 200
+        s = rng.randint(0, 50_000, n).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(n, dtype=np.int64),
+                "s": s,
+                "e": s + rng.randint(1, 4_000, n),
+            }
+        )
+        exp = self._brute(df)
+        for w in (500, 4_096, 10**9):  # narrow / typical / one-bucket
+            got = interval_overlap_pairs(
+                rd.from_pandas(df), bucket_width=w, max_span_buckets=4096
+            ).to_pandas()
+            assert (
+                set(map(tuple, got[["id_a", "id_b", "ov"]].values.tolist()))
+                == exp
+            ), f"width {w}"
+
+    def test_touching_intervals_do_not_pair(self):
+        from kgflow.ops.window import interval_overlap_pairs
+
+        df = pd.DataFrame(
+            {"id": [1, 2], "s": [0, 10], "e": [10, 20]}
+        )
+        assert (
+            interval_overlap_pairs(rd.from_pandas(df), bucket_width=7).count()
+            == 0
+        )
+
+    def test_loud_caps(self):
+        from kgflow.ops.window import interval_overlap_pairs
+
+        wide = rd.from_pandas(
+            pd.DataFrame({"id": [1], "s": [0], "e": [1000]})
+        )
+        with pytest.raises(Exception, match="max_span_buckets"):
+            interval_overlap_pairs(
+                wide, bucket_width=10, max_span_buckets=4
+            ).materialize()
+        empty_iv = rd.from_pandas(
+            pd.DataFrame({"id": [7], "s": [5], "e": [5]})
+        )
+        with pytest.raises(Exception, match="e <= s"):
+            interval_overlap_pairs(empty_iv, bucket_width=10).materialize()
+        with pytest.raises(ValueError, match="bucket_width"):
+            interval_overlap_pairs(empty_iv, bucket_width=0)
+
+
+class TestRelationCardinality:
+    """AMIE functionality profile (`web.relation_cardinality_stats`) —
+    kg_relation_cardinality is rows-only, so planted inputs pin the
+    exact counts and the distinct-triple semantics."""
+
+    def test_planted_counts(self):
+        from kgflow.ops.web import relation_cardinality_stats
+
+        tri = pd.DataFrame(
+            {
+                # born_in: functional (each subj once), 3 triples;
+                # likes: subj a twice (fun < 1), duplicate row deduped
+                "subj_canonical": ["a", "b", "c", "a", "a", "a"],
+                "rel": ["born_in"] * 3 + ["likes"] * 3,
+                "obj_canonical": ["x", "x", "y", "p", "q", "q"],
+            }
+        )
+        out = (
+            relation_cardinality_stats(rd.from_pandas(tri))
+            .to_pandas()
+            .sort_values("rel")
+            .reset_index(drop=True)
+        )
+        got = {
+            r.rel: (
+                int(r.n_triples),
+                int(r.n_subj),
+                int(r.n_obj),
+                float(r.fun),
+                float(r.inv_fun),
+            )
+            for r in out.itertuples()
+        }
+        assert got == {
+            "born_in": (3, 3, 2, 1.0, 2 / 3),
+            "likes": (2, 1, 2, 0.5, 1.0),
+        }
+
+    def test_empty_input_typed(self):
+        from kgflow.ops.web import relation_cardinality_stats
+
+        tri = pd.DataFrame(
+            {
+                "subj_canonical": pd.Series([], dtype="object"),
+                "rel": pd.Series([], dtype="object"),
+                "obj_canonical": pd.Series([], dtype="object"),
+            }
+        )
+        out = relation_cardinality_stats(rd.from_pandas(tri))
+        assert out.count() == 0

@@ -4488,6 +4488,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(pairs, batch_format="pandas")
         return topo_layers(edges)
 
+    def graph_msf(sf_dir: str):
+        """Rows-only (deterministic; pinned vs a driver Kruskal on
+        random graphs in tests/test_wave17.py): Borůvka minimum
+        spanning forest of the weighted mod-389 part↔supplier graph —
+        log-round per-component min-edge reduces, V-bounded driver
+        union-find (`kgflow.ops.graph.minimum_spanning_forest`).
+        Ties break on the total (w, src, dst) order, so the output is
+        run-to-run identical (rows-only because no recursive CTE can
+        express MSF; the pytest gate is the exact Kruskal parity)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import minimum_spanning_forest
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def wedges(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 49.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 389,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 389,
+                    "w": 1
+                    + (
+                        d["l_partkey"].to_numpy(dtype=np.int64)
+                        * 31
+                        + d["l_suppkey"].to_numpy(dtype=np.int64)
+                    )
+                    % 97,
+                }
+            )
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(wedges, batch_format="pandas")
+        return minimum_spanning_forest(edges)
+
     def events_next_entropy(sf_dir: str):
         """Oracle-checked: per-event-type successor entropy (nats) over
         each user's (ts, id)-ordered stream — transition_counts (one
@@ -4683,6 +4719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": graph_scc,
         "graph_reach": graph_reach,
         "graph_layers": graph_layers,
+        "graph_msf": graph_msf,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,

@@ -2546,3 +2546,191 @@ def topo_layers(
             }
         )
     )
+
+
+def minimum_spanning_forest(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    num_buckets: int | None = None,
+    max_rounds: int = 64,
+) -> "rd.Dataset":
+    """Borůvka minimum spanning forest of an undirected weighted edge
+    list: the (src, dst, w) edges of the MSF (one tree per connected
+    component). Ties break on the full lexicographic key (w, src, dst)
+    so the result is deterministic; with distinct weights it is THE
+    unique MSF. KG/curation uses: single-link clustering backbone over
+    similarity edges, redundancy-minimal entity-graph skeletons.
+
+    Scale shape: classic log-round Borůvka — per round ONE E-bounded
+    pass relabels edge endpoints through the broadcast component map
+    and emits per-batch per-component minimum outgoing edges, then a
+    component-bucketed min-reduce leaves ≤ C candidate rows (C =
+    current component count, halving every round). The driver holds
+    the V-bounded node→component array and a C-bounded union-find over
+    the chosen edges (the documented iterative exception, see module
+    docstring). Rounds ≤ log₂ V because every component merges at
+    least pairwise each round; ``max_rounds`` is a loud backstop.
+    """
+    import ray
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy(dtype=np.int64)
+        b = df[dst_col].to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                # undirected: canonical orientation src < dst
+                "src": np.minimum(a, b),
+                "dst": np.maximum(a, b),
+                "w": df[weight_col].to_numpy(dtype=np.int64),
+            }
+        )
+        out = out.loc[out["src"] != out["dst"]]
+        # per-batch combiner: parallel edges keep the lexicographic min
+        return out.sort_values(["src", "dst", "w"]).drop_duplicates(
+            ["src", "dst"]
+        )
+
+    e = (
+        edges.select_columns([src_col, dst_col, weight_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    # V-bounded node table (one distinct exchange)
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.unique(
+                    np.concatenate(
+                        [
+                            df["src"].to_numpy(dtype=np.int64),
+                            df["dst"].to_numpy(dtype=np.int64),
+                        ]
+                    )
+                )
+            }
+        )
+
+    def node_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return g.drop_duplicates()
+
+    ndf = bucketed_group_reduce(
+        e.map_batches(node_part, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=node_red,
+        num_buckets=num_buckets,
+    ).to_pandas()  # V-bounded pull (iterative driver state)
+
+    empty_out = pd.DataFrame(
+        {
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+            "w": pd.Series([], dtype="int64"),
+        }
+    )
+    if "node" not in ndf.columns or not len(ndf):
+        return rd.from_pandas(empty_out)
+
+    nodes = np.sort(ndf["node"].to_numpy(dtype=np.int64))
+    comp = nodes.copy()  # comp[i] = component label of nodes[i]
+
+    def _find(parent: dict, x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest: list[tuple[int, int, int]] = []
+    for _r in range(max_rounds):
+        c_ref = ray.put((nodes, comp))
+
+        def min_out(df: pd.DataFrame, _c=c_ref) -> pd.DataFrame:
+            nn, cc = ray.get(_c)
+            s = df["src"].to_numpy(dtype=np.int64)
+            d = df["dst"].to_numpy(dtype=np.int64)
+            cs = cc[np.searchsorted(nn, s)]
+            cd = cc[np.searchsorted(nn, d)]
+            m = cs != cd
+            if not m.any():
+                return pd.DataFrame(
+                    {
+                        "c": pd.Series([], dtype="int64"),
+                        "w": pd.Series([], dtype="int64"),
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                    }
+                )
+            sub = pd.DataFrame(
+                {
+                    # each endpoint's component bids for the edge
+                    "c": np.concatenate([cs[m], cd[m]]),
+                    "w": np.tile(df.loc[m, "w"].to_numpy(dtype=np.int64), 2),
+                    "src": np.tile(s[m], 2),
+                    "dst": np.tile(d[m], 2),
+                }
+            )
+            return (
+                sub.sort_values(["c", "w", "src", "dst"])
+                .drop_duplicates("c")
+            )
+
+        def min_red(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "c" not in g.columns:
+                return pd.DataFrame(
+                    {
+                        "c": pd.Series([], dtype="int64"),
+                        "w": pd.Series([], dtype="int64"),
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                    }
+                )
+            return (
+                g.sort_values(["c", "w", "src", "dst"])
+                .drop_duplicates("c")
+            )
+
+        chosen = bucketed_group_reduce(
+            e.map_batches(min_out, batch_format="pandas"),
+            key_cols=["c"],
+            reduce_fn=min_red,
+            num_buckets=num_buckets,
+        ).to_pandas()  # C-bounded pull (halves every round)
+
+        if "c" not in chosen.columns or not len(chosen):
+            break
+
+        # C-bounded union-find over current component labels
+        parent = {int(c): int(c) for c in np.unique(comp)}
+        merged = False
+        for w, s_, d_ in (
+            chosen[["w", "src", "dst"]]
+            .sort_values(["w", "src", "dst"])
+            .itertuples(index=False)
+        ):
+            cs = _find(parent, int(comp[np.searchsorted(nodes, int(s_))]))
+            cd = _find(parent, int(comp[np.searchsorted(nodes, int(d_))]))
+            if cs == cd:
+                continue  # the other endpoint already chose this edge
+            parent[max(cs, cd)] = min(cs, cd)
+            forest.append((int(s_), int(d_), int(w)))
+            merged = True
+        if not merged:
+            break
+        comp = np.array(
+            [_find(parent, int(c)) for c in comp], dtype=np.int64
+        )
+    else:
+        raise RuntimeError(
+            f"minimum_spanning_forest: not converged in {max_rounds} rounds"
+        )
+
+    if not forest:
+        return rd.from_pandas(empty_out)
+    out = pd.DataFrame(forest, columns=["src", "dst", "w"]).sort_values(
+        ["w", "src", "dst"]
+    )
+    return rd.from_pandas(out.reset_index(drop=True))

@@ -1035,3 +1035,83 @@ class TestRelationCardinality:
         )
         out = relation_cardinality_stats(rd.from_pandas(tri))
         assert out.count() == 0
+
+
+class TestMinimumSpanningForest:
+    """Borůvka MSF (`graph.minimum_spanning_forest`) — graph_msf is
+    rows-only, so the gate is exact parity with a driver Kruskal under
+    the same (w, src, dst) total order, across random graphs."""
+
+    @staticmethod
+    def _kruskal(rows):
+        best = {}
+        for a, b, w in rows:
+            if a == b:
+                continue
+            k = (min(a, b), max(a, b))
+            if k not in best or w < best[k]:
+                best[k] = w
+        es = sorted((w, a, b) for (a, b), w in best.items())
+        par: dict = {}
+
+        def find(x):
+            par.setdefault(x, x)
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        out = set()
+        for w, a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                par[max(ra, rb)] = min(ra, rb)
+                out.add((a, b, w))
+        return out
+
+    def test_random_graphs_match_kruskal(self):
+        from kgflow.ops.graph import minimum_spanning_forest
+
+        rng = np.random.RandomState(17)
+        for _ in range(3):
+            n = rng.randint(10, 50)
+            m = rng.randint(5, 180)
+            a = rng.randint(0, n, m)
+            b = rng.randint(0, n, m)
+            w = rng.randint(1, 25, m)
+            got = (
+                minimum_spanning_forest(
+                    rd.from_pandas(pd.DataFrame({"src": a, "dst": b, "w": w}))
+                )
+                .to_pandas()
+            )
+            got = set(map(tuple, got[["src", "dst", "w"]].values.tolist()))
+            exp = self._kruskal(
+                list(zip(a.tolist(), b.tolist(), w.tolist()))
+            )
+            assert got == exp
+
+    def test_disconnected_forest_and_orientation(self):
+        from kgflow.ops.graph import minimum_spanning_forest
+
+        # two components; one edge given in reversed orientation with a
+        # cheaper parallel copy that must win
+        df = pd.DataFrame(
+            {
+                "src": [2, 1, 1, 10],
+                "dst": [1, 2, 3, 11],
+                "w": [5, 3, 4, 7],
+            }
+        )
+        got = (
+            minimum_spanning_forest(rd.from_pandas(df))
+            .to_pandas()
+            .values.tolist()
+        )
+        assert sorted(map(tuple, got)) == [(1, 2, 3), (1, 3, 4), (10, 11, 7)]
+
+    def test_self_loops_only_empty(self):
+        from kgflow.ops.graph import minimum_spanning_forest
+
+        df = pd.DataFrame({"src": [4], "dst": [4], "w": [1]})
+        assert minimum_spanning_forest(rd.from_pandas(df)).count() == 0

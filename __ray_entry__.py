@@ -4488,6 +4488,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(pairs, batch_format="pandas")
         return topo_layers(edges)
 
+    def events_redirects(sf_dir: str):
+        """Oracle-checked (recursive CTE following single steps): the
+        redirect/alias-chain resolver — a functional mapping (even
+        event ids halve: id → id // 2) resolved to its terminal with
+        exact chain lengths via pointer DOUBLING (⌈log₂ chain⌉ rounds
+        of ONE tagged self-join exchange each, all state
+        dataset-resident; `kgflow.ops.graph.resolve_pointer_chains`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import resolve_pointer_chains
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+        )
+
+        def mk(df: pd.DataFrame) -> pd.DataFrame:
+            eid = df["event_id"].to_numpy(dtype=np.int64)
+            eid = eid[(eid % 2 == 0) & (eid > 0)]
+            return pd.DataFrame({"src": eid, "dst": eid // 2}).drop_duplicates()
+
+        return resolve_pointer_chains(ev.map_batches(mk, batch_format="pandas"))
+
     def graph_msf(sf_dir: str):
         """Rows-only (deterministic; pinned vs a driver Kruskal on
         random graphs in tests/test_wave17.py): Borůvka minimum
@@ -4720,6 +4743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_reach": graph_reach,
         "graph_layers": graph_layers,
         "graph_msf": graph_msf,
+        "events_redirects": events_redirects,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -8101,6 +8125,23 @@ def oracle_sql() -> dict[str, str]:
         # states so the hop-bounded recursion terminates on cycles;
         # min(hops) per pair = BFS-layer shortest path, exactly the
         # engine's anti-join-per-round semantics
+        # redirect-chain resolution: UNION ALL walks every prefix of
+        # each (acyclic, functional) chain; the terminal row is the one
+        # whose cur never appears as a mapping src
+        "events_redirects": """
+            WITH RECURSIVE m AS (
+              SELECT DISTINCT event_id AS src, event_id // 2 AS dst
+              FROM events WHERE event_id % 2 = 0 AND event_id > 0
+            ), w(src, cur, len) AS (
+              SELECT src, dst, 1 FROM m
+              UNION ALL
+              SELECT w.src, m2.dst, w.len + 1
+              FROM w JOIN m m2 ON m2.src = w.cur
+            )
+            SELECT w.src AS src, w.cur AS final,
+                   CAST(w.len AS BIGINT) AS chain_len
+            FROM w WHERE w.cur NOT IN (SELECT src FROM m)
+        """,
         "graph_reach": """
             WITH RECURSIVE e AS (
               SELECT DISTINCT (l_partkey % 389)::BIGINT AS src,

@@ -2734,3 +2734,152 @@ def minimum_spanning_forest(
         ["w", "src", "dst"]
     )
     return rd.from_pandas(out.reset_index(drop=True))
+
+
+def resolve_pointer_chains(
+    mapping: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 40,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Resolve a FUNCTIONAL mapping (each src exactly one dst) to its
+    terminal: (src, final, chain_len) where final is the first node
+    with no outgoing mapping and chain_len the number of hops. The
+    crawl/KG uses: HTTP redirect chains to the final URL, alias→alias
+    →canonical entity chains, symlink-style id forwarding.
+
+    Scale shape: pointer DOUBLING, not step-following — the pointer
+    table P(src → cur, len) self-joins each round (tagged union keyed
+    on the left copy's cur vs the right copy's src, ONE bucketed
+    exchange), so every unresolved pointer composes with the pointer
+    at its target and surviving chain length doubles: rounds =
+    ⌈log₂ longest-chain⌉, each O(|mapping|) exchange, all state
+    dataset-resident (materialized per round, the iterative-state
+    exception). A cycle never resolves — after ``max_rounds`` (2^40
+    hops) unresolved rows raise LOUDLY with a sample src.
+
+    Functionality is validated in-bucket (duplicate src fails loudly).
+    SQL-replayable as a recursive CTE following single steps.
+    """
+    import ray  # noqa: F401  (parity with sibling iterative ops)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(dtype=np.int64),
+                "cur": df[dst_col].to_numpy(dtype=np.int64),
+                "len": np.ones(len(df), dtype=np.int64),
+                "done": np.zeros(len(df), dtype=np.int8),
+            }
+        )
+
+    ptr = (
+        mapping.select_columns([src_col, dst_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    EMPTY = pd.DataFrame(
+        {
+            "src": pd.Series([], dtype="int64"),
+            "cur": pd.Series([], dtype="int64"),
+            "len": pd.Series([], dtype="int64"),
+            "done": pd.Series([], dtype="int8"),
+        }
+    )
+
+    for _r in range(max_rounds):
+        def l_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "cur" not in df.columns:
+                out = EMPTY.copy()
+                out["key"] = pd.Series([], dtype="int64")
+                out["side"] = pd.Series([], dtype="int8")
+                return out
+            out = df.copy()
+            out["key"] = out["cur"].where(out["done"] == 0, out["src"])
+            out["side"] = np.zeros(len(out), dtype=np.int8)
+            return out
+
+        def r_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "cur" not in df.columns:
+                out = EMPTY.copy()
+                out["key"] = pd.Series([], dtype="int64")
+                out["side"] = pd.Series([], dtype="int8")
+                return out
+            out = df.copy()
+            out["key"] = out["src"]
+            out["side"] = np.ones(len(out), dtype=np.int8)
+            return out
+
+        def jump(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "side" not in g.columns:
+                return EMPTY.copy()
+            left = g.loc[g["side"] == 0, ["key", "src", "cur", "len", "done"]]
+            right = g.loc[g["side"] == 1, ["key", "cur", "len"]].rename(
+                columns={"cur": "r_cur", "len": "r_len"}
+            )
+            if right["key"].duplicated().any():
+                dup = int(right.loc[right["key"].duplicated(), "key"].iloc[0])
+                raise ValueError(
+                    "resolve_pointer_chains: mapping is not functional — "
+                    f"src={dup} has multiple destinations"
+                )
+            m = left.merge(right, on="key", how="left")
+            live = (m["done"] == 0) & m["r_cur"].notna()
+            # unresolved pointer whose target also points: compose
+            cur = m["cur"].to_numpy(dtype=np.int64)
+            ln = m["len"].to_numpy(dtype=np.int64)
+            done = m["done"].to_numpy(dtype=np.int8)
+            lv = live.to_numpy()
+            cur[lv] = m.loc[live, "r_cur"].to_numpy(dtype=np.int64)
+            ln[lv] = ln[lv] + m.loc[live, "r_len"].to_numpy(dtype=np.int64)
+            # unresolved pointer whose target is terminal: done
+            done[((m["done"] == 0) & ~m["r_cur"].notna()).to_numpy()] = 1
+            return pd.DataFrame(
+                {"src": m["src"], "cur": cur, "len": ln, "done": done}
+            )
+
+        new_ptr = bucketed_group_reduce(
+            ptr.map_batches(l_tag, batch_format="pandas").union(
+                ptr.map_batches(r_tag, batch_format="pandas")
+            ),
+            key_cols=["key"],
+            reduce_fn=jump,
+            num_buckets=num_buckets,
+        ).materialize()  # |mapping|-bounded iterative state
+
+        ptr = new_ptr
+        n = ptr.count()
+        n_live = n - int(ptr.sum(on="done") or 0) if n else 0
+        if n_live == 0:
+            break
+    else:
+        sample = ptr.map_batches(
+            lambda df: df.loc[df["done"] == 0, ["src"]].head(1),
+            batch_format="pandas",
+        ).take(1)
+        raise ValueError(
+            "resolve_pointer_chains: cycle detected — src="
+            f"{sample[0]['src']} unresolved after {max_rounds} doubling "
+            "rounds"
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "src" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "final": pd.Series([], dtype="int64"),
+                    "chain_len": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "src": df["src"].astype(np.int64),
+                "final": df["cur"].astype(np.int64),
+                "chain_len": df["len"].astype(np.int64),
+            }
+        )
+
+    return ptr.map_batches(finish, batch_format="pandas")

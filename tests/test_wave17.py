@@ -1115,3 +1115,52 @@ class TestMinimumSpanningForest:
 
         df = pd.DataFrame({"src": [4], "dst": [4], "w": [1]})
         assert minimum_spanning_forest(rd.from_pandas(df)).count() == 0
+
+
+class TestResolvePointerChains:
+    """Pointer-doubling chain resolution (`graph.resolve_pointer_chains`)
+    — the oracled events_redirects query gates gate-scale; these pin
+    chain composition, the log-round doubling (long chain within few
+    rounds), and both loud failure paths."""
+
+    def _run(self, m, **kw):
+        from kgflow.ops.graph import resolve_pointer_chains
+
+        df = resolve_pointer_chains(rd.from_pandas(m), **kw).to_pandas()
+        return sorted(
+            map(tuple, df[["src", "final", "chain_len"]].values.tolist())
+        )
+
+    def test_chains_resolve_with_exact_lengths(self):
+        m = pd.DataFrame(
+            {"src": [8, 4, 2, 6, 100, 50], "dst": [4, 2, 1, 3, 50, 25]}
+        )
+        assert self._run(m) == [
+            (2, 1, 1), (4, 1, 2), (6, 3, 1),
+            (8, 1, 3), (50, 25, 1), (100, 25, 2),
+        ]
+
+    def test_long_chain_needs_only_log_rounds(self):
+        # chain of 1000 hops: 2^10 = 1024 >= 1000, so 10 doubling
+        # rounds + 1 confirm round suffice — max_rounds=12 must pass
+        n = 1000
+        m = pd.DataFrame(
+            {"src": np.arange(1, n + 1), "dst": np.arange(0, n)}
+        )
+        out = self._run(m, max_rounds=12)
+        assert len(out) == n
+        assert (n, 0, n) in out and (1, 0, 1) in out
+
+    def test_cycle_raises(self):
+        from kgflow.ops.graph import resolve_pointer_chains
+
+        m = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]})
+        with pytest.raises(ValueError, match="cycle"):
+            resolve_pointer_chains(rd.from_pandas(m), max_rounds=6)
+
+    def test_non_functional_raises(self):
+        from kgflow.ops.graph import resolve_pointer_chains
+
+        m = pd.DataFrame({"src": [1, 1], "dst": [2, 3]})
+        with pytest.raises(Exception, match="not functional"):
+            resolve_pointer_chains(rd.from_pandas(m)).materialize()

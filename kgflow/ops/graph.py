@@ -2370,12 +2370,56 @@ def reach_pairs(
     return out
 
 
+def _topo_driver(edf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-resident longest-path layering via Kahn's algorithm —
+    identical output contract to the distributed rounds, including
+    both cycle errors (any unprocessed node means a cycle)."""
+    e = edf[["src", "dst"]].drop_duplicates()
+    nodes = np.unique(
+        np.concatenate(
+            [e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64)]
+        )
+    )
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    indeg = np.zeros(len(nodes), dtype=np.int64)
+    adj: list[list[int]] = [[] for _ in nodes]
+    for s, d in zip(
+        e["src"].to_numpy(np.int64), e["dst"].to_numpy(np.int64)
+    ):
+        adj[idx[int(s)]].append(idx[int(d)])
+        indeg[idx[int(d)]] += 1
+    layer = np.zeros(len(nodes), dtype=np.int64)
+    stack = [i for i in range(len(nodes)) if indeg[i] == 0]
+    if not stack and len(nodes):
+        raise ValueError(
+            "topo_layers: cycle detected — no source node "
+            f"(all {len(nodes)} nodes have an incoming edge)"
+        )
+    done = 0
+    while stack:
+        u = stack.pop()
+        done += 1
+        for v in adj[u]:
+            if layer[u] + 1 > layer[v]:
+                layer[v] = layer[u] + 1
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                stack.append(v)
+    if done < len(nodes):
+        raise ValueError(
+            "topo_layers: cycle detected — "
+            f"{len(nodes) - done} nodes unreachable from any source"
+        )
+    return pd.DataFrame({"node": nodes, "layer": layer})
+
+
 def topo_layers(
     edges: "rd.Dataset",
     src_col: str = "src",
     dst_col: str = "dst",
     num_buckets: int | None = None,
     max_rounds: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
 ) -> "rd.Dataset":
     """Topological layering of a DAG: (node, layer) where layer is the
     LONGEST path length from any source (a node with no incoming
@@ -2396,6 +2440,11 @@ def topo_layers(
     holding the edge set in one process. Integer layers are hash-exact
     in SQL: a recursive CTE from the source set with GROUP BY
     MAX(len) replays it.
+
+    Edge sets ≤ ``driver_limit`` rows run driver-resident Kahn
+    (`_topo_driver`, the `_tri_driver`/`_scc_driver` precedent) —
+    identical output including both cycle errors; ``driver_limit=0``
+    forces the distributed rounds (tests pin driver == distributed).
     """
     import ray
 
@@ -2406,6 +2455,11 @@ def topo_layers(
                 "dst": df[dst_col].to_numpy(dtype=np.int64),
             }
         ).drop_duplicates()
+
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns([src_col, dst_col]).to_pandas()
+        edf = edf.rename(columns={src_col: "src", dst_col: "dst"})
+        return rd.from_pandas(_topo_driver(edf))
 
     e = (
         edges.select_columns([src_col, dst_col])
@@ -2736,12 +2790,59 @@ def minimum_spanning_forest(
     return rd.from_pandas(out.reset_index(drop=True))
 
 
+def _chains_driver(mdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-resident chain resolution with path memoization —
+    identical output contract to the doubling rounds, including the
+    non-functional and cycle errors."""
+    mdf = mdf.drop_duplicates()  # identical repeat rows are harmless
+    dup = mdf["src"].duplicated()
+    if dup.any():
+        raise ValueError(
+            "resolve_pointer_chains: mapping is not functional — "
+            f"src={int(mdf.loc[dup, 'src'].iloc[0])} has multiple "
+            "destinations"
+        )
+    nxt = dict(
+        zip(mdf["src"].astype(np.int64), mdf["dst"].astype(np.int64))
+    )
+    final: dict[int, tuple[int, int]] = {}
+    for start in nxt:
+        path = []
+        cur = start
+        seen = set()
+        while cur in nxt and cur not in final:
+            if cur in seen:
+                raise ValueError(
+                    "resolve_pointer_chains: cycle detected — src="
+                    f"{cur} never reaches a terminal"
+                )
+            seen.add(cur)
+            path.append(cur)
+            cur = int(nxt[cur])
+        end, extra = final.get(cur, (cur, 0))
+        for i, p in enumerate(reversed(path)):
+            final[p] = (end, extra + i + 1)
+    out = pd.DataFrame(
+        {
+            "src": np.fromiter(final.keys(), dtype=np.int64),
+            "final": np.fromiter(
+                (v[0] for v in final.values()), dtype=np.int64
+            ),
+            "chain_len": np.fromiter(
+                (v[1] for v in final.values()), dtype=np.int64
+            ),
+        }
+    )
+    return out
+
+
 def resolve_pointer_chains(
     mapping: "rd.Dataset",
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 40,
     num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
 ) -> "rd.Dataset":
     """Resolve a FUNCTIONAL mapping (each src exactly one dst) to its
     terminal: (src, final, chain_len) where final is the first node
@@ -2761,16 +2862,33 @@ def resolve_pointer_chains(
 
     Functionality is validated in-bucket (duplicate src fails loudly).
     SQL-replayable as a recursive CTE following single steps.
+
+    Mappings ≤ ``driver_limit`` rows run driver-resident with path
+    memoization (`_chains_driver`) — identical output including both
+    errors; ``driver_limit=0`` forces the doubling rounds (tests pin
+    driver == distributed).
     """
     import ray  # noqa: F401  (parity with sibling iterative ops)
 
+    if driver_limit > 0 and mapping.count() <= driver_limit:
+        mdf = mapping.select_columns([src_col, dst_col]).to_pandas()
+        mdf = mdf.rename(columns={src_col: "src", dst_col: "dst"})
+        return rd.from_pandas(_chains_driver(mdf))
+
     def prep(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: identical repeat rows are harmless (the
+        # in-bucket functional check sees post-exchange distinct rows)
+        d = (
+            df[[src_col, dst_col]]
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
         return pd.DataFrame(
             {
-                "src": df[src_col].to_numpy(dtype=np.int64),
-                "cur": df[dst_col].to_numpy(dtype=np.int64),
-                "len": np.ones(len(df), dtype=np.int64),
-                "done": np.zeros(len(df), dtype=np.int8),
+                "src": d[src_col].to_numpy(dtype=np.int64),
+                "cur": d[dst_col].to_numpy(dtype=np.int64),
+                "len": np.ones(len(d), dtype=np.int64),
+                "done": np.zeros(len(d), dtype=np.int8),
             }
         )
 
@@ -2815,9 +2933,13 @@ def resolve_pointer_chains(
         def jump(g: pd.DataFrame) -> pd.DataFrame:
             if not len(g) or "side" not in g.columns:
                 return EMPTY.copy()
-            left = g.loc[g["side"] == 0, ["key", "src", "cur", "len", "done"]]
-            right = g.loc[g["side"] == 1, ["key", "cur", "len"]].rename(
-                columns={"cur": "r_cur", "len": "r_len"}
+            left = g.loc[
+                g["side"] == 0, ["key", "src", "cur", "len", "done"]
+            ].drop_duplicates()  # cross-batch identical rows fold here
+            right = (
+                g.loc[g["side"] == 1, ["key", "cur", "len"]]
+                .rename(columns={"cur": "r_cur", "len": "r_len"})
+                .drop_duplicates()
             )
             if right["key"].duplicated().any():
                 dup = int(right.loc[right["key"].duplicated(), "key"].iloc[0])

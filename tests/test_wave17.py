@@ -878,7 +878,8 @@ class TestTopoLayers:
     """DAG longest-path layering (`graph.topo_layers`) — the oracled
     graph_layers query gates gate-scale; these pin the diamond
     longest-path (not shortest) semantics and BOTH cycle-detection
-    paths (source-reachable growth, source-less cycle)."""
+    paths (source-reachable growth, source-less cycle), on BOTH the
+    driver Kahn fast path and the forced distributed rounds."""
 
     def _run(self, edges, **kw):
         from kgflow.ops.graph import topo_layers
@@ -886,28 +887,44 @@ class TestTopoLayers:
         df = topo_layers(rd.from_pandas(edges), **kw).to_pandas()
         return sorted(map(tuple, df[["node", "layer"]].values.tolist()))
 
-    def test_diamond_takes_longest_path(self):
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_diamond_takes_longest_path(self, lim):
         # 1->2->3->4 and 1->4: layer(4) = 3 (longest), not 1
         e = pd.DataFrame({"src": [1, 2, 3, 1], "dst": [2, 3, 4, 4]})
-        assert self._run(e) == [(1, 0), (2, 1), (3, 2), (4, 3)]
+        assert self._run(e, driver_limit=lim) == [
+            (1, 0), (2, 1), (3, 2), (4, 3),
+        ]
 
-    def test_multiple_sources(self):
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_multiple_sources(self, lim):
         e = pd.DataFrame({"src": [1, 5, 2], "dst": [2, 2, 3]})
-        assert self._run(e) == [(1, 0), (2, 1), (3, 2), (5, 0)]
+        assert self._run(e, driver_limit=lim) == [
+            (1, 0), (2, 1), (3, 2), (5, 0),
+        ]
 
-    def test_cycle_reachable_from_source_raises(self):
+    def test_driver_matches_distributed_on_random_dag(self):
+        rng = np.random.RandomState(23)
+        a = rng.randint(0, 30, 120)
+        b = rng.randint(0, 30, 120)
+        m = a < b  # src < dst guarantees acyclicity
+        e = pd.DataFrame({"src": a[m], "dst": b[m]})
+        assert self._run(e) == self._run(e, driver_limit=0)
+
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_cycle_reachable_from_source_raises(self, lim):
         from kgflow.ops.graph import topo_layers
 
         e = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 2]})
         with pytest.raises(ValueError, match="cycle"):
-            topo_layers(rd.from_pandas(e))
+            topo_layers(rd.from_pandas(e), driver_limit=lim)
 
-    def test_sourceless_cycle_raises(self):
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_sourceless_cycle_raises(self, lim):
         from kgflow.ops.graph import topo_layers
 
         e = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
         with pytest.raises(ValueError, match="cycle"):
-            topo_layers(rd.from_pandas(e))
+            topo_layers(rd.from_pandas(e), driver_limit=lim)
 
 
 class TestIntervalOverlapPairs:
@@ -1131,14 +1148,23 @@ class TestResolvePointerChains:
             map(tuple, df[["src", "final", "chain_len"]].values.tolist())
         )
 
-    def test_chains_resolve_with_exact_lengths(self):
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_chains_resolve_with_exact_lengths(self, lim):
         m = pd.DataFrame(
             {"src": [8, 4, 2, 6, 100, 50], "dst": [4, 2, 1, 3, 50, 25]}
         )
-        assert self._run(m) == [
+        assert self._run(m, driver_limit=lim) == [
             (2, 1, 1), (4, 1, 2), (6, 3, 1),
             (8, 1, 3), (50, 25, 1), (100, 25, 2),
         ]
+
+    def test_driver_matches_distributed_on_random_forest(self):
+        rng = np.random.RandomState(41)
+        srcs = np.arange(1, 300, dtype=np.int64)
+        dsts = srcs - 1 - rng.randint(0, 3, len(srcs))  # always smaller
+        dsts = np.maximum(dsts, 0)
+        m = pd.DataFrame({"src": srcs, "dst": dsts})
+        assert self._run(m) == self._run(m, driver_limit=0, max_rounds=12)
 
     def test_long_chain_needs_only_log_rounds(self):
         # chain of 1000 hops: 2^10 = 1024 >= 1000, so 10 doubling
@@ -1151,16 +1177,29 @@ class TestResolvePointerChains:
         assert len(out) == n
         assert (n, 0, n) in out and (1, 0, 1) in out
 
-    def test_cycle_raises(self):
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_cycle_raises(self, lim):
         from kgflow.ops.graph import resolve_pointer_chains
 
         m = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]})
         with pytest.raises(ValueError, match="cycle"):
-            resolve_pointer_chains(rd.from_pandas(m), max_rounds=6)
+            resolve_pointer_chains(
+                rd.from_pandas(m), max_rounds=6, driver_limit=lim
+            )
 
-    def test_non_functional_raises(self):
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_non_functional_raises(self, lim):
         from kgflow.ops.graph import resolve_pointer_chains
 
         m = pd.DataFrame({"src": [1, 1], "dst": [2, 3]})
         with pytest.raises(Exception, match="not functional"):
-            resolve_pointer_chains(rd.from_pandas(m)).materialize()
+            resolve_pointer_chains(
+                rd.from_pandas(m), driver_limit=lim
+            ).materialize()
+
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_identical_duplicate_rows_fold(self, lim):
+        # the same (src, dst) row twice is NOT a functionality
+        # violation — it folds to one chain row on both paths
+        m = pd.DataFrame({"src": [4, 4, 2], "dst": [2, 2, 1]})
+        assert self._run(m, driver_limit=lim) == [(2, 1, 1), (4, 1, 2)]

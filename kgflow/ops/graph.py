@@ -853,6 +853,36 @@ def hits(
     return nodes.map_batches(Attach, batch_format="pandas", concurrency=(1, 4))
 
 
+def _bfs_driver(
+    edf: pd.DataFrame, seeds: list[int], max_hops: int, undirected: bool
+) -> pd.DataFrame:
+    """Driver-resident BFS over the pulled edge frame — identical
+    level-by-level semantics to the distributed rounds."""
+    s = edf["src"].to_numpy(dtype=np.int64)
+    d = edf["dst"].to_numpy(dtype=np.int64)
+    if undirected:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+    visited: dict[int, int] = {int(x): 0 for x in seeds}
+    frontier = np.array(sorted(visited), dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        m = np.isin(s, frontier)
+        cand = np.unique(d[m])
+        cand = cand[
+            ~np.isin(cand, np.fromiter(visited, dtype=np.int64, count=len(visited)))
+        ]
+        if not len(cand):
+            break
+        for n in cand:
+            visited[int(n)] = hop
+        frontier = np.sort(cand)
+    return pd.DataFrame(
+        {
+            "node": np.fromiter(visited.keys(), dtype=np.int64),
+            "hop": np.fromiter(visited.values(), dtype=np.int64),
+        }
+    )
+
+
 def bfs_hops(
     edges: "rd.Dataset",
     seeds: list[int],
@@ -861,6 +891,7 @@ def bfs_hops(
     max_hops: int = 4,
     undirected: bool = True,
     num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
 ) -> "rd.Dataset":
     """Distributed BFS minimum-hop distance from a seed set: returns
     (node, hop) for every node reachable within ``max_hops``.
@@ -878,10 +909,21 @@ def bfs_hops(
 
     SQL-oracle-able (unlike pagerank): min-hop BFS ≡ a recursive CTE
     with a hop bound, so the driver gate checks it exactly.
+
+    Edge sets ≤ ``driver_limit`` rows run driver-resident
+    (`_bfs_driver`, the `_tri_driver` precedent) — identical output;
+    ``driver_limit=0`` forces the distributed rounds (parity-tested).
     """
     import ray
 
     from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns([src_col, dst_col]).to_pandas()
+        edf = edf.rename(columns={src_col: "src", dst_col: "dst"})
+        return rd.from_pandas(
+            _bfs_driver(edf, seeds, max_hops, undirected)
+        )
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         s = df[src_col].to_numpy(dtype=np.int64)
@@ -1169,6 +1211,39 @@ def local_clustering(
     return out.map_batches(finish, batch_format="pandas")
 
 
+def _sssp_driver(
+    edf: pd.DataFrame, seeds: list[int], max_hops: int, undirected: bool
+) -> pd.DataFrame:
+    """Driver-resident bounded Bellman-Ford (max_hops full relaxation
+    rounds, np.minimum.at) — by the standard BF invariant, identical
+    to the distributed frontier rounds: min weight over ≤k-hop paths."""
+    s = edf["src"].to_numpy(dtype=np.int64)
+    d = edf["dst"].to_numpy(dtype=np.int64)
+    w = edf["w"].to_numpy(dtype=np.int64)
+    if len(w) and w.min() <= 0:
+        raise ValueError("sssp_weighted requires positive weights")
+    if undirected:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        w = np.concatenate([w, w])
+    nodes = np.unique(np.concatenate([s, d, np.asarray(seeds, np.int64)]))
+    INF = np.iinfo(np.int64).max // 4
+    dist = np.full(len(nodes), INF, dtype=np.int64)
+    dist[np.searchsorted(nodes, np.asarray(sorted(seeds), np.int64))] = 0
+    si = np.searchsorted(nodes, s)
+    di = np.searchsorted(nodes, d)
+    for _ in range(max_hops):
+        cand = dist[si]
+        ok = cand < INF
+        offer = np.where(ok, cand + w, INF)
+        new = dist.copy()
+        np.minimum.at(new, di, offer)
+        if (new == dist).all():
+            break
+        dist = new
+    m = dist < INF
+    return pd.DataFrame({"node": nodes[m], "dist": dist[m]})
+
+
 def sssp_weighted(
     edges: "rd.Dataset",
     seeds: list[int],
@@ -1178,6 +1253,7 @@ def sssp_weighted(
     max_hops: int = 4,
     undirected: bool = True,
     num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
 ) -> "rd.Dataset":
     """Distributed single-source(-set) shortest path with positive
     integer weights: returns (node, dist) = the exact minimum path
@@ -1196,10 +1272,25 @@ def sssp_weighted(
     the same documented exception as `pagerank`/`bfs_hops`). Integer
     distances make the result hash-exact in SQL: a recursive CTE with
     a hop bound and UNION dedup replays it (see the driver oracle).
+
+    Edge sets ≤ ``driver_limit`` rows run driver-resident bounded
+    Bellman-Ford (`_sssp_driver`) — identical output;
+    ``driver_limit=0`` forces the distributed rounds (parity-tested).
     """
     import ray
 
     from kgflow.ops.shuffle import bucketed_group_reduce
+
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns(
+            [src_col, dst_col, weight_col]
+        ).to_pandas()
+        edf = edf.rename(
+            columns={src_col: "src", dst_col: "dst", weight_col: "w"}
+        )
+        return rd.from_pandas(
+            _sssp_driver(edf, seeds, max_hops, undirected)
+        )
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
         s = df[src_col].to_numpy(dtype=np.int64)

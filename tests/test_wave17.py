@@ -1203,3 +1203,61 @@ class TestResolvePointerChains:
         # violation — it folds to one chain row on both paths
         m = pd.DataFrame({"src": [4, 4, 2], "dst": [2, 2, 1]})
         assert self._run(m, driver_limit=lim) == [(2, 1, 1), (4, 1, 2)]
+
+
+class TestBfsSsspDriverParity:
+    """The gate-scale queries now take the driver fast paths added to
+    `bfs_hops` / `sssp_weighted`; these pin driver == distributed on
+    random graphs (the same evidence contract as topo/chains/SCC)."""
+
+    def test_bfs_driver_matches_distributed(self):
+        from kgflow.ops.graph import bfs_hops
+
+        rng = np.random.RandomState(29)
+        e = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "src": rng.randint(0, 60, 250),
+                    "dst": rng.randint(0, 60, 250),
+                }
+            )
+        )
+        fast = bfs_hops(e, seeds=[0], max_hops=4).to_pandas()
+        slow = bfs_hops(
+            e, seeds=[0], max_hops=4, driver_limit=0
+        ).to_pandas()
+        key = lambda df: sorted(  # noqa: E731
+            map(tuple, df[["node", "hop"]].values.tolist())
+        )
+        assert key(fast) == key(slow)
+
+    def test_sssp_driver_matches_distributed(self):
+        from kgflow.ops.graph import sssp_weighted
+
+        rng = np.random.RandomState(31)
+        e = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "src": rng.randint(0, 50, 220),
+                    "dst": rng.randint(0, 50, 220),
+                    "w": rng.randint(1, 9, 220),
+                }
+            )
+        )
+        fast = sssp_weighted(e, seeds=[1], max_hops=4).to_pandas()
+        slow = sssp_weighted(
+            e, seeds=[1], max_hops=4, driver_limit=0
+        ).to_pandas()
+        key = lambda df: sorted(  # noqa: E731
+            map(tuple, df[["node", "dist"]].values.tolist())
+        )
+        assert key(fast) == key(slow)
+
+    def test_sssp_driver_rejects_nonpositive_weights(self):
+        from kgflow.ops.graph import sssp_weighted
+
+        e = rd.from_pandas(
+            pd.DataFrame({"src": [1], "dst": [2], "w": [0]})
+        )
+        with pytest.raises(Exception, match="positive"):
+            sssp_weighted(e, seeds=[1]).materialize()

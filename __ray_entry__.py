@@ -4488,6 +4488,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(pairs, batch_format="pandas")
         return topo_layers(edges)
 
+    def graph_temporal_reach(sf_dir: str):
+        """Oracle-checked (hop-bounded recursive CTE with the time
+        constraint in the join): earliest-arrival TEMPORAL reachability
+        ≤ 3 hops over the mod-61 part→supplier graph with shipdate-day
+        edge times (the provenance-chain semantics: each hop departs no
+        earlier than the previous arrival). Min-merge rounds with all
+        pair state dataset-resident; ALL distinct parallel edge times
+        survive to the expansion — a later parallel edge can be the
+        only usable one (`kgflow.ops.graph.temporal_reach`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import temporal_reach
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def tedges(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 50.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 61,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 61,
+                    "t": d["l_shipdate"]
+                    .to_numpy()
+                    .astype("datetime64[D]")
+                    .astype(np.int64),
+                }
+            ).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        ).map_batches(tedges, batch_format="pandas")
+        return temporal_reach(edges, max_hops=3)
+
     def events_redirects(sf_dir: str):
         """Oracle-checked (recursive CTE following single steps): the
         redirect/alias-chain resolver — a functional mapping (even
@@ -4744,6 +4777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_layers": graph_layers,
         "graph_msf": graph_msf,
         "events_redirects": events_redirects,
+        "graph_temporal_reach": graph_temporal_reach,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -8125,6 +8159,26 @@ def oracle_sql() -> dict[str, str]:
         # states so the hop-bounded recursion terminates on cycles;
         # min(hops) per pair = BFS-layer shortest path, exactly the
         # engine's anti-join-per-round semantics
+        # earliest-arrival temporal reachability: UNION dedups
+        # (a, b, arr, hop) states; the e.t >= w.arr join condition IS
+        # the time-respecting constraint; min(arr) per pair
+        "graph_temporal_reach": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT (l_partkey % 61)::BIGINT AS src,
+                              (l_suppkey % 61)::BIGINT AS dst,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE))::BIGINT AS t
+              FROM lineitem WHERE l_quantity >= 50
+            ), w(a, b, arr, hop) AS (
+              SELECT src, dst, t, 1 FROM e
+              UNION
+              SELECT w.a, e2.dst, e2.t, w.hop + 1
+              FROM w JOIN e e2 ON e2.src = w.b AND e2.t >= w.arr
+              WHERE w.hop < 3
+            )
+            SELECT a AS src, b AS dst, CAST(min(arr) AS BIGINT) AS arr
+            FROM w GROUP BY a, b
+        """,
         # redirect-chain resolution: UNION ALL walks every prefix of
         # each (acyclic, functional) chain; the terminal row is the one
         # whose cur never appears as a mapping src

@@ -3096,3 +3096,297 @@ def resolve_pointer_chains(
         )
 
     return ptr.map_batches(finish, batch_format="pandas")
+
+
+def _temporal_driver(
+    edf: pd.DataFrame, max_hops: int
+) -> pd.DataFrame:
+    """Driver-resident earliest-arrival rounds — identical Bellman-Ford
+    semantics to the distributed path."""
+    e = edf[["src", "dst", "t"]].drop_duplicates()
+    best: dict[tuple[int, int], int] = {}
+    for a, b, t in zip(
+        e["src"].to_numpy(np.int64),
+        e["dst"].to_numpy(np.int64),
+        e["t"].to_numpy(np.int64),
+    ):
+        k = (int(a), int(b))
+        if k not in best or t < best[k]:
+            best[k] = int(t)
+    frontier = dict(best)
+    es = e.sort_values(["src", "t"])
+    by_src: dict[int, list[tuple[int, int]]] = {}
+    for a, b, t in zip(
+        es["src"].to_numpy(np.int64),
+        es["dst"].to_numpy(np.int64),
+        es["t"].to_numpy(np.int64),
+    ):
+        by_src.setdefault(int(a), []).append((int(b), int(t)))
+    for _ in range(1, max_hops):
+        nxt: dict[tuple[int, int], int] = {}
+        for (a, mid), arr in frontier.items():
+            for b, t in by_src.get(mid, ()):
+                if t >= arr:
+                    k = (a, b)
+                    if k not in best or t < best[k]:
+                        if k not in nxt or t < nxt[k]:
+                            nxt[k] = t
+        if not nxt:
+            break
+        best.update(nxt)
+        frontier = nxt
+    if not best:
+        return pd.DataFrame(
+            {
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "arr": pd.Series([], dtype="int64"),
+            }
+        )
+    ks = np.array(list(best.keys()), dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "src": ks[:, 0],
+            "dst": ks[:, 1],
+            "arr": np.fromiter(best.values(), dtype=np.int64),
+        }
+    )
+
+
+def temporal_reach(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "t",
+    max_hops: int = 3,
+    num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
+) -> "rd.Dataset":
+    """Earliest-arrival TEMPORAL reachability: (src, dst, arr) where
+    arr is the minimum arrival time over time-respecting paths of ≤
+    ``max_hops`` edges (each edge departs no earlier than the previous
+    edge's time — the provenance/influence-chain semantics: "a fact
+    asserted at t can only propagate through later captures"). Unlike
+    `reach_pairs`, pairs can IMPROVE across rounds (a longer path may
+    arrive earlier), so rounds merge by MIN rather than anti-join.
+
+    Scale shape (mirrors `reach_pairs`): all pair state stays
+    dataset-resident; per round ONE mid-keyed expansion exchange
+    (frontier pairs keyed by their endpoint, edges by src; in-bucket
+    merge applies the t ≥ arr constraint vectorized) + ONE
+    (src, dst)-keyed min-merge that emits the improved pairs as the
+    next frontier. Keeping only the minimum arrival per pair is safe:
+    any continuation legal from a later arrival is legal from an
+    earlier one (domination). Edge sets ≤ ``driver_limit`` run
+    driver-resident; ``driver_limit=0`` forces the rounds.
+    SQL-replayable as a hop-bounded recursive CTE with the time
+    constraint in the join and GROUP BY MIN(arr).
+    """
+    if max_hops < 1:
+        raise ValueError("temporal_reach: max_hops must be >= 1")
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(dtype=np.int64),
+                "dst": df[dst_col].to_numpy(dtype=np.int64),
+                "t": df[ts_col].to_numpy(dtype=np.int64),
+            }
+        )
+        # ALL distinct times per pair must survive — a later parallel
+        # edge can be the only one departing after a path's arrival
+        # (min-folding parallel edges here would be WRONG); only exact
+        # (src, dst, t) duplicates fold
+        return out.drop_duplicates()
+
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns([src_col, dst_col, ts_col]).to_pandas()
+        edf = edf.rename(
+            columns={src_col: "src", dst_col: "dst", ts_col: "t"}
+        )
+        return rd.from_pandas(_temporal_driver(edf, max_hops))
+
+    e = (
+        edges.select_columns([src_col, dst_col, ts_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    def base_tag(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch min per pair; cross-batch duplicates fold at the
+        # first (src, dst)-keyed min-merge, and a dominated frontier
+        # row only re-offers continuations the smaller arr also makes
+        out = pd.DataFrame(
+            {
+                "src": df["src"],
+                "dst": df["dst"],
+                "arr": df["t"].astype(np.int64),
+            }
+        )
+        return out.groupby(["src", "dst"], as_index=False)["arr"].min()
+
+    known = e.map_batches(base_tag, batch_format="pandas")
+    if max_hops == 1:
+        # no merge round will fold cross-batch duplicates — do it here
+        def base_fold(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "src" not in g.columns:
+                return pd.DataFrame(
+                    {
+                        "src": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                        "arr": pd.Series([], dtype="int64"),
+                    }
+                )
+            return g.groupby(["src", "dst"], as_index=False)["arr"].min()
+
+        return bucketed_group_reduce(
+            known, key_cols=["src", "dst"], reduce_fn=base_fold,
+            num_buckets=num_buckets,
+        )
+    frontier = known
+    EMPTY_PAIRS = pd.DataFrame(
+        {
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+            "arr": pd.Series([], dtype="int64"),
+        }
+    )
+
+    for _hop in range(1, max_hops):
+
+        def f_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "mid": pd.Series([], dtype="int64"),
+                        "a": pd.Series([], dtype="int64"),
+                        "v": pd.Series([], dtype="int64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "mid": df["dst"].to_numpy(dtype=np.int64),
+                    "a": df["src"].to_numpy(dtype=np.int64),
+                    "v": df["arr"].to_numpy(dtype=np.int64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def e_tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "mid": df["src"].to_numpy(dtype=np.int64),
+                    "a": df["dst"].to_numpy(dtype=np.int64),
+                    "v": df["t"].to_numpy(dtype=np.int64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_PAIRS.copy()
+            f = g.loc[g["kind"] == 0, ["mid", "a", "v"]].rename(
+                columns={"a": "src", "v": "arr"}
+            )
+            t_ = g.loc[g["kind"] == 1, ["mid", "a", "v"]].rename(
+                columns={"a": "dst", "v": "t"}
+            )
+            m = f.merge(t_, on="mid")
+            m = m.loc[m["t"] >= m["arr"]]
+            if not len(m):
+                return EMPTY_PAIRS.copy()
+            out = m[["src", "dst", "t"]].rename(columns={"t": "arr"})
+            return out.groupby(["src", "dst"], as_index=False)["arr"].min()
+
+        cands = bucketed_group_reduce(
+            frontier.map_batches(f_tag, batch_format="pandas").union(
+                e.map_batches(e_tag, batch_format="pandas")
+            ),
+            key_cols=["mid"],
+            reduce_fn=expand,
+            num_buckets=num_buckets,
+        )
+
+        def k_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                out = EMPTY_PAIRS.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["src", "dst", "arr"]].copy()
+            out["kind"] = np.zeros(len(out), dtype=np.int8)
+            return out
+
+        def c_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                out = EMPTY_PAIRS.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["src", "dst", "arr"]].copy()
+            out["kind"] = np.ones(len(out), dtype=np.int8)
+            return out
+
+        def merge_min(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                out = EMPTY_PAIRS.copy()
+                out["new"] = pd.Series([], dtype="int8")
+                return out
+            k = (
+                g.loc[g["kind"] == 0]
+                .groupby(["src", "dst"], as_index=False)["arr"]
+                .min()
+                .rename(columns={"arr": "k_arr"})
+            )
+            c = (
+                g.loc[g["kind"] == 1]
+                .groupby(["src", "dst"], as_index=False)["arr"]
+                .min()
+                .rename(columns={"arr": "c_arr"})
+            )
+            # nullable Int64 BEFORE the outer merge — letting pandas
+            # upcast the missing side to float64 would corrupt µs
+            # timestamps (> 2^53) and overflow an int64 sentinel
+            k["k_arr"] = k["k_arr"].astype("Int64")
+            c["c_arr"] = c["c_arr"].astype("Int64")
+            m = k.merge(c, on=["src", "dst"], how="outer")
+            INF = np.iinfo(np.int64).max
+            ka = m["k_arr"].fillna(INF).to_numpy(dtype=np.int64)
+            ca = m["c_arr"].fillna(INF).to_numpy(dtype=np.int64)
+            arr = np.minimum(ka, ca)
+            improved = ca < ka
+            return pd.DataFrame(
+                {
+                    "src": m["src"].astype(np.int64),
+                    "dst": m["dst"].astype(np.int64),
+                    "arr": arr,
+                    "new": improved.astype(np.int8),
+                }
+            )
+
+        merged = bucketed_group_reduce(
+            known.map_batches(k_tag, batch_format="pandas").union(
+                cands.map_batches(c_tag, batch_format="pandas")
+            ),
+            key_cols=["src", "dst"],
+            reduce_fn=merge_min,
+            num_buckets=num_buckets,
+        ).materialize()  # closure-bounded iterative state
+
+        def strip(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                return EMPTY_PAIRS.copy()
+            return df[["src", "dst", "arr"]]
+
+        def only_new(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "new" not in df.columns:
+                return EMPTY_PAIRS.copy()
+            return df.loc[df["new"] == 1, ["src", "dst", "arr"]]
+
+        frontier = merged.map_batches(
+            only_new, batch_format="pandas"
+        ).materialize()
+        known = merged.map_batches(strip, batch_format="pandas")
+        if frontier.count() == 0:
+            break
+
+    return known

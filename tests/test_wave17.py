@@ -1261,3 +1261,73 @@ class TestBfsSsspDriverParity:
         )
         with pytest.raises(Exception, match="positive"):
             sssp_weighted(e, seeds=[1]).materialize()
+
+
+class TestTemporalReach:
+    """Earliest-arrival temporal reachability (`graph.temporal_reach`)
+    — the oracled graph_temporal_reach query gates gate-scale; these
+    pin the time-respecting constraint, the parallel-edge-time trap (a
+    LATER parallel edge can be the only usable one — min-folding
+    parallel edges is wrong), and driver == distributed parity."""
+
+    def _run(self, m, **kw):
+        from kgflow.ops.graph import temporal_reach
+
+        df = temporal_reach(rd.from_pandas(m), **kw).to_pandas()
+        return sorted(map(tuple, df[["src", "dst", "arr"]].values.tolist()))
+
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_time_respecting_and_min_arrival(self, lim):
+        # 1->2@5 then 2->3@7 is valid (7>=5) -> (1,3,7); 2->3@3 is too
+        # early to follow 1->2@5; the direct 1->3@9 loses to arr=7
+        m = pd.DataFrame(
+            {"src": [1, 2, 2, 1], "dst": [2, 3, 3, 3], "t": [5, 7, 3, 9]}
+        )
+        assert self._run(m, max_hops=3, driver_limit=lim) == [
+            (1, 2, 5), (1, 3, 7), (2, 3, 3),
+        ]
+
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_later_parallel_edge_is_the_usable_one(self, lim):
+        # 2->3 has times {3, 25}: after arriving at 2 at t=5, only the
+        # t=25 copy departs late enough — min-folding would miss (1,3)
+        m = pd.DataFrame(
+            {"src": [1, 2, 2], "dst": [2, 3, 3], "t": [5, 3, 25]}
+        )
+        assert self._run(m, max_hops=2, driver_limit=lim) == [
+            (1, 2, 5), (1, 3, 25), (2, 3, 3),
+        ]
+
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_hop_bound_and_single_hop_fold(self, lim):
+        chain = pd.DataFrame(
+            {"src": [1, 2, 3], "dst": [2, 3, 4], "t": [1, 2, 3]}
+        )
+        out2 = self._run(chain, max_hops=2, driver_limit=lim)
+        assert (1, 4, 3) not in out2 and (1, 3, 2) in out2
+        dup = pd.DataFrame({"src": [1, 1], "dst": [2, 2], "t": [9, 4]})
+        assert self._run(dup, max_hops=1, driver_limit=lim) == [(1, 2, 4)]
+
+    def test_driver_matches_distributed_on_random_graphs(self):
+        rng = np.random.RandomState(47)
+        m = pd.DataFrame(
+            {
+                "src": rng.randint(0, 12, 90),
+                "dst": rng.randint(0, 12, 90),
+                "t": rng.randint(0, 30, 90),
+            }
+        )
+        assert self._run(m, max_hops=3) == self._run(
+            m, max_hops=3, driver_limit=0
+        )
+
+    def test_validation(self):
+        from kgflow.ops.graph import temporal_reach
+
+        with pytest.raises(ValueError, match="max_hops"):
+            temporal_reach(
+                rd.from_pandas(
+                    pd.DataFrame({"src": [1], "dst": [2], "t": [1]})
+                ),
+                max_hops=0,
+            )

@@ -4521,6 +4521,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(tedges, batch_format="pandas")
         return temporal_reach(edges, max_hops=3)
 
+    def graph_walks(sf_dir: str):
+        """Oracle-checked (recursive CTE joining on rank = LCG-hash %
+        degree; constants shared verbatim): deterministic random-walk
+        corpus (DeepWalk/node2vec training-data prep) — one 4-step walk
+        per node of the mod-61 part→supplier graph, neighbor picked by
+        the seeded (walk_id, step) mix over dst-sorted ranks, stopping
+        at sinks. Ranked adjacency built once (ONE src-keyed exchange),
+        ONE node-keyed tagged exchange per step, walk state V-bounded
+        and dataset-resident (`kgflow.ops.graph.deterministic_walks`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import deterministic_walks
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 49.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 61,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 61,
+                }
+            ).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return deterministic_walks(edges, steps=4)
+
     def events_redirects(sf_dir: str):
         """Oracle-checked (recursive CTE following single steps): the
         redirect/alias-chain resolver — a functional mapping (even
@@ -4778,6 +4807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_msf": graph_msf,
         "events_redirects": events_redirects,
         "graph_temporal_reach": graph_temporal_reach,
+        "graph_walks": graph_walks,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -8159,6 +8189,38 @@ def oracle_sql() -> dict[str, str]:
         # states so the hop-bounded recursion terminates on cycles;
         # min(hops) per pair = BFS-layer shortest path, exactly the
         # engine's anti-join-per-round semantics
+        # deterministic walk corpus: the neighbor pick is an LCG mix
+        # of (walk_id, step) mod 2^64 mod out-degree over dst-sorted
+        # ranks — constants shared VERBATIM with kgflow WALK_A/B/C
+        "graph_walks": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT (l_partkey % 61)::BIGINT AS src,
+                              (l_suppkey % 61)::BIGINT AS dst
+              FROM lineitem WHERE l_quantity >= 49
+            ), adj AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst)
+                       - 1 AS rnk,
+                     count(*) OVER (PARTITION BY src) AS deg
+              FROM e
+            ), n AS (
+              -- NOT "src UNION dst": inside WITH RECURSIVE duckdb 1.0
+              -- silently drops the UNION dedup (observed); unnest is
+              -- the established workaround (events_kcore precedent)
+              SELECT DISTINCT unnest([src, dst]) AS node FROM e
+            ), w(walk_id, step, node) AS (
+              SELECT node, 0, node FROM n
+              UNION ALL
+              SELECT w.walk_id, w.step + 1, a.dst
+              FROM w JOIN adj a ON a.src = w.node
+               AND a.rnk = CAST(
+                 ((CAST(w.walk_id AS HUGEINT) * 6364136223846793005
+                   + CAST(w.step + 1 AS HUGEINT) * 1442695040888963407
+                   + 1234567) % 18446744073709551616) % a.deg AS BIGINT)
+              WHERE w.step < 4
+            )
+            SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM w
+        """,
         # earliest-arrival temporal reachability: UNION dedups
         # (a, b, arr, hop) states; the e.t >= w.arr join condition IS
         # the time-respecting constraint; min(arr) per pair

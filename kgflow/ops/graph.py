@@ -3390,3 +3390,258 @@ def temporal_reach(
             break
 
     return known
+
+
+#: LCG-style mixing constants for the deterministic walk step pick —
+#: shared VERBATIM with the SQL oracle (HUGEINT modular arithmetic)
+WALK_A = 6364136223846793005
+WALK_B = 1442695040888963407
+WALK_C = 1234567
+
+
+def _walk_hash(walk_ids: np.ndarray, step: int) -> np.ndarray:
+    """uint64-wrapping mix of (walk_id, step) — numpy's modular
+    uint64 arithmetic equals the oracle's % 2^64 HUGEINT form."""
+    return (
+        walk_ids.astype(np.uint64) * np.uint64(WALK_A)
+        + np.uint64(step) * np.uint64(WALK_B)
+        + np.uint64(WALK_C)
+    )
+
+
+def _walks_driver(edf: pd.DataFrame, steps: int) -> pd.DataFrame:
+    adj: dict[int, np.ndarray] = {
+        int(s): np.sort(g["dst"].unique()).astype(np.int64)
+        for s, g in edf.groupby("src")
+    }
+    nodes = np.unique(
+        np.concatenate(
+            [edf["src"].to_numpy(np.int64), edf["dst"].to_numpy(np.int64)]
+        )
+    )
+    rows = [(int(n), 0, int(n)) for n in nodes]
+    cur = {int(n): int(n) for n in nodes}
+    for step in range(1, steps + 1):
+        nxt: dict[int, int] = {}
+        if not cur:
+            break
+        wids = np.fromiter(cur.keys(), dtype=np.int64, count=len(cur))
+        h = _walk_hash(wids, step)
+        for wid, hv in zip(wids, h):
+            node = cur[int(wid)]
+            nbrs = adj.get(node)
+            if nbrs is None:
+                continue  # sink: the walk stops
+            nx = int(nbrs[int(hv % np.uint64(len(nbrs)))])
+            rows.append((int(wid), step, nx))
+            nxt[int(wid)] = nx
+        cur = nxt
+    return pd.DataFrame(rows, columns=["walk_id", "step", "node"]).astype(
+        {"walk_id": "int64", "step": "int64", "node": "int64"}
+    )
+
+
+def deterministic_walks(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    steps: int = 4,
+    num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
+) -> "rd.Dataset":
+    """Deterministic random-walk corpus over a directed graph — the
+    DeepWalk/node2vec training-data prep (one walk per node, ``steps``
+    hops): (walk_id, step, node) with walk_id = the start node. The
+    "random" neighbor pick is a seeded LCG mix of (walk_id, step)
+    modulo the out-degree over the dst-sorted neighbor ranks, so the
+    corpus is run-to-run identical AND SQL-replayable (recursive CTE
+    joining on rank = hash % degree; constants shared verbatim). Walks
+    stop at sinks (no out-edges).
+
+    Scale shape: the ranked adjacency (src, dst, rnk, deg) builds with
+    ONE src-keyed exchange and is reused every step; each step is ONE
+    node-keyed tagged exchange co-locating walk positions with the
+    adjacency bucket (in-bucket: vectorized hash, deg lookup, rank
+    merge — no per-walk Python); walk state is dataset-resident and
+    V-bounded per step. Edge sets ≤ ``driver_limit`` rows run
+    driver-resident; ``driver_limit=0`` forces the rounds.
+    """
+    if steps < 1:
+        raise ValueError("deterministic_walks: steps must be >= 1")
+
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns([src_col, dst_col]).to_pandas()
+        edf = edf.rename(columns={src_col: "src", dst_col: "dst"})
+        return rd.from_pandas(_walks_driver(edf.drop_duplicates(), steps))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df[src_col].to_numpy(dtype=np.int64),
+                "dst": df[dst_col].to_numpy(dtype=np.int64),
+            }
+        ).drop_duplicates()
+
+    def rank_adj(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "src" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series([], dtype="int64"),
+                    "dst": pd.Series([], dtype="int64"),
+                    "rnk": pd.Series([], dtype="int64"),
+                    "deg": pd.Series([], dtype="int64"),
+                }
+            )
+        d = g.drop_duplicates().sort_values(["src", "dst"])
+        d["rnk"] = d.groupby("src").cumcount().astype(np.int64)
+        d["deg"] = d.groupby("src")["dst"].transform("size").astype(np.int64)
+        return d
+
+    adj = bucketed_group_reduce(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            prep, batch_format="pandas"
+        ),
+        key_cols=["src"],
+        reduce_fn=rank_adj,
+        num_buckets=num_buckets,
+    ).materialize()  # E-bounded; reused every step
+
+    # start one walk per node (V-bounded distinct exchange)
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["src", "dst"] if "src" in df.columns else []
+        if not cols or not len(df):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {
+                "node": np.unique(
+                    np.concatenate(
+                        [
+                            df["src"].to_numpy(np.int64),
+                            df["dst"].to_numpy(np.int64),
+                        ]
+                    )
+                )
+            }
+        )
+
+    def node_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return g.drop_duplicates()
+
+    starts = bucketed_group_reduce(
+        adj.map_batches(node_part, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=node_red,
+        num_buckets=num_buckets,
+    )
+
+    def start_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "walk_id": pd.Series([], dtype="int64"),
+                    "step": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "walk_id": df["node"].astype(np.int64),
+                "step": np.zeros(len(df), dtype=np.int64),
+                "node": df["node"].astype(np.int64),
+            }
+        )
+
+    parts = [
+        starts.map_batches(start_rows, batch_format="pandas").materialize()
+    ]
+    cur = parts[0]
+
+    EMPTY_W = pd.DataFrame(
+        {
+            "walk_id": pd.Series([], dtype="int64"),
+            "step": pd.Series([], dtype="int64"),
+            "node": pd.Series([], dtype="int64"),
+        }
+    )
+
+    for step in range(1, steps + 1):
+
+        def w_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "walk_id" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "key": pd.Series([], dtype="int64"),
+                        "walk_id": pd.Series([], dtype="int64"),
+                        "dst": pd.Series([], dtype="int64"),
+                        "rnk": pd.Series([], dtype="int64"),
+                        "deg": pd.Series([], dtype="int64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "key": df["node"].astype(np.int64),
+                    "walk_id": df["walk_id"].astype(np.int64),
+                    "dst": np.zeros(len(df), dtype=np.int64),
+                    "rnk": np.zeros(len(df), dtype=np.int64),
+                    "deg": np.zeros(len(df), dtype=np.int64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def a_tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["src"].astype(np.int64),
+                    "walk_id": np.zeros(len(df), dtype=np.int64),
+                    "dst": df["dst"].astype(np.int64),
+                    "rnk": df["rnk"].astype(np.int64),
+                    "deg": df["deg"].astype(np.int64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        def advance(g: pd.DataFrame, _s=step) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_W.copy()
+            w = g.loc[g["kind"] == 0, ["key", "walk_id"]]
+            a = g.loc[g["kind"] == 1, ["key", "dst", "rnk", "deg"]]
+            if not len(w) or not len(a):
+                return EMPTY_W.copy()
+            degs = a[["key", "deg"]].drop_duplicates()
+            m = w.merge(degs, on="key")  # sinks drop out here
+            if not len(m):
+                return EMPTY_W.copy()
+            h = _walk_hash(m["walk_id"].to_numpy(np.int64), _s)
+            m["rnk"] = (
+                h % m["deg"].to_numpy(np.int64).astype(np.uint64)
+            ).astype(np.int64)
+            out = m.merge(a[["key", "rnk", "dst"]], on=["key", "rnk"])
+            return pd.DataFrame(
+                {
+                    "walk_id": out["walk_id"].astype(np.int64),
+                    "step": np.full(len(out), _s, dtype=np.int64),
+                    "node": out["dst"].astype(np.int64),
+                }
+            )
+
+        nxt = bucketed_group_reduce(
+            cur.map_batches(w_tag, batch_format="pandas").union(
+                adj.map_batches(a_tag, batch_format="pandas")
+            ),
+            key_cols=["key"],
+            reduce_fn=advance,
+            num_buckets=num_buckets,
+        ).materialize()  # V-bounded walk state per step
+
+        if nxt.count() == 0:
+            break
+        parts.append(nxt)
+        cur = nxt
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

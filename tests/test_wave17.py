@@ -1331,3 +1331,53 @@ class TestTemporalReach:
                 ),
                 max_hops=0,
             )
+
+
+class TestDeterministicWalks:
+    """Walk-corpus generation (`graph.deterministic_walks`) — the
+    oracled graph_walks query pins engine == SQL at gate scale; these
+    pin sink stops, bit-level determinism, and driver == distributed
+    parity on random graphs."""
+
+    def _run(self, df, **kw):
+        from kgflow.ops.graph import deterministic_walks
+
+        out = deterministic_walks(rd.from_pandas(df), **kw).to_pandas()
+        return sorted(
+            map(tuple, out[["walk_id", "step", "node"]].values.tolist())
+        )
+
+    def test_sink_stops_walk(self):
+        df = pd.DataFrame({"src": [1], "dst": [2]})
+        assert self._run(df, steps=3) == [(1, 0, 1), (1, 1, 2), (2, 0, 2)]
+
+    def test_single_neighbor_walks_are_forced(self):
+        # cycle 1->2->1: every step has exactly one choice
+        df = pd.DataFrame({"src": [1, 2], "dst": [2, 1]})
+        assert self._run(df, steps=2) == [
+            (1, 0, 1), (1, 1, 2), (1, 2, 1),
+            (2, 0, 2), (2, 1, 1), (2, 2, 2),
+        ]
+
+    def test_driver_matches_distributed_and_reruns(self):
+        rng = np.random.RandomState(59)
+        df = pd.DataFrame(
+            {"src": rng.randint(0, 14, 80), "dst": rng.randint(0, 14, 80)}
+        )
+        a = self._run(df, steps=4)
+        b = self._run(df, steps=4, driver_limit=0)
+        c = self._run(df, steps=4)  # rerun: bit-identical
+        assert a == b == c
+        # one start row per node, walks never exceed steps
+        starts = [r for r in a if r[1] == 0]
+        assert len(starts) == len({r[0] for r in a})
+        assert max(r[1] for r in a) <= 4
+
+    def test_validation(self):
+        from kgflow.ops.graph import deterministic_walks
+
+        with pytest.raises(ValueError, match="steps"):
+            deterministic_walks(
+                rd.from_pandas(pd.DataFrame({"src": [1], "dst": [2]})),
+                steps=0,
+            )

@@ -4521,6 +4521,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(tedges, batch_format="pandas")
         return temporal_reach(edges, max_hops=3)
 
+    def graph_betweenness(sf_dir: str):
+        """Rows-only (float δ sums; gated by driver == distributed +
+        independent pair-enumeration parity in tests/test_wave17.py):
+        Brandes betweenness centrality over the undirected mod-61
+        part↔supplier graph — all V seeds advance level-synchronously
+        as (seed, node, σ) rows, two exchanges per BFS level forward
+        and two per level backward
+        (`kgflow.ops.graph.betweenness_centrality`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import betweenness_centrality
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 49.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 61,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 61,
+                }
+            ).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return betweenness_centrality(edges)
+
     def graph_walks(sf_dir: str):
         """Oracle-checked (recursive CTE joining on rank = LCG-hash %
         degree; constants shared verbatim): deterministic random-walk
@@ -4808,6 +4836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_redirects": events_redirects,
         "graph_temporal_reach": graph_temporal_reach,
         "graph_walks": graph_walks,
+        "graph_betweenness": graph_betweenness,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,

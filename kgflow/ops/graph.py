@@ -3645,3 +3645,491 @@ def deterministic_walks(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def _brandes_driver(
+    edf: pd.DataFrame, seeds: list[int] | None, undirected: bool
+) -> pd.DataFrame:
+    """Driver-resident Brandes (2001) — identical conventions to the
+    distributed path: unweighted shortest paths, directed δ sums (no
+    /2 for undirected inputs), endpoints excluded."""
+    s = edf["src"].to_numpy(np.int64)
+    d = edf["dst"].to_numpy(np.int64)
+    if undirected:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+    ee = pd.DataFrame({"s": s, "d": d}).drop_duplicates()
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(ee["s"].to_numpy(np.int64), ee["d"].to_numpy(np.int64)):
+        adj.setdefault(int(a), []).append(int(b))
+    nodes = np.unique(np.concatenate([s, d])) if len(s) else np.array([], np.int64)
+    bc: dict[int, float] = {int(n): 0.0 for n in nodes}
+    seed_list = [int(x) for x in (seeds if seeds is not None else nodes)]
+    for src in seed_list:
+        if src not in bc:
+            continue
+        dist = {src: 0}
+        sigma = {src: 1.0}
+        order = [src]
+        qi = 0
+        while qi < len(order):
+            v = order[qi]
+            qi += 1
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0.0
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for x in adj.get(w, ()):
+                if dist.get(x) == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1.0 + delta[x])
+            if w != src:
+                bc[w] += delta[w]
+    return pd.DataFrame(
+        {
+            "node": np.fromiter(bc.keys(), dtype=np.int64),
+            "bc": np.fromiter(bc.values(), dtype=np.float64),
+        }
+    )
+
+
+def betweenness_centrality(
+    edges: "rd.Dataset",
+    seeds: list[int] | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    undirected: bool = True,
+    num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
+    max_levels: int = 64,
+) -> "rd.Dataset":
+    """Betweenness centrality (Brandes 2001): (node, bc) where bc(v) =
+    Σ_{s≠v≠t} σ_st(v)/σ_st over the seed set s (all nodes = exact;
+    a sample = the standard unbiased estimator scaled by the caller).
+    Directed δ-sum convention (an undirected input counts each
+    ordered pair once per direction — callers wanting the classic
+    undirected value halve it); endpoints excluded. The KG use:
+    broker/bridge entities whose removal disconnects communities.
+
+    Scale shape (distributed path): ALL seeds advance level-
+    synchronously together — state rows are (seed, node, σ) so the
+    exchange volume is O(V·|seeds|) not per-seed jobs. Forward: per
+    BFS level ONE mid-keyed expansion exchange (frontier × adjacency,
+    in-bucket σ partial sums) + ONE (seed, node)-keyed exchange that
+    simultaneously sums σ across buckets AND anti-joins the visited
+    set (the `reach_pairs` pattern — levels are materialized,
+    dataset-resident). Backward: per level ONE w-keyed exchange
+    emitting (1+δ_w)/σ_w credits along reversed edges + ONE
+    (seed, v)-keyed exchange joining σ_v and summing credits; δ rows
+    accumulate and a final node-keyed sum yields bc. Floats appear
+    ONLY in δ (σ is exact float-int); result is deterministic per
+    topology but carries IEEE sum-order noise — rows-only, gated by
+    driver == distributed + brute parity. Edge sets ≤ ``driver_limit``
+    run driver-resident Brandes; ``driver_limit=0`` forces the rounds.
+    """
+
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns([src_col, dst_col]).to_pandas()
+        edf = edf.rename(columns={src_col: "src", dst_col: "dst"})
+        return rd.from_pandas(_brandes_driver(edf, seeds, undirected))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy(dtype=np.int64)
+        b = df[dst_col].to_numpy(dtype=np.int64)
+        if undirected:
+            a, b = np.concatenate([a, b]), np.concatenate([b, a])
+        return pd.DataFrame({"src": a, "dst": b}).drop_duplicates()
+
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    # seed rows: (seed, node=seed, sigma=1) — all nodes when seeds=None
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "src" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {
+                "node": np.unique(
+                    np.concatenate(
+                        [
+                            df["src"].to_numpy(np.int64),
+                            df["dst"].to_numpy(np.int64),
+                        ]
+                    )
+                )
+            }
+        )
+
+    def node_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return g.drop_duplicates()
+
+    all_nodes = bucketed_group_reduce(
+        e.map_batches(node_part, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=node_red,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    if seeds is not None:
+        import ray
+
+        seed_ref = ray.put(np.asarray(sorted(set(map(int, seeds))), np.int64))
+
+        def mk_seed(df: pd.DataFrame, _s=seed_ref) -> pd.DataFrame:
+            import ray as _r
+
+            want = _r.get(_s)
+            n = df["node"].to_numpy(np.int64)
+            n = n[np.isin(n, want)]
+            return pd.DataFrame(
+                {
+                    "seed": n,
+                    "node": n,
+                    "sigma": np.ones(len(n), dtype=np.float64),
+                }
+            )
+    else:
+
+        def mk_seed(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "node" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "seed": pd.Series([], dtype="int64"),
+                        "node": pd.Series([], dtype="int64"),
+                        "sigma": pd.Series([], dtype="float64"),
+                    }
+                )
+            n = df["node"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "seed": n,
+                    "node": n,
+                    "sigma": np.ones(len(n), dtype=np.float64),
+                }
+            )
+
+    levels = [
+        all_nodes.map_batches(mk_seed, batch_format="pandas").materialize()
+    ]
+
+    EMPTY_ST = pd.DataFrame(
+        {
+            "seed": pd.Series([], dtype="int64"),
+            "node": pd.Series([], dtype="int64"),
+            "sigma": pd.Series([], dtype="float64"),
+        }
+    )
+
+    # ---- forward BFS levels ----
+    for _lvl in range(1, max_levels + 1):
+        frontier = levels[-1]
+
+        def f_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_ST.copy()
+                out["key"] = pd.Series([], dtype="int64")
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            return pd.DataFrame(
+                {
+                    "key": df["node"].astype(np.int64),
+                    "seed": df["seed"].astype(np.int64),
+                    "node": df["node"].astype(np.int64),
+                    "sigma": df["sigma"].astype(np.float64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def e_tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["src"].astype(np.int64),
+                    "seed": np.zeros(len(df), dtype=np.int64),
+                    "node": df["dst"].astype(np.int64),
+                    "sigma": np.zeros(len(df), dtype=np.float64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_ST.copy()
+            f = g.loc[g["kind"] == 0, ["key", "seed", "sigma"]]
+            t_ = g.loc[g["kind"] == 1, ["key", "node"]]
+            if not len(f) or not len(t_):
+                return EMPTY_ST.copy()
+            m = f.merge(t_, on="key")
+            return m.groupby(["seed", "node"], as_index=False)[
+                "sigma"
+            ].sum()
+
+        cand = bucketed_group_reduce(
+            frontier.map_batches(f_tag, batch_format="pandas").union(
+                e.map_batches(e_tag, batch_format="pandas")
+            ),
+            key_cols=["key"],
+            reduce_fn=expand,
+            num_buckets=num_buckets,
+        )
+
+        # sum σ partials per (seed, node) AND drop already-visited
+        def v_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_ST.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["seed", "node", "sigma"]].copy()
+            out["kind"] = np.zeros(len(out), dtype=np.int8)
+            return out
+
+        def c_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_ST.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["seed", "node", "sigma"]].copy()
+            out["kind"] = np.ones(len(out), dtype=np.int8)
+            return out
+
+        def fold_new(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_ST.copy()
+            seen = g.loc[g["kind"] == 0, ["seed", "node"]].drop_duplicates()
+            c = g.loc[g["kind"] == 1]
+            if not len(c):
+                return EMPTY_ST.copy()
+            cs = c.groupby(["seed", "node"], as_index=False)["sigma"].sum()
+            m = cs.merge(seen, on=["seed", "node"], how="left", indicator=True)
+            return m.loc[
+                m["_merge"] == "left_only", ["seed", "node", "sigma"]
+            ]
+
+        visited = levels[0]
+        for p in levels[1:]:
+            visited = visited.union(p)
+
+        nxt = bucketed_group_reduce(
+            visited.map_batches(v_tag, batch_format="pandas").union(
+                cand.map_batches(c_tag, batch_format="pandas")
+            ),
+            key_cols=["seed", "node"],
+            reduce_fn=fold_new,
+            num_buckets=num_buckets,
+        ).materialize()
+
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+    else:
+        raise RuntimeError(
+            f"betweenness_centrality: BFS exceeded max_levels={max_levels}"
+        )
+
+    # ---- backward accumulation ----
+    # delta state per level, deepest first (deepest δ = 0)
+    def zero_delta(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "seed" not in df.columns:
+            out = EMPTY_ST.copy()
+            out["delta"] = pd.Series([], dtype="float64")
+            return out
+        out = df[["seed", "node", "sigma"]].copy()
+        out["delta"] = np.zeros(len(out), dtype=np.float64)
+        return out
+
+    delta_levels: list = [None] * len(levels)
+    delta_levels[-1] = levels[-1].map_batches(
+        zero_delta, batch_format="pandas"
+    ).materialize()
+
+    for d_ in range(len(levels) - 2, -1, -1):
+        below = delta_levels[d_ + 1]
+
+        def w_tag(df: pd.DataFrame) -> pd.DataFrame:
+            # credit each (seed, w): (1 + δ_w) / σ_w, keyed by w
+            if not len(df) or "seed" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "key": pd.Series([], dtype="int64"),
+                        "seed": pd.Series([], dtype="int64"),
+                        "node": pd.Series([], dtype="int64"),
+                        "val": pd.Series([], dtype="float64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "key": df["node"].astype(np.int64),
+                    "seed": df["seed"].astype(np.int64),
+                    "node": df["node"].astype(np.int64),
+                    "val": (1.0 + df["delta"].astype(np.float64))
+                    / df["sigma"].astype(np.float64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def r_tag(df: pd.DataFrame) -> pd.DataFrame:
+            # reversed edges keyed by dst: contribution flows dst -> src
+            return pd.DataFrame(
+                {
+                    "key": df["dst"].astype(np.int64),
+                    "seed": np.zeros(len(df), dtype=np.int64),
+                    "node": df["src"].astype(np.int64),
+                    "val": np.zeros(len(df), dtype=np.float64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        def credit(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_ST.rename(columns={"sigma": "cred"}).copy()
+            w = g.loc[g["kind"] == 0, ["key", "seed", "val"]]
+            r = g.loc[g["kind"] == 1, ["key", "node"]]
+            if not len(w) or not len(r):
+                return EMPTY_ST.rename(columns={"sigma": "cred"}).copy()
+            m = w.merge(r, on="key")
+            out = m.groupby(["seed", "node"], as_index=False)["val"].sum()
+            return out.rename(columns={"val": "cred"})
+
+        creds = bucketed_group_reduce(
+            below.map_batches(w_tag, batch_format="pandas").union(
+                e.map_batches(r_tag, batch_format="pandas")
+            ),
+            key_cols=["key"],
+            reduce_fn=credit,
+            num_buckets=num_buckets,
+        )
+
+        def s_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_ST.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["seed", "node", "sigma"]].copy()
+            out["kind"] = np.zeros(len(out), dtype=np.int8)
+            return out
+
+        def cr_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_ST.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = pd.DataFrame(
+                {
+                    "seed": df["seed"].astype(np.int64),
+                    "node": df["node"].astype(np.int64),
+                    "sigma": df["cred"].astype(np.float64),
+                }
+            )
+            out["kind"] = np.ones(len(out), dtype=np.int8)
+            return out
+
+        def join_delta(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                out = EMPTY_ST.copy()
+                out["delta"] = pd.Series([], dtype="float64")
+                return out
+            st = g.loc[g["kind"] == 0, ["seed", "node", "sigma"]]
+            cr = (
+                g.loc[g["kind"] == 1, ["seed", "node", "sigma"]]
+                .groupby(["seed", "node"], as_index=False)
+                .sum()
+                .rename(columns={"sigma": "cred"})
+            )
+            if not len(st):
+                out = EMPTY_ST.copy()
+                out["delta"] = pd.Series([], dtype="float64")
+                return out
+            m = st.merge(cr, on=["seed", "node"], how="left")
+            m["delta"] = m["sigma"].astype(np.float64) * m["cred"].fillna(
+                0.0
+            ).astype(np.float64)
+            return m[["seed", "node", "sigma", "delta"]]
+
+        delta_levels[d_] = bucketed_group_reduce(
+            levels[d_].map_batches(s_tag, batch_format="pandas").union(
+                creds.map_batches(cr_tag, batch_format="pandas")
+            ),
+            key_cols=["seed", "node"],
+            reduce_fn=join_delta,
+            num_buckets=num_buckets,
+        ).materialize()
+
+    # ---- bc = Σ δ over seeds, excluding endpoints (node == seed) ----
+    acc = delta_levels[0]
+    for p in delta_levels[1:]:
+        acc = acc.union(p)
+
+    def d_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "seed" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "bc": pd.Series([], dtype="float64"),
+                }
+            )
+        d = df.loc[df["node"] != df["seed"]]
+        out = pd.DataFrame(
+            {
+                "node": d["node"].astype(np.int64),
+                "bc": d["delta"].astype(np.float64),
+            }
+        )
+        return out.groupby("node", as_index=False)["bc"].sum()
+
+    def bc_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "bc": pd.Series([], dtype="float64"),
+                }
+            )
+        return g.groupby("node", as_index=False)["bc"].sum()
+
+    bc = bucketed_group_reduce(
+        acc.map_batches(d_rows, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=bc_red,
+        num_buckets=num_buckets,
+    )
+
+    # nodes with zero betweenness must still appear
+    def n_tag(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "bc": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "node": df["node"].astype(np.int64),
+                "bc": np.zeros(len(df), dtype=np.float64),
+            }
+        )
+
+    def final_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "bc": pd.Series([], dtype="float64"),
+                }
+            )
+        return g.groupby("node", as_index=False)["bc"].sum()
+
+    return bucketed_group_reduce(
+        bc.union(all_nodes.map_batches(n_tag, batch_format="pandas")),
+        key_cols=["node"],
+        reduce_fn=final_red,
+        num_buckets=num_buckets,
+    )

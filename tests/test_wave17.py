@@ -1381,3 +1381,101 @@ class TestDeterministicWalks:
                 rd.from_pandas(pd.DataFrame({"src": [1], "dst": [2]})),
                 steps=0,
             )
+
+
+class TestBetweennessCentrality:
+    """Brandes betweenness (`graph.betweenness_centrality`) —
+    graph_betweenness is rows-only (float), so the gates here are an
+    INDEPENDENT pair-enumeration brute force (not Brandes) plus
+    driver == distributed parity."""
+
+    @staticmethod
+    def _brute(rows):
+        # enumerate all shortest paths per ordered (s, t) pair by BFS
+        # DAG counting — structurally different from Brandes
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in rows:
+            adj[a].add(b)
+            adj[b].add(a)
+        nodes = sorted(adj)
+        bc = {n: 0.0 for n in nodes}
+        for s_ in nodes:
+            for t_ in nodes:
+                if s_ == t_:
+                    continue
+                # BFS from s_: dist + path counts + predecessors
+                dist = {s_: 0}
+                sigma = {s_: 1}
+                preds = collections.defaultdict(list)
+                q = [s_]
+                while q:
+                    nq = []
+                    for v in q:
+                        for w in adj[v]:
+                            if w not in dist:
+                                dist[w] = dist[v] + 1
+                                nq.append(w)
+                            if dist[w] == dist[v] + 1:
+                                sigma[w] = sigma.get(w, 0) + sigma[v]
+                                preds[w].append(v)
+                    q = nq
+                if t_ not in dist:
+                    continue
+                # count per-node path-through counts by backward walk
+                thr = collections.defaultdict(float)
+                stack = [(t_, 1.0)]
+                frac = {t_: 1.0}
+                order = sorted(
+                    dist, key=lambda x: -dist[x]
+                )
+                for w in order:
+                    if w not in frac:
+                        continue
+                    for p in preds[w]:
+                        share = frac[w] * sigma[p] / sigma[w]
+                        frac[p] = frac.get(p, 0.0) + share
+                for v, fr in frac.items():
+                    if v not in (s_, t_):
+                        bc[v] += fr
+        return bc
+
+    def _run(self, rows, **kw):
+        from kgflow.ops.graph import betweenness_centrality
+
+        df = pd.DataFrame(
+            {"src": [r[0] for r in rows], "dst": [r[1] for r in rows]}
+        )
+        out = betweenness_centrality(rd.from_pandas(df), **kw).to_pandas()
+        return dict(zip(out["node"].astype(int), out["bc"].astype(float)))
+
+    def test_path_and_star_match_pair_enumeration(self):
+        for rows in (
+            [(1, 2), (2, 3), (3, 4)],                    # path
+            [(0, 1), (0, 2), (0, 3), (0, 4)],            # star
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],    # tri + tail
+        ):
+            exp = self._brute(rows)
+            got = self._run(rows)
+            assert set(got) == set(exp)
+            for k in exp:
+                assert abs(got[k] - exp[k]) < 1e-9, (rows, k)
+
+    def test_driver_matches_distributed_random(self):
+        rng = np.random.RandomState(67)
+        rows = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, 12, size=(60, 2))
+            if a != b
+        ]
+        fast = self._run(rows)
+        slow = self._run(rows, driver_limit=0)
+        assert set(fast) == set(slow)
+        for k in fast:
+            assert abs(fast[k] - slow[k]) < 1e-9 * (1 + abs(fast[k]))
+
+    def test_seed_subset(self):
+        # only seed 1: path 1-2-3 — δ credits node 2 once (pair (1,3))
+        got = self._run([(1, 2), (2, 3)], seeds=[1])
+        assert got == {1: 0.0, 2: 1.0, 3: 0.0}

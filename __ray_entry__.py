@@ -4549,6 +4549,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(pairs, batch_format="pandas")
         return betweenness_centrality(edges)
 
+    def graph_closeness(sf_dir: str):
+        """Oracle-checked (V-bounded recursive-CTE min-hop closure +
+        GROUP BY; the one IEEE division is identical on both sides):
+        closeness centrality over the undirected mod-61 part↔supplier
+        graph — integer (n_reached, total_dist) per node plus
+        closeness = n_reached / total_dist. All-seeds level-
+        synchronous BFS, constant-size per-level partials
+        (`kgflow.ops.graph.closeness_centrality`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import closeness_centrality
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 49.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 61,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 61,
+                }
+            ).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return closeness_centrality(edges)
+
     def graph_walks(sf_dir: str):
         """Oracle-checked (recursive CTE joining on rank = LCG-hash %
         degree; constants shared verbatim): deterministic random-walk
@@ -4837,6 +4865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_temporal_reach": graph_temporal_reach,
         "graph_walks": graph_walks,
         "graph_betweenness": graph_betweenness,
+        "graph_closeness": graph_closeness,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -8218,6 +8247,32 @@ def oracle_sql() -> dict[str, str]:
         # states so the hop-bounded recursion terminates on cycles;
         # min(hops) per pair = BFS-layer shortest path, exactly the
         # engine's anti-join-per-round semantics
+        # closeness: min-hop closure bounded by V=61 (UNION dedups
+        # (a, b, h) states so cycles terminate), then integer sums and
+        # ONE double division — IEEE-identical to the engine
+        "graph_closeness": """
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT (l_partkey % 61)::BIGINT AS src,
+                              (l_suppkey % 61)::BIGINT AS dst
+              FROM lineitem WHERE l_quantity >= 49
+            ), e AS (
+              SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+            ), r(a, b, h) AS (
+              SELECT src, dst, 1 FROM e
+              UNION
+              SELECT r.a, e2.dst, r.h + 1
+              FROM r JOIN e e2 ON e2.src = r.b
+              WHERE r.h < 61
+            ), d AS (
+              SELECT a, b, min(h) AS h FROM r WHERE a <> b GROUP BY a, b
+            )
+            SELECT a AS node,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(h) AS BIGINT) AS total_dist,
+                   CAST(count(*) AS DOUBLE) / CAST(sum(h) AS DOUBLE)
+                     AS closeness
+            FROM d GROUP BY a
+        """,
         # deterministic walk corpus: the neighbor pick is an LCG mix
         # of (walk_id, step) mod 2^64 mod out-degree over dst-sorted
         # ranks — constants shared VERBATIM with kgflow WALK_A/B/C

@@ -4133,3 +4133,316 @@ def betweenness_centrality(
         reduce_fn=final_red,
         num_buckets=num_buckets,
     )
+
+
+def _closeness_driver(edf: pd.DataFrame, undirected: bool) -> pd.DataFrame:
+    s = edf["src"].to_numpy(np.int64)
+    d = edf["dst"].to_numpy(np.int64)
+    if undirected:
+        s, d = np.concatenate([s, d]), np.concatenate([d, s])
+    adj: dict[int, list[int]] = {}
+    for a, b in zip(s, d):
+        adj.setdefault(int(a), []).append(int(b))
+    nodes = np.unique(np.concatenate([s, d])) if len(s) else np.array([], np.int64)
+    rows = []
+    for src in nodes:
+        dist = {int(src): 0}
+        q = [int(src)]
+        while q:
+            nq = []
+            for v in q:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        nq.append(w)
+            q = nq
+        tot = sum(dist.values())
+        n_r = len(dist) - 1
+        rows.append(
+            (
+                int(src),
+                n_r,
+                tot,
+                (float(n_r) / tot) if tot else 0.0,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["node", "n_reached", "total_dist", "closeness"]
+    ).astype(
+        {
+            "node": "int64",
+            "n_reached": "int64",
+            "total_dist": "int64",
+            "closeness": "float64",
+        }
+    )
+
+
+def closeness_centrality(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    undirected: bool = True,
+    num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
+    max_levels: int = 256,
+) -> "rd.Dataset":
+    """Closeness centrality: per node (node, n_reached, total_dist,
+    closeness = n_reached / total_dist) over unweighted min-hop
+    distances to every reachable other node (0.0 for isolated-out
+    nodes). Integer n_reached/total_dist make the result hash-exact;
+    the one IEEE division is identical in SQL — so unlike
+    pagerank/HITS this centrality IS oracle-able (V-bounded recursive
+    CTE + GROUP BY).
+
+    Scale shape: ALL seeds advance level-synchronously as (seed, node)
+    rows (the `betweenness_centrality` forward machinery): per BFS
+    level ONE mid-keyed expansion exchange + ONE (seed, node)-keyed
+    distinct/anti-join exchange against the dataset-resident visited
+    levels; per level a constant-size (seed, count, level·count)
+    partial feeds a final seed-keyed sum. Rounds = graph diameter.
+    Edge sets ≤ ``driver_limit`` rows run driver-resident BFS;
+    ``driver_limit=0`` forces the rounds.
+    """
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns([src_col, dst_col]).to_pandas()
+        edf = edf.rename(columns={src_col: "src", dst_col: "dst"})
+        return rd.from_pandas(_closeness_driver(edf, undirected))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy(dtype=np.int64)
+        b = df[dst_col].to_numpy(dtype=np.int64)
+        if undirected:
+            a, b = np.concatenate([a, b]), np.concatenate([b, a])
+        return pd.DataFrame({"src": a, "dst": b}).drop_duplicates()
+
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "src" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {
+                "node": np.unique(
+                    np.concatenate(
+                        [
+                            df["src"].to_numpy(np.int64),
+                            df["dst"].to_numpy(np.int64),
+                        ]
+                    )
+                )
+            }
+        )
+
+    def node_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return g.drop_duplicates()
+
+    all_nodes = bucketed_group_reduce(
+        e.map_batches(node_part, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=node_red,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def mk_seed(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "seed": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64"),
+                }
+            )
+        n = df["node"].to_numpy(np.int64)
+        return pd.DataFrame({"seed": n, "node": n})
+
+    levels = [
+        all_nodes.map_batches(mk_seed, batch_format="pandas").materialize()
+    ]
+    EMPTY_SN = pd.DataFrame(
+        {
+            "seed": pd.Series([], dtype="int64"),
+            "node": pd.Series([], dtype="int64"),
+        }
+    )
+    partials: list = []  # (seed, n, sum_d) per level
+
+    for lvl in range(1, max_levels + 1):
+        frontier = levels[-1]
+
+        def f_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "key": pd.Series([], dtype="int64"),
+                        "seed": pd.Series([], dtype="int64"),
+                        "node": pd.Series([], dtype="int64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "key": df["node"].astype(np.int64),
+                    "seed": df["seed"].astype(np.int64),
+                    "node": df["node"].astype(np.int64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def e_tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["src"].astype(np.int64),
+                    "seed": np.zeros(len(df), dtype=np.int64),
+                    "node": df["dst"].astype(np.int64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_SN.copy()
+            f = g.loc[g["kind"] == 0, ["key", "seed"]]
+            t_ = g.loc[g["kind"] == 1, ["key", "node"]]
+            if not len(f) or not len(t_):
+                return EMPTY_SN.copy()
+            return (
+                f.merge(t_, on="key")[["seed", "node"]].drop_duplicates()
+            )
+
+        cand = bucketed_group_reduce(
+            frontier.map_batches(f_tag, batch_format="pandas").union(
+                e.map_batches(e_tag, batch_format="pandas")
+            ),
+            key_cols=["key"],
+            reduce_fn=expand,
+            num_buckets=num_buckets,
+        )
+
+        def v_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_SN.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["seed", "node"]].copy()
+            out["kind"] = np.zeros(len(out), dtype=np.int8)
+            return out
+
+        def c_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_SN.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["seed", "node"]].copy()
+            out["kind"] = np.ones(len(out), dtype=np.int8)
+            return out
+
+        def fold_new(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_SN.copy()
+            seen = g.loc[g["kind"] == 0, ["seed", "node"]].drop_duplicates()
+            c = g.loc[g["kind"] == 1, ["seed", "node"]].drop_duplicates()
+            if not len(c):
+                return EMPTY_SN.copy()
+            m = c.merge(seen, on=["seed", "node"], how="left", indicator=True)
+            return m.loc[m["_merge"] == "left_only", ["seed", "node"]]
+
+        visited = levels[0]
+        for p in levels[1:]:
+            visited = visited.union(p)
+
+        nxt = bucketed_group_reduce(
+            visited.map_batches(v_tag, batch_format="pandas").union(
+                cand.map_batches(c_tag, batch_format="pandas")
+            ),
+            key_cols=["seed", "node"],
+            reduce_fn=fold_new,
+            num_buckets=num_buckets,
+        ).materialize()
+
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+
+        def lvl_part(df: pd.DataFrame, _l=lvl) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "seed": pd.Series([], dtype="int64"),
+                        "n": pd.Series([], dtype="int64"),
+                        "sum_d": pd.Series([], dtype="int64"),
+                    }
+                )
+            g = df.groupby("seed", as_index=False).size()
+            return pd.DataFrame(
+                {
+                    "seed": g["seed"].astype(np.int64),
+                    "n": g["size"].astype(np.int64),
+                    "sum_d": (g["size"] * _l).astype(np.int64),
+                }
+            )
+
+        partials.append(
+            nxt.map_batches(lvl_part, batch_format="pandas")
+        )
+    else:
+        raise RuntimeError(
+            f"closeness_centrality: BFS exceeded max_levels={max_levels}"
+        )
+
+    def zero_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "seed": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "sum_d": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "seed": df["node"].astype(np.int64),
+                "n": np.zeros(len(df), dtype=np.int64),
+                "sum_d": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    acc = all_nodes.map_batches(zero_part, batch_format="pandas")
+    for p in partials:
+        acc = acc.union(p)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "seed" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "n_reached": pd.Series([], dtype="int64"),
+                    "total_dist": pd.Series([], dtype="int64"),
+                    "closeness": pd.Series([], dtype="float64"),
+                }
+            )
+        s = g.groupby("seed", as_index=False)[["n", "sum_d"]].sum()
+        tot = s["sum_d"].to_numpy(np.int64)
+        n_r = s["n"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "node": s["seed"].astype(np.int64),
+                "n_reached": n_r,
+                "total_dist": tot,
+                "closeness": np.where(
+                    tot > 0, n_r / np.maximum(tot, 1), 0.0
+                ),
+            }
+        )
+
+    return bucketed_group_reduce(
+        acc,
+        key_cols=["seed"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )

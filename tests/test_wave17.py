@@ -1479,3 +1479,50 @@ class TestBetweennessCentrality:
         # only seed 1: path 1-2-3 — δ credits node 2 once (pair (1,3))
         got = self._run([(1, 2), (2, 3)], seeds=[1])
         assert got == {1: 0.0, 2: 1.0, 3: 0.0}
+
+
+class TestClosenessCentrality:
+    """Closeness (`graph.closeness_centrality`) — graph_closeness is
+    oracled at gate scale; these pin exact path-graph values and
+    driver == distributed parity (incl. the integer sums)."""
+
+    def _run(self, rows, **kw):
+        from kgflow.ops.graph import closeness_centrality
+
+        df = pd.DataFrame(
+            {"src": [r[0] for r in rows], "dst": [r[1] for r in rows]}
+        )
+        out = closeness_centrality(rd.from_pandas(df), **kw).to_pandas()
+        return {
+            int(r[0]): (int(r[1]), int(r[2]), round(float(r[3]), 12))
+            for r in out[
+                ["node", "n_reached", "total_dist", "closeness"]
+            ].values.tolist()
+        }
+
+    def test_path_graph_exact(self):
+        got = self._run([(1, 2), (2, 3)])
+        assert got == {
+            1: (2, 3, round(2 / 3, 12)),
+            2: (2, 2, 1.0),
+            3: (2, 3, round(2 / 3, 12)),
+        }
+
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_disconnected_components(self, lim):
+        got = self._run([(1, 2), (10, 11)], driver_limit=lim)
+        assert got == {
+            1: (1, 1, 1.0),
+            2: (1, 1, 1.0),
+            10: (1, 1, 1.0),
+            11: (1, 1, 1.0),
+        }
+
+    def test_driver_matches_distributed_random(self):
+        rng = np.random.RandomState(73)
+        rows = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, 13, size=(70, 2))
+            if a != b
+        ]
+        assert self._run(rows) == self._run(rows, driver_limit=0)

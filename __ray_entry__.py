@@ -1462,6 +1462,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_merges(_docs(sf_dir), n_merges=10)
 
+    def doc_bpe_encode(sf_dir: str):
+        """Rows-only (the merge loop is not SQL-expressible; pinned on
+        a hand-computed corpus + reconstruction invariant in
+        tests/test_wave17.py): apply the 10 trained BPE merges to
+        encode the corpus — per-doc long-format subword counts; the
+        merge table ships ONCE per actor and a per-actor word cache
+        bounds the merge scan to DISTINCT words
+        (`kgflow.ops.text.bpe_encode`)."""
+        from kgflow.ops.text import bpe_encode, bpe_merges
+
+        merges = bpe_merges(_docs(sf_dir), n_merges=10)
+        return bpe_encode(_docs(sf_dir), merges)
+
     def doc_winnow(sf_dir: str):
         """Oracle-checked: MOSS winnowing — the distinct set of local
         minima of every 8 consecutive 16-token rolling hashes per doc
@@ -4886,6 +4899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival": events_survival,
         "doc_ks_drift": doc_ks_drift,
         "doc_bpe_merges": doc_bpe_merges,
+        "doc_bpe_encode": doc_bpe_encode,
         "doc_winnow": doc_winnow,
         "doc_winnow_pairs": doc_winnow_pairs,
         "doc_calibration": doc_calibration,

@@ -2578,3 +2578,94 @@ def chunk_documents(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         chunk, batch_format="pandas"
     )
+
+
+def bpe_encode(
+    docs: "rd.Dataset",
+    merges: pd.DataFrame,
+    batch_size: int | None = None,
+) -> "rd.Dataset":
+    """Apply a trained BPE merge table (`bpe_merges` output) to encode
+    the corpus — the second half of the tokenizer lifecycle
+    (train → apply): per doc the long-format subword counts
+    (doc_id, subword, cnt). Encoding a word replays the merges in
+    rank order with the trainer's left-to-right scan, so
+    encode(train_corpus) reproduces the trainer's final symbol table
+    exactly (pinned in tests); concatenating a word's subwords always
+    reconstructs the word (invariant-tested).
+
+    Scale shape: exchange-FREE — an actor-pool stage; the merge table
+    (vocab-bounded, ~10k rows in real tokenizers) ships ONCE per actor
+    via ray.put, and the per-actor word→subwords cache means the
+    per-word Python merge scan runs once per DISTINCT word per actor,
+    not once per occurrence (the `langid`/PII compiled-state
+    precedent). Output is (doc, distinct-subword)-bounded."""
+    import ray
+
+    ranked = [
+        (str(l_), str(r_))
+        for l_, r_ in merges.sort_values("rank")[["left", "right"]].values
+    ]
+    m_ref = ray.put(ranked)
+
+    class BpeEncodeStage:
+        def __init__(self, _m=m_ref):
+            import re as _re
+
+            self.merges: list[tuple[str, str]] = ray.get(_m)
+            self.cache: dict[str, tuple[str, ...]] = {}
+            self._wre = _re.compile(_WORD_RE)  # compiled once per actor
+
+        def _encode(self, word: str) -> tuple[str, ...]:
+            got = self.cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            for l_, r_ in self.merges:
+                i = 0
+                out: list[str] = []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l_
+                        and syms[i + 1] == r_
+                    ):
+                        out.append(l_ + r_)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            enc = tuple(syms)
+            self.cache[word] = enc
+            return enc
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids: list[int] = []
+            subs: list[str] = []
+            for doc_id, text in zip(df["doc_id"], df["text"]):
+                words = self._wre.findall(str(text).lower())
+                for w in words:
+                    for s_ in self._encode(w):
+                        ids.append(int(doc_id))
+                        subs.append(s_)
+            if not ids:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "subword": pd.Series([], dtype="object"),
+                        "cnt": pd.Series([], dtype="int64"),
+                    }
+                )
+            out = pd.DataFrame({"doc_id": ids, "subword": subs})
+            g = out.groupby(["doc_id", "subword"], as_index=False).size()
+            return g.rename(columns={"size": "cnt"}).astype(
+                {"doc_id": "int64", "cnt": "int64"}
+            )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        BpeEncodeStage,
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )

@@ -1526,3 +1526,82 @@ class TestClosenessCentrality:
             if a != b
         ]
         assert self._run(rows) == self._run(rows, driver_limit=0)
+
+
+class TestBpeEncode:
+    """BPE apply (`text.bpe_encode`) — doc_bpe_encode is rows-only, so
+    a hand-computed corpus pins the exact encoding and an invariant
+    test pins reconstruction."""
+
+    def _corpus(self):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([0, 1, 2], dtype="int64"),
+                    "text": [
+                        "low low low lower",
+                        "lowest newer",
+                        "new new newer wider",
+                    ],
+                }
+            )
+        )
+
+    def test_hand_computed_encoding(self):
+        from kgflow.ops.text import bpe_encode, bpe_merges
+
+        docs = self._corpus()
+        merges = bpe_merges(docs, n_merges=4)
+        # merge sequence: l+o, lo+w, e+r, e+w (count desc, pair asc)
+        assert [tuple(r) for r in merges.values.tolist()] == [
+            (1, "l", "o", 5), (2, "lo", "w", 5),
+            (3, "e", "r", 4), (4, "e", "w", 4),
+        ]
+        enc = bpe_encode(docs, merges).to_pandas()
+        got = sorted(map(tuple, enc.values.tolist()))
+        assert got == [
+            (0, "er", 1), (0, "low", 4),
+            (1, "e", 1), (1, "er", 1), (1, "ew", 1), (1, "low", 1),
+            (1, "n", 1), (1, "s", 1), (1, "t", 1),
+            (2, "d", 1), (2, "er", 2), (2, "ew", 3), (2, "i", 1),
+            (2, "n", 3), (2, "w", 1),
+        ]
+
+    def test_reconstruction_invariant_random_merge_count(self):
+        import re
+
+        from kgflow.ops.text import bpe_encode, bpe_merges
+
+        docs = self._corpus()
+        for k in (1, 7):
+            merges = bpe_merges(docs, n_merges=k)
+            enc = bpe_encode(docs, merges).to_pandas()
+            texts = {
+                0: "low low low lower",
+                1: "lowest newer",
+                2: "new new newer wider",
+            }
+            for d_, t_ in texts.items():
+                sub = enc[enc.doc_id == d_]
+                chars = int(
+                    sum(len(s) * c for s, c in zip(sub.subword, sub.cnt))
+                )
+                want = sum(len(w) for w in re.findall(r"\w+", t_.lower()))
+                assert chars == want
+
+    def test_empty_and_no_merges(self):
+        from kgflow.ops.text import bpe_encode
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([5], dtype="int64"), "text": ["ab"]}
+            )
+        )
+        none = pd.DataFrame(
+            {"rank": [], "left": [], "right": [], "pair_count": []}
+        )
+        out = bpe_encode(docs, none).to_pandas()
+        # no merges: every char is its own subword
+        assert sorted(map(tuple, out.values.tolist())) == [
+            (5, "a", 1), (5, "b", 1),
+        ]

@@ -315,6 +315,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         canon, _ = canonical_triples(_triples_mat(sf_dir))
         return relation_cardinality_stats(canon)
 
+    def kg_alias_ambiguity(sf_dir: str):
+        """Rows-only (planted-input exactness in tests/test_wave17.py):
+        linking-quality profile — per normalized surface form the
+        distinct-canonical-entity count (ambiguity: the precision-
+        review queue) and total mentions; ONE norm-keyed exchange of
+        pre-aggregated (norm, entity, n) rows
+        (`kgflow.ops.web.alias_ambiguity_stats`)."""
+        from kgflow.linking.link import entity_map
+        from kgflow.ops.web import alias_ambiguity_stats
+
+        return alias_ambiguity_stats(entity_map(_triples_mat(sf_dir)))
+
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
@@ -4748,6 +4760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_functional_violations": kg_functional_violations,
         "kg_inverse_relations": kg_inverse_relations,
         "kg_relation_cardinality": kg_relation_cardinality,
+        "kg_alias_ambiguity": kg_alias_ambiguity,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_link_graph": kg_link_graph,
         "kg_nodes": kg_nodes,

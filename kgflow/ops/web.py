@@ -724,3 +724,74 @@ def relation_cardinality_stats(
     return rd.from_pandas(
         out[["rel", "n_triples", "n_subj", "n_obj", "fun", "inv_fun"]]
     )
+
+
+def alias_ambiguity_stats(
+    emap: "rd.Dataset",
+    norm_col: str = "norm",
+    entity_col: str = "entity_id",
+    count_col: str = "n",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Linking-quality profile of an entity map (one row per observed
+    surface form): per NORMALIZED surface form (norm, n_entities,
+    n_mentions, ambiguous) — n_entities = distinct canonical entities
+    the surface links to (>1 ⇒ the blocking/linking stage conflated or
+    correctly split a homonym: the precision-review queue), n_mentions
+    = total observed occurrences. The synonymy direction (surfaces per
+    entity) is `kg_entity_map`'s own grain; this is the inverse view.
+
+    Scale shape: per-block (norm, entity) partials pre-aggregate, ONE
+    norm-keyed exchange of (norm, entity, n) rows, vocabulary-bounded
+    output."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or norm_col not in df.columns:
+            return pd.DataFrame(
+                {
+                    "norm": pd.Series([], dtype="object"),
+                    "ent": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        d = pd.DataFrame(
+            {
+                "norm": df[norm_col].astype(str),
+                "ent": df[entity_col].to_numpy(dtype=np.int64),
+                "n": df[count_col].to_numpy(dtype=np.int64),
+            }
+        )
+        return d.groupby(["norm", "ent"], as_index=False)["n"].sum()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "norm" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "norm": pd.Series([], dtype="object"),
+                    "n_entities": pd.Series([], dtype="int64"),
+                    "n_mentions": pd.Series([], dtype="int64"),
+                    "ambiguous": pd.Series([], dtype="int8"),
+                }
+            )
+        pe = g.groupby(["norm", "ent"], as_index=False)["n"].sum()
+        out = pe.groupby("norm", as_index=False).agg(
+            n_entities=("ent", "nunique"), n_mentions=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "norm": out["norm"],
+                "n_entities": out["n_entities"].astype(np.int64),
+                "n_mentions": out["n_mentions"].astype(np.int64),
+                "ambiguous": (out["n_entities"] > 1).astype(np.int8),
+            }
+        )
+
+    return bucketed_group_reduce(
+        emap.select_columns([norm_col, entity_col, count_col]).map_batches(
+            part, batch_format="pandas"
+        ),
+        key_cols=["norm"],
+        reduce_fn=final,
+        num_buckets=num_buckets,
+    )

@@ -1605,3 +1605,51 @@ class TestBpeEncode:
         assert sorted(map(tuple, out.values.tolist())) == [
             (5, "a", 1), (5, "b", 1),
         ]
+
+
+class TestAliasAmbiguity:
+    """Linking-quality profile (`web.alias_ambiguity_stats`) —
+    kg_alias_ambiguity is rows-only; planted entity maps pin the
+    exact ambiguity/mention counts."""
+
+    def test_planted_counts(self):
+        from kgflow.ops.web import alias_ambiguity_stats
+
+        emap = pd.DataFrame(
+            {
+                # "paris" links to TWO entities (city 1, person 9);
+                # "osaka"/"osakaa" both to entity 2
+                "mention": ["Paris", "paris", "Osaka", "osakaa", "Paris"],
+                "norm": ["paris", "paris", "osaka", "osakaa", "paris"],
+                "entity_id": [1, 9, 2, 2, 1],
+                "canonical": ["paris", "paris", "osaka", "osaka", "paris"],
+                "n": [3, 2, 5, 1, 4],
+            }
+        )
+        out = (
+            alias_ambiguity_stats(rd.from_pandas(emap))
+            .to_pandas()
+            .sort_values("norm")
+            .reset_index(drop=True)
+        )
+        got = {
+            r.norm: (int(r.n_entities), int(r.n_mentions), int(r.ambiguous))
+            for r in out.itertuples()
+        }
+        assert got == {
+            "paris": (2, 9, 1),
+            "osaka": (1, 5, 0),
+            "osakaa": (1, 1, 0),
+        }
+
+    def test_empty(self):
+        from kgflow.ops.web import alias_ambiguity_stats
+
+        emap = pd.DataFrame(
+            {
+                "norm": pd.Series([], dtype="object"),
+                "entity_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        assert alias_ambiguity_stats(rd.from_pandas(emap)).count() == 0

@@ -4602,6 +4602,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).map_batches(pairs, batch_format="pandas")
         return closeness_centrality(edges)
 
+    def graph_eccentricity(sf_dir: str):
+        """Oracle-checked (the graph_closeness closure CTE with MAX
+        instead of SUM): per-node eccentricity over the undirected
+        mod-61 part↔supplier graph — max(ecc) is the diameter, min the
+        radius. All-seeds level-synchronous BFS; ecc(seed) = the last
+        level at which the seed gained a node
+        (`kgflow.ops.graph.eccentricity_stats`)."""
+        import pandas as pd
+
+        from kgflow.ops.graph import eccentricity_stats
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def pairs(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["l_quantity"].to_numpy() >= 49.0]
+            return pd.DataFrame(
+                {
+                    "src": d["l_partkey"].to_numpy(dtype=np.int64) % 61,
+                    "dst": d["l_suppkey"].to_numpy(dtype=np.int64) % 61,
+                }
+            ).drop_duplicates()
+
+        edges = read_parquet_clean(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).map_batches(pairs, batch_format="pandas")
+        return eccentricity_stats(edges)
+
     def graph_walks(sf_dir: str):
         """Oracle-checked (recursive CTE joining on rank = LCG-hash %
         degree; constants shared verbatim): deterministic random-walk
@@ -4892,6 +4919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": graph_walks,
         "graph_betweenness": graph_betweenness,
         "graph_closeness": graph_closeness,
+        "graph_eccentricity": graph_eccentricity,
         "events_next_entropy": events_next_entropy,
         "events_anomaly3s": events_anomaly3s,
         "events_corr": events_corr,
@@ -8274,6 +8302,26 @@ def oracle_sql() -> dict[str, str]:
         # states so the hop-bounded recursion terminates on cycles;
         # min(hops) per pair = BFS-layer shortest path, exactly the
         # engine's anti-join-per-round semantics
+        # eccentricity: the graph_closeness closure with MAX(h)
+        "graph_eccentricity": """
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT (l_partkey % 61)::BIGINT AS src,
+                              (l_suppkey % 61)::BIGINT AS dst
+              FROM lineitem WHERE l_quantity >= 49
+            ), e AS (
+              SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+            ), r(a, b, h) AS (
+              SELECT src, dst, 1 FROM e
+              UNION
+              SELECT r.a, e2.dst, r.h + 1
+              FROM r JOIN e e2 ON e2.src = r.b
+              WHERE r.h < 61
+            ), d AS (
+              SELECT a, b, min(h) AS h FROM r WHERE a <> b GROUP BY a, b
+            )
+            SELECT a AS node, CAST(max(h) AS BIGINT) AS ecc
+            FROM d GROUP BY a
+        """,
         # closeness: min-hop closure bounded by V=61 (UNION dedups
         # (a, b, h) states so cycles terminate), then integer sums and
         # ONE double division — IEEE-identical to the engine

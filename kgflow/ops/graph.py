@@ -4446,3 +4446,282 @@ def closeness_centrality(
         reduce_fn=final,
         num_buckets=num_buckets,
     )
+
+
+def eccentricity_stats(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    undirected: bool = True,
+    num_buckets: int | None = None,
+    driver_limit: int = TRI_DRIVER_LIMIT,
+    max_levels: int = 256,
+) -> "rd.Dataset":
+    """Eccentricity per node (node, ecc) = the maximum min-hop
+    distance to any reachable node (0 for isolated nodes); max(ecc)
+    over the output is the graph diameter, min is the radius — the
+    crawl-depth / hub-placement diagnostic. Integer, hash-exact:
+    oracle-able by the same V-bounded recursive-CTE closure as
+    closeness with MAX instead of SUM.
+
+    Scale shape: the `closeness_centrality` forward machinery — ALL
+    seeds advance level-synchronously as (seed, node) rows, two
+    exchanges per BFS level; ecc(seed) is simply the LAST level at
+    which the seed gained a node, so the per-level partial is a
+    (seed, level) max. Edge sets ≤ ``driver_limit`` rows run
+    driver-resident BFS; ``driver_limit=0`` forces the rounds.
+    """
+    if driver_limit > 0 and edges.count() <= driver_limit:
+        edf = edges.select_columns([src_col, dst_col]).to_pandas()
+        edf = edf.rename(columns={src_col: "src", dst_col: "dst"})
+        s = edf["src"].to_numpy(np.int64)
+        d = edf["dst"].to_numpy(np.int64)
+        if undirected:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(s, d):
+            adj.setdefault(int(a), []).append(int(b))
+        nodes = (
+            np.unique(np.concatenate([s, d]))
+            if len(s)
+            else np.array([], np.int64)
+        )
+        rows = []
+        for src_ in nodes:
+            dist = {int(src_): 0}
+            q = [int(src_)]
+            ecc = 0
+            while q:
+                nq = []
+                for v in q:
+                    for w in adj.get(v, ()):
+                        if w not in dist:
+                            dist[w] = dist[v] + 1
+                            ecc = dist[w]
+                            nq.append(w)
+                q = nq
+            rows.append((int(src_), ecc))
+        return rd.from_pandas(
+            pd.DataFrame(rows, columns=["node", "ecc"]).astype(
+                {"node": "int64", "ecc": "int64"}
+            )
+        )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy(dtype=np.int64)
+        b = df[dst_col].to_numpy(dtype=np.int64)
+        if undirected:
+            a, b = np.concatenate([a, b]), np.concatenate([b, a])
+        return pd.DataFrame({"src": a, "dst": b}).drop_duplicates()
+
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(prep, batch_format="pandas")
+        .materialize()
+    )
+
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "src" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {
+                "node": np.unique(
+                    np.concatenate(
+                        [
+                            df["src"].to_numpy(np.int64),
+                            df["dst"].to_numpy(np.int64),
+                        ]
+                    )
+                )
+            }
+        )
+
+    def node_red(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "node" not in g.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64")})
+        return g.drop_duplicates()
+
+    all_nodes = bucketed_group_reduce(
+        e.map_batches(node_part, batch_format="pandas"),
+        key_cols=["node"],
+        reduce_fn=node_red,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def mk_seed(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "seed": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64"),
+                }
+            )
+        n = df["node"].to_numpy(np.int64)
+        return pd.DataFrame({"seed": n, "node": n})
+
+    levels = [
+        all_nodes.map_batches(mk_seed, batch_format="pandas").materialize()
+    ]
+    EMPTY_SN = pd.DataFrame(
+        {
+            "seed": pd.Series([], dtype="int64"),
+            "node": pd.Series([], dtype="int64"),
+        }
+    )
+    ecc_partials: list = []
+
+    for lvl in range(1, max_levels + 1):
+        frontier = levels[-1]
+
+        def f_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "key": pd.Series([], dtype="int64"),
+                        "seed": pd.Series([], dtype="int64"),
+                        "node": pd.Series([], dtype="int64"),
+                        "kind": pd.Series([], dtype="int8"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "key": df["node"].astype(np.int64),
+                    "seed": df["seed"].astype(np.int64),
+                    "node": df["node"].astype(np.int64),
+                    "kind": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+
+        def e_tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["src"].astype(np.int64),
+                    "seed": np.zeros(len(df), dtype=np.int64),
+                    "node": df["dst"].astype(np.int64),
+                    "kind": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_SN.copy()
+            f = g.loc[g["kind"] == 0, ["key", "seed"]]
+            t_ = g.loc[g["kind"] == 1, ["key", "node"]]
+            if not len(f) or not len(t_):
+                return EMPTY_SN.copy()
+            return f.merge(t_, on="key")[["seed", "node"]].drop_duplicates()
+
+        cand = bucketed_group_reduce(
+            frontier.map_batches(f_tag, batch_format="pandas").union(
+                e.map_batches(e_tag, batch_format="pandas")
+            ),
+            key_cols=["key"],
+            reduce_fn=expand,
+            num_buckets=num_buckets,
+        )
+
+        def v_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_SN.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["seed", "node"]].copy()
+            out["kind"] = np.zeros(len(out), dtype=np.int8)
+            return out
+
+        def c_tag(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                out = EMPTY_SN.copy()
+                out["kind"] = pd.Series([], dtype="int8")
+                return out
+            out = df[["seed", "node"]].copy()
+            out["kind"] = np.ones(len(out), dtype=np.int8)
+            return out
+
+        def fold_new(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g) or "kind" not in g.columns:
+                return EMPTY_SN.copy()
+            seen = g.loc[g["kind"] == 0, ["seed", "node"]].drop_duplicates()
+            c = g.loc[g["kind"] == 1, ["seed", "node"]].drop_duplicates()
+            if not len(c):
+                return EMPTY_SN.copy()
+            m = c.merge(seen, on=["seed", "node"], how="left", indicator=True)
+            return m.loc[m["_merge"] == "left_only", ["seed", "node"]]
+
+        visited = levels[0]
+        for p in levels[1:]:
+            visited = visited.union(p)
+
+        nxt = bucketed_group_reduce(
+            visited.map_batches(v_tag, batch_format="pandas").union(
+                cand.map_batches(c_tag, batch_format="pandas")
+            ),
+            key_cols=["seed", "node"],
+            reduce_fn=fold_new,
+            num_buckets=num_buckets,
+        ).materialize()
+
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+
+        def lvl_ecc(df: pd.DataFrame, _l=lvl) -> pd.DataFrame:
+            if not len(df) or "seed" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "seed": pd.Series([], dtype="int64"),
+                        "ecc": pd.Series([], dtype="int64"),
+                    }
+                )
+            s = df[["seed"]].drop_duplicates()
+            return pd.DataFrame(
+                {
+                    "seed": s["seed"].astype(np.int64),
+                    "ecc": np.full(len(s), _l, dtype=np.int64),
+                }
+            )
+
+        ecc_partials.append(nxt.map_batches(lvl_ecc, batch_format="pandas"))
+    else:
+        raise RuntimeError(
+            f"eccentricity_stats: BFS exceeded max_levels={max_levels}"
+        )
+
+    def zero_ecc(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "node" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "seed": pd.Series([], dtype="int64"),
+                    "ecc": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "seed": df["node"].astype(np.int64),
+                "ecc": np.zeros(len(df), dtype=np.int64),
+            }
+        )
+
+    acc = all_nodes.map_batches(zero_ecc, batch_format="pandas")
+    for p in ecc_partials:
+        acc = acc.union(p)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "seed" not in g.columns:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "ecc": pd.Series([], dtype="int64"),
+                }
+            )
+        s = g.groupby("seed", as_index=False)["ecc"].max()
+        return pd.DataFrame(
+            {
+                "node": s["seed"].astype(np.int64),
+                "ecc": s["ecc"].astype(np.int64),
+            }
+        )
+
+    return bucketed_group_reduce(
+        acc, key_cols=["seed"], reduce_fn=final, num_buckets=num_buckets
+    )

@@ -1653,3 +1653,33 @@ class TestAliasAmbiguity:
             }
         )
         assert alias_ambiguity_stats(rd.from_pandas(emap)).count() == 0
+
+
+class TestEccentricity:
+    """Eccentricity (`graph.eccentricity_stats`) — graph_eccentricity
+    is oracled at gate scale; these pin path-graph values, isolated
+    self-loop behavior, and driver == distributed parity."""
+
+    def _run(self, rows, **kw):
+        from kgflow.ops.graph import eccentricity_stats
+
+        df = pd.DataFrame(
+            {"src": [r[0] for r in rows], "dst": [r[1] for r in rows]}
+        )
+        out = eccentricity_stats(rd.from_pandas(df), **kw).to_pandas()
+        return dict(zip(out["node"].astype(int), out["ecc"].astype(int)))
+
+    @pytest.mark.parametrize("lim", [100_000, 0])
+    def test_path_graph(self, lim):
+        assert self._run([(1, 2), (2, 3), (3, 4)], driver_limit=lim) == {
+            1: 3, 2: 2, 3: 2, 4: 3,
+        }
+
+    def test_driver_matches_distributed_random(self):
+        rng = np.random.RandomState(83)
+        rows = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, 13, size=(70, 2))
+            if a != b
+        ]
+        assert self._run(rows) == self._run(rows, driver_limit=0)

@@ -327,6 +327,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return alias_ambiguity_stats(entity_map(_triples_mat(sf_dir)))
 
+    def kg_taxonomy_cycles(sf_dir: str):
+        """Rows-only (planted semantics via TestReachPairs; stub-model
+        triples): taxonomy consistency audit — entities on a part_of
+        cycle of length ≤ 3 (the is-a/part-of loops a noisy extractor
+        emits, which would break any topological use of the
+        hierarchy): the self pairs of the bounded transitive closure
+        (`kgflow.ops.graph.reach_pairs`), returned as
+        (entity, cycle_len)."""
+        import pandas as pd
+
+        from kgflow.linking.link import canonical_triples
+        from kgflow.ops.graph import reach_pairs
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+
+        def po_edges(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.loc[df["rel"].astype(str) == "part_of"]
+            s = d["subj_canonical"].astype(str)
+            o = d["obj_canonical"].astype(str)
+            # stable int ids for the closure (equality-only): per-row
+            # md5 over PART_OF TRIPLES ONLY — relation-filtered before
+            # hashing, so the Python loop is taxonomy-bounded, never
+            # corpus-bounded (the linking fnv64-per-mention precedent)
+            import numpy as _np
+
+            def h(x: pd.Series) -> _np.ndarray:
+                import hashlib
+
+                return _np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(v.encode()).digest()[:8], "big"
+                        )
+                        >> 1
+                        for v in x
+                    ),
+                    dtype=_np.int64,
+                    count=len(x),
+                )
+
+            return pd.DataFrame({"src": h(s), "dst": h(o), "name": s})
+
+        e = canon.map_batches(po_edges, batch_format="pandas").materialize()
+        closure = reach_pairs(
+            e.select_columns(["src", "dst"]), max_hops=3
+        )
+
+        def selfs(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "src" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "entity_hash": pd.Series([], dtype="int64"),
+                        "cycle_len": pd.Series([], dtype="int64"),
+                    }
+                )
+            d = df.loc[df["src"] == df["dst"]]
+            return pd.DataFrame(
+                {
+                    "entity_hash": d["src"].astype("int64"),
+                    "cycle_len": d["hops"].astype("int64"),
+                }
+            )
+
+        return closure.map_batches(selfs, batch_format="pandas")
+
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
@@ -4788,6 +4853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_inverse_relations": kg_inverse_relations,
         "kg_relation_cardinality": kg_relation_cardinality,
         "kg_alias_ambiguity": kg_alias_ambiguity,
+        "kg_taxonomy_cycles": kg_taxonomy_cycles,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_link_graph": kg_link_graph,
         "kg_nodes": kg_nodes,

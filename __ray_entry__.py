@@ -2792,6 +2792,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return item_pair_support(ev, basket_col="user_id", item_col="event_type")
 
+    def events_basket_rules(sf_dir: str):
+        """Oracle-checked: association rules from the Apriori pair
+        supports — BOTH directions (ante → cons) with exact integer
+        supports and confidence = n_both/n_ante, lift =
+        n_both·n_baskets/(n_ante·n_cons); the divisions are single
+        IEEE ops identical in SQL. The counting core is
+        `kgflow.ops.graph.item_pair_support`; direction fan-out is an
+        exchange-free map."""
+        import pandas as pd
+
+        from kgflow.ops.graph import item_pair_support
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        sup = item_pair_support(
+            ev, basket_col="user_id", item_col="event_type"
+        )
+
+        def rules(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "item_a" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "ante": pd.Series([], dtype="object"),
+                        "cons": pd.Series([], dtype="object"),
+                        "n_both": pd.Series([], dtype="int64"),
+                        "n_ante": pd.Series([], dtype="int64"),
+                        "confidence": pd.Series([], dtype="float64"),
+                        "lift": pd.Series([], dtype="float64"),
+                    }
+                )
+            import numpy as _np
+
+            ab = pd.DataFrame(
+                {
+                    "ante": df["item_a"],
+                    "cons": df["item_b"],
+                    "n_both": df["n_ab"],
+                    "n_ante": df["n_a"],
+                    "n_cons": df["n_b"],
+                    "nb": df["n_baskets"],
+                }
+            )
+            ba = pd.DataFrame(
+                {
+                    "ante": df["item_b"],
+                    "cons": df["item_a"],
+                    "n_both": df["n_ab"],
+                    "n_ante": df["n_b"],
+                    "n_cons": df["n_a"],
+                    "nb": df["n_baskets"],
+                }
+            )
+            r = pd.concat([ab, ba], ignore_index=True)
+            nb_ = r["n_both"].to_numpy(dtype=_np.float64)
+            na_ = r["n_ante"].to_numpy(dtype=_np.float64)
+            nc_ = r["n_cons"].to_numpy(dtype=_np.float64)
+            tb_ = r["nb"].to_numpy(dtype=_np.float64)
+            return pd.DataFrame(
+                {
+                    "ante": r["ante"],
+                    "cons": r["cons"],
+                    "n_both": r["n_both"].astype("int64"),
+                    "n_ante": r["n_ante"].astype("int64"),
+                    "confidence": nb_ / na_,
+                    "lift": nb_ * tb_ / (na_ * nc_),
+                }
+            )
+
+        return sup.map_batches(rules, batch_format="pandas")
+
     def q4_priority(sf_dir: str):
         """Oracle-checked: TPC-H Q4-style EXISTS semi-join — orders in
         a date window with ≥1 returned lineitem, counted per priority;
@@ -5015,6 +5088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dice_pairs": doc_dice_pairs,
         "events_transitions": events_transitions,
         "events_basket_pairs": events_basket_pairs,
+        "events_basket_rules": events_basket_rules,
         "doc_checksum": doc_checksum,
         "q4_priority": q4_priority,
         "q10_returns": q10_returns,
@@ -7796,6 +7870,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # distinct (basket, item) support counts + marginals; the
         # engine's tagged-union exchange reduces to these three CTEs
+        # association rules: integer supports from distinct baskets,
+        # both rule directions, single IEEE divisions on each side
+        "events_basket_rules": """
+            WITH b AS (
+              SELECT DISTINCT user_id AS u, event_type AS i FROM events
+            ), nbk AS (
+              SELECT count(DISTINCT u) AS nb FROM b
+            ), s AS (
+              SELECT i, count(*) AS n_i FROM b GROUP BY i
+            ), p AS (
+              SELECT a.i AS ia, c.i AS ib, count(*) AS n_ab
+              FROM b a JOIN b c ON a.u = c.u AND a.i < c.i
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT ia AS ante, ib AS cons, n_ab FROM p
+              UNION ALL
+              SELECT ib, ia, n_ab FROM p
+            )
+            SELECT r.ante, r.cons,
+                   CAST(r.n_ab AS BIGINT) AS n_both,
+                   CAST(sa.n_i AS BIGINT) AS n_ante,
+                   CAST(r.n_ab AS DOUBLE) / sa.n_i AS confidence,
+                   CAST(r.n_ab AS DOUBLE) * nbk.nb / (sa.n_i * sc.n_i)
+                     AS lift
+            FROM r
+            JOIN s sa ON sa.i = r.ante
+            JOIN s sc ON sc.i = r.cons
+            CROSS JOIN nbk
+        """,
         "events_basket_pairs": """
             WITH bi AS (
               SELECT DISTINCT user_id AS basket, event_type AS item

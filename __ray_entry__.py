@@ -2865,6 +2865,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sup.map_batches(rules, batch_format="pandas")
 
+    def events_zorder(sf_dir: str):
+        """Oracle-checked (bit-exact list arithmetic in SQL): Z-order
+        (Morton) clustering keys interleaving user_id and the hour-of-
+        month of each event — the multi-column layout primitive: a
+        zval range-partitioned write gives BOTH columns row-group
+        locality (the Delta/Iceberg OPTIMIZE ZORDER shape). Exchange-
+        free vectorized bit interleave, loud range guard
+        (`kgflow.ops.shuffle.zorder_keys`)."""
+        import pandas as pd
+
+        from kgflow.ops.shuffle import zorder_keys
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id"],
+        )
+
+        def mk(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"].astype(np.int64),
+                    "uid": df["user_id"].to_numpy(dtype=np.int64) % 1024,
+                    "hod": (s // 3600) % 1024,
+                }
+            )
+
+        z = zorder_keys(
+            ev.map_batches(mk, batch_format="pandas"),
+            cols=["uid", "hod"],
+            bits=10,
+        )
+        return z.select_columns(["event_id", "zval"])
+
     def q4_priority(sf_dir: str):
         """Oracle-checked: TPC-H Q4-style EXISTS semi-join — orders in
         a date window with ≥1 returned lineitem, counted per priority;
@@ -5089,6 +5124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": events_transitions,
         "events_basket_pairs": events_basket_pairs,
         "events_basket_rules": events_basket_rules,
+        "events_zorder": events_zorder,
         "doc_checksum": doc_checksum,
         "q4_priority": q4_priority,
         "q10_returns": q10_returns,
@@ -7872,6 +7908,24 @@ def oracle_sql() -> dict[str, str]:
         # engine's tagged-union exchange reduces to these three CTEs
         # association rules: integer supports from distinct baskets,
         # both rule directions, single IEEE divisions on each side
+        # Morton interleave in SQL: per bit b of k=2 columns, set
+        # output bit b*2+ci; epoch seconds floor-divide exactly
+        "events_zorder": """
+            WITH q AS (
+              SELECT event_id,
+                     (user_id % 1024)::BIGINT AS uid,
+                     ((epoch_us(ts) // 1000000) // 3600 % 1024)::BIGINT
+                       AS hod
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(
+                     list_sum(list_transform(range(10),
+                       b -> (((uid >> b) & 1) << (b * 2))
+                            + (((hod >> b) & 1) << (b * 2 + 1))))
+                     AS BIGINT) AS zval
+            FROM q
+        """,
         "events_basket_rules": """
             WITH b AS (
               SELECT DISTINCT user_id AS u, event_type AS i FROM events

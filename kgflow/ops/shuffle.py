@@ -659,3 +659,50 @@ def global_running_sum(
     return bucketed_group_reduce(
         tagged, key_cols=["_vb"], reduce_fn=run, num_buckets=num_buckets
     )
+
+
+def zorder_keys(
+    ds: "rd.Dataset",
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zval",
+) -> "rd.Dataset":
+    """Append a Z-order (Morton) clustering key interleaving the low
+    ``bits`` bits of each int column in ``cols`` — the multi-column
+    data-layout primitive: sorting / range-partitioning a table by
+    zval before a partitioned write gives every listed column
+    locality, so min/max row-group stats prune reads on ANY of them
+    (the Delta/Iceberg OPTIMIZE ZORDER technique).
+
+    Exchange-FREE and fully vectorized (one shift/or pass per bit per
+    column); inputs must be non-negative and < 2^bits — out-of-range
+    values fail LOUDLY (silent truncation would break the locality
+    guarantee, and callers should quantize/clamp explicitly).
+    len(cols) * bits must fit an int64 (≤ 63)."""
+    if not cols:
+        raise ValueError("zorder_keys: cols must be non-empty")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder_keys: {len(cols)} cols x {bits} bits > 63 — "
+            "reduce bits"
+        )
+
+    k = len(cols)
+
+    def add_z(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        for ci, c in enumerate(cols):
+            v = df[c].to_numpy(dtype=np.int64)
+            if len(v) and (v.min() < 0 or v.max() >= (1 << bits)):
+                bad = v[(v < 0) | (v >= (1 << bits))][0]
+                raise ValueError(
+                    f"zorder_keys: column {c!r} value {int(bad)} outside "
+                    f"[0, 2^{bits}) — quantize or clamp first"
+                )
+            for b in range(bits):
+                z |= ((v >> b) & 1) << (b * k + ci)
+        out = df.copy()
+        out[out_col] = z
+        return out
+
+    return ds.map_batches(add_z, batch_format="pandas")

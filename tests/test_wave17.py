@@ -1683,3 +1683,39 @@ class TestEccentricity:
             if a != b
         ]
         assert self._run(rows) == self._run(rows, driver_limit=0)
+
+
+class TestZorderKeys:
+    """Morton keys (`shuffle.zorder_keys`) — events_zorder pins
+    bit-exactness vs SQL at gate scale; these pin the interleave
+    pattern, locality property, and loud guards."""
+
+    def _run(self, df, **kw):
+        from kgflow.ops.shuffle import zorder_keys
+
+        return zorder_keys(rd.from_pandas(df), **kw).to_pandas()
+
+    def test_interleave_pattern(self):
+        # x=0b11, y=0b01 at 2 bits: z = x0<<0 | y0<<1 | x1<<2 | y1<<3
+        df = pd.DataFrame({"x": [3], "y": [1]})
+        out = self._run(df, cols=["x", "y"], bits=2)
+        assert int(out["zval"].iloc[0]) == (1 << 0) + (1 << 1) + (1 << 2)
+
+    def test_locality_monotone_on_single_col(self):
+        # with the other column fixed, zval is monotone in the varying
+        # column — the property range partitioning relies on
+        df = pd.DataFrame({"x": list(range(16)), "y": [5] * 16})
+        out = self._run(df, cols=["x", "y"], bits=4)
+        z = out.sort_values("x")["zval"].to_numpy()
+        assert (np.diff(z) > 0).all()
+
+    def test_guards(self):
+        from kgflow.ops.shuffle import zorder_keys
+
+        df = rd.from_pandas(pd.DataFrame({"x": [4], "y": [0]}))
+        with pytest.raises(Exception, match="outside"):
+            zorder_keys(df, cols=["x", "y"], bits=2).materialize()
+        with pytest.raises(ValueError, match="non-empty"):
+            zorder_keys(df, cols=[])
+        with pytest.raises(ValueError, match="63"):
+            zorder_keys(df, cols=["x", "y"], bits=32)

@@ -7,6 +7,8 @@ gate from the driver sweep; these tests pin what the oracles cannot
 see — non-identical near-dups, chain/keep-rule semantics, loud caps
 and guards, forced distributed paths, planted-input exactness."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -1719,3 +1721,68 @@ class TestZorderKeys:
             zorder_keys(df, cols=[])
         with pytest.raises(ValueError, match="63"):
             zorder_keys(df, cols=["x", "y"], bits=32)
+
+
+class TestCompactPartitions:
+    """Storage maintenance (`materialize.compact.compact_partitions`)
+    — small-file compaction with verified-then-atomic swaps and
+    manifest resume."""
+
+    def _make_table(self, tmp_path, files_per_part=5, rows_per_file=20):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "edges")
+        rid = 0
+        for part in range(2):
+            d = os.path.join(root, f"subj_bucket={part}")
+            os.makedirs(d)
+            for f in range(files_per_part):
+                t = pa.table(
+                    {
+                        "subj_id": pa.array(
+                            range(rid, rid + rows_per_file), pa.int64()
+                        ),
+                        "w": pa.array(
+                            [part] * rows_per_file, pa.int64()
+                        ),
+                    }
+                )
+                pq.write_table(t, os.path.join(d, f"part_{f}.parquet"))
+                rid += rows_per_file
+        return root
+
+    def test_compacts_verifies_and_resumes(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from kgflow.materialize.compact import compact_partitions
+
+        root = self._make_table(tmp_path)
+        before = pq.read_table(root)
+        recs = compact_partitions(root, target_rows_per_file=1000)
+        assert [r["action"] for r in recs] == ["compacted", "compacted"]
+        assert all(r["files_before"] == 5 and r["files_after"] == 1 for r in recs)
+        after = pq.read_table(root)
+        # byte-identical contents (order within partition preserved)
+        assert before.sort_by("subj_id").equals(after.sort_by("subj_id"))
+        # second run: manifest resume, no rewrites
+        recs2 = compact_partitions(root, target_rows_per_file=1000)
+        assert [r["action"] for r in recs2] == ["resumed", "resumed"]
+
+    def test_already_compact_skipped(self, tmp_path):
+        from kgflow.materialize.compact import compact_partitions
+
+        root = self._make_table(tmp_path, files_per_part=1)
+        recs = compact_partitions(root, target_rows_per_file=1000)
+        assert [r["action"] for r in recs] == ["skipped", "skipped"]
+
+    def test_target_splits_into_multiple_files(self, tmp_path):
+        from kgflow.materialize.compact import compact_partitions
+
+        root = self._make_table(tmp_path, files_per_part=6, rows_per_file=10)
+        recs = compact_partitions(root, target_rows_per_file=25)
+        # 60 rows / 25 -> 3 files per partition
+        assert all(
+            r["files_after"] == 3 and r["action"] == "compacted"
+            for r in recs
+        )

@@ -1786,3 +1786,60 @@ class TestCompactPartitions:
             r["files_after"] == 3 and r["action"] == "compacted"
             for r in recs
         )
+
+
+class TestBloomIndex:
+    """Partition Bloom sidecars (`materialize.bloomindex`) — no false
+    negatives ever, sane false-positive pruning, loud mismatches."""
+
+    def _table(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        root = str(tmp_path / "edges")
+        # partition p holds obj ids in [1000*p, 1000*p + 50)
+        for p in range(3):
+            d = os.path.join(root, f"subj_bucket={p}")
+            os.makedirs(d)
+            t = pa.table(
+                {"obj_id": pa.array(range(1000 * p, 1000 * p + 50), pa.int64())}
+            )
+            pq.write_table(t, os.path.join(d, "part.parquet"))
+        return root
+
+    def test_no_false_negatives_and_pruning(self, tmp_path):
+        from kgflow.materialize.bloomindex import (
+            bloom_lookup,
+            build_bloom_index,
+        )
+
+        root = self._table(tmp_path)
+        recs = build_bloom_index(root, "obj_id", n_bits=1 << 14)
+        assert [r["n_keys"] for r in recs] == [50, 50, 50]
+        # every present key MUST list its true partition
+        got = bloom_lookup(
+            root, "obj_id", [0, 1000, 2000, 2049], n_bits=1 << 14
+        )
+        assert "subj_bucket=0" in got[0]
+        assert "subj_bucket=1" in got[1000]
+        assert "subj_bucket=2" in got[2000] and "subj_bucket=2" in got[2049]
+        # absent keys: with 50 keys in 16384 bits, fp ~ 0 — all empty
+        miss = bloom_lookup(
+            root, "obj_id", list(range(500, 540)), n_bits=1 << 14
+        )
+        assert sum(len(v) for v in miss.values()) <= 2  # fp budget
+
+    def test_loud_guards(self, tmp_path):
+        from kgflow.materialize.bloomindex import (
+            bloom_lookup,
+            build_bloom_index,
+        )
+
+        root = self._table(tmp_path)
+        with pytest.raises(FileNotFoundError, match="no index"):
+            bloom_lookup(root, "obj_id", [1])
+        with pytest.raises(ValueError, match="multiple of 8"):
+            build_bloom_index(root, "obj_id", n_bits=9)
+        build_bloom_index(root, "obj_id", n_bits=1 << 14)
+        with pytest.raises(ValueError, match="rebuild"):
+            bloom_lookup(root, "obj_id", [1], n_bits=1 << 15)

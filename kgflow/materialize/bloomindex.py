@@ -136,3 +136,47 @@ def bloom_lookup(
         for x in ks[hit]:
             out[int(x)].append(part)
     return out
+
+
+def read_pruned(
+    table_dir: str,
+    key_col: str,
+    keys: list[int],
+    n_bits: int = 1 << 17,
+    k: int = 4,
+    columns: list[str] | None = None,
+) -> "object":
+    """Bloom-pruned point read: consult the sidecars, read ONLY the
+    maybe-partitions (column-pruned), and apply the exact key filter
+    inside `map_batches` — false positives cost an extra partition
+    read and are then filtered out, so the result is exact. Returns a
+    ray.data.Dataset; an empty maybe-set returns an empty Dataset
+    without touching storage."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    maybe = bloom_lookup(table_dir, key_col, keys, n_bits=n_bits, k=k)
+    parts = sorted({p for ps in maybe.values() for p in ps})
+    if not parts:
+        import pyarrow as pa
+
+        return rd.from_arrow(pa.table({key_col: pa.array([], pa.int64())}))
+    want = set(int(x) for x in keys)
+    cols = columns if columns is None else list({*columns, key_col})
+    files = sorted(
+        f
+        for p in parts
+        for f in glob.glob(os.path.join(table_dir, p, "*.parquet"))
+    )
+    ds = rd.read_parquet(files, columns=cols)
+
+    def exact(batch):
+        import pyarrow as pa
+
+        mask = pc.is_in(
+            batch.column(key_col),
+            value_set=pa.array(sorted(want), pa.int64()),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(exact, batch_format="pyarrow")

@@ -1843,3 +1843,32 @@ class TestBloomIndex:
         build_bloom_index(root, "obj_id", n_bits=1 << 14)
         with pytest.raises(ValueError, match="rebuild"):
             bloom_lookup(root, "obj_id", [1], n_bits=1 << 15)
+
+
+def test_bloom_read_pruned(tmp_path):
+    """End-to-end point read through the Bloom index: exact results,
+    empty maybe-set short-circuits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kgflow.materialize.bloomindex import build_bloom_index, read_pruned
+
+    root = str(tmp_path / "edges")
+    for p in range(3):
+        d = os.path.join(root, f"subj_bucket={p}")
+        os.makedirs(d)
+        t = pa.table(
+            {
+                "obj_id": pa.array(range(1000 * p, 1000 * p + 50), pa.int64()),
+                "w": pa.array([p] * 50, pa.int64()),
+            }
+        )
+        pq.write_table(t, os.path.join(d, "part.parquet"))
+    build_bloom_index(root, "obj_id", n_bits=1 << 14)
+    out = read_pruned(
+        root, "obj_id", [5, 1005, 2049], n_bits=1 << 14
+    ).to_pandas()
+    assert sorted(out["obj_id"].tolist()) == [5, 1005, 2049]
+    assert sorted(out["w"].tolist()) == [0, 1, 2]
+    empty = read_pruned(root, "obj_id", [999_999], n_bits=1 << 14)
+    assert empty.count() == 0

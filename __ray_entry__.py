@@ -2248,6 +2248,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return events_type_dow_cube(sf_dir)
 
+    def events_groupsets(sf_dir: str):
+        """Oracle-checked: GROUP BY GROUPING SETS((type, dow), (dow),
+        ()) — the generic grouping form completing ROLLUP/CUBE: only
+        the LISTED sets, one data pass, every set re-aggregated from
+        the finest grain (`kgflow.ops.reshape.grouping_sets_sum`);
+        fixed-point value sums keep each set hash-exact, dow rides as
+        VARCHAR so the typed-NULL convention matches (the events_cube
+        precedent)."""
+        import pandas as pd
+
+        from kgflow.ops.reshape import grouping_sets_sum
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "event_type": df["event_type"],
+                    "dow": (df["ts"].dt.dayofweek + 1).astype(str),
+                    "value_fp": np.round(
+                        df["value"].to_numpy(dtype=np.float64) * 1e4
+                    ).astype(np.int64),
+                }
+            )
+
+        g = grouping_sets_sum(
+            ev.map_batches(tag, batch_format="pandas"),
+            sets=[["event_type", "dow"], ["dow"], []],
+            sum_cols=["value_fp"],
+            num_buckets=16,
+        )
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            df["sum_value"] = df["value_fp"].to_numpy(dtype=np.int64) / 1e4
+            df["n"] = df["n"].astype(np.int64)
+            return df[["event_type", "dow", "sum_value", "n"]]
+
+        return g.map_batches(finish, batch_format="pandas")
+
     def events_ranked(sf_dir: str):
         """Oracle-checked: rank-family window functions per user —
         RANK/DENSE_RANK over fixed-point value DESC (ties share ranks,
@@ -5056,6 +5099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_full": customer_orders_full,
         "orders_top_priority": orders_top_priority,
         "events_cube": events_cube,
+        "events_groupsets": events_groupsets,
         "events_ranked": events_ranked,
         "events_distribution": events_distribution,
         "events_boundary": events_boundary,
@@ -6990,6 +7034,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events
             GROUP BY CUBE(event_type, CAST(isodow(ts) AS VARCHAR))
+        """,
+        "events_groupsets": """
+            SELECT event_type, CAST(isodow(ts) AS VARCHAR) AS dow,
+                   sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0
+                     AS sum_value,
+                   count(*) AS n
+            FROM events
+            GROUP BY GROUPING SETS (
+              (event_type, CAST(isodow(ts) AS VARCHAR)),
+              (CAST(isodow(ts) AS VARCHAR)),
+              ()
+            )
         """,
         "events_ranked": """
             SELECT user_id, event_id, ts,

@@ -342,3 +342,123 @@ def melt(
         )
 
     return ds.map_batches(_melt, batch_format="pandas")
+
+
+def grouping_sets_sum(
+    ds: "rd.Dataset",
+    sets: list[list[str]],
+    sum_cols: list[str],
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """``GROUP BY GROUPING SETS(sets)`` semantics — the generic form
+    of which `rollup_sum` (prefixes) and `cube_sum` (power set) are
+    the special cases: integer sums + row count at EXACTLY the listed
+    grouping sets (the empty set = grand total), unused group columns
+    emitted as typed NULLs.
+
+    Scale shape (the rollup/cube discipline): the DATA is touched
+    once — a per-batch combiner + one bucketed exchange produce the
+    FINEST grain (the ordered union of all set columns); every listed
+    set re-aggregates that aggregate (each strictly smaller than the
+    data), so extra sets cost |finest| exchange rows, never another
+    data pass. ``sum_cols`` must be integer-exact (pre-quantize floats
+    at the call site). Duplicate sets are rejected loudly."""
+    all_group: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in all_group:
+                all_group.append(c)
+    canon = [tuple(sorted(s)) for s in sets]
+    if len(set(canon)) != len(canon):
+        raise ValueError("grouping_sets_sum: duplicate grouping sets")
+    if not sets:
+        raise ValueError("grouping_sets_sum: sets must be non-empty")
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(all_group, as_index=False, sort=False)[sum_cols].sum()
+        g["n"] = df.groupby(all_group, sort=False).size().to_numpy()
+        return g
+
+    def re_agg(cols: list[str]):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(cols, as_index=False, sort=False)[
+                sum_cols + ["n"]
+            ].sum()
+            for c in sum_cols + ["n"]:
+                out[c] = out[c].astype(np.int64)
+            return out
+
+        return f
+
+    finest = bucketed_group_reduce(
+        ds.select_columns(all_group + sum_cols).map_batches(
+            combiner, batch_format="pandas"
+        ),
+        key_cols=all_group,
+        reduce_fn=re_agg(all_group),
+        num_buckets=num_buckets,
+    ).materialize()  # aggregate-sized; feeds every listed set
+
+    n_finest = max(int(finest.count()), 1)
+    outs = []
+    for s in sets:
+        cols = list(s)
+        if tuple(sorted(cols)) == tuple(sorted(all_group)):
+            outs.append(finest)
+            continue
+        if not cols:
+
+            def grand(g: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    [{c: int(g[c].sum()) for c in sum_cols + ["n"]}]
+                )
+
+            outs.append(
+                bucketed_group_reduce(
+                    finest.map_batches(
+                        lambda df: df[sum_cols + ["n"]].assign(
+                            __g=np.int8(0)
+                        ),
+                        batch_format="pandas",
+                    ),
+                    key_cols=["__g"],
+                    reduce_fn=lambda g: grand(g),
+                    num_buckets=1,
+                )
+            )
+            continue
+        nb = min(num_buckets or 2**30, n_finest)
+        outs.append(
+            bucketed_group_reduce(
+                finest.map_batches(
+                    lambda df, _c=cols: df[_c + sum_cols + ["n"]],
+                    batch_format="pandas",
+                ),
+                key_cols=cols,
+                reduce_fn=re_agg(cols),
+                num_buckets=nb,
+            )
+        )
+
+    all_cols = all_group + sum_cols + ["n"]
+
+    def align(df: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for c in all_cols:
+            if c in all_group:
+                out[c] = (
+                    df[c].astype("object")
+                    if c in df.columns
+                    else pd.Series(
+                        [None] * len(df), index=df.index, dtype="object"
+                    )
+                )
+            else:
+                out[c] = df[c]
+        return pd.DataFrame(out)
+
+    aligned = [o.map_batches(align, batch_format="pandas") for o in outs]
+    out = aligned[0]
+    for a in aligned[1:]:
+        out = out.union(a)
+    return out

@@ -1872,3 +1872,66 @@ def test_bloom_read_pruned(tmp_path):
     assert sorted(out["w"].tolist()) == [0, 1, 2]
     empty = read_pruned(root, "obj_id", [999_999], n_bits=1 << 14)
     assert empty.count() == 0
+
+
+class TestGroupingSets:
+    """GROUPING SETS (`reshape.grouping_sets_sum`) — events_groupsets
+    is oracled at gate scale; these pin exact subtotal values, that
+    only LISTED sets appear, and the loud duplicate guard."""
+
+    def _ds(self):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": ["x", "x", "y", "y"],
+                    "b": ["1", "2", "1", "1"],
+                    "v": pd.Series([10, 20, 30, 40], dtype="int64"),
+                }
+            )
+        )
+
+    def test_listed_sets_only_with_exact_values(self):
+        from kgflow.ops.reshape import grouping_sets_sum
+
+        out = (
+            grouping_sets_sum(self._ds(), sets=[["a"], []], sum_cols=["v"])
+            .to_pandas()
+        )
+        # column b never appears in any listed set -> not in the output
+        assert "b" not in out.columns
+        rows = {
+            r["a"]: (int(r["v"]), int(r["n"])) for _, r in out.iterrows()
+        }
+        assert rows == {
+            "x": (30, 2),
+            "y": (70, 2),
+            None: (100, 4),
+        }
+
+    def test_finest_set_included(self):
+        from kgflow.ops.reshape import grouping_sets_sum
+
+        out = grouping_sets_sum(
+            self._ds(), sets=[["a", "b"], ["b"]], sum_cols=["v"]
+        ).to_pandas()
+        rows = {
+            (r["a"], r["b"]): (int(r["v"]), int(r["n"]))
+            for _, r in out.iterrows()
+        }
+        assert rows == {
+            ("x", "1"): (10, 1),
+            ("x", "2"): (20, 1),
+            ("y", "1"): (70, 2),
+            (None, "1"): (80, 3),
+            (None, "2"): (20, 1),
+        }
+
+    def test_guards(self):
+        from kgflow.ops.reshape import grouping_sets_sum
+
+        with pytest.raises(ValueError, match="duplicate"):
+            grouping_sets_sum(
+                self._ds(), sets=[["a", "b"], ["b", "a"]], sum_cols=["v"]
+            )
+        with pytest.raises(ValueError, match="non-empty"):
+            grouping_sets_sum(self._ds(), sets=[], sum_cols=["v"])

@@ -392,6 +392,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return closure.map_batches(selfs, batch_format="pandas")
 
+    def kg_entity_cards(sf_dir: str):
+        """Rows-only (planted-input exactness in tests/test_wave17.py):
+        the per-entity serving artifact — aliases/mentions joined with
+        edge-list degree and relation profiles (out/in degree, distinct
+        outgoing relations, highest-weight outgoing relation, ties rel
+        ASC); nodes ship once, edges fold to count rows, ONE
+        canonical-keyed exchange (`kgflow.ops.web.entity_cards`)."""
+        from kgflow.linking.link import canonical_triples, entity_map
+        from kgflow.materialize.edges import dedup_edges, nodes_table
+        from kgflow.ops.web import entity_cards
+
+        tri = _triples_mat(sf_dir)
+        canon, emap = canonical_triples(tri)
+        return entity_cards(nodes_table(entity_map(tri)), dedup_edges(canon))
+
     def kg_nodes(sf_dir: str):
         from kgflow.linking.link import entity_map
         from kgflow.materialize.edges import nodes_table
@@ -5005,6 +5020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_relation_cardinality": kg_relation_cardinality,
         "kg_alias_ambiguity": kg_alias_ambiguity,
         "kg_taxonomy_cycles": kg_taxonomy_cycles,
+        "kg_entity_cards": kg_entity_cards,
         "kg_snapshot_delta": kg_snapshot_delta,
         "kg_link_graph": kg_link_graph,
         "kg_nodes": kg_nodes,

@@ -795,3 +795,187 @@ def alias_ambiguity_stats(
         reduce_fn=final,
         num_buckets=num_buckets,
     )
+
+
+def entity_cards(
+    nodes: "rd.Dataset",
+    edges: "rd.Dataset",
+    subj_col: str = "subj_canonical",
+    rel_col: str = "rel",
+    obj_col: str = "obj_canonical",
+    weight_col: str = "weight",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """The serving artifact a KG product exposes per entity — one row
+    per canonical node: (canonical, n_mentions, n_aliases, out_degree,
+    in_degree, n_rels_out, top_rel_out) where top_rel_out is the
+    highest-weight outgoing relation (ties break rel ASC). Joins the
+    node table (aliases/mentions) with degree/relation profiles of the
+    canonical edge list.
+
+    Scale shape: per-block (entity, rel, dir) combiners fold edges to
+    counts, ONE canonical-keyed exchange merges them with the node
+    rows (tagged union — nodes ship once, edges ship as count rows),
+    vocabulary-bounded output."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def edge_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or subj_col not in df.columns:
+            return pd.DataFrame(
+                {
+                    "canonical": pd.Series([], dtype="object"),
+                    "rel": pd.Series([], dtype="object"),
+                    "dir": pd.Series([], dtype="int8"),
+                    "w": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int8"),
+                    "n_mentions": pd.Series([], dtype="int64"),
+                    "n_aliases": pd.Series([], dtype="int64"),
+                }
+            )
+        w = (
+            df[weight_col].to_numpy(dtype=np.int64)
+            if weight_col in df.columns
+            else np.ones(len(df), dtype=np.int64)
+        )
+        base = pd.DataFrame(
+            {
+                "canonical": np.concatenate(
+                    [
+                        df[subj_col].astype(str).to_numpy(dtype=object),
+                        df[obj_col].astype(str).to_numpy(dtype=object),
+                    ]
+                ),
+                "rel": np.tile(
+                    df[rel_col].astype(str).to_numpy(dtype=object), 2
+                ),
+                "dir": np.concatenate(
+                    [
+                        np.zeros(len(df), dtype=np.int8),  # outgoing
+                        np.ones(len(df), dtype=np.int8),  # incoming
+                    ]
+                ),
+                "w": np.tile(w, 2),
+            }
+        )
+        g = base.groupby(
+            ["canonical", "rel", "dir"], as_index=False
+        )["w"].sum()
+        g["kind"] = np.ones(len(g), dtype=np.int8)
+        # schema-align with node rows for the tagged union
+        g["n_mentions"] = np.zeros(len(g), dtype=np.int64)
+        g["n_aliases"] = np.zeros(len(g), dtype=np.int64)
+        return g
+
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or "canonical" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "canonical": pd.Series([], dtype="object"),
+                    "rel": pd.Series([], dtype="object"),
+                    "dir": pd.Series([], dtype="int8"),
+                    "w": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int8"),
+                    "n_mentions": pd.Series([], dtype="int64"),
+                    "n_aliases": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "canonical": df["canonical"].astype(str),
+                "rel": pd.Series([""] * len(df), dtype="object"),
+                "dir": np.zeros(len(df), dtype=np.int8),
+                "w": np.zeros(len(df), dtype=np.int64),
+                "kind": np.zeros(len(df), dtype=np.int8),
+                "n_mentions": df["n_mentions"].to_numpy(dtype=np.int64),
+                "n_aliases": np.fromiter(
+                    (len(a) for a in df["aliases"]),
+                    dtype=np.int64,
+                    count=len(df),
+                ),
+            }
+        )
+
+    EMPTY = pd.DataFrame(
+        {
+            "canonical": pd.Series([], dtype="object"),
+            "n_mentions": pd.Series([], dtype="int64"),
+            "n_aliases": pd.Series([], dtype="int64"),
+            "out_degree": pd.Series([], dtype="int64"),
+            "in_degree": pd.Series([], dtype="int64"),
+            "n_rels_out": pd.Series([], dtype="int64"),
+            "top_rel_out": pd.Series([], dtype="object"),
+        }
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "kind" not in g.columns:
+            return EMPTY.copy()
+        n = g.loc[g["kind"] == 0]
+        if not len(n):
+            return EMPTY.copy()
+        nt = n.groupby("canonical", as_index=False).agg(
+            n_mentions=("n_mentions", "sum"),
+            n_aliases=("n_aliases", "sum"),
+        )
+        e = (
+            g.loc[g["kind"] == 1]
+            .groupby(["canonical", "rel", "dir"], as_index=False)["w"]
+            .sum()
+        )
+        out_e = e.loc[e["dir"] == 0]
+        in_e = e.loc[e["dir"] == 1]
+        deg_out = out_e.groupby("canonical", as_index=False)["w"].sum()
+        deg_in = in_e.groupby("canonical", as_index=False)["w"].sum()
+        nrels = out_e.groupby("canonical", as_index=False)["rel"].nunique()
+        top = (
+            out_e.sort_values(
+                ["canonical", "w", "rel"], ascending=[True, False, True]
+            )
+            .drop_duplicates("canonical")[["canonical", "rel"]]
+        )
+        m = (
+            nt.merge(
+                deg_out.rename(columns={"w": "out_degree"}),
+                on="canonical",
+                how="left",
+            )
+            .merge(
+                deg_in.rename(columns={"w": "in_degree"}),
+                on="canonical",
+                how="left",
+            )
+            .merge(
+                nrels.rename(columns={"rel": "n_rels_out"}),
+                on="canonical",
+                how="left",
+            )
+            .merge(
+                top.rename(columns={"rel": "top_rel_out"}),
+                on="canonical",
+                how="left",
+            )
+        )
+        for c in ("out_degree", "in_degree", "n_rels_out"):
+            m[c] = m[c].fillna(0).astype(np.int64)
+        m["top_rel_out"] = m["top_rel_out"].where(
+            m["top_rel_out"].notna(), None
+        )
+        return m[
+            [
+                "canonical",
+                "n_mentions",
+                "n_aliases",
+                "out_degree",
+                "in_degree",
+                "n_rels_out",
+                "top_rel_out",
+            ]
+        ]
+
+    tagged = nodes.map_batches(node_part, batch_format="pandas").union(
+        edges.map_batches(edge_part, batch_format="pandas")
+    )
+    return bucketed_group_reduce(
+        tagged, key_cols=["canonical"], reduce_fn=fold,
+        num_buckets=num_buckets,
+    )

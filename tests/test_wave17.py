@@ -1935,3 +1935,77 @@ class TestGroupingSets:
             )
         with pytest.raises(ValueError, match="non-empty"):
             grouping_sets_sum(self._ds(), sets=[], sum_cols=["v"])
+
+
+class TestEntityCards:
+    """Per-entity serving cards (`web.entity_cards`) —
+    kg_entity_cards is rows-only; planted inputs pin exact
+    degree/relation/alias numbers and the tie-break."""
+
+    def test_planted_cards(self):
+        from kgflow.ops.web import entity_cards
+
+        nodes = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "entity_id": pd.Series([1, 2, 3], dtype="int64"),
+                    "canonical": ["paris", "france", "berlin"],
+                    "aliases": [["paris", "pariss"], ["france"], ["berlin"]],
+                    "n_mentions": pd.Series([10, 5, 2], dtype="int64"),
+                }
+            )
+        )
+        edges = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "subj_canonical": ["paris", "paris", "berlin"],
+                    "rel": ["capital_of", "located_in", "capital_of"],
+                    "obj_canonical": ["france", "france", "nowhere"],
+                    "weight": pd.Series([4, 1, 2], dtype="int64"),
+                }
+            )
+        )
+        out = entity_cards(nodes, edges).to_pandas()
+        got = {
+            r.canonical: (
+                int(r.n_mentions),
+                int(r.n_aliases),
+                int(r.out_degree),
+                int(r.in_degree),
+                int(r.n_rels_out),
+                r.top_rel_out,
+            )
+            for r in out.itertuples()
+        }
+        # endpoint "nowhere" has no node row -> no card
+        assert got == {
+            "paris": (10, 2, 5, 0, 2, "capital_of"),
+            "france": (5, 1, 0, 5, 0, None),
+            "berlin": (2, 1, 2, 0, 1, "capital_of"),
+        }
+
+    def test_top_rel_tie_breaks_ascending(self):
+        from kgflow.ops.web import entity_cards
+
+        nodes = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "entity_id": pd.Series([1], dtype="int64"),
+                    "canonical": ["a"],
+                    "aliases": [["a"]],
+                    "n_mentions": pd.Series([1], dtype="int64"),
+                }
+            )
+        )
+        edges = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "subj_canonical": ["a", "a"],
+                    "rel": ["zz", "aa"],
+                    "obj_canonical": ["b", "c"],
+                    "weight": pd.Series([3, 3], dtype="int64"),
+                }
+            )
+        )
+        out = entity_cards(nodes, edges).to_pandas()
+        assert out.iloc[0]["top_rel_out"] == "aa"

@@ -1567,6 +1567,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         merges = bpe_merges(_docs(sf_dir), n_merges=10)
         return bpe_encode(_docs(sf_dir), merges)
 
+    def doc_cross_dups(sf_dir: str):
+        """Oracle-checked (the doc_minhash_pairs true-Jaccard SQL over
+        the CROSS product of the two derived sides): bipartite near-dup
+        join — the incremental-ingest shape (new crawl vs existing
+        corpus). ONE map emits side 0 (every doc) and side 1
+        (suffix-perturbed copies of every 7th doc, ids +3e6) — a
+        single-lineage sided dataset by design: ray 2.49 unions with
+        shared lineage were observed to duplicate blocks and float-
+        upcast the exchange key (documented in
+        `kgflow.ops.dedup.cross_minhash_pairs`). Only cross-side pairs
+        are enumerated in-bucket; id collisions across sides raise."""
+        import pandas as pd
+
+        from kgflow.ops.dedup import cross_minhash_pairs
+
+        def sided(df: pd.DataFrame) -> pd.DataFrame:
+            a = pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype(np.int64),
+                    "text": df["text"].astype(str),
+                    "side": np.zeros(len(df), dtype=np.int8),
+                }
+            )
+            d = df.loc[df["doc_id"] % 7 == 0]
+            b = pd.DataFrame(
+                {
+                    "doc_id": d["doc_id"].astype(np.int64) + 3_000_000,
+                    "text": d["text"].astype(str) + " qq zz xx",
+                    "side": np.ones(len(d), dtype=np.int8),
+                }
+            )
+            return pd.concat([a, b], ignore_index=True)
+
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+            sided, batch_format="pandas"
+        )
+        return cross_minhash_pairs(docs, threshold=0.5).map_batches(
+            lambda df: _floor_scale_pd(df, "sim", 1e4), batch_format="pandas"
+        )
+
     def doc_winnow(sf_dir: str):
         """Oracle-checked: MOSS winnowing — the distinct set of local
         minima of every 8 consecutive 16-token rolling hashes per doc
@@ -5077,6 +5117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dsir_score": doc_dsir_score,
         "doc_boilerplate_strip": doc_boilerplate_strip,
         "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_cross_dups": doc_cross_dups,
         "doc_jaccard_pairs": doc_jaccard_pairs,
         "doc_containment": doc_containment,
         "doc_typo_pairs": doc_typo_pairs,
@@ -6095,6 +6136,40 @@ def oracle_sql() -> dict[str, str]:
         # predicate the engine's verify stage applies after LSH
         # candidate generation (see doc_minhash_pairs docstring for the
         # recall argument).
+        # bipartite true-Jaccard: side B = suffix-perturbed every-7th
+        # docs (ids +3e6); only A x B pairs, same shingle/sim math as
+        # doc_minhash_pairs
+        "doc_cross_dups": r"""
+            WITH a_tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), b_tok AS (
+              SELECT doc_id + 3000000 AS doc_id,
+                     regexp_extract_all(lower(text || ' qq zz xx'), '\w+')
+                       AS w
+              FROM documents WHERE doc_id % 7 = 0
+            ), a_sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM a_tok
+            ), b_sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+              FROM b_tok
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS jac
+              FROM a_sh a CROSS JOIN b_sh b
+            )
+            SELECT doc_a, doc_b, floor(jac * 10000) / 10000 AS sim
+            FROM p WHERE jac >= 0.5
+        """,
         "doc_minhash_pairs": r"""
             WITH tok AS (
               SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w

@@ -1804,3 +1804,123 @@ def novelty_counts(
         return g["doc_id"].to_numpy() == owner
 
     return _span_counts(docs, window, num_buckets, "n_novel", is_novel)
+
+
+def cross_minhash_pairs(
+    docs: "rd.Dataset",
+    side_col: str = "side",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 100,
+    seed: int = 42,
+) -> "rd.Dataset":
+    """BIPARTITE near-dup join: pairs (doc_a from side 0, doc_b from
+    side 1) with word-3-gram Jaccard ≥ threshold — the incremental-
+    ingest shape (new crawl vs existing corpus) where the self-join's
+    within-side pairs are noise. Input is ONE dataset
+    (doc_id, text, side ∈ {0, 1}) — deliberately NOT two datasets:
+    ray 2.49 unions of datasets with shared lineage were observed to
+    duplicate blocks and upcast the exchange key to float64 (rows
+    landed in wrong buckets; the verify silently returned 0 pairs), so
+    the caller tags sides upstream where one map can emit both. Doc
+    ids must be unique ACROSS sides (the verify keys text by id);
+    a doc id seen on both sides fails loudly in-bucket.
+
+    Scale shape: identical to `minhash_pairs` (ids-only band shuffle,
+    capped buckets, text joined back co-partitioned through the shared
+    `exact_jaccard_verify` tail) with one change — band rows carry the
+    side bit and the in-bucket enumeration keeps ONLY cross-side
+    pairs, so candidate volume is |A∩bucket|·|B∩bucket| instead of
+    the full n²/2."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        hasher = MinHasher(num_hashes=num_hashes, seed=seed)
+        tok_cache: dict = {}
+        o_band, o_hash, o_id, o_side = [], [], [], []
+        for did, t, sdv in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+            batch.column(side_col).to_pylist(),
+        ):
+            x = _word_shingles(t, _cache=tok_cache)
+            ax = (hasher.a[:, None] * x[None, :]) % _P
+            sig = ((ax + hasher.b[:, None]) % _P).min(axis=1)[: bands * rows]
+            sig = sig.reshape(bands, rows)
+            bh = np.zeros(bands, dtype=np.uint64)
+            for r in range(rows):
+                bh = (bh * np.uint64(1099511628211) + sig[:, r]) % _P
+            for b in range(bands):
+                o_band.append(b)
+                o_hash.append(int(bh[b]))
+                o_id.append(did)
+                o_side.append(int(sdv))
+        return pa.table(
+            {
+                "band_id": pa.array(o_band, pa.int32()),
+                "band_hash": pa.array(np.asarray(o_hash, dtype=np.uint64)),
+                "doc_id": pa.array(o_id, pa.int64()),
+                "side": pa.array(np.asarray(o_side, dtype=np.int8)),
+            }
+        )
+
+    def coarse_cross(g: pd.DataFrame) -> pd.DataFrame:
+        EMPTY = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g) or "band_id" not in g.columns:
+            return EMPTY
+        g = g.sort_values(
+            ["band_id", "band_hash", "doc_id"], kind="mergesort"
+        )
+        two_sides = g.groupby("doc_id")["side"].nunique()
+        if (two_sides > 1).any():
+            bad = int(two_sides[two_sides > 1].index[0])
+            raise ValueError(
+                "cross_minhash_pairs: doc_id "
+                f"{bad} appears on BOTH sides — id spaces must be "
+                "disjoint"
+            )
+        bi = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        sd = g["side"].to_numpy(dtype=np.int8)
+        new_seg = np.empty(len(g), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
+        i_idx, j_idx, keep_rows = _segment_pair_indices(
+            new_seg, max_bucket, "cross_minhash_pairs"
+        )
+        if keep_rows is not None:
+            ids = ids[keep_rows]
+            sd = sd[keep_rows]
+        mixed = sd[i_idx] != sd[j_idx]
+        i_idx, j_idx = i_idx[mixed], j_idx[mixed]
+        if not len(i_idx):
+            return EMPTY
+        a_first = sd[i_idx] == 0
+        return pd.DataFrame(
+            {
+                "doc_a": np.where(a_first, ids[i_idx], ids[j_idx]),
+                "doc_b": np.where(a_first, ids[j_idx], ids[i_idx]),
+            }
+        )
+
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    cands = bucketed_group_reduce(
+        docs.select_columns(["doc_id", "text", side_col]).map_batches(
+            band_rows, batch_format="pyarrow"
+        ),
+        key_cols=["band_id", "band_hash"],
+        reduce_fn=coarse_cross,
+    )
+    return exact_jaccard_verify(
+        cands,
+        docs.select_columns(["doc_id", "text"]),
+        threshold=threshold,
+    )

@@ -2009,3 +2009,52 @@ class TestEntityCards:
         )
         out = entity_cards(nodes, edges).to_pandas()
         assert out.iloc[0]["top_rel_out"] == "aa"
+
+
+class TestCrossMinhashPairs:
+    """Bipartite near-dup join (`dedup.cross_minhash_pairs`) — the
+    oracled doc_cross_dups query gates gate-scale; these pin
+    cross-side-only enumeration, exact Jaccard values, and the loud
+    id-collision guard. Input is ONE side-tagged dataset (the ray
+    shared-lineage union hazard is documented in the op)."""
+
+    def _ds(self, rows):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "text": [r[1] for r in rows],
+                    "side": pd.Series(
+                        [r[2] for r in rows], dtype="int8"
+                    ),
+                }
+            )
+        )
+
+    BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def test_cross_only_pairs_with_exact_sim(self):
+        from kgflow.ops.dedup import cross_minhash_pairs
+
+        # A twins 1,2 (identical) must NOT pair; (1,101) must
+        ds = self._ds(
+            [
+                (1, self.BASE, 0),
+                (2, self.BASE, 0),
+                (101, self.BASE + " extra bits", 1),
+                (102, "unrelated b side text nothing shared at all here", 1),
+            ]
+        )
+        out = cross_minhash_pairs(ds, threshold=0.5).to_pandas()
+        got = sorted(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+        assert got == [(1, 101), (2, 101)]
+        # exact trigram Jaccard: 11 shared trigrams of 13 total (the
+        # 2 new cross-boundary trigrams from " extra bits")
+        assert abs(float(out["sim"].iloc[0]) - 11 / 13) < 1e-12
+
+    def test_id_collision_raises(self):
+        from kgflow.ops.dedup import cross_minhash_pairs
+
+        ds = self._ds([(1, self.BASE, 0), (1, self.BASE, 1)])
+        with pytest.raises(Exception, match="disjoint"):
+            cross_minhash_pairs(ds).materialize()

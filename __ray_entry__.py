@@ -5044,6 +5044,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return multi_match(_docs(sf_dir), list(_BLOCKLIST))
 
+    def events_attribution(sf_dir: str):
+        """Oracle-checked: linear multi-touch attribution — every
+        'purchase' splits an integer credit of 1e6 EQUALLY (floor
+        division, so the sum is hash-exact vs SQL) over the same
+        user's touch events strictly inside the trailing 1-day window;
+        ONE user-bucketed exchange, window counts via a lexsort +
+        per-type cumsum probe pass — never a per-conversion scan
+        (`kgflow.ops.window.linear_attribution`)."""
+        from kgflow.ops.window import linear_attribution
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        return linear_attribution(
+            ev, convert_type="purchase", lookback_s=86400
+        )
+
+    def events_scd(sf_dir: str):
+        """Oracle-checked: type-2 slowly-changing-dimension history —
+        each user's event_type stream collapsed into change runs, one
+        validity interval per run (version, valid_from, valid_to with
+        the conventional 2999-12-31 open-interval sentinel — no NULL
+        timestamps, so the hash compare is exact). ONE user-bucketed
+        exchange, vectorized boundary detection
+        (`kgflow.ops.window.scd2_intervals`)."""
+        from kgflow.ops.window import scd2_intervals
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        return scd2_intervals(ev)
+
+    def kg_anchor_aliases(sf_dir: str):
+        """Rows-only (semantics pinned on planted anchors in
+        tests/test_wave18.py): anchor-text alias mining — per
+        canonicalized link target, the top-3 normalized anchor texts
+        by count (the classic entity-linking alias-dictionary signal).
+        Anchors are planted on the fixture html (page i links to page
+        2i with a small alias wheel) since the synthetic crawl has
+        none; html never rides a shuffle — count partials reduce
+        before the first exchange (`kgflow.ops.web.anchor_aliases`)."""
+        import pandas as _pd
+
+        from kgflow.ops.web import anchor_aliases
+        from kgflow.pipelines.kg import KgConfig, read_pages
+
+        def plant(df: _pd.DataFrame) -> _pd.DataFrame:
+            n = (
+                df["url"]
+                .astype(str)
+                .str.extract(r"(\d+)$")[0]
+                .fillna("0")
+                .astype("int64")
+            )
+            tgt = (2 * n) % 1000
+            alias = _pd.Series(
+                np.where(
+                    n % 3 == 0,
+                    "Site " + tgt.astype(str),
+                    np.where(
+                        n % 3 == 1,
+                        "site " + tgt.astype(str) + "  Home",
+                        "the site " + tgt.astype(str) + " portal",
+                    ),
+                ),
+                index=df.index,
+            )
+            a = (
+                '<a href="https://site'
+                + tgt.astype(str)
+                + ".example/page/"
+                + tgt.astype(str)
+                + '">'
+                + alias
+                + "</a>"
+            )
+            html = df["html"].apply(
+                lambda b: b.decode("utf-8", "replace")
+                if isinstance(b, (bytes, bytearray))
+                else str(b)
+            )
+            return _pd.DataFrame(
+                {"url": df["url"], "html": (html + a).str.encode("utf-8")}
+            )
+
+        cfg = KgConfig(read_columns=["url", "html"])
+        pages = read_pages(_pages_dir(sf_dir), cfg).map_batches(
+            plant, batch_format="pandas"
+        )
+        return anchor_aliases(pages, top_k=3)
+
     return {
         "kg_sentences": kg_sentences,
         "kg_domain_stats": kg_domain_stats,
@@ -5285,6 +5380,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_sizes": doc_cluster_sizes,
         "part_abc": part_abc,
         "events_locf": events_locf,
+        "events_attribution": events_attribution,
+        "events_scd": events_scd,
+        "kg_anchor_aliases": kg_anchor_aliases,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -9198,6 +9296,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # Linear multi-touch attribution: conversions join touches in
+        # the strict trailing window; per-conversion touch count n via
+        # a grouped subquery; integer floor credit (1000000 // n) makes
+        # the per-type sums hash-exact.
+        "events_attribution": """
+            WITH conv AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), tt AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_type <> 'purchase'
+            ), j AS (
+              SELECT c.event_id AS cid, t.event_type AS event_type
+              FROM conv c JOIN tt t ON t.user_id = c.user_id
+               AND t.ts < c.ts AND t.ts > c.ts - INTERVAL 1 DAY
+            ), n AS (SELECT cid, count(*) AS n FROM j GROUP BY cid)
+            SELECT j.event_type, count(*)::BIGINT AS n_touches,
+                   sum(1000000 // n.n)::BIGINT AS credit
+            FROM j JOIN n USING (cid) GROUP BY j.event_type
+        """,
+        # SCD-2 run collapse: lag() change flags -> running-sum run
+        # numbers -> one row per run, valid_to = next run's valid_from
+        # (far-future sentinel for the open run).
+        "events_scd": """
+            WITH o AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), r AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS version
+              FROM o
+            ), runs AS (
+              SELECT user_id, CAST(version AS BIGINT) AS version,
+                     min(event_type) AS event_type, min(ts) AS valid_from
+              FROM r GROUP BY user_id, version
+            )
+            SELECT user_id, version, event_type, valid_from,
+                   coalesce(lead(valid_from) OVER
+                              (PARTITION BY user_id ORDER BY version),
+                            TIMESTAMP '2999-12-31 00:00:00') AS valid_to
+            FROM runs
         """,
         # LOCF grid resample: weekly grid x users, ASOF to the last
         # event at or before each point (inner; constant 200-step cap

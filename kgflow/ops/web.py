@@ -424,6 +424,89 @@ def domain_link_graph(
     )
 
 
+def anchor_aliases(
+    pages: "rd.Dataset",
+    top_k: int = 3,
+    min_count: int = 1,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Anchor-text alias mining — the classic web-scale KG-construction
+    signal (how the crawl refers to a target page IS its entity's alias
+    distribution; cf. anchor dictionaries in entity-linking literature):
+    (target, alias, n_anchor, rank) — per canonicalized link target, the
+    ``top_k`` normalized anchor texts by count (ties broken by alias
+    string ascending, so the order is total and deterministic).
+
+    Scale shape: html never rides a shuffle — anchors reduce to
+    (target, alias) count PARTIALS per batch before the first exchange;
+    the ranking exchange then carries only the count table (alias
+    cardinality, not anchor occurrences) and pre-shrinks each block with
+    the top-k semigroup combiner (rank needs the whole target group, so
+    rank is assigned only in the final keyed reduce)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        alias = (
+            df["anchor"]
+            .astype(str)
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+            .str.lower()
+        )
+        d = pd.DataFrame(
+            {"target": _canonicalize(df["href"]).to_numpy(), "alias": alias}
+        )
+        d = d[d["alias"] != ""]
+        return (
+            d.groupby(["target", "alias"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_anchor"})
+        )
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["target", "alias"], as_index=False)["n_anchor"].sum()
+        out["n_anchor"] = out["n_anchor"].astype(np.int64)
+        return out[out["n_anchor"] >= min_count]
+
+    counts = bucketed_group_reduce(
+        extract_links(pages).map_batches(count_partial, batch_format="pandas"),
+        key_cols=["target", "alias"],
+        reduce_fn=count_reduce,
+        num_buckets=num_buckets,
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(
+                ["target", "n_anchor", "alias"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("target", sort=False)
+            .head(top_k)
+        )
+
+    def rank_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["target", "n_anchor", "alias"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.assign(
+            rank=(g.groupby("target", sort=False).cumcount() + 1).astype(
+                np.int64
+            )
+        )
+        return g[g["rank"] <= top_k].reset_index(drop=True)
+
+    return bucketed_group_reduce(
+        counts.map_batches(local_topk, batch_format="pandas"),
+        key_cols=["target"],
+        reduce_fn=rank_reduce,
+        num_buckets=num_buckets,
+    )
+
+
 def inverse_relation_audit(
     edges: "rd.Dataset",
     subj_col: str = "subj_canonical",

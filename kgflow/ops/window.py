@@ -2134,3 +2134,180 @@ def interval_overlap_pairs(
         reduce_fn=pairs_in_bucket,
         num_buckets=num_buckets,
     )
+
+
+def linear_attribution(
+    events: "rd.Dataset",
+    convert_type: str = "purchase",
+    lookback_s: int = 86400,
+    scale: int = 1_000_000,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Linear multi-touch attribution: every conversion event (rows with
+    ``type_col == convert_type``) splits a fixed credit of ``scale``
+    EQUALLY over the same key's touch events (all other types) that fall
+    strictly inside ``(c.ts - lookback_s, c.ts)``; per-touch credit is
+    the integer ``scale // n`` (floor), so the output is pure int64 and
+    hash-exact vs a SQL window/join oracle. Returns one row per touched
+    event type: (event_type, n_touches, credit).
+
+    Scale shape: ONE key-bucketed exchange; inside the bucket the
+    window counts come from a single lexsort + per-type cumulative-sum
+    pass over touches plus two PROBE rows per conversion (at c.ts and
+    c.ts - lookback), not a per-conversion scan — O(rows log rows)
+    regardless of window width. The per-bucket output is |types| rows,
+    re-summed by one constant-size type-keyed exchange."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    lookback_us = int(lookback_s) * _US
+    EMPTY = pd.DataFrame(
+        {
+            type_col: pd.Series([], dtype=object),
+            "n_touches": pd.Series([], dtype=np.int64),
+            "credit": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        is_conv = g[type_col].to_numpy() == convert_type
+        conv = g[is_conv]
+        touch = g[~is_conv]
+        n_c, n_t = len(conv), len(touch)
+        if n_c == 0 or n_t == 0:
+            return EMPTY.copy()
+        types, tcode = np.unique(
+            touch[type_col].to_numpy(dtype=object), return_inverse=True
+        )
+        tu = touch[key].to_numpy()
+        tt = _ts_us(touch[ts_col])
+        cu = conv[key].to_numpy()
+        ct = _ts_us(conv[ts_col])
+        # merged order: probes at the hi bound (kind 0) sort BEFORE
+        # equal-ts touches (strict ts < c.ts), probes at the lo bound
+        # (kind 2) AFTER them (strict ts > c.ts - lookback)
+        users = np.concatenate([tu, cu, cu])
+        tss = np.concatenate([tt, ct, ct - lookback_us])
+        kinds = np.concatenate(
+            [
+                np.ones(n_t, dtype=np.int8),
+                np.zeros(n_c, dtype=np.int8),
+                np.full(n_c, 2, dtype=np.int8),
+            ]
+        )
+        order = np.lexsort((kinds, tss, users))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order))
+        oh = np.zeros((len(order), len(types)), dtype=np.int64)
+        tcode_sorted = np.concatenate(
+            [tcode, np.full(2 * n_c, -1, dtype=tcode.dtype)]
+        )[order]
+        touch_rows = np.nonzero(kinds[order] == 1)[0]
+        oh[touch_rows, tcode_sorted[touch_rows]] = 1
+        cum = np.cumsum(oh, axis=0)
+        hi = cum[pos[n_t : n_t + n_c]]  # (n_c, T) touches with ts < c.ts
+        lo = cum[pos[n_t + n_c :]]  # touches with ts <= c.ts - lookback
+        w = hi - lo  # per-conversion per-type window counts
+        n_i = w.sum(axis=1)
+        live = n_i > 0
+        if not live.any():
+            return EMPTY.copy()
+        credit_i = (scale // n_i[live]).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                type_col: types,
+                "n_touches": w[live].sum(axis=0).astype(np.int64),
+                "credit": (credit_i[:, None] * w[live]).sum(axis=0).astype(
+                    np.int64
+                ),
+            }
+        )
+        return out[out["n_touches"] > 0].reset_index(drop=True)
+
+    partials = bucketed_group_reduce(
+        events.select_columns([key, ts_col, type_col]),
+        key_cols=[key],
+        reduce_fn=bucket_partial,
+        num_buckets=num_buckets,
+    )
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(type_col, as_index=False)[["n_touches", "credit"]].sum()
+        return out.astype({"n_touches": "int64", "credit": "int64"})
+
+    return bucketed_group_reduce(
+        partials, key_cols=[type_col], reduce_fn=final_sum, num_buckets=8
+    )
+
+
+def scd2_intervals(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    attr_col: str = "event_type",
+    end_sentinel: str = "2999-12-31 00:00:00",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Type-2 slowly-changing-dimension history: collapse each key's
+    time-ordered attribute stream into change RUNS and emit one validity
+    interval per run — (key, version, attr, valid_from, valid_to) with
+    ``version`` numbering the key's runs 1..k, ``valid_from`` the run's
+    first event time, and ``valid_to`` the next run's ``valid_from``
+    (the conventional far-future sentinel for the current run, keeping
+    the output hash-stable — no NULL timestamps). The warehouse
+    dimension-history op, run as ONE key-bucketed exchange with
+    vectorized boundary detection (same kernel family as sessionize:
+    sort → shift-compare → per-key cumsum → first-of-run gather)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    sentinel = pd.Timestamp(end_sentinel)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=g[key].dtype),
+                    "version": pd.Series([], dtype=np.int64),
+                    attr_col: pd.Series([], dtype=object),
+                    "valid_from": pd.Series([], dtype="datetime64[us]"),
+                    "valid_to": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        u = g[key].to_numpy()
+        a = g[attr_col].to_numpy()
+        brk = np.ones(n, dtype=bool)
+        brk[1:] = (u[1:] != u[:-1]) | (a[1:] != a[:-1])
+        ver = (
+            g.assign(_b=brk.astype(np.int64))
+            .groupby(key, sort=False)["_b"]
+            .cumsum()
+            .to_numpy()
+        )
+        vf = g[ts_col].to_numpy().astype("datetime64[us]")
+        runs = pd.DataFrame(
+            {
+                key: u[brk],
+                "version": ver[brk].astype(np.int64),
+                attr_col: a[brk],
+                "valid_from": vf[brk],
+            }
+        )
+        nxt = runs["valid_from"].shift(-1)
+        same = runs[key].shift(-1).to_numpy() == runs[key].to_numpy()
+        runs["valid_to"] = (
+            nxt.where(pd.Series(same, index=runs.index), sentinel)
+            .astype("datetime64[us]")
+        )
+        return runs
+
+    return bucketed_group_reduce(
+        events.select_columns([key, ts_col, id_col, attr_col]),
+        key_cols=[key],
+        reduce_fn=reduce_fn,
+        num_buckets=num_buckets,
+    )

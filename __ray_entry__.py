@@ -5139,6 +5139,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return anchor_aliases(pages, top_k=3)
 
+    def doc_rake(sf_dir: str):
+        """Oracle-checked: RAKE keyphrase extraction (Rose et al.
+        2010) — top-3 candidate phrases per document scored by the
+        floor-scaled word deg/freq sum (pure int64, hash-exact; the
+        stopword list is shared VERBATIM with the SQL). Document-local,
+        embarrassingly parallel: NO exchange
+        (`kgflow.ops.text.rake_keyphrases`)."""
+        from kgflow.ops.text import rake_keyphrases
+
+        return rake_keyphrases(_docs(sf_dir), top_k=3)
+
+    def ann_rrf(sf_dir: str):
+        """Oracle-checked: reciprocal-rank fusion (Cormack et al.
+        2009) of a cosine and an L2 retriever over the same corpus —
+        ONE dual-metric corpus pass (actor pool holding the broadcast
+        query matrix; the L2 leg scores in float64 expanded form so
+        rank order is stable vs the SQL), per-batch partial top-k per
+        leg, one tiny query-keyed exchange ranks legs and fuses with
+        integer floor terms (`kgflow.ops.ann.rrf_topk`)."""
+        from kgflow.ops.ann import rrf_topk
+        from kgflow.sources.parquet import read_parquet_clean
+
+        qids, Qm = _queries_for(sf_dir)
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return rrf_topk(emb, qids, Qm, k_each=20, k_rrf=60, top_k=5)
+
+    def kg_fact_history(sf_dir: str):
+        """Rows-only (semantics pinned in tests/test_wave18.py via the
+        shared `scd2_intervals` kernel): temporal fact versioning —
+        each canonical (subj, rel) fact's OBJECT history across crawl
+        snapshots as SCD-2 validity intervals ordered by the
+        supporting page's warc_ts (the knowledge-evolution table:
+        which fact changed, when, to what). Page metadata joins
+        url-keyed (auto broadcast, html never rides), then the ONE
+        fact-keyed exchange runs the same run-collapse kernel as
+        events_scd (`kgflow.ops.window.scd2_intervals`)."""
+        import pandas as _pd
+
+        from kgflow.linking.link import canonical_triples
+        from kgflow.ops.joins import hash_join
+        from kgflow.ops.window import scd2_intervals
+        from kgflow.pipelines.kg import KgConfig, read_pages
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        occ = canon.select_columns(
+            ["subj_canonical", "rel", "obj_canonical", "url"]
+        )
+        cfg = KgConfig(read_columns=["url", "warc_ts"])
+        meta = read_pages(_pages_dir(sf_dir), cfg)
+        joined = hash_join(occ, meta, on="url")
+
+        def keyed(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "fact": df["subj_canonical"].astype(str)
+                    + "\x1f"
+                    + df["rel"].astype(str),
+                    "obj_canonical": df["obj_canonical"],
+                    "warc_ts": df["warc_ts"],
+                    # total order inside equal timestamps: url + obj
+                    "tie": df["url"].astype(str)
+                    + "\x1f"
+                    + df["obj_canonical"].astype(str),
+                }
+            )
+
+        facts = joined.map_batches(keyed, batch_format="pandas")
+        return scd2_intervals(
+            facts,
+            key="fact",
+            ts_col="warc_ts",
+            id_col="tie",
+            attr_col="obj_canonical",
+        )
+
     return {
         "kg_sentences": kg_sentences,
         "kg_domain_stats": kg_domain_stats,
@@ -5383,6 +5461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": events_attribution,
         "events_scd": events_scd,
         "kg_anchor_aliases": kg_anchor_aliases,
+        "doc_rake": doc_rake,
+        "ann_rrf": ann_rrf,
+        "kg_fact_history": kg_fact_history,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -9296,6 +9377,102 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # RAKE (Rose et al. 2010): stopword-delimited candidate
+        # phrases; word score = floor-scaled deg/freq over the doc;
+        # phrase score sums its tokens' terms. The stoplist is the
+        # VERBATIM kgflow.ops.text.RAKE_STOPWORDS (pinned equal by
+        # tests/test_wave18.py).
+        "doc_rake": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w,
+                     generate_subscripts(
+                       regexp_extract_all(lower(text), '\w+'), 1) AS i
+              FROM documents
+            ), f AS (
+              SELECT doc_id, i, w,
+                     CASE WHEN w IN (
+                       'a','an','and','are','as','at','be','but','by',
+                       'for','from','has','have','in','is','it','its',
+                       'of','on','or','that','the','this','to','was',
+                       'were','will','with','not','he','she','they',
+                       'we','you','i')
+                     THEN 1 ELSE 0 END AS stop
+              FROM tok
+            ), p AS (
+              SELECT doc_id, i, w, stop,
+                     sum(stop) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS UNBOUNDED PRECEDING) AS pid
+              FROM f
+            ), words AS (
+              SELECT doc_id, pid, i, w FROM p WHERE stop = 0
+            ), plen AS (
+              SELECT doc_id, pid, count(*) AS plen
+              FROM words GROUP BY doc_id, pid
+            ), wp AS (
+              SELECT words.doc_id, words.pid, words.i, words.w, plen.plen
+              FROM words JOIN plen USING (doc_id, pid)
+            ), wd AS (
+              SELECT doc_id, w, sum(plen)::BIGINT AS deg,
+                     count(*)::BIGINT AS freq
+              FROM wp GROUP BY doc_id, w
+            ), terms AS (
+              SELECT wp.doc_id, wp.pid, wp.i,
+                     (1000000 * wd.deg) // wd.freq AS term
+              FROM wp JOIN wd
+                ON wp.doc_id = wd.doc_id AND wp.w = wd.w
+            ), ph AS (
+              SELECT terms.doc_id, terms.pid,
+                     string_agg(wp.w, ' ' ORDER BY wp.i) AS phrase,
+                     sum(terms.term)::BIGINT AS score
+              FROM terms JOIN wp
+                ON terms.doc_id = wp.doc_id AND terms.pid = wp.pid
+               AND terms.i = wp.i
+              GROUP BY terms.doc_id, terms.pid
+            ), dd AS (
+              SELECT doc_id, phrase, min(score)::BIGINT AS score
+              FROM ph GROUP BY doc_id, phrase
+            )
+            SELECT doc_id, phrase, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, phrase) AS rank
+            FROM dd QUALIFY rank <= 3
+        """,
+        # Reciprocal-rank fusion of the exact cosine and exact L2
+        # rankings (both retrievers are exact, so the fusion is too);
+        # integer floor terms make the fused scores hash-exact.
+        "ann_rrf": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ), s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS sim,
+                     list_distance(q.qe, e.embedding) AS dist
+              FROM q CROSS JOIN embeddings e
+              WHERE e.vec_id <> q.query_id
+            ), ra AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS r
+              FROM s QUALIFY r <= 20
+            ), rb AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY dist ASC, neighbor_id) AS r
+              FROM s QUALIFY r <= 20
+            ), u AS (
+              SELECT * FROM ra UNION ALL SELECT * FROM rb
+            ), f AS (
+              SELECT query_id, neighbor_id,
+                     sum(1000000 // (60 + r))::BIGINT AS rrf
+              FROM u GROUP BY query_id, neighbor_id
+            )
+            SELECT query_id, neighbor_id, rrf,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, neighbor_id) AS rank
+            FROM f QUALIFY rank <= 5
         """,
         # Linear multi-touch attribution: conversions join touches in
         # the strict trailing window; per-conversion touch count n via

@@ -45,18 +45,35 @@ def embed_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
 
 class BruteForceTopK:
     """Actor-pool stage: holds the broadcast query matrix; per batch one
-    [B, dim] × [dim, Q] matmul + per-batch top-k."""
+    [B, dim] × [dim, Q] matmul + per-batch top-k.
 
-    def __init__(self, queries_ref, k: int):
+    ``metric``: "cosine" scores by cosine similarity over unit-normed
+    rows (float32 — the throughput path); "l2" scores by NEGATIVE
+    squared euclidean distance over the RAW vectors, computed in
+    float64 (‖x‖² − 2x·q expanded form) so rank order is bit-stable vs
+    a float64 SQL oracle — the rank-fusion path, where a single flipped
+    adjacent pair changes the fused score."""
+
+    def __init__(self, queries_ref, k: int, metric: str = "cosine"):
         q = ray.get(queries_ref)  # (query_ids [Q], matrix [Q, dim])
         self.qids, Qm = q
-        self.Q = _unit(np.asarray(Qm, dtype=np.float32)).T  # [dim, Q]
+        self.metric = metric
+        if metric == "l2":
+            Qm = np.asarray(Qm, dtype=np.float64)
+            self.Q = Qm.T  # [dim, Q], raw
+            self.qsq = (Qm * Qm).sum(axis=1)  # [Q]
+        else:
+            self.Q = _unit(np.asarray(Qm, dtype=np.float32)).T  # [dim, Q]
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = embed_matrix(batch)
         ids = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
-        S = _unit(M) @ self.Q  # [B, Q]
+        if self.metric == "l2":
+            X = np.asarray(M, dtype=np.float64)
+            S = 2.0 * (X @ self.Q) - (X * X).sum(axis=1)[:, None] - self.qsq
+        else:
+            S = _unit(M) @ self.Q  # [B, Q]
         B, Q = S.shape
         k = min(self.k + 1, B)  # +1 to survive self-match removal
         # one argpartition across ALL queries: [k, Q] row indices
@@ -82,13 +99,16 @@ def brute_force_topk(
     query_matrix: np.ndarray,
     k: int = 5,
     exclude_self: bool = True,
+    metric: str = "cosine",
 ) -> "rd.Dataset":
-    """Global top-k cosine neighbors per query. Output:
-    (query_id, neighbor_id, cos) — exactly k rows per query."""
+    """Global top-k neighbors per query. Output:
+    (query_id, neighbor_id, cos) — exactly k rows per query; ``cos`` is
+    the score (cosine similarity, or negative squared L2 for
+    metric="l2" — higher is always closer)."""
     ref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float32)))
     partial = emb.select_columns(["vec_id", "embedding"]).map_batches(
         BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "metric": metric},
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
@@ -1003,4 +1023,142 @@ def pq_adc_topk(
         key_cols=["query_id"],
         reduce_fn=merge_bucket,
         num_buckets=2 if len(query_ids) <= 16 else 8,
+    )
+
+
+class DualMetricTopK:
+    """Actor-pool stage: ONE corpus pass scoring every batch against
+    the broadcast query matrix under BOTH metrics — cosine (leg 0,
+    float32 unit-norm matmul) and negative squared L2 (leg 1, float64
+    expanded form, rank-stable vs a float64 SQL oracle) — emitting
+    per-batch per-leg partial top-k as side-tagged rows
+    (query_id, neighbor_id, score, leg). One pass instead of two, and
+    the single tagged output feeds ONE exchange — deliberately NOT two
+    datasets unioned downstream (the documented ray-2.49 shared-lineage
+    union hazard: duplicated blocks + float-upcast exchange keys,
+    `kgflow/ops/dedup.py:cross_minhash_pairs`)."""
+
+    def __init__(self, queries_ref, k: int):
+        self.qids, Qm = ray.get(queries_ref)
+        Q32 = np.asarray(Qm, dtype=np.float32)
+        self.Qcos = _unit(Q32).T  # [dim, Q]
+        Q64 = np.asarray(Qm, dtype=np.float64)
+        self.Ql2 = Q64.T
+        self.qsq = (Q64 * Q64).sum(axis=1)  # [Q]
+        self.k = k
+
+    def _leg(self, S: np.ndarray, ids: np.ndarray, leg: int) -> pd.DataFrame:
+        B, Q = S.shape
+        k = min(self.k + 1, B)  # +1 to survive self-match removal
+        top = np.argpartition(-S, k - 1, axis=0)[:k] if B > k else (
+            np.tile(np.arange(B)[:, None], (1, Q))
+        )
+        rows = top.T.ravel()
+        cols = np.repeat(np.arange(Q), top.shape[0])
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    np.asarray(self.qids, np.int64), top.shape[0]
+                ),
+                "neighbor_id": ids[rows],
+                "score": S[rows, cols].astype(np.float64),
+                "leg": np.full(len(rows), leg, dtype=np.int8),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        M = embed_matrix(batch)
+        ids = np.asarray(batch.column("vec_id").to_numpy(), dtype=np.int64)
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                    "leg": pd.Series([], dtype=np.int8),
+                }
+            )
+        Sc = _unit(M) @ self.Qcos
+        X = np.asarray(M, dtype=np.float64)
+        Sl = 2.0 * (X @ self.Ql2) - (X * X).sum(axis=1)[:, None] - self.qsq
+        return pd.concat(
+            [self._leg(Sc, ids, 0), self._leg(Sl, ids, 1)],
+            ignore_index=True,
+        )
+
+
+def rrf_topk(
+    emb: "rd.Dataset",
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k_each: int = 20,
+    k_rrf: int = 60,
+    top_k: int = 5,
+    scale: int = 1_000_000,
+    exclude_self: bool = True,
+) -> "rd.Dataset":
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of a cosine
+    retriever and an L2 retriever over the same embedding corpus: each
+    leg contributes its global top ``k_each`` per query ranked by
+    (closer-first, neighbor_id asc); a neighbor's fused score is
+    Σ_legs scale // (k_rrf + rank_leg) — floor division, so the output
+    is pure int64 and hash-exact vs SQL. Output:
+    (query_id, neighbor_id, rrf, rank) — top_k per query by
+    (rrf desc, neighbor_id asc).
+
+    Scale shape: ONE corpus pass computes both metrics (DualMetricTopK
+    actor pool holding the broadcast query matrix), per-batch partials
+    shrink each leg to ≤ k_each+1 rows per query before the ONE tiny
+    query-keyed exchange where per-leg global ranks and the fusion both
+    happen in-bucket."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    ref = ray.put((list(query_ids), np.asarray(query_matrix, dtype=np.float32)))
+    partial = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        DualMetricTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k_each},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"]]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "neighbor_id": pd.Series([], dtype=np.int64),
+                    "rrf": pd.Series([], dtype=np.int64),
+                    "rank": pd.Series([], dtype=np.int64),
+                }
+            )
+        # both legs score closer-higher: one (-score, neighbor) sort
+        # gives every leg's closest-first rank with the SQL tie rule
+        g = g.assign(_n=-g["score"].to_numpy()).sort_values(
+            ["query_id", "leg", "_n", "neighbor_id"], kind="mergesort"
+        )
+        # per-batch partials may repeat a (query, leg, neighbor): keep
+        # the best occurrence before ranking
+        g = g.drop_duplicates(["query_id", "leg", "neighbor_id"])
+        r = (g.groupby(["query_id", "leg"], sort=False).cumcount() + 1).to_numpy()
+        g = g[r <= k_each].assign(
+            term=(scale // (k_rrf + r[r <= k_each])).astype(np.int64)
+        )
+        f = g.groupby(["query_id", "neighbor_id"], as_index=False)["term"].sum()
+        f = f.rename(columns={"term": "rrf"}).astype(
+            {"rrf": "int64", "query_id": "int64", "neighbor_id": "int64"}
+        )
+        f = f.sort_values(
+            ["query_id", "rrf", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        f["rank"] = (f.groupby("query_id", sort=False).cumcount() + 1).astype(
+            np.int64
+        )
+        return f[f["rank"] <= top_k].reset_index(drop=True)
+
+    return bucketed_group_reduce(
+        partial, key_cols=["query_id"], reduce_fn=fuse, num_buckets=2
     )

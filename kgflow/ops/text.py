@@ -2669,3 +2669,93 @@ def bpe_encode(
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+#: RAKE stopword list (Rose et al. 2010 use the Fox 1989 list; this is
+#: the high-frequency English function-word core of it, shared VERBATIM
+#: with the SQL oracle so both sides split phrases identically).
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "has", "have", "in", "is", "it", "its", "of", "on", "or",
+    "that", "the", "this", "to", "was", "were", "will", "with", "not",
+    "he", "she", "they", "we", "you", "i",
+)
+
+
+def rake_keyphrases(
+    docs: "rd.Dataset",
+    top_k: int = 3,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    scale: int = 1_000_000,
+) -> "rd.Dataset":
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; each word scores
+    deg(w)/freq(w) where deg sums the lengths of the phrase occurrences
+    containing w and freq counts w's occurrences — both per DOCUMENT
+    (classic RAKE is document-local, embarrassingly parallel: NO
+    exchange, one vectorized pass per batch). A phrase scores the sum
+    of its tokens' floor-scaled terms (scale·deg // freq — pure int64,
+    hash-exact vs SQL). Output: (doc_id, phrase, score, rank) — top_k
+    phrases per doc by (score desc, phrase asc), identical phrase
+    strings deduplicated."""
+    stop = frozenset(stopwords)
+    EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "phrase": pd.Series([], dtype=object),
+            "score": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+        }
+    )
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return EMPTY.copy()
+        t = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].reindex(ex.index).to_numpy(),
+                "w": ex.to_numpy(dtype=object),
+            }
+        )
+        t["stop"] = t["w"].isin(stop)
+        t["pid"] = t.groupby("doc_id", sort=False)["stop"].cumsum()
+        t = t[~t["stop"]]
+        if not len(t):
+            return EMPTY.copy()
+        # phrase length per occurrence; per-doc word deg/freq
+        t["plen"] = t.groupby(["doc_id", "pid"], sort=False)[
+            "w"
+        ].transform("size")
+        wd = t.groupby(["doc_id", "w"], sort=False).agg(
+            deg=("plen", "sum"), freq=("plen", "size")
+        )
+        t = t.join(wd, on=["doc_id", "w"])
+        t["term"] = (scale * t["deg"].to_numpy(dtype=np.int64)) // t[
+            "freq"
+        ].to_numpy(dtype=np.int64)
+        ph = t.groupby(["doc_id", "pid"], sort=False).agg(
+            phrase=("w", " ".join), score=("term", "sum")
+        )
+        ph = ph.reset_index().drop(columns=["pid"])
+        # identical phrase strings in one doc score identically: dedup
+        ph = ph.groupby(["doc_id", "phrase"], as_index=False, sort=False)[
+            "score"
+        ].min()
+        ph = ph.sort_values(
+            ["doc_id", "score", "phrase"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        ph["rank"] = (
+            ph.groupby("doc_id", sort=False).cumcount() + 1
+        ).astype(np.int64)
+        out = ph[ph["rank"] <= top_k].reset_index(drop=True)
+        out["score"] = out["score"].astype(np.int64)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        per_batch, batch_format="pandas"
+    )

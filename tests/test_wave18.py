@@ -222,3 +222,174 @@ class TestAnchorAliases:
         out = anchor_aliases(self._pages(), top_k=5, min_count=2).to_pandas()
         assert set(out["alias"]) == {"alpha corp", "alpha", "beta"}
         assert (out["n_anchor"] >= 2).all()
+
+
+class TestRakeKeyphrases:
+    def test_classic_semantics(self):
+        from kgflow.ops.text import rake_keyphrases
+
+        # "deep learning" phrase: deg(deep)=2, freq(deep)=1 -> 2e6;
+        # deg(learning)=2+2=4 (two phrases of len 2), freq=2 -> 2e6
+        # "machine learning": deg(machine)=2/1, learning term 2e6
+        # -> both phrases score 4e6; tie broken by phrase asc
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([1], dtype="int64"),
+                    "text": [
+                        "deep learning is the machine learning of it"
+                    ],
+                }
+            )
+        )
+        out = (
+            rake_keyphrases(docs, top_k=5)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert out["phrase"].tolist() == ["deep learning", "machine learning"]
+        assert out["score"].tolist() == [4_000_000, 4_000_000]
+        assert out["rank"].tolist() == [1, 2]
+
+    def test_duplicate_phrase_dedup_and_stop_only_doc(self):
+        from kgflow.ops.text import rake_keyphrases
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([1, 2], dtype="int64"),
+                    "text": ["red fox and red fox", "the of and to"],
+                }
+            )
+        )
+        out = rake_keyphrases(docs, top_k=5).to_pandas()
+        # doc 2 is all stopwords -> absent; doc 1's repeated phrase
+        # appears once
+        assert out["doc_id"].tolist() == [1]
+        assert out["phrase"].tolist() == ["red fox"]
+        # deg(red)=4, freq=2 -> 2e6; deg(fox)=4, freq=2 -> 2e6
+        assert out["score"].tolist() == [4_000_000]
+
+    def test_stoplist_matches_sql_oracle(self):
+        """The oracle inlines the stoplist verbatim; pin equality so
+        an edit to either side fails loudly."""
+        import re
+
+        import __ray_entry__ as entry
+        from kgflow.ops.text import RAKE_STOPWORDS
+
+        sql = entry.oracle_sql()["doc_rake"]
+        m = re.search(r"w IN \(([^)]*)\)", sql)
+        sql_words = re.findall(r"'([^']+)'", m.group(1))
+        assert tuple(sql_words) == RAKE_STOPWORDS
+
+
+class TestRrfTopk:
+    def test_fusion_matches_reference(self):
+        """Planted vectors where cosine and L2 disagree: q=(1,0);
+        a=(10,0) is cosine-closest (sim 1.0) but L2-far; b=(0.9,0.1)
+        is L2-closest. RRF must fuse both legs' ranks."""
+        from kgflow.ops.ann import rrf_topk
+
+        emb = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.Series([0, 1, 2, 3], dtype="int64"),
+                    "embedding": [
+                        np.asarray([1.0, 0.0], dtype=np.float32),   # query
+                        np.asarray([10.0, 0.0], dtype=np.float32),  # a
+                        np.asarray([0.9, 0.1], dtype=np.float32),   # b
+                        np.asarray([-1.0, 0.0], dtype=np.float32),  # far
+                    ],
+                }
+            )
+        )
+        out = (
+            rrf_topk(
+                emb,
+                [0],
+                np.asarray([[1.0, 0.0]], dtype=np.float32),
+                k_each=3,
+                top_k=3,
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        # cosine leg: a(r1), b(r2), far(r3)
+        # l2 leg (squared dists 81 / 0.02 / 4): b(r1), far(r2), a(r3)
+        t = 1_000_000
+        got = dict(
+            zip(out["neighbor_id"].tolist(), out["rrf"].tolist())
+        )
+        assert got[1] == t // 61 + t // 63  # a
+        assert got[2] == t // 62 + t // 61  # b
+        assert got[3] == t // 63 + t // 62  # far
+        # fused order: b > a > far
+        assert out["neighbor_id"].tolist() == [2, 1, 3]
+
+    def test_self_match_excluded(self):
+        from kgflow.ops.ann import rrf_topk
+
+        emb = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.Series([0, 1], dtype="int64"),
+                    "embedding": [
+                        np.asarray([1.0, 0.0], dtype=np.float32),
+                        np.asarray([0.5, 0.5], dtype=np.float32),
+                    ],
+                }
+            )
+        )
+        out = rrf_topk(
+            emb, [0], np.asarray([[1.0, 0.0]], dtype=np.float32), top_k=5
+        ).to_pandas()
+        assert 0 not in out["neighbor_id"].tolist()
+        assert out["neighbor_id"].tolist() == [1]
+
+
+class TestFactHistory:
+    def test_scd2_over_fact_stream(self):
+        """The kg_fact_history composition: SCD-2 keyed by a composite
+        fact string over a timestamped object stream."""
+        from kgflow.ops.window import scd2_intervals
+
+        facts = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "fact": ["acme\x1fceo"] * 3 + ["acme\x1fhq"],
+                    "obj_canonical": ["alice", "alice", "bob", "berlin"],
+                    "warc_ts": pd.Series(
+                        pd.to_datetime(
+                            [
+                                "2024-01-01",
+                                "2024-02-01",
+                                "2024-03-01",
+                                "2024-01-15",
+                            ]
+                        ),
+                        dtype="datetime64[us]",
+                    ),
+                    "tie": ["u1", "u2", "u3", "u4"],
+                }
+            )
+        )
+        out = (
+            scd2_intervals(
+                facts,
+                key="fact",
+                ts_col="warc_ts",
+                id_col="tie",
+                attr_col="obj_canonical",
+            )
+            .to_pandas()
+            .sort_values(["fact", "version"])
+            .reset_index(drop=True)
+        )
+        ceo = out[out["fact"] == "acme\x1fceo"]
+        assert ceo["obj_canonical"].tolist() == ["alice", "bob"]
+        assert ceo["version"].tolist() == [1, 2]
+        assert ceo.iloc[0]["valid_to"] == ceo.iloc[1]["valid_from"]
+        assert out[out["fact"] == "acme\x1fhq"]["version"].tolist() == [1]

@@ -5217,6 +5217,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
             attr_col="obj_canonical",
         )
 
+    def doc_cluster_agreement(sf_dir: str):
+        """Oracle-checked: extrinsic clustering agreement between two
+        document labelings (lang vs doc_id%5 strata) — B-cubed
+        precision/recall (Bagga & Baldwin 1998, per-item floor-scaled
+        int sums) and exact pairwise TP/FP/FN. Everything reduces
+        through the (pred, gold) contingency cells: ONE cell-keyed
+        exchange, marginals over the cell table
+        (`kgflow.ops.profile.clustering_metrics`)."""
+        import pandas as _pd
+
+        from kgflow.ops.profile import clustering_metrics
+
+        def lab(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "pred": df["lang"].astype(str),
+                    "gold": (df["doc_id"].to_numpy(dtype=np.int64) % 5)
+                    .astype(str),
+                }
+            )
+
+        return clustering_metrics(
+            _docs(sf_dir).map_batches(lab, batch_format="pandas")
+        )
+
+    def kg_linking_quality(sf_dir: str):
+        """Rows-only (kernel oracled via doc_cluster_agreement;
+        semantics pinned in tests/test_wave18.py): B-cubed + pairwise
+        quality of the entity-linking clusters against the fixture's
+        gold alias table — the north-star linked-entity-cluster gate
+        as a first-class pipeline metric. The gold table is
+        entity-pool bounded (broadcast via ray.put); mentions join on
+        the same normalize_mention the linker uses."""
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+        import ray as _ray
+
+        from kgflow.linking.link import entity_map, normalize_mention
+        from kgflow.ops.profile import clustering_metrics
+
+        gold = _pq.read_table(
+            os.path.join(_pages_dir(sf_dir), "gold_clusters.parquet")
+        ).to_pandas()
+        gold_by_norm = {
+            normalize_mention(m): e
+            for m, e in zip(gold["mention"], gold["entity"])
+        }
+        gref = _ray.put(gold_by_norm)
+
+        emap = entity_map(_triples_mat(sf_dir))
+
+        class Label:
+            def __init__(self):
+                self.gold = _ray.get(gref)
+
+            def __call__(self, df: _pd.DataFrame) -> _pd.DataFrame:
+                g = df["norm"].map(self.gold)
+                keep = g.notna()
+                return _pd.DataFrame(
+                    {
+                        "pred": df.loc[keep, "entity_id"].astype(str),
+                        "gold": g[keep].astype(str),
+                    }
+                )
+
+        labeled = emap.map_batches(
+            Label, batch_format="pandas", concurrency=(1, 2)
+        )
+        return clustering_metrics(labeled)
+
+    def events_snaive(sf_dir: str):
+        """Oracle-checked: seasonal-naive forecast backtest — per
+        event type, each day's count forecast by the count 7 days
+        earlier, scored as exact integer absolute error over days
+        whose seasonal ancestor exists. Day-grain rows only ride the
+        exchanges, never events
+        (`kgflow.ops.window.snaive_backtest`)."""
+        from kgflow.ops.window import snaive_backtest
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts"],
+        )
+        return snaive_backtest(ev, season_days=7)
+
     return {
         "kg_sentences": kg_sentences,
         "kg_domain_stats": kg_domain_stats,
@@ -5464,6 +5550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rake": doc_rake,
         "ann_rrf": ann_rrf,
         "kg_fact_history": kg_fact_history,
+        "doc_cluster_agreement": doc_cluster_agreement,
+        "kg_linking_quality": kg_linking_quality,
+        "events_snaive": events_snaive,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -9377,6 +9466,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # B-cubed + pairwise agreement over the (pred, gold)
+        # contingency cells; per-item floor-scaled integer B3 sums,
+        # exact pairwise pair counts.
+        "doc_cluster_agreement": """
+            WITH cells AS (
+              SELECT lang AS pred, (doc_id % 5)::VARCHAR AS gold,
+                     count(*)::BIGINT AS n_cg
+              FROM documents GROUP BY 1, 2
+            ), marg AS (
+              SELECT n_cg,
+                     sum(n_cg) OVER (PARTITION BY pred) AS n_c,
+                     sum(n_cg) OVER (PARTITION BY gold) AS n_g
+              FROM cells
+            ), pm AS (SELECT pred, sum(n_cg) AS m FROM cells GROUP BY pred),
+            gm AS (SELECT gold, sum(n_cg) AS m FROM cells GROUP BY gold)
+            SELECT sum(n_cg)::BIGINT AS n_items,
+                   sum(n_cg * ((n_cg * 1000000000) // n_c))::BIGINT
+                     AS b3_p_fp,
+                   sum(n_cg * ((n_cg * 1000000000) // n_g))::BIGINT
+                     AS b3_r_fp,
+                   sum(n_cg * (n_cg - 1) // 2)::BIGINT AS pair_tp,
+                   ((SELECT sum(m * (m - 1) // 2) FROM pm)
+                    - sum(n_cg * (n_cg - 1) // 2))::BIGINT AS pair_fp,
+                   ((SELECT sum(m * (m - 1) // 2) FROM gm)
+                    - sum(n_cg * (n_cg - 1) // 2))::BIGINT AS pair_fn
+            FROM marg
+        """,
+        # Seasonal-naive backtest: daily counts self-joined at a 7-day
+        # lag; integer absolute errors.
+        "events_snaive": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            ), j AS (
+              SELECT d.event_type, d.n, p.n AS fc
+              FROM daily d JOIN daily p
+                ON p.event_type = d.event_type
+               AND p.day = d.day - INTERVAL 7 DAY
+            )
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   sum(abs(n - fc))::BIGINT AS sum_abs_err,
+                   sum(n)::BIGINT AS sum_actual
+            FROM j GROUP BY event_type
         """,
         # RAKE (Rose et al. 2010): stopword-delimited candidate
         # phrases; word score = floor-scaled deg/freq over the doc;

@@ -1456,3 +1456,96 @@ def isotonic_calibrate(
     out["cal_num"] = cal_num
     out["cal_den"] = cal_den
     return out
+
+
+def clustering_metrics(
+    labeled: "rd.Dataset",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+    scale: int = 1_000_000_000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Extrinsic clustering-agreement metrics between two labelings of
+    the same items — B-cubed precision/recall (Bagga & Baldwin 1998,
+    the coreference/entity-linking standard) and exact pairwise
+    TP/FP/FN counts (Rand-style). Input: one row per item with its
+    predicted and gold label. Output: ONE row
+    (n_items, b3_p_fp, b3_r_fp, pair_tp, pair_fp, pair_fn) — the
+    pairwise counts are exact int64; the B-cubed sums are per-item
+    floor-scaled integers (Σ_i (n_cg·scale)//n_c etc.), so the whole
+    row is hash-stable. B3 precision = b3_p_fp / (n_items·scale).
+
+    Scale shape: everything reduces through the (pred, gold)
+    contingency CELLS — per-batch count partials, ONE cell-keyed
+    exchange, then cell-table (≤ distinct-label-pairs rows) marginals
+    and a single-bucket final fold. Items never ride a second
+    shuffle; no per-item state."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([pred_col, gold_col], as_index=False)
+            .size()
+            .rename(columns={"size": "n_cg"})
+        )
+
+    cells = bucketed_group_reduce(
+        labeled.select_columns([pred_col, gold_col]).map_batches(
+            cell_partial, batch_format="pandas"
+        ),
+        key_cols=[pred_col, gold_col],
+        reduce_fn=lambda g: g.groupby(
+            [pred_col, gold_col], as_index=False
+        )["n_cg"].sum(),
+        num_buckets=num_buckets,
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "n_items": pd.Series([], dtype=np.int64),
+                    "b3_p_fp": pd.Series([], dtype=np.int64),
+                    "b3_r_fp": pd.Series([], dtype=np.int64),
+                    "pair_tp": pd.Series([], dtype=np.int64),
+                    "pair_fp": pd.Series([], dtype=np.int64),
+                    "pair_fn": pd.Series([], dtype=np.int64),
+                }
+            )
+        n_cg = g["n_cg"].to_numpy(dtype=np.int64)
+        n_c = g.groupby(pred_col)["n_cg"].transform("sum").to_numpy(
+            dtype=np.int64
+        )
+        n_g = g.groupby(gold_col)["n_cg"].transform("sum").to_numpy(
+            dtype=np.int64
+        )
+        n = int(n_cg.sum())
+        b3_p = int((n_cg * ((n_cg * scale) // n_c)).sum())
+        b3_r = int((n_cg * ((n_cg * scale) // n_g)).sum())
+        tp = int((n_cg * (n_cg - 1) // 2).sum())
+        # pairs sharing a pred cluster / a gold cluster (count each
+        # cluster marginal once, not per cell)
+        cm = g.groupby(pred_col, as_index=False)["n_cg"].sum()["n_cg"].to_numpy(dtype=np.int64)
+        gm = g.groupby(gold_col, as_index=False)["n_cg"].sum()["n_cg"].to_numpy(dtype=np.int64)
+        same_pred = int((cm * (cm - 1) // 2).sum())
+        same_gold = int((gm * (gm - 1) // 2).sum())
+        return pd.DataFrame(
+            {
+                "n_items": pd.Series([n], dtype=np.int64),
+                "b3_p_fp": pd.Series([b3_p], dtype=np.int64),
+                "b3_r_fp": pd.Series([b3_r], dtype=np.int64),
+                "pair_tp": pd.Series([tp], dtype=np.int64),
+                "pair_fp": pd.Series([same_pred - tp], dtype=np.int64),
+                "pair_fn": pd.Series([same_gold - tp], dtype=np.int64),
+            }
+        )
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_one=np.int64(0))
+
+    return bucketed_group_reduce(
+        cells.map_batches(tag, batch_format="pandas"),
+        key_cols=["_one"],
+        reduce_fn=lambda g: fold(g.drop(columns=["_one"])),
+        num_buckets=1,
+    )

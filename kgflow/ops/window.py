@@ -2311,3 +2311,83 @@ def scd2_intervals(
         reduce_fn=reduce_fn,
         num_buckets=num_buckets,
     )
+
+
+def snaive_backtest(
+    events: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    season_days: int = 7,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Seasonal-naive forecast backtest: per key, forecast each day's
+    event count with the count ``season_days`` earlier and score the
+    absolute error over every day whose seasonal ancestor exists
+    (days with zero events simply have no row — both sides of the
+    comparison must agree on that grid). Output per key:
+    (key, n_days, sum_abs_err, sum_actual) — pure int64, the
+    standard forecast-sanity gate for pipeline drift.
+
+    Scale shape: per-batch (key, day) count partials, ONE
+    key-day-bucketed exchange builds exact daily counts, then the
+    lag join and the error fold both run in a key-bucketed reduce —
+    day-grain rows only, never events."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                key: df[key],
+                "day": df[ts_col]
+                .to_numpy()
+                .astype("datetime64[D]")
+                .astype("datetime64[us]"),
+            }
+        )
+        return (
+            d.groupby([key, "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    daily = bucketed_group_reduce(
+        events.select_columns([key, ts_col]).map_batches(
+            day_partial, batch_format="pandas"
+        ),
+        key_cols=[key, "day"],
+        reduce_fn=lambda g: g.groupby([key, "day"], as_index=False)[
+            "n"
+        ].sum(),
+        num_buckets=num_buckets,
+    )
+
+    lag = np.timedelta64(season_days, "D").astype("timedelta64[us]")
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=object),
+                    "n_days": pd.Series([], dtype=np.int64),
+                    "sum_abs_err": pd.Series([], dtype=np.int64),
+                    "sum_actual": pd.Series([], dtype=np.int64),
+                }
+            )
+        prior = g.assign(day=g["day"] + lag).rename(columns={"n": "fc"})
+        m = g.merge(prior, on=[key, "day"], how="inner")
+        m["err"] = (
+            m["n"].to_numpy(dtype=np.int64)
+            - m["fc"].to_numpy(dtype=np.int64)
+        )
+        out = m.groupby(key, as_index=False).agg(
+            n_days=("day", "size"),
+            sum_abs_err=("err", lambda s: int(np.abs(s.to_numpy()).sum())),
+            sum_actual=("n", "sum"),
+        )
+        return out.astype(
+            {"n_days": "int64", "sum_abs_err": "int64", "sum_actual": "int64"}
+        )
+
+    return bucketed_group_reduce(
+        daily, key_cols=[key], reduce_fn=score, num_buckets=8
+    )

@@ -393,3 +393,72 @@ class TestFactHistory:
         assert ceo["version"].tolist() == [1, 2]
         assert ceo.iloc[0]["valid_to"] == ceo.iloc[1]["valid_from"]
         assert out[out["fact"] == "acme\x1fhq"]["version"].tolist() == [1]
+
+
+class TestClusteringMetrics:
+    def _run(self, pred, gold):
+        from kgflow.ops.profile import clustering_metrics
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"pred": pred, "gold": gold}, dtype=object)
+        )
+        return clustering_metrics(ds).to_pandas().iloc[0]
+
+    def test_perfect_clustering(self):
+        r = self._run(["a", "a", "b", "b"], ["x", "x", "y", "y"])
+        s = 1_000_000_000
+        assert r["n_items"] == 4
+        assert r["b3_p_fp"] == 4 * s and r["b3_r_fp"] == 4 * s
+        assert (r["pair_tp"], r["pair_fp"], r["pair_fn"]) == (2, 0, 0)
+
+    def test_over_merged(self):
+        # one predicted cluster over two gold clusters of 2:
+        # P_i = 2/4 each -> b3_p = 4 * s/2; recall perfect
+        r = self._run(["a"] * 4, ["x", "x", "y", "y"])
+        s = 1_000_000_000
+        assert r["b3_p_fp"] == 4 * (s // 2)
+        assert r["b3_r_fp"] == 4 * s
+        # pairs: tp = 2 (within-gold), fp = 6 - 2, fn = 0
+        assert (r["pair_tp"], r["pair_fp"], r["pair_fn"]) == (2, 4, 0)
+
+    def test_over_split(self):
+        # singletons vs one gold cluster of 3: precision 1, R_i = 1/3
+        r = self._run(["a", "b", "c"], ["x", "x", "x"])
+        s = 1_000_000_000
+        assert r["b3_p_fp"] == 3 * s
+        assert r["b3_r_fp"] == 3 * (s // 3)
+        assert (r["pair_tp"], r["pair_fp"], r["pair_fn"]) == (0, 0, 3)
+
+
+class TestSnaiveBacktest:
+    def test_lag_join_semantics(self):
+        from kgflow.ops.window import snaive_backtest
+
+        # type A: days 0,1,7,8 with counts 2,1,3,1
+        # -> scored days: 7 (fc=2, err 1), 8 (fc=1, err 0)
+        rows = []
+        eid = 0
+        for day, cnt in [(0, 2), (1, 1), (7, 3), (8, 1)]:
+            for _ in range(cnt):
+                rows.append(
+                    (
+                        eid,
+                        1,
+                        str(
+                            pd.Timestamp("2024-01-01")
+                            + pd.Timedelta(days=day, hours=eid % 3)
+                        ),
+                        "A",
+                    )
+                )
+                eid += 1
+        ev = _ev(rows)
+        out = snaive_backtest(ev, season_days=7).to_pandas()
+        assert out.to_dict("records") == [
+            {
+                "event_type": "A",
+                "n_days": 2,
+                "sum_abs_err": 1,
+                "sum_actual": 4,
+            }
+        ]

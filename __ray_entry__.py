@@ -444,6 +444,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pr.map_batches(quantize, batch_format="pandas")
 
+    def kg_ppr(sf_dir: str):
+        """Rows-only (iterative, not SQL-expressible; seeded variant
+        pinned against a dense power iteration in tests/test_wave18.py):
+        PERSONALIZED PageRank (Haveliwala 2002) around a deterministic
+        3-entity seed set — the entity-relatedness ranking a KG serving
+        layer answers "what's most related to X?" with. Teleport and
+        dangling mass land only on seeds; same O(E)-per-iteration
+        exchange as kg_pagerank (`kgflow.ops.graph.pagerank(seeds=…)`)."""
+        import pandas as pd
+
+        from kgflow.linking.link import canonical_triples
+        from kgflow.materialize.edges import dedup_edges
+        from kgflow.ops.graph import pagerank
+        from kgflow.ops.shuffle import global_topk
+
+        canon, _ = canonical_triples(_triples_mat(sf_dir))
+        edges = dedup_edges(canon)
+        # deterministic seeds: the 3 smallest subject ids (bounded pull)
+        seeds = (
+            global_topk(
+                edges.select_columns(["subj_id"]),
+                sort_cols=["subj_id"],
+                ascending=[True],
+                k=3,
+            )
+            .to_pandas()["subj_id"]
+            .unique()
+            .tolist()
+        )
+        pr = pagerank(
+            edges,
+            src_col="subj_id",
+            dst_col="obj_id",
+            weight_col="weight",
+            iters=5,
+            seeds=seeds,
+        )
+
+        def quantize(df: pd.DataFrame) -> pd.DataFrame:
+            df["rank"] = df["rank"].round(12)
+            return df
+
+        return pr.map_batches(quantize, batch_format="pandas")
+
     def kg_hits(sf_dir: str):
         """Rows-only (iterative/spectral, not SQL-expressible): HITS
         hub/authority scores over the canonical KG edges
@@ -5287,6 +5331,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return clustering_metrics(labeled)
 
+    def events_holt(sf_dir: str):
+        """Oracle-checked: Holt double-exponential smoothing
+        (α = β = 1/2) over each type's dense zero-filled daily count
+        series — level + trend state in scaled int64 with truncating
+        halving, so a recursive-CTE SQL oracle replays the recurrence
+        bit-exactly (the graph-closure oracle pattern applied to a
+        time-series recurrence). One day-grain loop vectorized across
+        keys; never a per-event loop
+        (`kgflow.ops.window.holt_smooth`)."""
+        from kgflow.ops.window import holt_smooth
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts"],
+        )
+        return holt_smooth(ev)
+
     def events_snaive(sf_dir: str):
         """Oracle-checked: seasonal-naive forecast backtest — per
         event type, each day's count forecast by the count 7 days
@@ -5324,6 +5386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_graph": kg_link_graph,
         "kg_nodes": kg_nodes,
         "kg_pagerank": kg_pagerank,
+        "kg_ppr": kg_ppr,
         "kg_triple_prf": kg_triple_prf,
         "feat_seq": feat_seq,
         "feat_ner": feat_ner,
@@ -5553,6 +5616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_cluster_agreement": doc_cluster_agreement,
         "kg_linking_quality": kg_linking_quality,
         "events_snaive": events_snaive,
+        "events_holt": events_holt,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -9493,6 +9557,41 @@ def oracle_sql() -> dict[str, str]:
                    ((SELECT sum(m * (m - 1) // 2) FROM gm)
                     - sum(n_cg * (n_cg - 1) // 2))::BIGINT AS pair_fn
             FROM marg
+        """,
+        # Holt smoothing: dense per-type daily grid, then the exact
+        # integer recurrence replayed by a recursive CTE (DuckDB //
+        # truncates toward zero; the engine's halving matches).
+        "events_holt": """
+            WITH RECURSIVE daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS v
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(day) AS dlo, max(day) AS dhi
+              FROM daily GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(dlo, dhi, INTERVAL 1 DAY))
+                       AS day
+              FROM bounds
+            ), g AS (
+              SELECT grid.event_type, grid.day, coalesce(daily.v, 0) AS v,
+                     row_number() OVER (PARTITION BY grid.event_type
+                                        ORDER BY grid.day) AS t
+              FROM grid LEFT JOIN daily USING (event_type, day)
+            ), rec AS (
+              SELECT event_type, t, day, v * 1000 AS l,
+                     CAST(0 AS BIGINT) AS b
+              FROM g WHERE t = 1
+              UNION ALL
+              SELECT g.event_type, g.t, g.day,
+                     (g.v * 1000 + rec.l + rec.b) // 2 AS l,
+                     (((g.v * 1000 + rec.l + rec.b) // 2 - rec.l)
+                      + rec.b) // 2 AS b
+              FROM rec JOIN g
+                ON g.event_type = rec.event_type AND g.t = rec.t + 1
+            )
+            SELECT event_type, day, l AS level_fp, b AS trend_fp FROM rec
         """,
         # Seasonal-naive backtest: daily counts self-joined at a 7-day
         # lag; integer absolute errors.

@@ -48,14 +48,22 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     num_buckets: int | None = None,
+    seeds: list | None = None,
 ) -> "rd.Dataset":
     """PageRank over a directed edge list. Returns (node, rank) with
     ranks summing to 1. With ``weight_col`` the walk follows edges in
     proportion to weight (evidence-weighted KG ranking); without it
     every edge row counts 1, so parallel rows add up either way.
 
-    rank'(v) = (1-d)/V + d * (Σ_{u→v} rank(u)·w(u→v)/outw(u) + dangling/V)
-    """
+    rank'(v) = (1-d)·p(v) + d * (Σ_{u→v} rank(u)·w(u→v)/outw(u) + dangling·p(v))
+
+    ``seeds`` switches the teleport vector p from uniform (1/V,
+    classic PageRank) to uniform over the seed set (PERSONALIZED
+    PageRank — entity relatedness around a query set; Haveliwala
+    2002): restarts and dangling mass land only on seeds. Seeds
+    absent from the node universe are ignored (p normalizes over the
+    present ones); the seed list is caller-bounded small and ships in
+    the task closure."""
     keep = [src_col, dst_col] + ([weight_col] if weight_col else [])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
@@ -101,6 +109,18 @@ def pagerank(
     small = n_nodes <= NODE_BROADCAST_LIMIT
 
     r0 = 1.0 / n_nodes
+    seed_set = set(seeds) if seeds is not None else None
+    if seed_set is not None and not small:
+        # distributed path: count seeds present in the node universe
+        n_seed = nodes.map_batches(
+            lambda df: pd.DataFrame(
+                {"s": [int(df["node"].isin(seed_set).sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("s")
+        if not n_seed:
+            raise ValueError("pagerank: no seed is present in the graph")
+        p_seed = 1.0 / n_seed
 
     if small:
         # V-bounded driver-resident rank vector (the same documented
@@ -116,7 +136,16 @@ def pagerank(
         nd = nodes.to_pandas().sort_values("node")  # V-bounded pull
         node_ids = nd["node"].to_numpy()
         outw_v = nd["outw"].to_numpy(dtype=np.float64)
-        rank = np.full(len(node_ids), r0, dtype=np.float64)
+        if seed_set is not None:
+            mask = np.isin(node_ids, list(seed_set))
+            if not mask.any():
+                raise ValueError(
+                    "pagerank: no seed is present in the graph"
+                )
+            p_vec = mask.astype(np.float64) / mask.sum()
+        else:
+            p_vec = np.full(len(node_ids), r0, dtype=np.float64)
+        rank = p_vec.copy()
 
         for _ in range(iters):
             dangling = float(rank[outw_v == 0.0].sum())
@@ -140,8 +169,16 @@ def pagerank(
                 num_buckets=num_buckets,
             ).to_pandas()  # V-bounded pull (iterative state)
 
-            base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
-            rank = np.full(len(node_ids), base, dtype=np.float64)
+            if seed_set is None:
+                # keep the classic path's exact float expression (the
+                # pinned dense-reference tests compare these values)
+                base = (
+                    (1.0 - damping) / n_nodes
+                    + damping * dangling / n_nodes
+                )
+                rank = np.full(len(node_ids), base, dtype=np.float64)
+            else:
+                rank = ((1.0 - damping) + damping * dangling) * p_vec
             idx = np.searchsorted(node_ids, contrib["node"].to_numpy())
             rank[idx] += damping * contrib["contrib"].to_numpy(
                 dtype=np.float64
@@ -151,9 +188,18 @@ def pagerank(
             pd.DataFrame({"node": node_ids, "rank": rank})
         )
 
-    state = nodes.map_batches(
-        lambda df: df.assign(rank=r0), batch_format="pandas"
-    ).materialize()
+    if seed_set is None:
+        state = nodes.map_batches(
+            lambda df: df.assign(rank=r0), batch_format="pandas"
+        ).materialize()
+    else:
+        state = nodes.map_batches(
+            lambda df: df.assign(
+                rank=df["node"].isin(seed_set).to_numpy(dtype=np.float64)
+                * p_seed
+            ),
+            batch_format="pandas",
+        ).materialize()
 
     for _ in range(iters):
         # rank parked on dangling nodes, redistributed uniformly
@@ -196,11 +242,17 @@ def pagerank(
 
         def update(df: pd.DataFrame) -> pd.DataFrame:
             c = df["contrib"].astype("float64").fillna(0.0).to_numpy()
+            if seed_set is None:
+                b = base
+            else:
+                b = (
+                    (1.0 - damping) + damping * dangling
+                ) * df["node"].isin(seed_set).to_numpy(dtype=np.float64) * p_seed
             return pd.DataFrame(
                 {
                     "node": df["node"],
                     "outw": df["outw"].astype("float64"),
-                    "rank": base + damping * c,
+                    "rank": b + damping * c,
                 }
             )
 

@@ -2391,3 +2391,116 @@ def snaive_backtest(
     return bucketed_group_reduce(
         daily, key_cols=[key], reduce_fn=score, num_buckets=8
     )
+
+
+def _trunc_div2(x: np.ndarray) -> np.ndarray:
+    """Integer division by 2 TRUNCATING toward zero (SQL `//`
+    semantics; numpy's ``//`` floors, which differs on negatives —
+    trend terms go negative on any decreasing series)."""
+    return np.where(x >= 0, x // 2, -((-x) // 2))
+
+
+def holt_smooth(
+    events: "rd.Dataset",
+    key: str = "event_type",
+    ts_col: str = "ts",
+    scale: int = 1000,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Holt double-exponential smoothing (level + trend, α = β = 1/2)
+    over each key's DENSE daily count series (zero-filled between the
+    key's first and last day), with the state kept in scaled int64 and
+    every halving a truncating integer division — the recurrence
+
+        l_t = (v_t·scale + l_{t-1} + b_{t-1}) div 2
+        b_t = ((l_t − l_{t-1}) + b_{t-1}) div 2,  l_1 = v_1·scale, b_1 = 0
+
+    is therefore replayed bit-exactly by a recursive-CTE SQL oracle
+    (the graph-closure oracle pattern applied to a time-series
+    recurrence). Output: (key, day, level_fp, trend_fp) — the full
+    smoothed series, pure int64.
+
+    Scale shape: per-batch (key, day) count partials, one key-day
+    exchange to exact daily counts, then the recurrence runs in a
+    key-bucketed reduce as ONE loop over the day range vectorized
+    ACROSS keys (day-grain bounded — the same documented exception as
+    the redirect-walk ops; never a per-event loop)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                key: df[key],
+                "day": df[ts_col]
+                .to_numpy()
+                .astype("datetime64[D]")
+                .astype("datetime64[us]"),
+            }
+        )
+        return (
+            d.groupby([key, "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "v"})
+        )
+
+    daily = bucketed_group_reduce(
+        events.select_columns([key, ts_col]).map_batches(
+            day_partial, batch_format="pandas"
+        ),
+        key_cols=[key, "day"],
+        reduce_fn=lambda g: g.groupby([key, "day"], as_index=False)[
+            "v"
+        ].sum(),
+        num_buckets=num_buckets,
+    )
+
+    DAY = np.timedelta64(1, "D").astype("timedelta64[us]").astype(np.int64)
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        EMPTY = pd.DataFrame(
+            {
+                key: pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "level_fp": pd.Series([], dtype=np.int64),
+                "trend_fp": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return EMPTY
+        keys, kcode = np.unique(g[key].to_numpy(dtype=object), return_inverse=True)
+        K = len(keys)
+        di = g["day"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        d0 = np.full(K, np.iinfo(np.int64).max)
+        d1 = np.full(K, np.iinfo(np.int64).min)
+        np.minimum.at(d0, kcode, di)
+        np.maximum.at(d1, kcode, di)
+        T = int(((d1 - d0) // DAY).max()) + 1
+        # dense [T, K] count matrix; rows beyond a key's range masked
+        V = np.zeros((T, K), dtype=np.int64)
+        V[(di - d0[kcode]) // DAY, kcode] = g["v"].to_numpy(dtype=np.int64)
+        n_t = (d1 - d0) // DAY + 1  # per-key series length
+        l = V[0] * scale
+        b = np.zeros(K, dtype=np.int64)
+        out_l = np.empty((T, K), dtype=np.int64)
+        out_b = np.empty((T, K), dtype=np.int64)
+        out_l[0], out_b[0] = l, b
+        for t in range(1, T):  # day-grain bounded loop, vector across keys
+            live = t < n_t
+            l_new = _trunc_div2(V[t] * scale + l + b)
+            b_new = _trunc_div2((l_new - l) + b)
+            l = np.where(live, l_new, l)
+            b = np.where(live, b_new, b)
+            out_l[t], out_b[t] = l, b
+        rows_t, rows_k = np.nonzero(np.arange(T)[:, None] < n_t[None, :])
+        return pd.DataFrame(
+            {
+                key: keys[rows_k],
+                "day": (d0[rows_k] + rows_t * DAY).astype("datetime64[us]"),
+                "level_fp": out_l[rows_t, rows_k],
+                "trend_fp": out_b[rows_t, rows_k],
+            }
+        )
+
+    return bucketed_group_reduce(
+        daily, key_cols=[key], reduce_fn=smooth, num_buckets=8
+    )

@@ -462,3 +462,108 @@ class TestSnaiveBacktest:
                 "sum_actual": 4,
             }
         ]
+
+
+class TestPersonalizedPagerank:
+    """Seeded teleport vector vs a dense power iteration with the same
+    personalization — both the driver-resident fast path (default) and
+    the forced distributed path (NODE_BROADCAST_LIMIT=0)."""
+
+    EDGES = [
+        (1, 2), (1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (3, 5), (2, 5),
+        (6, 1), (6, 5),
+    ]
+
+    @staticmethod
+    def _dense_ppr(edges, seeds, d=0.85, iters=10):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        idx = {n: i for i, n in enumerate(nodes)}
+        V = len(nodes)
+        out = np.zeros(V)
+        for u, _ in edges:
+            out[idx[u]] += 1
+        p = np.zeros(V)
+        for s in seeds:
+            p[idx[s]] = 1.0 / len(seeds)
+        r = p.copy()
+        for _ in range(iters):
+            dm = r[out == 0].sum()
+            contrib = np.zeros(V)
+            for u, v in edges:
+                contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+            r = ((1 - d) + d * dm) * p + d * contrib
+        return dict(zip(nodes, r))
+
+    def _check(self, got, seeds):
+        want = self._dense_ppr(self.EDGES, seeds)
+        assert set(got) == set(want)
+        for n, r in want.items():
+            assert abs(got[n] - r) < 1e-9, (n, got[n], r)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        # mass concentrates near the seeds vs classic pagerank
+        assert got[seeds[0]] > 1.0 / len(want)
+
+    def test_driver_path_matches_dense(self):
+        from kgflow.ops.graph import pagerank
+
+        df = pd.DataFrame(self.EDGES, columns=["src", "dst"])
+        got = (
+            pagerank(rd.from_pandas(df).repartition(3), iters=10, seeds=[1, 6])
+            .to_pandas()
+            .set_index("node")["rank"]
+            .to_dict()
+        )
+        self._check(got, [1, 6])
+
+    def test_distributed_path_matches_dense(self, monkeypatch):
+        import kgflow.ops.graph as G
+
+        monkeypatch.setattr(G, "NODE_BROADCAST_LIMIT", 0)
+        df = pd.DataFrame(self.EDGES, columns=["src", "dst"])
+        got = (
+            G.pagerank(rd.from_pandas(df).repartition(3), iters=10, seeds=[1, 6])
+            .to_pandas()
+            .set_index("node")["rank"]
+            .to_dict()
+        )
+        self._check(got, [1, 6])
+
+    def test_unknown_seed_raises(self):
+        from kgflow.ops.graph import pagerank
+
+        df = pd.DataFrame(self.EDGES, columns=["src", "dst"])
+        with pytest.raises(ValueError, match="no seed"):
+            pagerank(rd.from_pandas(df), iters=2, seeds=[99]).to_pandas()
+
+
+class TestHoltSmooth:
+    def test_recurrence_and_zero_fill(self):
+        from kgflow.ops.window import holt_smooth
+
+        # type A: days 0 (2 events), 2 (1 event) -> dense grid day 1
+        # zero-filled; hand recurrence with scale 1000:
+        # t1: l=2000 b=0 ; t2: v=0 -> l=(0+2000+0)//2=1000,
+        # b=((1000-2000)+0) div 2 = -500 (TRUNCATING)
+        # t3: v=1 -> l=(1000+1000-500)//2=750, b=((750-1000)-500) div 2 = -375
+        ev = _ev(
+            [
+                (1, 1, "2024-01-01 05:00:00", "A"),
+                (2, 1, "2024-01-01 06:00:00", "A"),
+                (3, 1, "2024-01-03 07:00:00", "A"),
+            ]
+        )
+        out = (
+            holt_smooth(ev)
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        assert out["level_fp"].tolist() == [2000, 1000, 750]
+        assert out["trend_fp"].tolist() == [0, -500, -375]
+
+    def test_trunc_div_matches_sql(self):
+        from kgflow.ops.window import _trunc_div2
+
+        x = np.array([-3, 3, -4, 4, -1, 1, 0])
+        # DuckDB `//` truncates toward zero
+        assert _trunc_div2(x).tolist() == [-1, 1, -2, 2, 0, 0, 0]

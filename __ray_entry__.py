@@ -5349,6 +5349,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return holt_smooth(ev)
 
+    def events_markov_acc(sf_dir: str):
+        """Oracle-checked: first-order Markov next-event BACKTEST —
+        adjacent pairs split by successor-id parity, even pairs train
+        transition counts, odd pairs score the per-from argmax
+        prediction (tie → target asc); exact integer accuracy per
+        from-type. One user-keyed adjacency exchange, then
+        category²-bounded count rows only
+        (`kgflow.ops.window.markov_backtest`)."""
+        from kgflow.ops.window import markov_backtest
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id", "event_type"],
+        )
+        return markov_backtest(ev)
+
     def events_snaive(sf_dir: str):
         """Oracle-checked: seasonal-naive forecast backtest — per
         event type, each day's count forecast by the count 7 days
@@ -5617,6 +5634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linking_quality": kg_linking_quality,
         "events_snaive": events_snaive,
         "events_holt": events_holt,
+        "events_markov_acc": events_markov_acc,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -9557,6 +9575,37 @@ def oracle_sql() -> dict[str, str]:
                    ((SELECT sum(m * (m - 1) // 2) FROM gm)
                     - sum(n_cg * (n_cg - 1) // 2))::BIGINT AS pair_fn
             FROM marg
+        """,
+        # Markov next-event backtest: lead() adjacency, parity split,
+        # per-from argmax (count desc, target asc), exact accuracy.
+        "events_markov_acc": """
+            WITH ordered AS (
+              SELECT event_type,
+                     lead(event_type) OVER w AS nxt,
+                     lead(event_id) OVER w AS nxt_id
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), pairs AS (
+              SELECT event_type AS f, nxt AS t, nxt_id
+              FROM ordered WHERE nxt IS NOT NULL
+            ), train AS (
+              SELECT f, t, count(*) AS c FROM pairs
+              WHERE nxt_id % 2 = 0 GROUP BY f, t
+            ), pred AS (
+              SELECT f, t AS predicted,
+                     row_number() OVER (PARTITION BY f
+                                        ORDER BY c DESC, t) AS rn
+              FROM train
+            ), p1 AS (SELECT f, predicted FROM pred WHERE rn = 1),
+            test AS (
+              SELECT f, t FROM pairs WHERE nxt_id % 2 = 1
+            )
+            SELECT test.f AS from_type, min(p1.predicted) AS predicted,
+                   count(*)::BIGINT AS n_test,
+                   sum(CASE WHEN test.t = p1.predicted
+                            THEN 1 ELSE 0 END)::BIGINT AS n_correct
+            FROM test JOIN p1 USING (f)
+            GROUP BY test.f
         """,
         # Holt smoothing: dense per-type daily grid, then the exact
         # integer recurrence replayed by a recursive CTE (DuckDB //

@@ -2504,3 +2504,104 @@ def holt_smooth(
     return bucketed_group_reduce(
         daily, key_cols=[key], reduce_fn=smooth, num_buckets=8
     )
+
+
+def markov_backtest(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """First-order Markov next-event backtest: adjacent (from, to)
+    pairs over each key's (ts, id)-ordered stream split by successor-id
+    parity — EVEN successors train a transition-count model, ODD
+    successors are scored against its per-from argmax prediction
+    (ties broken by target type ascending, so the model is total and
+    deterministic). Output per from-type present in BOTH splits:
+    (from_type, predicted, n_test, n_correct) — pure int64/string, the
+    sequence-model sanity gate for pipeline drift.
+
+    Scale shape: ONE key-bucketed exchange builds adjacency; each
+    bucket emits category²-bounded (from, to, split) COUNT partials,
+    so the second exchange (keyed from_type, where the argmax and the
+    scoring both happen) carries type-pair rows, never events."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def adj_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "f": pd.Series([], dtype=object),
+                    "t": pd.Series([], dtype=object),
+                    "split": pd.Series([], dtype=np.int8),
+                    "c": pd.Series([], dtype=np.int64),
+                }
+            )
+        u = g[key].to_numpy()
+        a = g[type_col].to_numpy(dtype=object)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        same = u[1:] == u[:-1]
+        d = pd.DataFrame(
+            {
+                "f": a[:-1][same],
+                "t": a[1:][same],
+                "split": (ids[1:][same] % 2).astype(np.int8),
+            }
+        )
+        out = d.groupby(["f", "t", "split"], as_index=False).size()
+        return out.rename(columns={"size": "c"}).astype({"c": "int64"})
+
+    partials = bucketed_group_reduce(
+        events.select_columns([key, ts_col, id_col, type_col]),
+        key_cols=[key],
+        reduce_fn=adj_partial,
+        num_buckets=num_buckets,
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        EMPTY = pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype=object),
+                "predicted": pd.Series([], dtype=object),
+                "n_test": pd.Series([], dtype=np.int64),
+                "n_correct": pd.Series([], dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return EMPTY
+        g = g.groupby(["f", "t", "split"], as_index=False)["c"].sum()
+        train = g[g["split"] == 0]
+        test = g[g["split"] == 1]
+        if not len(train) or not len(test):
+            return EMPTY
+        pred = (
+            train.sort_values(
+                ["f", "c", "t"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("f", as_index=False)
+            .head(1)[["f", "t"]]
+            .rename(columns={"t": "predicted"})
+        )
+        m = test.merge(pred, on="f", how="inner")
+        m["correct"] = np.where(
+            m["t"].to_numpy(dtype=object) == m["predicted"].to_numpy(dtype=object),
+            m["c"].to_numpy(dtype=np.int64),
+            0,
+        )
+        out = m.groupby(["f", "predicted"], as_index=False).agg(
+            n_test=("c", "sum"), n_correct=("correct", "sum")
+        )
+        out = out.rename(columns={"f": "from_type"})
+        return out.astype({"n_test": "int64", "n_correct": "int64"})[
+            ["from_type", "predicted", "n_test", "n_correct"]
+        ]
+
+    return bucketed_group_reduce(
+        partials, key_cols=["f"], reduce_fn=score, num_buckets=4
+    )

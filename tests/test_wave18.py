@@ -567,3 +567,55 @@ class TestHoltSmooth:
         x = np.array([-3, 3, -4, 4, -1, 1, 0])
         # DuckDB `//` truncates toward zero
         assert _trunc_div2(x).tolist() == [-1, 1, -2, 2, 0, 0, 0]
+
+
+class TestMarkovBacktest:
+    def test_split_argmax_and_scoring(self):
+        from kgflow.ops.window import markov_backtest
+
+        # user 1 stream (ids chosen so parity drives the split):
+        # pairs: (a->b id2 even: train), (b->a id3 odd: test),
+        #        (a->b id4 even: train), (b->c id5 odd: test),
+        #        (c->b id6 even: train), (b->b id8 even: train),
+        #        (b->a id9 odd: test)
+        rows = [
+            (1, 1, "2024-01-01 00:00:01", "a"),
+            (2, 1, "2024-01-01 00:00:02", "b"),
+            (3, 1, "2024-01-01 00:00:03", "a"),
+            (4, 1, "2024-01-01 00:00:04", "b"),
+            (5, 1, "2024-01-01 00:00:05", "c"),
+            (6, 1, "2024-01-01 00:00:06", "b"),
+            (8, 1, "2024-01-01 00:00:07", "b"),
+            (9, 1, "2024-01-01 00:00:08", "a"),
+        ]
+        ev = _ev(rows)
+        out = (
+            markov_backtest(ev)
+            .to_pandas()
+            .sort_values("from_type")
+            .reset_index(drop=True)
+        )
+        # train pairs: a->b, a->b, c->b, b->b  => pred[a]=b, pred[b]=b,
+        # pred[c]=b; test pairs: b->a, b->c, b->a (all from b)
+        assert out.to_dict("records") == [
+            {
+                "from_type": "b",
+                "predicted": "b",
+                "n_test": 3,
+                "n_correct": 0,
+            }
+        ]
+
+    def test_cross_user_no_adjacency(self):
+        from kgflow.ops.window import markov_backtest
+
+        # one event per user -> no pairs at all
+        ev = _ev(
+            [
+                (1, 1, "2024-01-01 00:00:01", "a"),
+                (2, 2, "2024-01-01 00:00:02", "b"),
+                (3, 3, "2024-01-01 00:00:03", "a"),
+            ]
+        )
+        out = markov_backtest(ev).to_pandas()
+        assert len(out) == 0

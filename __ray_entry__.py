@@ -5366,6 +5366,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return markov_backtest(ev)
 
+    def events_late(sf_dir: str):
+        """Oracle-checked: streaming late-data audit — replay each
+        user's stream in arrival order and count events falling behind
+        the running max(prior event time) − 1h watermark, the
+        accounting that sizes a streaming window's allowed lateness.
+        The fixture ingests in time order, so the arrival proxy is
+        event_id XOR 3 (deterministic local reordering both engines
+        compute identically) to exercise real lateness. ONE
+        user-keyed exchange, per-key vectorized cumulative max
+        (`kgflow.ops.window.late_arrivals`)."""
+        import pandas as _pd
+
+        from kgflow.ops.window import late_arrivals
+        from kgflow.sources.parquet import read_parquet_clean
+
+        ev = read_parquet_clean(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_id"],
+        ).map_batches(
+            lambda df: df.assign(
+                arrival=np.bitwise_xor(
+                    df["event_id"].to_numpy(dtype=np.int64), 3
+                )
+            ),
+            batch_format="pandas",
+        )
+        return late_arrivals(ev, arrival_col="arrival", watermark_s=3600)
+
     def events_snaive(sf_dir: str):
         """Oracle-checked: seasonal-naive forecast backtest — per
         event type, each day's count forecast by the count 7 days
@@ -5635,6 +5663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_snaive": events_snaive,
         "events_holt": events_holt,
         "events_markov_acc": events_markov_acc,
+        "events_late": events_late,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -9575,6 +9604,34 @@ def oracle_sql() -> dict[str, str]:
                    ((SELECT sum(m * (m - 1) // 2) FROM gm)
                     - sum(n_cg * (n_cg - 1) // 2))::BIGINT AS pair_fn
             FROM marg
+        """,
+        # Streaming late-data audit: running prior-max over the
+        # arrival order (event_id XOR 3), strict 1h-watermark flag,
+        # integer lateness.
+        "events_late": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id
+                       ORDER BY xor(event_id, 3)
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prior_max
+              FROM events
+            ), f AS (
+              SELECT user_id,
+                     CASE WHEN prior_max IS NOT NULL
+                           AND ts < prior_max - INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END AS late,
+                     CASE WHEN prior_max IS NOT NULL
+                           AND ts < prior_max - INTERVAL 1 HOUR
+                          THEN epoch_us(prior_max) - 3600000000
+                               - epoch_us(ts)
+                          ELSE 0 END AS lat_us
+              FROM o
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   sum(late)::BIGINT AS n_late,
+                   (max(lat_us) // 1000000)::BIGINT AS max_lateness_s
+            FROM f GROUP BY user_id
         """,
         # Markov next-event backtest: lead() adjacency, parity split,
         # per-from argmax (count desc, target asc), exact accuracy.

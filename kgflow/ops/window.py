@@ -2605,3 +2605,81 @@ def markov_backtest(
     return bucketed_group_reduce(
         partials, key_cols=["f"], reduce_fn=score, num_buckets=4
     )
+
+
+def late_arrivals(
+    events: "rd.Dataset",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    watermark_s: int = 3600,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """Streaming late-data audit: replay each key's stream in ARRIVAL
+    order (``arrival_col`` — the ingest sequence) and flag an event
+    LATE when its event time falls behind the running watermark
+    max(prior event times) − ``watermark_s`` (strictly) — exactly the
+    accounting a watermarked streaming window would do, run as a batch
+    op to size the late-data tail before choosing a watermark. Output
+    per key: (key, n_events, n_late, max_lateness_s) — int64.
+
+    Scale shape: ONE key-bucketed exchange; the watermark is a
+    per-key vectorized cumulative max over the arrival-sorted bucket
+    (no per-event loop)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    wm_us = int(watermark_s) * _US
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=np.int64),
+                    "n_events": pd.Series([], dtype=np.int64),
+                    "n_late": pd.Series([], dtype=np.int64),
+                    "max_lateness_s": pd.Series([], dtype=np.int64),
+                }
+            )
+        g = g.sort_values([key, arrival_col], kind="mergesort")
+        ti = _ts_us(g[ts_col])
+        # per-key running max of PRIOR event times: cummax shifted by
+        # one inside each key segment
+        cm = (
+            pd.Series(ti)
+            .groupby(g[key].to_numpy(), sort=False)
+            .cummax()
+            .to_numpy()
+        )
+        u = g[key].to_numpy()
+        prior = np.empty(len(g), dtype=np.int64)
+        prior[0] = np.iinfo(np.int64).min
+        prior[1:] = np.where(
+            u[1:] == u[:-1], cm[:-1], np.iinfo(np.int64).min
+        )
+        has_prior = prior != np.iinfo(np.int64).min
+        late = has_prior & (ti < prior - wm_us)
+        lateness = np.where(late, (prior - wm_us - ti), 0)
+        out = pd.DataFrame(
+            {
+                key: u,
+                "_late": late.astype(np.int64),
+                "_lat": lateness.astype(np.int64),
+            }
+        ).groupby(key, as_index=False).agg(
+            n_events=("_late", "size"),
+            n_late=("_late", "sum"),
+            max_lateness_us=("_lat", "max"),
+        )
+        out["max_lateness_s"] = (
+            out.pop("max_lateness_us").to_numpy(dtype=np.int64) // _US
+        )
+        return out.astype(
+            {"n_events": "int64", "n_late": "int64", "max_lateness_s": "int64"}
+        )
+
+    return bucketed_group_reduce(
+        events.select_columns([key, ts_col, arrival_col]),
+        key_cols=[key],
+        reduce_fn=audit,
+        num_buckets=num_buckets,
+    )

@@ -619,3 +619,49 @@ class TestMarkovBacktest:
         )
         out = markov_backtest(ev).to_pandas()
         assert len(out) == 0
+
+
+class TestLateArrivals:
+    def test_watermark_accounting(self):
+        from kgflow.ops.window import late_arrivals
+
+        # arrival order == event_id; watermark 60s.
+        # id1 ts=100s -> no prior; id2 ts=200s -> prior max 100, wm 40,
+        # on time; id3 ts=130s -> prior max 200, wm 140, LATE by 10s;
+        # id4 ts=139s -> prior max still 200, wm 140, LATE by 1s;
+        # id5 ts=141s -> on time (strict <)
+        base = pd.Timestamp("2024-01-01")
+
+        def at(s):
+            return str(base + pd.Timedelta(seconds=s))
+
+        ev = _ev(
+            [
+                (1, 7, at(100), "x"),
+                (2, 7, at(200), "x"),
+                (3, 7, at(130), "x"),
+                (4, 7, at(139), "x"),
+                (5, 7, at(141), "x"),
+                (6, 8, at(50), "x"),
+            ]
+        )
+        out = (
+            late_arrivals(ev, watermark_s=60)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out.to_dict("records") == [
+            {
+                "user_id": 7,
+                "n_events": 5,
+                "n_late": 2,
+                "max_lateness_s": 10,
+            },
+            {
+                "user_id": 8,
+                "n_events": 1,
+                "n_late": 0,
+                "max_lateness_s": 0,
+            },
+        ]

@@ -5394,6 +5394,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return late_arrivals(ev, arrival_col="arrival", watermark_s=3600)
 
+    def orders_expectations(sf_dir: str):
+        """Oracle-checked: dbt-style expectation suite over orders in
+        one call — unique key, not-null, accepted-values, non-negative
+        amount, and an FK-to-customer referential check; one
+        (rule, n_violations) row per check. Rule masks are vectorized
+        per batch; uniqueness ships (key, count) partials; the FK is
+        the distinct-key anti join
+        (`kgflow.ops.checks.expectation_suite`)."""
+        import pandas as _pd
+
+        from kgflow.ops.checks import expectation_suite
+        from kgflow.sources.parquet import read_parquet_clean
+
+        orders = read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=[
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+            ],
+        )
+        customer = read_parquet_clean(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey"],
+        )
+        return expectation_suite(
+            orders,
+            unique=[["o_orderkey"]],
+            rules={
+                "not_null:o_custkey": lambda df: df["o_custkey"]
+                .isna()
+                .to_numpy(),
+                "accepted:o_orderstatus": lambda df: ~df["o_orderstatus"]
+                .isin(("O", "F", "P"))
+                .to_numpy(),
+                "nonneg:o_totalprice": lambda df: (
+                    df["o_totalprice"].to_numpy(dtype=np.float64) < 0
+                ),
+            },
+            fks=[
+                (
+                    "fk:o_custkey->customer",
+                    "o_custkey",
+                    customer,
+                    "c_custkey",
+                )
+            ],
+        )
+
     def events_snaive(sf_dir: str):
         """Oracle-checked: seasonal-naive forecast backtest — per
         event type, each day's count forecast by the count 7 days
@@ -5664,6 +5714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt": events_holt,
         "events_markov_acc": events_markov_acc,
         "events_late": events_late,
+        "orders_expectations": orders_expectations,
         "doc_pmi_pairs": doc_pmi_pairs,
         "graph_assortativity": graph_assortativity,
         "events_moving_median": events_moving_median,
@@ -9604,6 +9655,35 @@ def oracle_sql() -> dict[str, str]:
                    ((SELECT sum(m * (m - 1) // 2) FROM gm)
                     - sum(n_cg * (n_cg - 1) // 2))::BIGINT AS pair_fn
             FROM marg
+        """,
+        # Expectation suite: one UNION ALL branch per check; engine
+        # sorts by rule, the comparator sorts rows anyway.
+        "orders_expectations": """
+            SELECT 'accepted:o_orderstatus' AS rule,
+                   coalesce(sum(CASE WHEN o_orderstatus NOT IN
+                     ('O','F','P') THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'fk:o_custkey->customer',
+                   (SELECT count(*) FROM orders o
+                    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL)::BIGINT
+            UNION ALL
+            SELECT 'not_null:o_custkey',
+                   coalesce(sum(CASE WHEN o_custkey IS NULL
+                     THEN 1 ELSE 0 END), 0)::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'nonneg:o_totalprice',
+                   coalesce(sum(CASE WHEN o_totalprice < 0
+                     THEN 1 ELSE 0 END), 0)::BIGINT
+            FROM orders
+            UNION ALL
+            SELECT 'unique:o_orderkey',
+                   coalesce((SELECT sum(n - 1) FROM (
+                     SELECT count(*) AS n FROM orders
+                     GROUP BY o_orderkey) WHERE n > 1), 0)::BIGINT
         """,
         # Streaming late-data audit: running prior-max over the
         # arrival order (event_id XOR 3), strict 1h-watermark flag,

@@ -298,3 +298,85 @@ def k_anonymity_violations(
     return counts.map_batches(
         lambda d: d.loc[d["n_subjects"] < k], batch_format="pandas"
     )
+
+
+def duplicate_key_count(
+    ds: "rd.Dataset",
+    key_cols: list[str],
+    rule: str,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """One (rule, n_violations) row counting SURPLUS rows per duplicated
+    key tuple (Σ_keys max(n−1, 0) — the dbt `unique` test). Per-batch
+    count partials, one key-bucketed reduce; only (key, count) rows ride
+    the exchange."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(key_cols, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(key_cols, as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {"dups": [int((c["n"].to_numpy(dtype=np.int64) - 1).clip(0).sum())]}
+        )
+
+    parts = bucketed_group_reduce(
+        ds.select_columns(key_cols).map_batches(
+            partial, batch_format="pandas"
+        ),
+        key_cols=key_cols,
+        reduce_fn=merge,
+        num_buckets=num_buckets,
+    ).to_pandas()  # one int per bucket — bounded pull
+    return pd.DataFrame(
+        {"rule": [rule], "n_violations": [int(parts["dups"].sum())]}
+    )
+
+
+def expectation_suite(
+    ds: "rd.Dataset",
+    unique: list[list[str]] | None = None,
+    rules: "dict[str, Callable[[pd.DataFrame], np.ndarray]] | None" = None,
+    fks: list[tuple[str, str, "rd.Dataset", str]] | None = None,
+    num_buckets: int | None = None,
+) -> "rd.Dataset":
+    """dbt/Great-Expectations-style validation suite in one call —
+    ``unique`` key tuples (surplus-row counts), vectorized boolean
+    ``rules`` (not_null / accepted_values / ranges as violation
+    masks), and ``fks`` as (rule_name, child_col, parent_ds,
+    parent_col) referential checks. Returns (rule, n_violations), one
+    row per check, int64.
+
+    Each check family runs its own bounded distributed pass (count
+    partials / anti-join); the final table is |checks| rows, assembled
+    on the driver (bounded by the suite size, not the data) —
+    deliberately NOT a Dataset union of shared-lineage streams (the
+    documented ray-2.49 union hazard)."""
+    out: list[pd.DataFrame] = []
+    if rules:
+        out.append(
+            rule_violation_counts(ds, rules, num_buckets=num_buckets)
+            .to_pandas()  # |rules| rows
+        )
+    for keys in unique or []:
+        out.append(
+            duplicate_key_count(
+                ds, keys, rule="unique:" + "+".join(keys),
+                num_buckets=num_buckets,
+            )
+        )
+    for name, child_col, parent, parent_col in fks or []:
+        out.append(
+            fk_violation_count(ds, parent, child_col, parent_col, name)
+        )
+    if not out:
+        raise ValueError("expectation_suite: no checks given")
+    res = pd.concat(out, ignore_index=True).astype(
+        {"n_violations": "int64"}
+    )
+    res = res.sort_values("rule", kind="mergesort").reset_index(drop=True)
+    return rd.from_pandas(res)

@@ -665,3 +665,52 @@ class TestLateArrivals:
                 "max_lateness_s": 0,
             },
         ]
+
+
+class TestExpectationSuite:
+    def test_all_check_families_and_planted_violations(self):
+        from kgflow.ops.checks import expectation_suite
+
+        child = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "k": pd.Series([1, 1, 2, 3, 3, 3], dtype="int64"),
+                    "v": pd.Series(
+                        [1.0, -2.0, 3.0, None, 5.0, -1.0], dtype="float64"
+                    ),
+                    "fk": pd.Series([10, 10, 11, 99, 98, 10], dtype="int64"),
+                }
+            )
+        )
+        parent = rd.from_pandas(
+            pd.DataFrame({"p": pd.Series([10, 11], dtype="int64")})
+        )
+        out = (
+            expectation_suite(
+                child,
+                unique=[["k"]],
+                rules={
+                    "not_null:v": lambda df: df["v"].isna().to_numpy(),
+                    "nonneg:v": lambda df: (
+                        df["v"].to_numpy(dtype=np.float64) < 0
+                    ),
+                },
+                fks=[("fk:fk->parent", "fk", parent, "p")],
+            )
+            .to_pandas()
+            .set_index("rule")["n_violations"]
+            .to_dict()
+        )
+        assert out == {
+            "fk:fk->parent": 2,   # 99, 98
+            "nonneg:v": 2,        # -2, -1 (NaN < 0 is False)
+            "not_null:v": 1,
+            "unique:k": 3,        # k=1 surplus 1, k=3 surplus 2
+        }
+
+    def test_empty_suite_raises(self):
+        from kgflow.ops.checks import expectation_suite
+
+        ds = rd.from_pandas(pd.DataFrame({"a": [1]}))
+        with pytest.raises(ValueError, match="no checks"):
+            expectation_suite(ds)

@@ -5212,6 +5212,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rrf_topk(emb, qids, Qm, k_each=20, k_rrf=60, top_k=5)
 
+    def embed_rp(sf_dir: str):
+        """Oracle-checked: sparse sign random projection (Achlioptas
+        2003) onto 16 ±1 directions with FNV-1a-derived signs —
+        quantize-first int64 matmul, so the projected values are exact
+        integer sums the SQL replays bit-for-bit; embarrassingly
+        parallel, no exchange (`kgflow.ops.ann.random_projection`)."""
+        from kgflow.ops.ann import random_projection
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        return random_projection(emb, k=16)
+
     def kg_fact_history(sf_dir: str):
         """Rows-only (semantics pinned in tests/test_wave18.py via the
         shared `scd2_intervals` kernel): temporal fact versioning —
@@ -5708,6 +5723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rake": doc_rake,
         "ann_rrf": ann_rrf,
         "kg_fact_history": kg_fact_history,
+        "embed_rp": embed_rp,
         "doc_cluster_agreement": doc_cluster_agreement,
         "kg_linking_quality": kg_linking_quality,
         "events_snaive": events_snaive,
@@ -9628,6 +9644,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # Sparse sign random projection: FNV-1a over "i|j" picks each
+        # ±1 sign (shared verbatim with the engine); quantize-first
+        # integer sums are exact.
+        "embed_rp": r"""
+            WITH dims AS (
+              SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS i
+            ), outs AS (
+              SELECT CAST(unnest(range(1, 17)) AS BIGINT) AS j
+            ), s AS (
+              SELECT i, j,
+                     CASE WHEN CAST(list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                         list_transform(
+                           range(1, length(CAST(i AS VARCHAR) || '|'
+                                           || CAST(j AS VARCHAR)) + 1),
+                           p -> CAST(unicode((CAST(i AS VARCHAR) || '|'
+                                    || CAST(j AS VARCHAR))[p]) AS HUGEINT))),
+                       (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                             CAST(c AS UBIGINT)) AS HUGEINT)
+                                    * 1099511628211)
+                                   % 18446744073709551616
+                     ) AS UBIGINT) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+              FROM dims CROSS JOIN outs
+            ), e AS (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                          AS BIGINT) AS xq
+              FROM embeddings
+            )
+            SELECT e.vec_id, s.j AS rp_dim,
+                   sum(e.xq * s.sgn)::BIGINT AS y
+            FROM e JOIN s USING (i)
+            GROUP BY e.vec_id, s.j
         """,
         # B-cubed + pairwise agreement over the (pred, gold)
         # contingency cells; per-item floor-scaled integer B3 sums,

@@ -1162,3 +1162,77 @@ def rrf_topk(
     return bucketed_group_reduce(
         partial, key_cols=["query_id"], reduce_fn=fuse, num_buckets=2
     )
+
+
+def random_projection(
+    emb: "rd.Dataset",
+    k: int = 16,
+    quant: int = 10_000,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> "rd.Dataset":
+    """Sparse sign random projection (Achlioptas 2003 / JL transform):
+    project each embedding onto ``k`` ±1 directions whose signs derive
+    from FNV-1a over the (input-dim, output-dim) index pair — no RNG
+    state, so the projection matrix is replayable bit-for-bit by a SQL
+    oracle (the hash-derived-parameter pattern shared with simhash).
+    Inputs quantize FIRST (floor ×``quant`` int64 — the embed_centroids
+    idiom), so every projected value is an exact integer sum. Output:
+    (id, rp_dim 1-based, y) — int64; distances in the projected space
+    approximate scaled L2 within JL bounds.
+
+    Embarrassingly parallel: the sign matrix is built once per actor
+    (dim×k, tiny); one [B, dim] × [dim, k] integer matmul per batch;
+    NO exchange."""
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    class Project:
+        def __init__(self):
+            self.S = None  # built lazily at first batch (needs dim)
+            self.k = k
+
+        def _signs(self, dim: int) -> np.ndarray:
+            keys = np.array(
+                [
+                    f"{i}|{j}"
+                    for i in range(1, dim + 1)
+                    for j in range(1, self.k + 1)
+                ],
+                dtype=str,
+            )
+            h = _fnv1a_strings(keys).reshape(dim, self.k)
+            return np.where((h & np.uint64(1)) == 1, 1, -1).astype(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            M = embed_matrix(batch, col=col)
+            ids = np.asarray(
+                batch.column(id_col).to_numpy(), dtype=np.int64
+            )
+            if len(ids) == 0 or M.shape[1] == 0:
+                return pd.DataFrame(
+                    {
+                        id_col: pd.Series([], dtype=np.int64),
+                        "rp_dim": pd.Series([], dtype=np.int64),
+                        "y": pd.Series([], dtype=np.int64),
+                    }
+                )
+            if self.S is None:
+                self.S = self._signs(M.shape[1])
+            Xq = np.floor(
+                np.asarray(M, dtype=np.float64) * quant
+            ).astype(np.int64)
+            Y = Xq @ self.S  # exact int64
+            B = len(ids)
+            return pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, self.k),
+                    "rp_dim": np.tile(
+                        np.arange(1, self.k + 1, dtype=np.int64), B
+                    ),
+                    "y": Y.reshape(-1),
+                }
+            )
+
+    return emb.select_columns([id_col, col]).map_batches(
+        Project, batch_format="pyarrow", concurrency=(1, 4)
+    )

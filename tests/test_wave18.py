@@ -714,3 +714,46 @@ class TestExpectationSuite:
         ds = rd.from_pandas(pd.DataFrame({"a": [1]}))
         with pytest.raises(ValueError, match="no checks"):
             expectation_suite(ds)
+
+
+class TestRandomProjection:
+    def test_exact_integer_projection_and_jl_property(self):
+        from kgflow.ops.ann import random_projection
+        from kgflow.ops.sketch import _fnv1a_strings
+
+        rng = np.random.RandomState(7)
+        X = rng.randn(40, 64).astype(np.float32)
+        emb = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.Series(range(40), dtype="int64"),
+                    "embedding": [X[i] for i in range(40)],
+                }
+            )
+        )
+        out = random_projection(emb, k=16).to_pandas()
+        assert len(out) == 40 * 16
+        # exact reference: same quantize-first int matmul
+        keys = np.array(
+            [f"{i}|{j}" for i in range(1, 65) for j in range(1, 17)],
+            dtype=str,
+        )
+        S = np.where(
+            (_fnv1a_strings(keys).reshape(64, 16) & np.uint64(1)) == 1,
+            1,
+            -1,
+        ).astype(np.int64)
+        Xq = np.floor(X.astype(np.float64) * 10000).astype(np.int64)
+        want = Xq @ S
+        got = (
+            out.sort_values(["vec_id", "rp_dim"])["y"]
+            .to_numpy()
+            .reshape(40, 16)
+        )
+        assert (got == want).all()
+        # JL sanity: projected squared distances approximate k/dim-scaled
+        # originals on average (loose factor-2 band)
+        d_orig = ((Xq[0] - Xq[1:]) ** 2).sum(axis=1).astype(np.float64)
+        d_proj = ((want[0] - want[1:]) ** 2).sum(axis=1).astype(np.float64)
+        ratio = (d_proj / d_orig).mean() / 16.0
+        assert 0.5 < ratio < 2.0

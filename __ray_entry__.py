@@ -52,6 +52,18 @@ _BM25_TERMS = ("hash", "merge", "vector", "window")
 # shared verbatim with the doc_blocklist_hits SQL oracle
 _BLOCKLIST = ("merge", "slow join", "spark", "vector")
 
+# fixed demo gazetteer for token-aligned entity spotting (mixed word
+# lengths exercise every n-gram leg); shared verbatim with the
+# doc_gazetteer SQL oracle
+_GAZETTEER = (
+    "hash join",
+    "merge sort",
+    "spark",
+    "window function",
+    "slow join",
+    "vector",
+)
+
 
 def _floor_scale_pd(df, col, scale):
     df[col] = np.floor(df[col].to_numpy(dtype=np.float64) * scale) / scale
@@ -5212,6 +5224,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rrf_topk(emb, qids, Qm, k_each=20, k_rrf=60, top_k=5)
 
+    def doc_gazetteer(sf_dir: str):
+        """Oracle-checked: gazetteer entity spotting — every
+        token-aligned occurrence of a dictionary phrase, with 1-based
+        token position. The lexicon is a JOIN side (auto broadcast
+        here; hash-partitioned at 10⁸ names — the distributed
+        Aho-Corasick substitute); docs emit n-gram rows only for the
+        word lengths the lexicon contains
+        (`kgflow.ops.text.gazetteer_spot`)."""
+        import pandas as _pd
+        import ray.data as _rd
+
+        from kgflow.ops.text import gazetteer_spot
+
+        lex = _rd.from_pandas(
+            _pd.DataFrame({"phrase": list(_GAZETTEER)})
+        )
+        return gazetteer_spot(_docs(sf_dir), lex)
+
     def embed_rp(sf_dir: str):
         """Oracle-checked: sparse sign random projection (Achlioptas
         2003) onto 16 ±1 directions with FNV-1a-derived signs —
@@ -5724,6 +5754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_rrf": ann_rrf,
         "kg_fact_history": kg_fact_history,
         "embed_rp": embed_rp,
+        "doc_gazetteer": doc_gazetteer,
         "doc_cluster_agreement": doc_cluster_agreement,
         "kg_linking_quality": kg_linking_quality,
         "events_snaive": events_snaive,
@@ -9644,6 +9675,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz za ON za.source = a.source
             JOIN sz zb ON zb.source = b.source
             GROUP BY 1, 2, 3, 4
+        """,
+        # Gazetteer spotting: token n-grams (list slices over the \w+
+        # token list) joined to the VALUES lexicon (verbatim
+        # _GAZETTEER); 1-based positions.
+        "doc_gazetteer": r"""
+            WITH phr(phrase) AS (
+              VALUES ('hash join'), ('merge sort'), ('spark'),
+                     ('window function'), ('slow join'), ('vector')
+            ), lens AS (
+              SELECT DISTINCT len(string_split(phrase, ' ')) AS l
+              FROM phr
+            ), tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w
+              FROM documents
+            ), grams AS (
+              SELECT tok.doc_id,
+                     CAST(unnest(range(1, len(w) - lens.l + 2)) AS BIGINT)
+                       AS pos,
+                     lens.l
+              FROM tok CROSS JOIN lens
+              WHERE len(w) >= lens.l
+            ), gt AS (
+              SELECT g.doc_id, g.pos,
+                     array_to_string(
+                       list_slice(t.w, g.pos, g.pos + g.l - 1), ' ')
+                       AS gram
+              FROM grams g JOIN tok t ON g.doc_id = t.doc_id
+            )
+            SELECT doc_id, pos, gram AS phrase
+            FROM gt JOIN phr ON gt.gram = phr.phrase
         """,
         # Sparse sign random projection: FNV-1a over "i|j" picks each
         # ±1 sign (shared verbatim with the engine); quantize-first

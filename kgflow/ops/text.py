@@ -2759,3 +2759,133 @@ def rake_keyphrases(
     return docs.select_columns(["doc_id", "text"]).map_batches(
         per_batch, batch_format="pandas"
     )
+
+
+def gazetteer_spot(
+    docs: "rd.Dataset",
+    phrases: "rd.Dataset",
+    phrase_col: str = "phrase",
+    max_words: int = 8,
+) -> "rd.Dataset":
+    """Gazetteer entity spotting: find every token-aligned occurrence
+    of a dictionary phrase in every document — the KG mention-candidate
+    generator for closed-world lexicons. Returns
+    (doc_id, pos, phrase): 1-based token position of each match.
+
+    Scale shape: the lexicon is a DATASET side of an equi-join, not a
+    per-actor automaton — a 10⁸-name gazetteer rides the shuffle join
+    (`kgflow.ops.joins.hash_join` auto-broadcasts small lexicons and
+    hash-partitions big ones), which is the distributed substitute for
+    Aho-Corasick. Docs emit (doc_id, pos, gram) n-gram rows ONLY for
+    the word lengths the lexicon actually contains (distinct lengths
+    are pulled to the driver — bounded by ``max_words``, not data) via
+    one vectorized shift pass per length; at very large scale swap the
+    gram string for a 64-bit fingerprint key and verify on the joined
+    rows (the minhash text-attach pattern)."""
+    from kgflow.ops.joins import hash_join
+
+    def prep_phrases(df: pd.DataFrame) -> pd.DataFrame:
+        # explicit typed-empty: Ray surfaces zero-row pandas blocks with
+        # NO columns, and the lengths pull below needs the 'l' column
+        if phrase_col not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series([], dtype=object),
+                    "l": pd.Series([], dtype=np.int64),
+                }
+            )
+        p = (
+            df[phrase_col]
+            .astype(str)
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        ln = p.str.count(" ") + 1
+        out = pd.DataFrame({"gram": p, "l": ln.astype(np.int64)})
+        return out[(out["l"] >= 1) & (out["l"] <= max_words)]
+
+    lex = phrases.map_batches(prep_phrases, batch_format="pandas")
+    ldf = (
+        lex.select_columns(["l"])
+        .map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
+        .to_pandas()
+    )  # ≤ max_words rows — driver-bounded (empty lexicon → no columns)
+    lengths = (
+        sorted(ldf["l"].unique().tolist()) if "l" in ldf.columns else []
+    )
+    if not lengths:
+        return docs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "phrase": pd.Series([], dtype=object),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].astype(str).str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "gram": pd.Series([], dtype=object),
+                }
+            )
+        did = df["doc_id"].reindex(ex.index).to_numpy(dtype=np.int64)
+        w = ex.to_numpy(dtype=object)
+        pos = (
+            pd.Series(np.ones(len(ex), dtype=np.int64))
+            .groupby(ex.index, sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        outs = []
+        for L in lengths:
+            if L == 1:
+                outs.append(
+                    pd.DataFrame({"doc_id": did, "pos": pos, "gram": w})
+                )
+                continue
+            if len(w) < L:
+                continue
+            # windows that would cross a document boundary are dropped
+            n = len(w) - L + 1
+            ok = np.ones(n, dtype=bool)
+            g = pd.Series(w[:n], dtype=object)
+            for k in range(1, L):
+                ok &= did[k : n + k] == did[:n]
+                g = g + " " + pd.Series(w[k : n + k], dtype=object)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": did[:n][ok],
+                        "pos": pos[:n][ok],
+                        "gram": g.to_numpy(dtype=object)[ok],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cand = docs.select_columns(["doc_id", "text"]).map_batches(
+        grams, batch_format="pandas"
+    )
+    joined = hash_join(cand, lex.select_columns(["gram"]), on="gram")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "pos": df["pos"].astype(np.int64),
+                "phrase": df["gram"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -757,3 +757,51 @@ class TestRandomProjection:
         d_proj = ((want[0] - want[1:]) ** 2).sum(axis=1).astype(np.float64)
         ratio = (d_proj / d_orig).mean() / 16.0
         assert 0.5 < ratio < 2.0
+
+
+class TestGazetteerSpot:
+    def test_positions_lengths_and_boundaries(self):
+        from kgflow.ops.text import gazetteer_spot
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([1, 2], dtype="int64"),
+                    "text": [
+                        "the Hash  Join beats a hash join here",
+                        # ends with the phrase prefix: the window must
+                        # not cross into doc 1's tokens
+                        "always use hash",
+                    ],
+                }
+            )
+        )
+        lex = rd.from_pandas(
+            pd.DataFrame({"phrase": ["hash join", "hash", "beats a hash"]})
+        )
+        out = (
+            gazetteer_spot(docs, lex)
+            .to_pandas()
+            .sort_values(["doc_id", "pos", "phrase"])
+            .reset_index(drop=True)
+        )
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        assert got == [
+            (1, 2, "hash"),            # "Hash" lowercased
+            (1, 2, "hash join"),
+            (1, 4, "beats a hash"),
+            (1, 6, "hash"),
+            (1, 6, "hash join"),
+            (2, 3, "hash"),
+        ]
+
+    def test_empty_lexicon(self):
+        from kgflow.ops.text import gazetteer_spot
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([1], dtype="int64"), "text": ["a b"]}
+            )
+        )
+        lex = rd.from_pandas(pd.DataFrame({"phrase": pd.Series([], dtype=object)}))
+        assert len(gazetteer_spot(docs, lex).to_pandas()) == 0

@@ -5195,6 +5195,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return anchor_aliases(pages, top_k=3)
 
+    def kg_gazetteer_mentions(sf_dir: str):
+        """Rows-only (brute-force exactness pinned in
+        tests/test_wave19.py): token-aligned gazetteer mention
+        candidates over the extracted sentence stream — the
+        closed-lexicon recall channel beside the model NER (in
+        production the lexicon is the KG's alias dictionary). Alias
+        surfaces are normalized to the token alphabet (non-word runs →
+        single space) so hyphenated forms match the \\w+ token stream;
+        sentences ride the generic n-gram equi-join kernel
+        (`kgflow.ops.text.gazetteer_spot`) under a packed int64 key
+        (page_no << 20 | sent_id) that decodes back to (url, sent_id)
+        after the join, and the pool-bounded phrase→entity map is
+        broadcast once via ray.put."""
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+        import ray as _ray
+
+        from kgflow.ops.text import gazetteer_spot
+        from kgflow.pipelines.kg import read_pages, sentences_ds
+
+        pages = _pages_dir(sf_dir)
+        gold = _pq.read_table(
+            os.path.join(pages, "gold_clusters.parquet")
+        ).to_pandas()
+        norm = (
+            gold["mention"]
+            .astype(str)
+            .str.lower()
+            .str.replace(r"[^0-9a-z]+", " ", regex=True)
+            .str.strip()
+        )
+        lexdf = _pd.DataFrame(
+            {"phrase": norm, "entity": gold["entity"]}
+        ).drop_duplicates("phrase")
+        ent_ref = _ray.put(dict(zip(lexdf["phrase"], lexdf["entity"])))
+        lex = rd.from_pandas(lexdf[["phrase"]].reset_index(drop=True))
+
+        def pack(df: _pd.DataFrame) -> _pd.DataFrame:
+            if "url" not in df.columns or not len(df):
+                return _pd.DataFrame(
+                    {
+                        "doc_id": _pd.Series([], dtype="int64"),
+                        "text": _pd.Series([], dtype=object),
+                    }
+                )
+            page = (
+                df["url"].astype(str).str.extract(r"/page/(\d+)$")[0]
+            ).astype("int64")
+            return _pd.DataFrame(
+                {
+                    "doc_id": (
+                        page * (1 << 20) + df["sent_id"]
+                    ).astype("int64"),
+                    "text": df["text"],
+                }
+            )
+
+        sents = sentences_ds(read_pages(pages)).map_batches(
+            pack, batch_format="pandas"
+        )
+        spots = gazetteer_spot(sents, lex)
+
+        class Unpack:
+            def __init__(self):
+                self.ent = _ray.get(ent_ref)
+
+            def __call__(self, df: _pd.DataFrame) -> _pd.DataFrame:
+                if "doc_id" not in df.columns or not len(df):
+                    return _pd.DataFrame(
+                        {
+                            "url": _pd.Series([], dtype=object),
+                            "sent_id": _pd.Series([], dtype="int64"),
+                            "pos": _pd.Series([], dtype="int64"),
+                            "mention": _pd.Series([], dtype=object),
+                            "entity": _pd.Series([], dtype=object),
+                        }
+                    )
+                page = (df["doc_id"] // (1 << 20)).astype("int64")
+                return _pd.DataFrame(
+                    {
+                        "url": "https://site"
+                        + (page % 1000).astype(str)
+                        + ".example/page/"
+                        + page.astype(str),
+                        "sent_id": (
+                            df["doc_id"] & ((1 << 20) - 1)
+                        ).astype("int64"),
+                        "pos": df["pos"].astype("int64"),
+                        "mention": df["phrase"],
+                        "entity": df["phrase"].map(self.ent),
+                    }
+                )
+
+        return spots.map_batches(
+            Unpack, batch_format="pandas", concurrency=(1, 2)
+        )
+
     def doc_rake(sf_dir: str):
         """Oracle-checked: RAKE keyphrase extraction (Rose et al.
         2010) — top-3 candidate phrases per document scored by the
@@ -5750,6 +5847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": events_attribution,
         "events_scd": events_scd,
         "kg_anchor_aliases": kg_anchor_aliases,
+        "kg_gazetteer_mentions": kg_gazetteer_mentions,
         "doc_rake": doc_rake,
         "ann_rrf": ann_rrf,
         "kg_fact_history": kg_fact_history,

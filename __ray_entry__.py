@@ -1918,6 +1918,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return embedding_pca(emb, k=8)
 
+    def ann_lsh_exact(sf_dir: str):
+        """Oracle-checked: sign-hyperplane LSH ANN with HASH-DERIVED
+        integer-exact signatures (FNV ±1 directions over quantized
+        int64 embeddings) — the candidate rule is replayed bit-for-bit
+        by the SQL oracle, then both sides rerank candidates by exact
+        cosine, so the full approximate pipeline is hash-checked (the
+        float-plane `ann_lsh_topk` stays rows-only by design;
+        `kgflow.ops.ann.lsh_topk_hashed`)."""
+        from kgflow.ops.ann import lsh_topk_hashed
+        from kgflow.sources.parquet import read_parquet_clean
+
+        qids, qm = _queries_for(sf_dir)
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+        out = lsh_topk_hashed(emb, qids, qm, k=5)
+        return out.select_columns(["query_id", "neighbor_id"])
+
+    def embed_power_iter(sf_dir: str):
+        """Oracle-checked: dominant eigenvector of the quantized
+        uncentered scatter matrix XᵀX by exact-integer power iteration
+        (400 steps, digit-count-adaptive arithmetic shifts) — the
+        SQL-checkable corner of the PCA family: the distributed pass
+        (constant-size int64 scatter partials per block) is identical
+        to `embedding_pca`'s moment layout, and a recursive-CTE oracle
+        replays the driver-side dim×dim recurrence bit-for-bit
+        (`kgflow.ops.ann.power_iteration_scatter`)."""
+        from kgflow.ops.ann import power_iteration_scatter
+        from kgflow.sources.parquet import read_parquet_clean
+
+        emb = read_parquet_clean(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        return power_iteration_scatter(emb)
+
     def embed_neardup(sf_dir: str):
         """Oracle-checked (round-1 fix: was vacuous — the driver's
         embeddings are random, max off-diag cosine ~0.51, so no pairs at
@@ -5691,7 +5724,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_stored": ann_ivf_stored,
         "ann_ivf_exact": ann_ivf_exact,
+        "ann_lsh_exact": ann_lsh_exact,
         "embed_pca": embed_pca,
+        "embed_power_iter": embed_power_iter,
         "embed_neardup": embed_neardup,
         "embed_semdedup": embed_semdedup,
         "q1_pricing": q1_pricing,
@@ -7483,6 +7518,114 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # the hash-derived sign-LSH candidate rule replayed exactly:
+        # FNV-1a(±1) directions over "dim|plane|table", floor(x·1e4)
+        # int64 quantization, signature bit = sign of the integer dot
+        # product, candidates = bucket collision with ANY query in ANY
+        # table (union semantics), exact-cosine rerank with the
+        # engine's (sim DESC, neighbor_id DESC) tie order
+        "ann_lsh_exact": """
+            WITH s AS MATERIALIZED (
+              SELECT i, p, t,
+                     CASE WHEN CAST(list_reduce(
+                       list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                         list_transform(
+                           range(1, length(CAST(i AS VARCHAR) || '|'
+                                           || CAST(p AS VARCHAR) || '|'
+                                           || CAST(t AS VARCHAR)) + 1),
+                           pp -> CAST(unicode((CAST(i AS VARCHAR) || '|'
+                                     || CAST(p AS VARCHAR) || '|'
+                                     || CAST(t AS VARCHAR))[pp]) AS HUGEINT))),
+                       (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT),
+                                             CAST(c AS UBIGINT)) AS HUGEINT)
+                                    * 1099511628211)
+                                   % 18446744073709551616
+                     ) AS UBIGINT) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+              FROM (SELECT CAST(unnest(range(1, 65)) AS BIGINT) AS i) dims
+              CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS p) planes
+              CROSS JOIN (SELECT CAST(unnest(range(1, 3)) AS BIGINT) AS t) tabs
+            ), e AS MATERIALIZED (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                          AS BIGINT) AS xq
+              FROM embeddings
+            ), sig AS MATERIALIZED (
+              SELECT vec_id, t, CAST(sum(b * (1 << (p - 1))) AS BIGINT) AS bkey
+              FROM (
+                SELECT e.vec_id, s.t, s.p,
+                       CASE WHEN sum(e.xq * s.sgn) > 0 THEN 1 ELSE 0 END AS b
+                FROM e JOIN s USING (i)
+                GROUP BY e.vec_id, s.t, s.p
+              ) GROUP BY vec_id, t
+            ), q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ), cand AS (
+              SELECT DISTINCT sig.vec_id
+              FROM sig JOIN (
+                SELECT s2.t, s2.bkey
+                FROM sig s2 JOIN q ON s2.vec_id = q.query_id
+              ) qs ON sig.t = qs.t AND sig.bkey = qs.bkey
+            ), r AS (
+              SELECT q.query_id, e2.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qe, e2.embedding)
+                                  DESC,
+                                e2.vec_id DESC
+                     ) AS rn
+              FROM q CROSS JOIN embeddings e2
+              JOIN cand ON cand.vec_id = e2.vec_id
+              WHERE e2.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # exact-integer power iteration on the quantized scatter matrix,
+        # replayed by a recursive CTE: floor(x·100) int64, v0 = ones,
+        # w = A·v, adaptive shift of 4·max(digits10(max|w|)-6, 0) bits
+        # per step (>> is a floor shift on both sides), 400 steps
+        "embed_power_iter": """
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100)
+                          AS BIGINT) AS x
+              FROM embeddings
+            ), a AS MATERIALIZED (
+              SELECT l.i AS i, r.i AS j, CAST(sum(l.x * r.x) AS BIGINT) AS aij
+              FROM e l JOIN e r USING (vec_id)
+              GROUP BY 1, 2
+            ), arows AS MATERIALIZED (
+              SELECT i, list(aij ORDER BY j) AS arow FROM a GROUP BY i
+            ), amat AS MATERIALIZED (
+              SELECT list(arow ORDER BY i) AS m FROM arows
+            ), rec AS (
+              SELECT 0 AS k,
+                     list_transform(range(1, 65),
+                                    x -> CAST(1 AS BIGINT)) AS v
+              UNION ALL
+              SELECT k + 1, list_transform(w, x -> x >> sh)
+              FROM (
+                SELECT k, w,
+                       4 * greatest(
+                         length(CAST(list_max(
+                           list_transform(w, x -> abs(x))) AS VARCHAR)) - 6,
+                         0) AS sh
+                FROM (
+                  SELECT rec.k AS k,
+                         list_transform(amat.m, arow ->
+                           CAST(list_sum(list_transform(range(1, 65),
+                             j -> arow[j] * rec.v[j])) AS BIGINT)) AS w
+                  FROM rec, amat
+                  WHERE rec.k < 400
+                )
+              )
+            )
+            SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS i,
+                   CAST(unnest(v) AS BIGINT) AS v
+            FROM rec WHERE k = 400
         """,
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

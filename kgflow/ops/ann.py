@@ -1236,3 +1236,164 @@ def random_projection(
     return emb.select_columns([id_col, col]).map_batches(
         Project, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+def lsh_topk_hashed(
+    emb: "rd.Dataset",
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 5,
+    num_planes: int = 8,
+    num_tables: int = 2,
+    quant: int = 10000,
+    exclude_self: bool = True,
+) -> "rd.Dataset":
+    """Sign-hyperplane LSH ANN whose CANDIDATE GENERATION is
+    integer-exact and therefore replayable bit-for-bit by a SQL engine
+    (the `doc_simhash_pairs` exact-in-SQL strategy applied to ANN):
+    hyperplane directions are ±1 vectors derived from FNV-1a over the
+    composed key "dim|plane|table" (all 1-based — the
+    `random_projection` sign trick), embeddings quantize as
+    floor(float64(x)·quant) int64, and a signature bit is the sign of
+    an exact integer dot product — no float matmul anywhere before the
+    candidate set is fixed. Sign-LSH is norm-invariant, so skipping
+    normalization changes nothing semantically. A vector is a candidate
+    if ANY of its per-table signatures collides with ANY query's bucket
+    (union semantics, like `lsh_topk`); candidates are then reranked by
+    exact cosine via `brute_force_topk`. Recall < 1 by construction,
+    but engine and oracle agree exactly because they run the SAME
+    candidate rule."""
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    Qm = np.asarray(query_matrix, dtype=np.float32)
+    dim = Qm.shape[1]
+    keys = np.array(
+        [
+            f"{i}|{p}|{t}"
+            for i in range(1, dim + 1)
+            for t in range(1, num_tables + 1)
+            for p in range(1, num_planes + 1)
+        ],
+        dtype=str,
+    )
+    h = _fnv1a_strings(keys).reshape(dim, num_tables * num_planes)
+    S = np.where((h & np.uint64(1)) == 1, 1, -1).astype(np.int64)
+
+    def signatures(M: np.ndarray) -> np.ndarray:
+        """[n, dim] float → [n, num_tables] int64 bucket ids
+        (table index in the high bits so buckets never collide
+        across tables)."""
+        Xq = np.floor(np.asarray(M, dtype=np.float64) * quant).astype(
+            np.int64
+        )
+        bits = (Xq @ S) > 0  # exact integer sign
+        out = np.zeros((len(M), num_tables), dtype=np.int64)
+        for t in range(num_tables):
+            key = np.zeros(len(M), dtype=np.int64)
+            for p in range(num_planes):
+                key |= bits[:, t * num_planes + p].astype(np.int64) << p
+            out[:, t] = key + ((t + 1) << 32)
+        return out
+
+    q_buckets = np.unique(signatures(Qm).reshape(-1))
+    bref = ray.put(q_buckets)
+
+    class Filter:
+        def __init__(self):
+            self.buckets = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = embed_matrix(batch)
+            if len(M) == 0:
+                return batch
+            sig = signatures(M)
+            keep = np.zeros(len(M), dtype=bool)
+            for t in range(sig.shape[1]):
+                keep |= np.isin(sig[:, t], self.buckets)
+            return batch.filter(pa.array(keep))
+
+    filtered = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        Filter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return brute_force_topk(
+        filtered, query_ids, Qm, k=k, exclude_self=exclude_self
+    )
+
+
+def power_iteration_scatter(
+    emb: "rd.Dataset",
+    iters: int = 400,
+    quant: int = 100,
+    col: str = "embedding",
+) -> "rd.Dataset":
+    """Dominant eigenvector of the QUANTIZED uncentered scatter matrix
+    XᵀX by exact-integer power iteration — the SQL-checkable corner of
+    the PCA family (`embedding_pca` itself is float-eigh and stays
+    rows-only; this pins the same heavy distributed pass — the moment
+    partials — under a hash-exact gate, the `ann_ivf_exact` pattern).
+
+    Every step is integer arithmetic a recursive-CTE SQL oracle
+    replays bit-for-bit: x quantizes as floor(float64(x)·quant);
+    A = Σ_vec xq xqᵀ accumulates in int64 via CONSTANT-size per-block
+    partials (dim² ints, independent of rows — the `embedding_pca`
+    moment layout); v₀ = 1⃗; each iteration computes w = A·v in int64
+    then rescales by an ARITHMETIC right shift of
+    4·max(digits₁₀(max|w|) − 6, 0) bits (numpy ``>>`` and SQL ``>>``
+    are both floor shifts; the digit count is exact on both sides,
+    unlike float log2). Magnitudes stay ≲10⁷ so w ≤ 64·|A|·10⁷ fits
+    int64 for corpora up to ~10⁹ rows at quant=100. Convergence to the
+    true eigenvector is a property TEST, not a correctness condition —
+    the contract is "this exact recurrence", which both engine and
+    oracle run (the default 400 iterations covers eigengaps down to
+    ~1.01; each step is a 64-element list op in the CTE, so the oracle
+    stays cheap). Returns (i, v) — 1-based dim index, final iterate."""
+    import pandas as pd
+
+    def scatter(batch: pa.Table) -> pd.DataFrame:
+        M = embed_matrix(batch, col)
+        if len(M) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype=object),
+                    "d": pd.Series([], dtype=np.int64),
+                }
+            )
+        Xq = np.floor(np.asarray(M, dtype=np.float64) * quant).astype(
+            np.int64
+        )
+        A = Xq.T @ Xq
+        return pd.DataFrame(
+            {"a": [A.tobytes()], "d": [A.shape[0]]}
+        )
+
+    parts = (
+        emb.select_columns([col])
+        .map_batches(scatter, batch_format="pyarrow")
+        .to_pandas()
+    )  # one constant-size row per block
+    if not len(parts):
+        raise ValueError("power_iteration_scatter: empty input dataset")
+    d = int(parts["d"].iloc[0])
+    A = np.zeros((d, d), dtype=np.int64)
+    for buf in parts["a"]:
+        A += np.frombuffer(buf, dtype=np.int64).reshape(d, d)
+
+    a_max = int(np.abs(A).max())
+    v = np.ones(d, dtype=np.int64)
+    for _ in range(iters):
+        # int64 wraps silently in numpy — fail loudly before it can
+        if a_max and int(np.abs(v).max()) > (2**62) // (a_max * d):
+            raise OverflowError(
+                "power_iteration_scatter: |A|·|v|·d would exceed int64 "
+                f"(a_max={a_max}, d={d}); lower `quant`"
+            )
+        w = A @ v
+        m = int(np.abs(w).max())
+        s = 4 * max(len(str(m)) - 6, 0)
+        v = w >> s
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {"i": np.arange(1, d + 1, dtype=np.int64), "v": v}
+        )
+    )

@@ -73,3 +73,73 @@ class TestKgGazetteerMentions:
         # not just single-token canonical names
         assert (got["mention"].str.contains(" ")).any()
         assert (got["mention"] != got["entity"]).any()
+
+
+class TestPowerIterationScatter:
+    def test_converges_to_dominant_eigvec(self):
+        import numpy as np
+        import ray.data as rd
+
+        from kgflow.ops.ann import power_iteration_scatter
+
+        # planted dominant direction + small noise: the exact-integer
+        # recurrence must land on the eigh answer up to sign
+        rng = np.random.RandomState(7)
+        u = rng.randn(16)
+        u /= np.linalg.norm(u)
+        X = np.outer(rng.randn(300) * 3.0, u) + 0.1 * rng.randn(300, 16)
+        emb = rd.from_pandas(
+            pd.DataFrame({"embedding": [r.astype(np.float32) for r in X]})
+        )
+        got = (
+            power_iteration_scatter(emb, iters=100)
+            .to_pandas()
+            .sort_values("i")["v"]
+            .to_numpy(dtype=np.float64)
+        )
+        Xq = np.floor(X.astype(np.float32).astype(np.float64) * 100)
+        A = Xq.T @ Xq
+        _, v = np.linalg.eigh(A)
+        cos = abs(got @ v[:, -1]) / np.linalg.norm(got)
+        assert cos > 0.999
+
+    def test_overflow_guard_raises(self):
+        import numpy as np
+        import ray.data as rd
+
+        from kgflow.ops.ann import power_iteration_scatter
+
+        X = np.full((50, 8), 9.0e5, dtype=np.float32)
+        emb = rd.from_pandas(
+            pd.DataFrame({"embedding": [r for r in X]})
+        )
+        with pytest.raises(OverflowError):
+            power_iteration_scatter(emb, iters=3, quant=10000)
+
+
+class TestLshTopkHashed:
+    def test_planted_duplicate_always_found(self):
+        import numpy as np
+        import ray.data as rd
+
+        from kgflow.ops.ann import lsh_topk_hashed
+
+        # an exact duplicate shares every signature in every table, so
+        # it is ALWAYS a candidate and must rank first by cosine
+        rng = np.random.RandomState(11)
+        X = rng.randn(200, 16).astype(np.float32)
+        X[137] = X[0]
+        emb = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": pd.Series(range(200), dtype="int64"),
+                    "embedding": [r for r in X],
+                }
+            )
+        )
+        out = lsh_topk_hashed(emb, [0], X[[0]], k=3).to_pandas()
+        assert 137 in set(out["neighbor_id"])
+        top = out.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, False]
+        ).iloc[0]
+        assert top["neighbor_id"] == 137

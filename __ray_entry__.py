@@ -5325,6 +5325,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
             Unpack, batch_format="pandas", concurrency=(1, 2)
         )
 
+    def part_skyline(sf_dir: str):
+        """Oracle-checked: 2-D Pareto frontier over part — the rows
+        where no other part is both cheaper (p_retailprice) and larger
+        (p_size); skyline is distributive, so each block's local
+        frontier (vectorized sort+cummax) feeds one tiny merge of the
+        same kernel, with a loud guard on frontier width
+        (`kgflow.ops.relational.skyline`)."""
+        from kgflow.ops.relational import skyline
+        from kgflow.sources.parquet import read_parquet_clean
+
+        part = read_parquet_clean(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_retailprice", "p_size"],
+        )
+        return skyline(part, "p_retailprice", "p_size")
+
+    def customer_cdc_state(sf_dir: str):
+        """Oracle-checked: MERGE / CDC apply — orders replayed as a
+        change stream over the customer snapshot (seq = o_orderkey,
+        delete when o_orderkey % 97 == 0, else upsert to the
+        fixed-point order total), latest-sequence-wins; base rows join
+        the fold as seq −1 so one keyed exchange resolves everything
+        (`kgflow.ops.relational.cdc_apply`). The oracle's LEFT JOIN
+        shape relies on the fixture FK (every o_custkey exists in
+        customer); the operator itself also handles pure inserts."""
+        import pandas as _pd
+
+        from kgflow.ops.relational import cdc_apply
+        from kgflow.sources.parquet import read_parquet_clean
+
+        def basep(df: _pd.DataFrame) -> _pd.DataFrame:
+            return _pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].astype("int64"),
+                    "bal_fp": np.floor(
+                        df["c_acctbal"].to_numpy(np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+
+        def chg(df: _pd.DataFrame) -> _pd.DataFrame:
+            ok = df["o_orderkey"].to_numpy(np.int64)
+            return _pd.DataFrame(
+                {
+                    "c_custkey": df["o_custkey"].astype("int64"),
+                    "seq": ok,
+                    "op": np.where(ok % 97 == 0, "D", "U"),
+                    "bal_fp": np.floor(
+                        df["o_totalprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64),
+                }
+            )
+
+        base = read_parquet_clean(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal"],
+        ).map_batches(basep, batch_format="pandas")
+        changes = read_parquet_clean(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).map_batches(chg, batch_format="pandas")
+        return cdc_apply(
+            base,
+            changes,
+            key="c_custkey",
+            seq_col="seq",
+            op_col="op",
+            val_col="bal_fp",
+        )
+
     def doc_rake(sf_dir: str):
         """Oracle-checked: RAKE keyphrase extraction (Rose et al.
         2010) — top-3 candidate phrases per document scored by the
@@ -5883,6 +5953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_scd": events_scd,
         "kg_anchor_aliases": kg_anchor_aliases,
         "kg_gazetteer_mentions": kg_gazetteer_mentions,
+        "part_skyline": part_skyline,
+        "customer_cdc_state": customer_cdc_state,
         "doc_rake": doc_rake,
         "ann_rrf": ann_rrf,
         "kg_fact_history": kg_fact_history,
@@ -7518,6 +7590,39 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # dominance anti-join: a part is on the frontier iff no other
+        # part is ≤ on price and ≥ on size with one strict
+        "part_skyline": """
+            SELECT p_partkey, p_retailprice, p_size FROM part a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part b
+              WHERE b.p_retailprice <= a.p_retailprice
+                AND b.p_size >= a.p_size
+                AND (b.p_retailprice < a.p_retailprice
+                     OR b.p_size > a.p_size)
+            )
+        """,
+        # latest-seq-wins change fold; LEFT JOIN shape relies on the
+        # fixture FK (o_custkey ⊆ c_custkey) — see the query docstring
+        "customer_cdc_state": """
+            WITH ch AS (
+              SELECT o_custkey AS k, o_orderkey AS seq,
+                     CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END
+                       AS op,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS val
+              FROM orders
+            ), latest AS (
+              SELECT k, op, val,
+                     row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+                       AS rn
+              FROM ch
+            ), l AS (SELECT * FROM latest WHERE rn = 1)
+            SELECT c.c_custkey AS c_custkey,
+                   coalesce(l.val, CAST(floor(c.c_acctbal * 100) AS BIGINT))
+                     AS bal_fp
+            FROM customer c LEFT JOIN l ON l.k = c.c_custkey
+            WHERE l.op IS NULL OR l.op <> 'D'
         """,
         # the hash-derived sign-LSH candidate rule replayed exactly:
         # FNV-1a(±1) directions over "dim|plane|table", floor(x·1e4)

@@ -3392,3 +3392,133 @@ def events_daily_streaks(sf_dir: str) -> "rd.Dataset":
         key_cols=["user_id"],
         reduce_fn=streaks,
     )
+
+
+def skyline(
+    ds: "rd.Dataset",
+    min_col: str,
+    max_col: str,
+    max_candidates: int = 200_000,
+) -> "rd.Dataset":
+    """2-D Pareto frontier (skyline): rows not dominated by any other —
+    a dominates b iff a.min_col ≤ b.min_col, a.max_col ≥ b.max_col and
+    at least one is strict; exact duplicates on both axes all survive.
+
+    Scale shape: the skyline operator is DISTRIBUTIVE —
+    skyline(S) = skyline(∪ skyline(block)) — so pass 1 computes each
+    block's local frontier with a vectorized sort+cummax (no Python
+    per row, no shuffle), and only the surviving candidates (typically
+    O(√n) of a block, never more than the block) move to the single
+    merge task for the identical kernel. A loud guard caps the
+    candidate set: a frontier wider than ``max_candidates`` means the
+    two axes are anti-correlated over the whole corpus and the result
+    itself would be data-sized — fail with the count instead of
+    silently building a giant block."""
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or min_col not in df.columns:
+            return df.head(0)
+        # within equal min_col keep only the max_col maxima (ties all
+        # survive: equal pairs dominate nothing)
+        gmax = df.groupby(min_col)[max_col].transform("max")
+        df = df[df[max_col] == gmax]
+        # across ascending min_col, survive iff max_col strictly
+        # exceeds every smaller-min row's value
+        ux = (
+            df.drop_duplicates(min_col)[[min_col, max_col]]
+            .sort_values(min_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        prior = ux[max_col].cummax().shift(1)
+        keep_keys = ux.loc[
+            prior.isna() | (ux[max_col] > prior), min_col
+        ]
+        return df[df[min_col].isin(set(keep_keys))].reset_index(
+            drop=True
+        )
+
+    cand = ds.map_batches(local_skyline, batch_format="pandas")
+    n = cand.count()
+    if n > max_candidates:
+        raise ValueError(
+            f"skyline: {n} frontier candidates exceed max_candidates="
+            f"{max_candidates}; the axes are anti-correlated and the "
+            "skyline itself is data-sized"
+        )
+    return cand.repartition(1).map_batches(
+        local_skyline, batch_format="pandas", batch_size=None
+    )
+
+
+def cdc_apply(
+    base: "rd.Dataset",
+    changes: "rd.Dataset",
+    key: str,
+    seq_col: str,
+    op_col: str,
+    val_col: str,
+) -> "rd.Dataset":
+    """MERGE / CDC apply: fold a change stream (insert/update/delete)
+    onto a base snapshot, latest-sequence-wins — the lakehouse upsert
+    primitive (Iceberg/Delta MERGE INTO shape) as one keyed exchange.
+
+    Contract: change ``seq_col`` values are ≥ 0 and unique per key
+    (e.g. a log offset); ``op_col`` is 'U' (upsert — also covers
+    inserts of keys absent from base) or 'D' (delete). Base rows enter
+    the fold as seq = −1 upserts, so a key with no changes passes
+    through and any change outranks the base row.
+
+    Scale shape: base and changes stay block-streamed; both sides are
+    projected to (key, seq, op, val) rows BEFORE the union, and ONE
+    hash-bucketed reduce per key picks the max-seq row with a
+    vectorized sort + group-tail — no driver materialization, no
+    second exchange. Deletes drop inside the reduce."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or key not in df.columns:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype="int64"),
+                    "_seq": pd.Series([], dtype="int64"),
+                    "_op": pd.Series([], dtype=object),
+                    val_col: pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                key: df[key].astype("int64"),
+                "_seq": np.full(len(df), -1, dtype=np.int64),
+                "_op": np.full(len(df), "U", dtype=object),
+                val_col: df[val_col],
+            }
+        )
+
+    def tag_changes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df) or key not in df.columns:
+            return tag_base(df)
+        if (df[seq_col] < 0).any():
+            raise ValueError("cdc_apply: change seq values must be >= 0")
+        return pd.DataFrame(
+            {
+                key: df[key].astype("int64"),
+                "_seq": df[seq_col].astype("int64"),
+                "_op": df[op_col].astype(object),
+                val_col: df[val_col],
+            }
+        )
+
+    tagged = base.map_batches(tag_base, batch_format="pandas").union(
+        changes.map_batches(tag_changes, batch_format="pandas")
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        last = (
+            g.sort_values([key, "_seq"], kind="mergesort")
+            .groupby(key, as_index=False, sort=False)
+            .tail(1)
+        )
+        out = last[last["_op"] != "D"]
+        return out[[key, val_col]].reset_index(drop=True)
+
+    return bucketed_group_reduce(tagged, key_cols=[key], reduce_fn=fold)

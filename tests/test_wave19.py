@@ -9,6 +9,7 @@ sentence stream.
 import os
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -143,3 +144,114 @@ class TestLshTopkHashed:
             ["cos", "neighbor_id"], ascending=[False, False]
         ).iloc[0]
         assert top["neighbor_id"] == 137
+
+
+class TestSkyline:
+    def _run(self, rows):
+        import ray.data as rd
+
+        from kgflow.ops.relational import skyline
+
+        df = pd.DataFrame(rows, columns=["id", "price", "size"])
+        out = (
+            skyline(rd.from_pandas(df), "price", "size")
+            .to_pandas()
+            .sort_values("id")["id"]
+            .tolist()
+        )
+        return out
+
+    def test_dominance_ties_and_duplicates(self):
+        # (1) frontier point, (2) dominated by 1 on both axes,
+        # (3) equal price as 1 but smaller size -> dominated,
+        # (4) exact duplicate of 1 -> both survive,
+        # (5) cheaper but smaller -> frontier,
+        # (6) same size as 5, higher price -> dominated by 5
+        rows = [
+            (1, 10.0, 8),
+            (2, 11.0, 7),
+            (3, 10.0, 5),
+            (4, 10.0, 8),
+            (5, 4.0, 3),
+            (6, 6.0, 3),
+        ]
+        assert self._run(rows) == [1, 4, 5]
+
+    def test_guard_on_data_sized_frontier(self):
+        import ray.data as rd
+
+        from kgflow.ops.relational import skyline
+
+        # bigger always costs more: no row dominates any other, so the
+        # frontier is the whole input — the guard must refuse
+        df = pd.DataFrame(
+            {
+                "id": range(100),
+                "price": np.arange(100, dtype=np.float64),
+                "size": np.arange(100, dtype=np.int64),
+            }
+        )
+        with pytest.raises(ValueError, match="max_candidates"):
+            skyline(
+                rd.from_pandas(df), "price", "size", max_candidates=50
+            ).to_pandas()
+
+
+class TestCdcApply:
+    def test_insert_update_delete_passthrough(self):
+        import ray.data as rd
+
+        from kgflow.ops.relational import cdc_apply
+
+        base = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "k": pd.Series([1, 2, 3, 4], dtype="int64"),
+                    "v": pd.Series([10, 20, 30, 40], dtype="int64"),
+                }
+            )
+        )
+        changes = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "k": pd.Series([2, 2, 3, 5, 5], dtype="int64"),
+                    "seq": pd.Series([0, 7, 1, 2, 9], dtype="int64"),
+                    "op": ["U", "U", "D", "U", "D"],
+                    "v": pd.Series([21, 22, 0, 50, 0], dtype="int64"),
+                }
+            )
+        )
+        got = (
+            cdc_apply(base, changes, "k", "seq", "op", "v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # 1 passes through; 2 takes the max-seq update (22); 3 deleted;
+        # 4 passes through; 5 inserted then deleted -> absent
+        want = pd.DataFrame(
+            {"k": pd.Series([1, 2, 4], dtype="int64"),
+             "v": pd.Series([10, 22, 40], dtype="int64")}
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64", "v": "int64"}), want
+        )
+
+    def test_negative_seq_rejected(self):
+        import ray.data as rd
+
+        from kgflow.ops.relational import cdc_apply
+
+        base = rd.from_pandas(
+            pd.DataFrame({"k": pd.Series([1], dtype="int64"),
+                          "v": pd.Series([1], dtype="int64")})
+        )
+        changes = rd.from_pandas(
+            pd.DataFrame(
+                {"k": pd.Series([1], dtype="int64"),
+                 "seq": pd.Series([-5], dtype="int64"),
+                 "op": ["U"], "v": pd.Series([2], dtype="int64")}
+            )
+        )
+        with pytest.raises(Exception, match="seq values must be >= 0"):
+            cdc_apply(base, changes, "k", "seq", "op", "v").to_pandas()

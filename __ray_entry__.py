@@ -5395,6 +5395,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             val_col="bal_fp",
         )
 
+    def orders_range_pruned(sf_dir: str):
+        """Oracle-checked: zone-map-pruned range read — orders staged
+        into an o_orderkey-range-partitioned layout (the compacted-
+        sorted-table shape), per-partition (min, max) sidecars built,
+        and a 10%-of-keyspace range probe answered by reading ONLY the
+        overlapping partitions with the exact filter re-applied inside
+        the read (`kgflow.materialize.zonemap`). The oracle is the
+        plain BETWEEN over the unpartitioned table — pruning is an
+        optimization, never a semantic. Pruning efficacy (reads ~1/8
+        of partitions) is pinned in tests/test_wave19.py. Key bounds
+        come from an 8-byte-column driver read here; at scale use
+        parquet footer stats."""
+        import shutil
+        import tempfile
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        from kgflow.materialize.zonemap import (
+            build_zonemap_index,
+            read_range_pruned,
+        )
+        from kgflow.sources.parquet import read_parquet_clean
+
+        src = os.path.join(sf_dir, "orders.parquet")
+        keys = _pq.read_table(src, columns=["o_orderkey"]).column(
+            "o_orderkey"
+        )
+        kmin, kmax = int(pc.min(keys).as_py()), int(pc.max(keys).as_py())
+        span = kmax - kmin
+        lo, hi = kmin + span // 10, kmin + (2 * span) // 10
+
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"kgflow_zonemap_orders_{abs(hash(sf_dir)) % 10**8}",
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        orders = read_parquet_clean(
+            src, columns=["o_orderkey", "o_custkey"]
+        )
+
+        def zpart(df):
+            k = df["o_orderkey"].to_numpy(np.int64)
+            df = df.copy()
+            df["zpart"] = (k - kmin) * 8 // (span + 1)
+            return df
+
+        orders.map_batches(zpart, batch_format="pandas").write_parquet(
+            root, partition_cols=["zpart"]
+        )
+        build_zonemap_index(root, "o_orderkey")
+        out = read_range_pruned(
+            root, "o_orderkey", lo, hi, columns=["o_orderkey", "o_custkey"]
+        )
+        return out.select_columns(["o_orderkey", "o_custkey"])
+
     def doc_rake(sf_dir: str):
         """Oracle-checked: RAKE keyphrase extraction (Rose et al.
         2010) — top-3 candidate phrases per document scored by the
@@ -5955,6 +6011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_gazetteer_mentions": kg_gazetteer_mentions,
         "part_skyline": part_skyline,
         "customer_cdc_state": customer_cdc_state,
+        "orders_range_pruned": orders_range_pruned,
         "doc_rake": doc_rake,
         "ann_rrf": ann_rrf,
         "kg_fact_history": kg_fact_history,
@@ -7590,6 +7647,19 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # the same 10%-of-keyspace range over the unpartitioned table;
+        # integer // matches (all values nonnegative)
+        "orders_range_pruned": """
+            WITH b AS (
+              SELECT min(o_orderkey) AS kmin,
+                     max(o_orderkey) - min(o_orderkey) AS span
+              FROM orders
+            )
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o, b
+            WHERE o.o_orderkey BETWEEN b.kmin + b.span // 10
+                                   AND b.kmin + (2 * b.span) // 10
         """,
         # dominance anti-join: a part is on the frontier iff no other
         # part is ≤ on price and ≥ on size with one strict

@@ -255,3 +255,99 @@ class TestCdcApply:
         )
         with pytest.raises(Exception, match="seq values must be >= 0"):
             cdc_apply(base, changes, "k", "seq", "op", "v").to_pandas()
+
+
+class TestZonemapIndex:
+    def _table(self, tmp_path):
+        import pyarrow as pa
+
+        root = str(tmp_path / "facts")
+        # partition p holds keys [1000*p, 1000*p + 50); partition 3 empty
+        for p in range(4):
+            d = os.path.join(root, f"zpart={p}")
+            os.makedirs(d)
+            n = 0 if p == 3 else 50
+            t = pa.table(
+                {"k": pa.array(range(1000 * p, 1000 * p + n), pa.int64()),
+                 "v": pa.array([p] * n, pa.int64())}
+            )
+            pq.write_table(t, os.path.join(d, "part.parquet"))
+        return root
+
+    def test_lookup_prunes_and_never_misses(self, tmp_path):
+        from kgflow.materialize.zonemap import (
+            build_zonemap_index,
+            zonemap_lookup,
+        )
+
+        root = self._table(tmp_path)
+        recs = build_zonemap_index(root, "k")
+        assert [r["n_rows"] for r in recs] == [50, 50, 50, 0]
+        assert recs[1]["lo"] == 1000 and recs[1]["hi"] == 1049
+        # a range inside partition 1 prunes to exactly that partition
+        assert zonemap_lookup(root, "k", 1010, 1020) == ["zpart=1"]
+        # spanning the 0/1 boundary returns both, never fewer
+        assert zonemap_lookup(root, "k", 40, 1005) == [
+            "zpart=0",
+            "zpart=1",
+        ]
+        # a gap range (between partitions) and the empty partition
+        # overlap nothing
+        assert zonemap_lookup(root, "k", 60, 900) == []
+        assert zonemap_lookup(root, "k", 3000, 3100) == []
+
+    def test_pruned_read_is_exact(self, tmp_path):
+        from kgflow.materialize.zonemap import (
+            build_zonemap_index,
+            read_range_pruned,
+        )
+
+        root = self._table(tmp_path)
+        build_zonemap_index(root, "k")
+        got = (
+            read_range_pruned(root, "k", 1040, 2010)
+            .to_pandas()
+            .sort_values("k")["k"]
+            .tolist()
+        )
+        assert got == list(range(1040, 1050)) + list(range(2000, 2011))
+        # empty overlap -> empty dataset, no files touched
+        assert len(read_range_pruned(root, "k", 60, 900).to_pandas()) == 0
+
+    def test_missing_index_is_loud(self, tmp_path):
+        from kgflow.materialize.zonemap import zonemap_lookup
+
+        root = self._table(tmp_path)
+        with pytest.raises(FileNotFoundError, match="build_zonemap_index"):
+            zonemap_lookup(root, "k", 0, 10)
+
+    def test_query_pruning_efficacy(self):
+        import __ray_entry__ as entry
+        from kgflow.materialize.zonemap import zonemap_lookup
+
+        # driver query stages 8 key-range partitions; the 10% probe
+        # must touch at most 2 of them
+        out = entry.queries()["orders_range_pruned"](SF).to_pandas()
+        assert len(out) > 0
+        import glob as _glob
+        import tempfile
+
+        root = [
+            d
+            for d in _glob.glob(
+                os.path.join(tempfile.gettempdir(), "kgflow_zonemap_orders_*")
+            )
+            if os.path.isdir(d)
+        ]
+        assert root, "staged layout missing"
+        # recompute the probe bounds the query used
+        t = pq.read_table(
+            os.path.join(SF, "orders.parquet"), columns=["o_orderkey"]
+        )["o_orderkey"]
+        kmin, kmax = min(t.to_pylist()), max(t.to_pylist())
+        span = kmax - kmin
+        lo, hi = kmin + span // 10, kmin + (2 * span) // 10
+        for r in root:
+            parts = zonemap_lookup(r, "o_orderkey", lo, hi)
+            total = len(_glob.glob(os.path.join(r, "zpart=*")))
+            assert total == 8 and len(parts) <= 2

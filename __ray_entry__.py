@@ -5650,6 +5650,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return holt_smooth(ev)
 
+    def events_trend_ols(sf_dir: str):
+        """Oracle-checked: per-type OLS trend of the dense zero-filled
+        daily count series as exact integer moments — slope = num/den
+        with num = n·Σxy − Σx·Σy, den = n·Σx² − (Σx)², x the day index
+        over the type's span, absent days counting 0 (the holt_smooth
+        grid); ONE count exchange + one type-bucketed days-bounded
+        reduce (`kgflow.ops.relational.events_trend_ols`)."""
+        from kgflow.ops.relational import events_trend_ols as _f
+
+        return _f(sf_dir)
+
     def events_markov_acc(sf_dir: str):
         """Oracle-checked: first-order Markov next-event BACKTEST —
         adjacent pairs split by successor-id parity, even pairs train
@@ -6021,6 +6032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linking_quality": kg_linking_quality,
         "events_snaive": events_snaive,
         "events_holt": events_holt,
+        "events_trend_ols": events_trend_ols,
         "events_markov_acc": events_markov_acc,
         "events_late": events_late,
         "orders_expectations": orders_expectations,
@@ -7647,6 +7659,33 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # the holt_smooth dense-grid CTE feeding exact OLS moment sums
+        "events_trend_ols": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     count(*)::BIGINT AS v
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT event_type, min(day) AS dlo, max(day) AS dhi
+              FROM daily GROUP BY 1
+            ), grid AS (
+              SELECT event_type,
+                     unnest(generate_series(dlo, dhi, INTERVAL 1 DAY))
+                       AS day
+              FROM bounds
+            ), g AS (
+              SELECT grid.event_type, coalesce(daily.v, 0) AS y,
+                     row_number() OVER (PARTITION BY grid.event_type
+                                        ORDER BY grid.day) - 1 AS x
+              FROM grid LEFT JOIN daily USING (event_type, day)
+            )
+            SELECT event_type, count(*)::BIGINT AS n_days,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                     AS num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                     AS den
+            FROM g GROUP BY event_type
         """,
         # the same 10%-of-keyspace range over the unpartitioned table;
         # integer // matches (all values nonnegative)

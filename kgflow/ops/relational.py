@@ -3522,3 +3522,64 @@ def cdc_apply(
         return out[[key, val_col]].reset_index(drop=True)
 
     return bucketed_group_reduce(tagged, key_cols=[key], reduce_fn=fold)
+
+
+def events_trend_ols(sf_dir: str) -> "rd.Dataset":
+    """Per-type OLS trend of the DENSE zero-filled daily count series —
+    the "is this event type growing?" health metric as exact integer
+    moments: with x = 0..n−1 (day index over the type's [min, max] day
+    span, absent days counting 0, the `holt_smooth` grid) and
+    y = count(day), emits (event_type, n_days, num, den) where
+    slope = num/den = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Both sides of
+    the one driver-side division are int64-exact, so the row is
+    hash-checkable against a recursive-free SQL grid oracle.
+
+    Scale shape: ONE (type, day) count exchange collapses the corpus
+    to a V-bounded table; the zero-fill + moment pass runs per type
+    inside one type-bucketed reduce whose state is days-bounded (the
+    `events_daily_cusum` layout)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {"event_type": df["event_type"], "day": df["ts"].dt.floor("D")}
+        )
+        out = t.groupby(["event_type", "day"], as_index=False, sort=False).size()
+        return out.rename(columns={"size": "c"})
+
+    def ols(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["event_type", "day"], as_index=False, sort=False)[
+            "c"
+        ].sum()
+        rows = []
+        for et, grp in g.groupby("event_type", sort=False):
+            grp = grp.sort_values("day", kind="mergesort")
+            days = grp["day"].to_numpy()
+            n = int((days[-1] - days[0]) / np.timedelta64(1, "D")) + 1
+            y = np.zeros(n, dtype=np.int64)
+            idx = (
+                (days - days[0]) / np.timedelta64(1, "D")
+            ).astype(np.int64)
+            y[idx] = grp["c"].to_numpy(dtype=np.int64)
+            x = np.arange(n, dtype=np.int64)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy, sxx = int((x * y).sum()), int((x * x).sum())
+            rows.append(
+                (et, n, n * sxy - sx * sy, n * sxx - sx * sx)
+            )
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_days", "num", "den"]
+        ).astype(
+            {"n_days": "int64", "num": "int64", "den": "int64"}
+        )
+
+    return bucketed_group_reduce(
+        ev.map_batches(day_counts, batch_format="pandas"),
+        key_cols=["event_type"],
+        reduce_fn=ols,
+    )

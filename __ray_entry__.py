@@ -5650,6 +5650,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return holt_smooth(ev)
 
+    def events_heatmap(sf_dir: str):
+        """Oracle-checked: hour-of-day × day-of-week activity heatmap
+        per type — ONE count exchange over pre-aggregated partials;
+        engine-neutral integer epoch-µs arithmetic (dow 0 = Monday via
+        the 1970-01-01-was-Thursday offset; the oracle uses integer
+        epoch_us, not DOUBLE epoch(), so second-boundary events cannot
+        round across an hour; `kgflow.ops.relational.events_heatmap`)."""
+        from kgflow.ops.relational import events_heatmap as _f
+
+        return _f(sf_dir)
+
     def events_trend_ols(sf_dir: str):
         """Oracle-checked: per-type OLS trend of the dense zero-filled
         daily count series as exact integer moments — slope = num/den
@@ -6033,6 +6044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_snaive": events_snaive,
         "events_holt": events_holt,
         "events_trend_ols": events_trend_ols,
+        "events_heatmap": events_heatmap,
         "events_markov_acc": events_markov_acc,
         "events_late": events_late,
         "orders_expectations": orders_expectations,
@@ -7659,6 +7671,15 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # integer epoch_us (never DOUBLE epoch(): CAST rounds and can
+        # push a .6-second event into the next hour)
+        "events_heatmap": """
+            SELECT event_type,
+                   ((epoch_us(ts) // 86400000000 + 3) % 7) AS dow,
+                   ((epoch_us(ts) // 3600000000) % 24) AS hour,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2, 3
         """,
         # the holt_smooth dense-grid CTE feeding exact OLS moment sums
         "events_trend_ols": """

@@ -3583,3 +3583,47 @@ def events_trend_ols(sf_dir: str) -> "rd.Dataset":
         key_cols=["event_type"],
         reduce_fn=ols,
     )
+
+
+def events_heatmap(sf_dir: str) -> "rd.Dataset":
+    """Hour-of-day × day-of-week activity heatmap per event type — the
+    ops-dashboard staple as ONE count exchange over pre-aggregated
+    (type, dow, hour, n) partials. Time arithmetic is engine-neutral
+    integer epoch math (no locale-dependent dayofweek: dow 0 = Monday
+    via the 1970-01-01-was-Thursday offset, hour = UTC), so the counts
+    are hash-exact against any SQL engine doing the same division."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # normalize to ns regardless of the parquet unit (us vs ns)
+        s = df["ts"].astype("datetime64[ns]").astype("int64")
+        day = s // 86_400_000_000_000
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "dow": ((day + 3) % 7).astype(np.int64),
+                "hour": ((s // 3_600_000_000_000) % 24).astype(np.int64),
+            }
+        )
+        g = out.groupby(
+            ["event_type", "dow", "hour"], as_index=False, sort=False
+        ).size()
+        return g.rename(columns={"size": "n"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["event_type", "dow", "hour"], as_index=False, sort=False
+        )["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        ev.map_batches(partial, batch_format="pandas"),
+        key_cols=["event_type", "dow", "hour"],
+        reduce_fn=final,
+    )

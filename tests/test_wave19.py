@@ -351,3 +351,77 @@ class TestZonemapIndex:
             parts = zonemap_lookup(r, "o_orderkey", lo, hi)
             total = len(_glob.glob(os.path.join(r, "zpart=*")))
             assert total == 8 and len(parts) <= 2
+
+
+class TestReadExamplesQuarantine:
+    def test_split_reasons_and_contiguous_ids(self, tmp_path):
+        import json as _json
+
+        from kgflow.sources.jsonl import read_examples_quarantine
+
+        f1 = tmp_path / "a.jsonl"
+        f1.write_text(
+            "\n".join(
+                [
+                    _json.dumps({"text": "good one", "spo_list": []}),
+                    "{not json",
+                    _json.dumps({"notext": 1}),
+                    _json.dumps({"text": 42}),
+                    _json.dumps(
+                        {
+                            "text": "good two",
+                            "spo_list": [
+                                {"subject": "a", "predicate": "p",
+                                 "object": "b"}
+                            ],
+                        }
+                    ),
+                    "",
+                ]
+            )
+        )
+        f2 = tmp_path / "b.jsonl"
+        f2.write_text(
+            _json.dumps({"text": "good three", "spo_list": []}) + "\n"
+        )
+        good, bad = read_examples_quarantine(str(tmp_path))
+        g = good.to_pandas().sort_values("text_id").reset_index(drop=True)
+        b = bad.to_pandas().sort_values(["path", "line_no"]).reset_index(
+            drop=True
+        )
+        assert g["text_id"].tolist() == [0, 1, 2]
+        assert g["text"].tolist() == ["good one", "good two", "good three"]
+        assert g["spo"][1][0]["predicate"] == "p"
+        assert b["reason"].tolist() == [
+            "invalid_json",
+            "bad_schema",
+            "bad_schema",
+        ]
+        assert b["line_no"].tolist() == [2, 3, 4]
+        assert b["snippet"].iloc[0] == "{not json"
+
+    def test_matches_silent_reader_on_good_rows(self, tmp_path):
+        import json as _json
+
+        from kgflow.sources.jsonl import (
+            read_examples,
+            read_examples_quarantine,
+        )
+
+        f = tmp_path / "c.jsonl"
+        f.write_text(
+            "\n".join(
+                [
+                    _json.dumps({"text": f"t{i}", "spo_list": []})
+                    if i % 3
+                    else "broken"
+                    for i in range(10)
+                ]
+            )
+        )
+        good, _ = read_examples_quarantine(str(f))
+        silent = read_examples(str(f))
+        a = good.to_pandas().sort_values("text_id").reset_index(drop=True)
+        c = silent.to_pandas().sort_values("text_id").reset_index(drop=True)
+        assert a["text"].tolist() == c["text"].tolist()
+        assert a["text_id"].tolist() == c["text_id"].tolist()

@@ -425,3 +425,60 @@ class TestReadExamplesQuarantine:
         c = silent.to_pandas().sort_values("text_id").reset_index(drop=True)
         assert a["text"].tolist() == c["text"].tolist()
         assert a["text_id"].tolist() == c["text_id"].tolist()
+
+
+class TestReadParquetEvolved:
+    def _shards(self, tmp_path):
+        import pyarrow as pa
+
+        d = str(tmp_path / "corpus")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([1, 2], pa.int32()),
+                    "a": pa.array([1.0, 2.0], pa.float32()),
+                }
+            ),
+            os.path.join(d, "s1.parquet"),
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([3], pa.int64()),
+                    "b": pa.array(["x"], pa.string()),
+                }
+            ),
+            os.path.join(d, "s2.parquet"),
+        )
+        return d
+
+    def test_union_widen_and_nulls(self, tmp_path):
+        from kgflow.sources.parquet import read_parquet_evolved
+
+        d = self._shards(tmp_path)
+        df = (
+            read_parquet_evolved(d)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert df["id"].tolist() == [1, 2, 3]
+        assert df["b"].tolist()[:2] == [None, None] and df["b"][2] == "x"
+        assert pd.isna(df["a"][2]) and df["a"][0] == 1.0
+
+    def test_projection_and_loud_failures(self, tmp_path):
+        import pyarrow as pa
+
+        from kgflow.sources.parquet import read_parquet_evolved
+
+        d = self._shards(tmp_path)
+        assert len(read_parquet_evolved(d, columns=["id"]).to_pandas()) == 3
+        with pytest.raises(KeyError, match="in no shard"):
+            read_parquet_evolved(d, columns=["zzz"])
+        pq.write_table(
+            pa.table({"id": pa.array(["oops"], pa.string())}),
+            os.path.join(d, "s3.parquet"),
+        )
+        with pytest.raises(TypeError, match="column 'id'"):
+            read_parquet_evolved(d)

@@ -5650,6 +5650,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return holt_smooth(ev)
 
+    def lineitem_seq_audit(sf_dir: str):
+        """Oracle-checked: intra-order line-number density audit —
+        per order (n_lines, n_distinct, min_ln, max_ln, dense) where
+        dense requires n == n_distinct AND min == 1 AND max == n
+        (count == max alone is fooled by a duplicate masking a gap);
+        per-block (order, line, cnt) partials then ONE keyed reduce
+        (`kgflow.ops.relational.lineitem_seq_audit`)."""
+        from kgflow.ops.relational import lineitem_seq_audit as _f
+
+        return _f(sf_dir)
+
     def events_heatmap(sf_dir: str):
         """Oracle-checked: hour-of-day × day-of-week activity heatmap
         per type — ONE count exchange over pre-aggregated partials;
@@ -6045,6 +6056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt": events_holt,
         "events_trend_ols": events_trend_ols,
         "events_heatmap": events_heatmap,
+        "lineitem_seq_audit": lineitem_seq_audit,
         "events_markov_acc": events_markov_acc,
         "events_late": events_late,
         "orders_expectations": orders_expectations,
@@ -7671,6 +7683,16 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        "lineitem_seq_audit": """
+            SELECT l_orderkey, count(*)::BIGINT AS n_lines,
+                   count(DISTINCT l_linenumber)::BIGINT AS n_distinct,
+                   min(l_linenumber)::BIGINT AS min_ln,
+                   max(l_linenumber)::BIGINT AS max_ln,
+                   (count(*) = count(DISTINCT l_linenumber)
+                    AND min(l_linenumber) = 1
+                    AND max(l_linenumber) = count(*)) AS dense
+            FROM lineitem GROUP BY 1
         """,
         # integer epoch_us (never DOUBLE epoch(): CAST rounds and can
         # push a .6-second event into the next hour)

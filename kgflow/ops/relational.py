@@ -3627,3 +3627,55 @@ def events_heatmap(sf_dir: str) -> "rd.Dataset":
         key_cols=["event_type", "dow", "hour"],
         reduce_fn=final,
     )
+
+
+def lineitem_seq_audit(sf_dir: str) -> "rd.Dataset":
+    """Intra-order line-number density audit — the referential-
+    integrity check "is l_linenumber a gap-free 1..k sequence with no
+    duplicates per order?" as per-order facts:
+    (l_orderkey, n_lines, n_distinct, min_ln, max_ln, dense). Density
+    requires ALL of n == n_distinct, min == 1, max == n (count == max
+    alone is fooled by a duplicate masking a gap).
+
+    Scale shape: per-block partials pre-aggregate to
+    (order, line_no, cnt) — lines-per-order-bounded — then ONE
+    order-keyed reduce folds duplicates across blocks and derives the
+    four aggregates vectorized."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    li = read_parquet_clean(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_orderkey", "l_linenumber"], as_index=False, sort=False
+        ).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.groupby(
+            ["l_orderkey", "l_linenumber"], as_index=False, sort=False
+        )["cnt"].sum()
+        out = pairs.groupby("l_orderkey", as_index=False).agg(
+            n_lines=("cnt", "sum"),
+            n_distinct=("l_linenumber", "size"),
+            min_ln=("l_linenumber", "min"),
+            max_ln=("l_linenumber", "max"),
+        )
+        for c in ["n_lines", "n_distinct", "min_ln", "max_ln"]:
+            out[c] = out[c].astype("int64")
+        out["dense"] = (
+            (out["n_lines"] == out["n_distinct"])
+            & (out["min_ln"] == 1)
+            & (out["max_ln"] == out["n_lines"])
+        )
+        return out
+
+    return bucketed_group_reduce(
+        li.map_batches(partial, batch_format="pandas"),
+        key_cols=["l_orderkey"],
+        reduce_fn=final,
+    )

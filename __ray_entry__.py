@@ -5650,6 +5650,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return holt_smooth(ev)
 
+    def customer_kanon(sf_dir: str):
+        """Oracle-checked: k-anonymity / l-diversity audit — per
+        quasi-identifier group (c_mktsegment, c_nationkey) the size n,
+        l-diversity of the fixed acctbal band floor(bal/1000), and
+        k_ok = n ≥ 5; bands-bounded partials, ONE keyed reduce
+        (`kgflow.ops.relational.customer_kanon`)."""
+        from kgflow.ops.relational import customer_kanon as _f
+
+        return _f(sf_dir)
+
     def lineitem_seq_audit(sf_dir: str):
         """Oracle-checked: intra-order line-number density audit —
         per order (n_lines, n_distinct, min_ln, max_ln, dense) where
@@ -6057,6 +6067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_ols": events_trend_ols,
         "events_heatmap": events_heatmap,
         "lineitem_seq_audit": lineitem_seq_audit,
+        "customer_kanon": customer_kanon,
         "events_markov_acc": events_markov_acc,
         "events_late": events_late,
         "orders_expectations": orders_expectations,
@@ -7683,6 +7694,13 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        "customer_kanon": """
+            SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS n,
+                   count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                     ::BIGINT AS l_div,
+                   count(*) >= 5 AS k_ok
+            FROM customer GROUP BY 1, 2
         """,
         "lineitem_seq_audit": """
             SELECT l_orderkey, count(*)::BIGINT AS n_lines,

@@ -3679,3 +3679,61 @@ def lineitem_seq_audit(sf_dir: str) -> "rd.Dataset":
         key_cols=["l_orderkey"],
         reduce_fn=final,
     )
+
+
+def customer_kanon(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """k-anonymity / l-diversity audit over the customer table — the
+    data-governance gate before sharing: per quasi-identifier group
+    (c_mktsegment, c_nationkey) the group size n, the l-diversity of a
+    coarse sensitive attribute (account-balance band,
+    floor(c_acctbal/1000) — fixed bands, no global quantile pass), and
+    k_ok = n ≥ k. Groups with k_ok = false are the suppression
+    candidates; low l_div flags homogeneity attacks k alone misses.
+
+    Scale shape: per-block (segment, nation, band, cnt) partials —
+    bands-bounded — then ONE group-keyed reduce; never a row-level
+    shuffle."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    cust = read_parquet_clean(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_mktsegment", "c_nationkey", "c_acctbal"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "c_nationkey": df["c_nationkey"].astype("int64"),
+                "band": np.floor(
+                    df["c_acctbal"].to_numpy(np.float64) / 1000.0
+                ).astype(np.int64),
+            }
+        )
+        g = t.groupby(
+            ["c_mktsegment", "c_nationkey", "band"],
+            as_index=False,
+            sort=False,
+        ).size()
+        return g.rename(columns={"size": "cnt"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        bands = g.groupby(
+            ["c_mktsegment", "c_nationkey", "band"],
+            as_index=False,
+            sort=False,
+        )["cnt"].sum()
+        out = bands.groupby(
+            ["c_mktsegment", "c_nationkey"], as_index=False
+        ).agg(n=("cnt", "sum"), l_div=("band", "size"))
+        out["n"] = out["n"].astype("int64")
+        out["l_div"] = out["l_div"].astype("int64")
+        out["k_ok"] = out["n"] >= k
+        return out
+
+    return bucketed_group_reduce(
+        cust.map_batches(partial, batch_format="pandas"),
+        key_cols=["c_mktsegment", "c_nationkey"],
+        reduce_fn=final,
+    )

@@ -482,3 +482,64 @@ class TestReadParquetEvolved:
         )
         with pytest.raises(TypeError, match="column 'id'"):
             read_parquet_evolved(d)
+
+
+class TestIncrementalCounts:
+    def _shards(self, tmp_path, spec):
+        import pyarrow as pa
+
+        paths = []
+        for name, langs in spec.items():
+            p = str(tmp_path / f"{name}.parquet")
+            pq.write_table(pa.table({"lang": pa.array(langs)}), p)
+            paths.append(p)
+        return paths
+
+    def test_two_steps_equal_one_and_idempotent(self, tmp_path):
+        from kgflow.materialize.incremental import incremental_counts
+
+        a, b = self._shards(
+            tmp_path,
+            {"a": ["en", "en", "de"], "b": ["en", "fr", "fr"]},
+        )
+        s1 = str(tmp_path / "state1")
+        # step-wise: a then a+b (a skipped the second time)
+        incremental_counts(s1, [a], ["lang"])
+        two = (
+            incremental_counts(s1, [a, b], ["lang"])
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        # one shot over both
+        s2 = str(tmp_path / "state2")
+        one = (
+            incremental_counts(s2, [a, b], ["lang"])
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(two, one)
+        assert two.set_index("lang")["n"].to_dict() == {
+            "de": 1,
+            "en": 3,
+            "fr": 2,
+        }
+        # re-offering everything is a no-op returning the same state
+        again = (
+            incremental_counts(s1, [a, b], ["lang"])
+            .to_pandas()
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(again, two)
+        import json as _json
+
+        cur = _json.load(open(os.path.join(s1, "CURRENT")))
+        assert cur["version"] == 2 and len(cur["processed"]) == 2
+
+    def test_empty_state_no_shards_is_loud(self, tmp_path):
+        from kgflow.materialize.incremental import incremental_counts
+
+        with pytest.raises(ValueError, match="no new shards"):
+            incremental_counts(str(tmp_path / "s"), [], ["lang"])

@@ -543,3 +543,26 @@ class TestIncrementalCounts:
 
         with pytest.raises(ValueError, match="no new shards"):
             incremental_counts(str(tmp_path / "s"), [], ["lang"])
+
+
+class TestStageTimes:
+    def test_parses_real_stats(self):
+        import ray.data as rd
+
+        from kgflow.ops.diagnose import stage_times
+
+        ds = rd.range(50000).map_batches(
+            lambda df: df, batch_format="pandas"
+        ).materialize()
+        t = stage_times(ds.stats())
+        assert len(t) >= 1
+        r = t.iloc[0]
+        assert r["n_tasks"] >= 1 and r["rows_out"] == 50000
+        assert r["remote_wall_s"] > 0 and r["udf_s"] > 0
+        # summed remote seconds use real units (not raw ms numbers)
+        assert r["remote_wall_s"] < 60
+
+    def test_tolerates_garbage(self):
+        from kgflow.ops.diagnose import stage_times
+
+        assert len(stage_times("no operators here")) == 0

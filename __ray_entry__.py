@@ -5650,6 +5650,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return holt_smooth(ev)
 
+    def kg_type_violations(sf_dir: str):
+        """Rows-only (exactness pinned in tests/test_wave19.py): KG
+        type-constraint audit — per relation, counts of extracted
+        triples by (resolved subject type, resolved object type,
+        matches-signature), against the closed-world relation
+        signatures (born_in: PER→LOC, …). Entity types resolve through
+        the SAME mention normalization the linker uses, over the
+        pool-bounded gold alias→etype table broadcast via ray.put;
+        unresolvable mentions type as '?'. ONE (rel, st, ot)-keyed
+        reduce over per-batch count partials — the precision-review
+        queue for a production extractor (type clashes are the
+        cheapest high-yield error signal a KG build has;
+        `kgflow.ops.web.type_violation_counts`)."""
+        import pyarrow.parquet as _pq
+
+        from kgflow.fixtures.corpus import RELATIONS
+        from kgflow.linking.link import normalize_mention
+        from kgflow.ops.web import type_violation_counts
+
+        gold = _pq.read_table(
+            os.path.join(_pages_dir(sf_dir), "gold_clusters.parquet")
+        ).to_pandas()
+        et = {
+            normalize_mention(m): t
+            for m, t in zip(gold["mention"], gold["etype"])
+        }
+        sig = {name: (st, ot) for name, st, ot, _, _ in RELATIONS}
+        tri = _triples_mat(sf_dir).select_columns(["rel", "subj", "obj"])
+        return type_violation_counts(tri, et, sig)
+
     def customer_kanon(sf_dir: str):
         """Oracle-checked: k-anonymity / l-diversity audit — per
         quasi-identifier group (c_mktsegment, c_nationkey) the size n,
@@ -6068,6 +6098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heatmap": events_heatmap,
         "lineitem_seq_audit": lineitem_seq_audit,
         "customer_kanon": customer_kanon,
+        "kg_type_violations": kg_type_violations,
         "events_markov_acc": events_markov_acc,
         "events_late": events_late,
         "orders_expectations": orders_expectations,

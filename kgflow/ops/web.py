@@ -1062,3 +1062,82 @@ def entity_cards(
         tagged, key_cols=["canonical"], reduce_fn=fold,
         num_buckets=num_buckets,
     )
+
+
+def type_violation_counts(
+    triples: "rd.Dataset",
+    etype_map: dict[str, str],
+    signatures: dict[str, tuple[str, str]],
+) -> "rd.Dataset":
+    """KG type-constraint audit: per relation, counts by (resolved
+    subject type, resolved object type, matches-signature) — the
+    cheapest high-yield error signal a KG build has (a born_in edge
+    whose object resolves to a PER is wrong before any human look).
+
+    ``etype_map`` is normalized-mention → type (pool-bounded — the
+    alias dictionary side), broadcast once via ray.put; mentions that
+    resolve to no known entity type as '?' and always fail the
+    signature. ONE (rel, st, ot)-keyed reduce over per-batch count
+    partials; the corpus never shuffles row-level."""
+    import ray as _ray
+
+    from kgflow.linking.link import normalize_mention
+    from kgflow.ops.shuffle import bucketed_group_reduce
+
+    ref = _ray.put((dict(etype_map), dict(signatures)))
+
+    class Partial:
+        def __init__(self):
+            self.et, self.sig = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df) or "rel" not in df.columns:
+                return pd.DataFrame(
+                    {
+                        "rel": pd.Series([], dtype=object),
+                        "subj_type": pd.Series([], dtype=object),
+                        "obj_type": pd.Series([], dtype=object),
+                        "sig_ok": pd.Series([], dtype=bool),
+                        "n": pd.Series([], dtype="int64"),
+                    }
+                )
+            st = df["subj"].map(normalize_mention).map(self.et).fillna("?")
+            ot = df["obj"].map(normalize_mention).map(self.et).fillna("?")
+            # .get, not Series.map: map yields float NaN for missing
+            # relations, and an unknown relation must fail, not crash
+            want = [self.sig.get(r) for r in df["rel"]]
+            ok = [
+                w is not None and (a, b) == tuple(w)
+                for w, a, b in zip(want, st, ot)
+            ]
+            t = pd.DataFrame(
+                {
+                    "rel": df["rel"],
+                    "subj_type": st,
+                    "obj_type": ot,
+                    "sig_ok": ok,
+                }
+            )
+            g = t.groupby(
+                ["rel", "subj_type", "obj_type", "sig_ok"],
+                as_index=False,
+                sort=False,
+            ).size()
+            return g.rename(columns={"size": "n"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["rel", "subj_type", "obj_type", "sig_ok"],
+            as_index=False,
+            sort=False,
+        )["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return bucketed_group_reduce(
+        triples.map_batches(
+            Partial, batch_format="pandas", concurrency=(1, 2)
+        ),
+        key_cols=["rel", "subj_type", "obj_type"],
+        reduce_fn=final,
+    )

@@ -566,3 +566,66 @@ class TestStageTimes:
         from kgflow.ops.diagnose import stage_times
 
         assert len(stage_times("no operators here")) == 0
+
+
+class TestTypeViolationCounts:
+    def test_planted_violations_and_unknowns(self):
+        import ray.data as rd
+
+        from kgflow.ops.web import type_violation_counts
+
+        tri = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "rel": [
+                        "born_in", "born_in", "born_in",
+                        "works_for", "mystery_rel",
+                    ],
+                    "subj": [
+                        "Alice Fox",      # PER -> ok
+                        "helix labs",     # ORG subject -> violation
+                        "alice-fox",      # alias normalizes -> PER ok
+                        "alice fox",
+                        "alice fox",
+                    ],
+                    "obj": [
+                        "osaka",          # LOC -> ok
+                        "osaka",
+                        "gondor",         # unknown -> '?'
+                        "helix labs",     # ORG -> ok
+                        "osaka",
+                    ],
+                }
+            )
+        )
+        et = {
+            "alice fox": "PER",
+            "helix labs": "ORG",
+            "osaka": "LOC",
+        }
+        sig = {"born_in": ("PER", "LOC"), "works_for": ("PER", "ORG")}
+        got = (
+            type_violation_counts(tri, et, sig)
+            .to_pandas()
+            .sort_values(["rel", "subj_type", "obj_type"])
+            .reset_index(drop=True)
+        )
+        rows = {
+            (r.rel, r.subj_type, r.obj_type): (r.sig_ok, r.n)
+            for r in got.itertuples()
+        }
+        assert rows[("born_in", "PER", "LOC")] == (True, 1)
+        assert rows[("born_in", "ORG", "LOC")] == (False, 1)
+        assert rows[("born_in", "PER", "?")] == (False, 1)
+        assert rows[("works_for", "PER", "ORG")] == (True, 1)
+        # a relation with no signature never passes
+        assert rows[("mystery_rel", "PER", "LOC")] == (False, 1)
+        assert got["n"].sum() == 5
+
+    def test_query_all_green_on_stub_extractor(self):
+        import __ray_entry__ as entry
+
+        df = entry.queries()["kg_type_violations"](SF).to_pandas()
+        assert df["n"].sum() > 0
+        # the closed-world stub extractor emits only well-typed triples
+        assert df.loc[~df["sig_ok"], "n"].sum() == 0

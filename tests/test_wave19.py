@@ -629,3 +629,41 @@ class TestTypeViolationCounts:
         assert df["n"].sum() > 0
         # the closed-world stub extractor emits only well-typed triples
         assert df.loc[~df["sig_ok"], "n"].sum() == 0
+
+
+class TestSkylineRandomized:
+    def test_matches_bruteforce_on_random_inputs(self):
+        import ray.data as rd
+
+        from kgflow.ops.relational import skyline
+
+        rng = np.random.RandomState(3)
+        for trial in range(5):
+            n = 400
+            df = pd.DataFrame(
+                {
+                    "id": np.arange(n, dtype=np.int64),
+                    # small value ranges force heavy ties on both axes
+                    "price": rng.randint(0, 12, n).astype(np.float64),
+                    "size": rng.randint(0, 12, n).astype(np.int64),
+                }
+            )
+            got = sorted(
+                skyline(
+                    rd.from_pandas(df).repartition(4), "price", "size"
+                )
+                .to_pandas()["id"]
+                .tolist()
+            )
+            p = df["price"].to_numpy()
+            s = df["size"].to_numpy()
+            keep = []
+            for i in range(n):
+                dominated = (
+                    (p <= p[i])
+                    & (s >= s[i])
+                    & ((p < p[i]) | (s > s[i]))
+                ).any()
+                if not dominated:
+                    keep.append(i)
+            assert got == keep, f"trial {trial}"

@@ -2663,6 +2663,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return video_frame_features(_media())
 
+    def media_thumbs(sf_dir: str):
+        """Rows-only (exact NN-resize roundtrip pinned in
+        tests/test_wave19.py): standardized 8x8 BMP thumbnails for
+        every image row via the actor-pool decode -> integer-index
+        nearest-neighbor resample -> re-encode stage (completes the
+        brief's decode/feature/resize/frame-sample multimodal set;
+        `kgflow.ops.multimodal.image_thumbs`)."""
+        from kgflow.ops.multimodal import image_thumbs
+
+        return image_thumbs(_media())
+
     def media_phash_pairs(sf_dir: str):
         """Rows-only (semantics pinned in tests/test_wave17.py):
         near-duplicate IMAGE pairs — per-image 63-bit average hash
@@ -5966,6 +5977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_rollup": supplier_rollup,
         "supplier_rollup_levels": supplier_rollup_levels,
         "media_image_features": media_image_features,
+        "media_thumbs": media_thumbs,
         "media_audio_features": media_audio_features,
         "media_video_features": media_video_features,
         "media_phash_pairs": media_phash_pairs,

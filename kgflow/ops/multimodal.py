@@ -598,3 +598,74 @@ def video_hash_pairs(
     batch_size — frame payloads are the largest rows), then the shared
     banded hamming exchange."""
     return _hash_pairs(media, VideoHashStage, max_hamming, bands, batch_size)
+
+
+class ResizeImageStage:
+    """Actor-pool nearest-neighbor thumbnailer: decode (BMP real codec
+    or the fake raw-byte codec) → exact integer-index NN resample to
+    ``target_h × target_w`` → re-encode as BMP, the standardized
+    thumbnail container. NN resampling is pure integer indexing
+    (src_row = (dst_row · h) // target_h), so outputs are bit-exact
+    reproducible across runs and engines — pinned by a roundtrip test,
+    no interpolation-library drift. Compressed real-world codecs raise
+    NotImplementedError exactly like the feature stages."""
+
+    def __init__(self, target_h: int = 8, target_w: int = 8):
+        self.th, self.tw = target_h, target_w
+
+    def _decode(self, payload: bytes, codec: str, w: int, h: int) -> np.ndarray:
+        if codec == "bmp":
+            return decode_bmp(payload)
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: compressed image decoding needs "
+                "PIL/libjpeg, not available in this environment"
+            )
+        arr = np.frombuffer(payload, dtype=np.uint8)[: w * h * 3]
+        return arr.reshape(h, w, 3).copy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        ri = np.arange(self.th, dtype=np.int64)
+        ci = np.arange(self.tw, dtype=np.int64)
+        for mid, kind, codec, payload, w, h in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("codec").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            img = self._decode(payload, codec, w, h)
+            hh, ww = img.shape[0], img.shape[1]
+            thumb = img[(ri * hh) // self.th][:, (ci * ww) // self.tw]
+            ids.append(mid)
+            payloads.append(encode_bmp(np.ascontiguousarray(thumb)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "codec": pa.array(["bmp"] * len(ids), pa.string()),
+                "width": pa.array([self.tw] * len(ids), pa.int64()),
+                "height": pa.array([self.th] * len(ids), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def image_thumbs(
+    media: "rd.Dataset",
+    target_h: int = 8,
+    target_w: int = 8,
+    batch_size: int = 64,
+) -> "rd.Dataset":
+    """Thumbnail every image row; small batch_size bounds heap (payload
+    bytes × batch × concurrency)."""
+    return media.map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={"target_h": target_h, "target_w": target_w},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )

@@ -667,3 +667,38 @@ class TestSkylineRandomized:
                 if not dominated:
                     keep.append(i)
             assert got == keep, f"trial {trial}"
+
+
+class TestImageThumbs:
+    def test_nn_resize_exact_roundtrip(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from kgflow.ops.multimodal import (
+            MEDIA_SCHEMA,
+            decode_bmp,
+            encode_bmp,
+            image_thumbs,
+        )
+
+        rng = np.random.RandomState(5)
+        img = rng.randint(0, 256, (20, 14, 3)).astype(np.uint8)
+        rows = {
+            "media_id": [1, 2],
+            "kind": ["image", "audio"],
+            "codec": ["bmp", "wav"],
+            "payload": [encode_bmp(img), b"RIFFxxxx"],
+            "width": [14, 0],
+            "height": [20, 0],
+            "sample_rate": [0, 16000],
+            "n_frames": [0, 0],
+        }
+        media = rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+        out = image_thumbs(media, target_h=8, target_w=8).to_pandas()
+        # audio rows pass through nothing; one thumbnail out
+        assert len(out) == 1 and out["codec"][0] == "bmp"
+        got = decode_bmp(out["payload"][0])
+        ri = (np.arange(8) * 20) // 8
+        ci = (np.arange(8) * 14) // 8
+        want = img[ri][:, ci]
+        assert got.shape == (8, 8, 3) and (got == want).all()

@@ -3437,7 +3437,12 @@ def skyline(
             drop=True
         )
 
-    cand = ds.map_batches(local_skyline, batch_format="pandas")
+    # materialize: the candidate set is consumed twice (guard count +
+    # merge) and is frontier-sized, not data-sized; without this the
+    # full local-skyline pass re-executes for the merge
+    cand = ds.map_batches(
+        local_skyline, batch_format="pandas"
+    ).materialize()
     n = cand.count()
     if n > max_candidates:
         raise ValueError(

@@ -1934,6 +1934,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = lsh_topk_hashed(emb, qids, qm, k=5)
         return out.select_columns(["query_id", "neighbor_id"])
 
+    def ann_int8_exact(sf_dir: str):
+        """Oracle-checked: int8-quantized maximum-inner-product top-k
+        — embeddings and queries quantize to floor(x*100) (int8-range)
+        and the score is the EXACT integer dot product, so ranking,
+        ties AND the score column are bit-reproducible and the oracle
+        checks scores verbatim (none of the last-ulp float-cosine risk
+        of the cosine oracles; `kgflow.ops.ann.int8_topk`)."""
+        from kgflow.ops.ann import int8_topk
+        from kgflow.sources.parquet import read_parquet_clean
+
+        qids, qm = _queries_for(sf_dir)
+        emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
+        return int8_topk(emb, qids, qm, k=5)
+
     def embed_power_iter(sf_dir: str):
         """Oracle-checked: dominant eigenvector of the quantized
         uncentered scatter matrix XᵀX by exact-integer power iteration
@@ -5929,12 +5943,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_exact": ann_lsh_exact,
+        "ann_int8_exact": ann_int8_exact,
         "embed_gram": embed_gram,
         "embed_centroids": embed_centroids,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_stored": ann_ivf_stored,
         "ann_ivf_exact": ann_ivf_exact,
         "ann_lsh_exact": ann_lsh_exact,
+        "ann_int8_exact": ann_int8_exact,
         "embed_pca": embed_pca,
         "embed_power_iter": embed_power_iter,
         "embed_neardup": embed_neardup,
@@ -7899,6 +7915,36 @@ def oracle_sql() -> dict[str, str]:
               WHERE e2.vec_id <> q.query_id
             )
             SELECT query_id, neighbor_id FROM r WHERE rn <= 5
+        """,
+        # integer dot products end to end: score checked verbatim
+        "ann_int8_exact": """
+            WITH q AS (
+              SELECT vec_id AS query_id FROM embeddings
+              ORDER BY vec_id LIMIT 10
+            ), e AS MATERIALIZED (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100)
+                          AS BIGINT) AS xq
+              FROM embeddings
+            ), qe AS (
+              SELECT q.query_id, e.i, e.xq AS qq
+              FROM q JOIN e ON e.vec_id = q.query_id
+            ), s AS (
+              SELECT qe.query_id, e.vec_id AS neighbor_id,
+                     CAST(sum(e.xq * qe.qq) AS BIGINT) AS score
+              FROM e JOIN qe USING (i)
+              WHERE e.vec_id <> qe.query_id
+              GROUP BY 1, 2
+            ), r AS (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id DESC
+                     ) AS rn
+              FROM s
+            )
+            SELECT query_id, neighbor_id, score FROM r WHERE rn <= 5
         """,
         # exact-integer power iteration on the quantized scatter matrix,
         # replayed by a recursive CTE: floor(x·100) int64, v0 = ones,

@@ -1948,6 +1948,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
         return int8_topk(emb, qids, qm, k=5)
 
+    def ann_int8_recall(sf_dir: str):
+        """Oracle-checked: quantization recall audit — per query, the
+        overlap |int8-MIPS top-5 ∩ float-cosine top-5| (the deployment
+        question "what does int8 quantization cost in recall",
+        answered with two deterministic shipped rankers, so even this
+        EVALUATION is hash-exact). Both sides run their standard
+        pipelines; the overlap is a tiny (Q x k)-sized driver-side
+        set intersection over the two 50-row results."""
+        import pandas as _pd
+
+        qids, _ = _queries_for(sf_dir)
+        a = ann_int8_exact(sf_dir).to_pandas()
+        b = ann_topk(sf_dir).to_pandas()
+        sa = set(map(tuple, a[["query_id", "neighbor_id"]].to_numpy()))
+        sb = set(map(tuple, b[["query_id", "neighbor_id"]].to_numpy()))
+        both = sa & sb
+        n = {q: 0 for q in qids}
+        for q, _nid in both:
+            n[int(q)] += 1
+        return _pd.DataFrame(
+            {
+                "query_id": _pd.Series(sorted(n), dtype="int64"),
+                "n_overlap": _pd.Series(
+                    [n[q] for q in sorted(n)], dtype="int64"
+                ),
+            }
+        )
+
     def embed_power_iter(sf_dir: str):
         """Oracle-checked: dominant eigenvector of the quantized
         uncentered scatter matrix XᵀX by exact-integer power iteration
@@ -5944,6 +5972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_lsh_exact": ann_lsh_exact,
         "ann_int8_exact": ann_int8_exact,
+        "ann_int8_recall": ann_int8_recall,
         "embed_gram": embed_gram,
         "embed_centroids": embed_centroids,
         "ann_ivf_topk": ann_ivf_topk,
@@ -5951,6 +5980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_exact": ann_ivf_exact,
         "ann_lsh_exact": ann_lsh_exact,
         "ann_int8_exact": ann_int8_exact,
+        "ann_int8_recall": ann_int8_recall,
         "embed_pca": embed_pca,
         "embed_power_iter": embed_power_iter,
         "embed_neardup": embed_neardup,
@@ -7945,6 +7975,52 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, neighbor_id, score FROM r WHERE rn <= 5
+        """,
+        # both deterministic rankers replayed, overlap counted per query
+        "ann_int8_recall": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ), e AS MATERIALIZED (
+              SELECT vec_id,
+                     CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                     CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100)
+                          AS BIGINT) AS xq
+              FROM embeddings
+            ), qe AS (
+              SELECT q.query_id, e.i, e.xq AS qq
+              FROM q JOIN e ON e.vec_id = q.query_id
+            ), si AS (
+              SELECT qe.query_id, e.vec_id AS neighbor_id,
+                     CAST(sum(e.xq * qe.qq) AS BIGINT) AS score
+              FROM e JOIN qe USING (i)
+              WHERE e.vec_id <> qe.query_id
+              GROUP BY 1, 2
+            ), ri AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id DESC) AS rn
+              FROM si
+            ), i8 AS (SELECT query_id, neighbor_id FROM ri WHERE rn <= 5),
+            sc AS (
+              SELECT q.query_id, e2.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qe, e2.embedding) AS sim
+              FROM q CROSS JOIN embeddings e2
+              WHERE e2.vec_id <> q.query_id
+            ), rc AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id DESC) AS rn
+              FROM sc
+            ), cosk AS (SELECT query_id, neighbor_id FROM rc WHERE rn <= 5)
+            SELECT q.query_id,
+                   CAST(count(i8.neighbor_id) AS BIGINT) AS n_overlap
+            FROM q
+            LEFT JOIN (
+              SELECT i8.query_id, i8.neighbor_id
+              FROM i8 JOIN cosk USING (query_id, neighbor_id)
+            ) i8 ON i8.query_id = q.query_id
+            GROUP BY 1
         """,
         # exact-integer power iteration on the quantized scatter matrix,
         # replayed by a recursive CTE: floor(x·100) int64, v0 = ones,

@@ -2766,6 +2766,7 @@ def gazetteer_spot(
     phrases: "rd.Dataset",
     phrase_col: str = "phrase",
     max_words: int = 8,
+    fingerprint: bool = False,
 ) -> "rd.Dataset":
     """Gazetteer entity spotting: find every token-aligned occurrence
     of a dictionary phrase in every document — the KG mention-candidate
@@ -2779,9 +2780,14 @@ def gazetteer_spot(
     Aho-Corasick. Docs emit (doc_id, pos, gram) n-gram rows ONLY for
     the word lengths the lexicon actually contains (distinct lengths
     are pulled to the driver — bounded by ``max_words``, not data) via
-    one vectorized shift pass per length; at very large scale swap the
-    gram string for a 64-bit fingerprint key and verify on the joined
-    rows (the minhash text-attach pattern)."""
+    one vectorized shift pass per length. ``fingerprint=True`` is the
+    very-large-scale mode that promise referred to: both sides join on
+    a 64-bit FNV fingerprint of the gram (8-byte shuffle keys instead
+    of arbitrary-length strings) and verify each joined row against a
+    SECOND independently-salted 64-bit fingerprint — a false match
+    must defeat both (≈2⁻¹²⁸), with the lexicon phrase string attached
+    from the SMALL side only. Output is identical to string mode
+    (parity-tested); shuffle bytes stop scaling with phrase length."""
     from kgflow.ops.joins import hash_join
 
     def prep_phrases(df: pd.DataFrame) -> pd.DataFrame:
@@ -2877,15 +2883,82 @@ def gazetteer_spot(
     cand = docs.select_columns(["doc_id", "text"]).map_batches(
         grams, batch_format="pandas"
     )
-    joined = hash_join(cand, lex.select_columns(["gram"]), on="gram")
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    if not fingerprint:
+        joined = hash_join(cand, lex.select_columns(["gram"]), on="gram")
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype(np.int64),
+                    "pos": df["pos"].astype(np.int64),
+                    "phrase": df["gram"],
+                }
+            )
+
+        return joined.map_batches(finish, batch_format="pandas")
+
+    from kgflow.ops.sketch import _fnv1a_strings
+
+    def fp_pair(vals: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        a = np.asarray(vals, dtype=str)
+        f1 = _fnv1a_strings(a).view(np.int64)
+        f2 = _fnv1a_strings(np.char.add("\x01", a)).view(np.int64)
+        return f1, f2
+
+    def cand_fp(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "fp": pd.Series([], dtype=np.int64),
+                    "fp2": pd.Series([], dtype=np.int64),
+                }
+            )
+        f1, f2 = fp_pair(df["gram"])
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"].astype(np.int64),
                 "pos": df["pos"].astype(np.int64),
-                "phrase": df["gram"],
+                "fp": f1,
+                "fp2": f2,
             }
         )
 
-    return joined.map_batches(finish, batch_format="pandas")
+    def lex_fp(df: pd.DataFrame) -> pd.DataFrame:
+        if "gram" not in df.columns or not len(df):
+            return pd.DataFrame(
+                {
+                    "fp": pd.Series([], dtype=np.int64),
+                    "lex_fp2": pd.Series([], dtype=np.int64),
+                    "phrase": pd.Series([], dtype=object),
+                }
+            )
+        f1, f2 = fp_pair(df["gram"])
+        return pd.DataFrame(
+            {"fp": f1, "lex_fp2": f2, "phrase": df["gram"]}
+        )
+
+    joined = hash_join(
+        cand.map_batches(cand_fp, batch_format="pandas"),
+        lex.select_columns(["gram"]).map_batches(
+            lex_fp, batch_format="pandas"
+        ),
+        on="fp",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["fp2"].to_numpy(np.int64) == df["lex_fp2"].to_numpy(
+            np.int64
+        )
+        df = df[ok]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "pos": df["pos"].astype(np.int64),
+                "phrase": df["phrase"],
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pandas")

@@ -702,3 +702,40 @@ class TestImageThumbs:
         ci = (np.arange(8) * 14) // 8
         want = img[ri][:, ci]
         assert got.shape == (8, 8, 3) and (got == want).all()
+
+
+class TestGazetteerFingerprint:
+    def test_fingerprint_mode_matches_string_mode(self):
+        import ray.data as rd
+
+        from kgflow.ops.text import gazetteer_spot
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+                    "text": [
+                        "the Hash  Join beats a hash join here",
+                        "always use hash",
+                        "nothing to see",
+                    ],
+                }
+            )
+        )
+        lex = rd.from_pandas(
+            pd.DataFrame({"phrase": ["hash join", "hash", "beats a hash"]})
+        )
+        a = (
+            gazetteer_spot(docs, lex)
+            .to_pandas()
+            .sort_values(["doc_id", "pos", "phrase"])
+            .reset_index(drop=True)
+        )
+        b = (
+            gazetteer_spot(docs, lex, fingerprint=True)
+            .to_pandas()
+            .sort_values(["doc_id", "pos", "phrase"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 6

@@ -5765,6 +5765,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _f(sf_dir)
 
+    def events_window_topk(sf_dir: str):
+        """Oracle-checked: trailing-7-day top-3 users per (type, day)
+        — windowed aggregate + per-group top-k via the SHIFT-JOIN
+        identity (each (type,user,day) count re-keys to the 7 target
+        days it feeds; 32-byte partials, never event rows), present-day
+        semi-filter, vectorized in-bucket rank
+        (`kgflow.ops.relational.events_window_topk`)."""
+        from kgflow.ops.relational import events_window_topk as _f
+
+        return _f(sf_dir)
+
     def events_trend_ols(sf_dir: str):
         """Oracle-checked: per-type OLS trend of the dense zero-filled
         daily count series as exact integer moments — slope = num/den
@@ -6154,6 +6165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_holt": events_holt,
         "events_trend_ols": events_trend_ols,
         "events_heatmap": events_heatmap,
+        "events_window_topk": events_window_topk,
         "lineitem_seq_audit": lineitem_seq_audit,
         "customer_kanon": customer_kanon,
         "kg_type_violations": kg_type_violations,
@@ -7809,6 +7821,29 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(ts) // 3600000000) % 24) AS hour,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
+        """,
+        # shift-join trailing window replayed as a BETWEEN range join
+        "events_window_topk": """
+            WITH dc AS (
+              SELECT event_type, user_id,
+                     (epoch_us(ts) // 86400000000) AS day,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2, 3
+            ), present AS (SELECT DISTINCT event_type, day FROM dc),
+            tr AS (
+              SELECT p.event_type, p.day, d.user_id,
+                     CAST(sum(d.c) AS BIGINT) AS n
+              FROM present p JOIN dc d
+                ON d.event_type = p.event_type
+               AND d.day BETWEEN p.day - 6 AND p.day
+              GROUP BY 1, 2, 3
+            ), r AS (
+              SELECT event_type, day, user_id, n,
+                     row_number() OVER (PARTITION BY event_type, day
+                                        ORDER BY n DESC, user_id) AS rn
+              FROM tr
+            )
+            SELECT event_type, day, user_id, n FROM r WHERE rn <= 3
         """,
         # the holt_smooth dense-grid CTE feeding exact OLS moment sums
         "events_trend_ols": """

@@ -3742,3 +3742,99 @@ def customer_kanon(sf_dir: str, k: int = 5) -> "rd.Dataset":
         key_cols=["c_mktsegment", "c_nationkey"],
         reduce_fn=final,
     )
+
+
+def events_window_topk(sf_dir: str, days: int = 7, k: int = 3) -> "rd.Dataset":
+    """Trailing-window top-k: for every (event_type, day) with
+    activity, the ``k`` most active users by TRAILING-``days`` event
+    count (ties: count desc, then user_id asc) — the leaderboard /
+    hot-key-monitor composite (windowed aggregate + per-group top-k).
+
+    Scale shape: the corpus collapses to (type, user, day) counts in
+    ONE exchange; the trailing sum is the SHIFT-JOIN identity — each
+    count row re-keys to the ``days`` target days it contributes to
+    (vectorized replicate, ×days rows of 32-byte partials, never
+    event-level), summed in a second keyed reduce; a semi-filter
+    keeps only the type's present days and a vectorized in-bucket
+    sort+head ranks. Day arithmetic is integer epoch-µs (engine-
+    neutral)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "ts"],
+    )
+
+    def day_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df["ts"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        t = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "user_id": df["user_id"].astype("int64"),
+                "day": d.astype("int64"),
+            }
+        )
+        g = t.groupby(
+            ["event_type", "user_id", "day"], as_index=False, sort=False
+        ).size()
+        return g.rename(columns={"size": "c"})
+
+    def fold_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(
+            ["event_type", "user_id", "day"], as_index=False, sort=False
+        )["c"].sum()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    counts = bucketed_group_reduce(
+        ev.map_batches(day_counts, batch_format="pandas"),
+        key_cols=["event_type", "user_id", "day"],
+        reduce_fn=fold_counts,
+    ).materialize()  # consumed twice: shift-join source + present-day set
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        reps = []
+        for off in range(days):
+            d = df.copy()
+            d["day"] = d["day"] + off
+            reps.append(d)
+        return pd.concat(reps, ignore_index=True)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        # trailing sums per (type, day, user)
+        t = g.groupby(
+            ["event_type", "day", "user_id"], as_index=False, sort=False
+        )["c"].sum()
+        t = t.rename(columns={"c": "n"})
+        t["n"] = t["n"].astype("int64")
+        t = t.sort_values(
+            ["event_type", "day", "n", "user_id"],
+            ascending=[True, True, False, True],
+            kind="mergesort",
+        )
+        out = t.groupby(
+            ["event_type", "day"], as_index=False, sort=False
+        ).head(k)
+        return out.reset_index(drop=True)
+
+    trailing = bucketed_group_reduce(
+        counts.map_batches(shift, batch_format="pandas"),
+        key_cols=["event_type", "day"],
+        reduce_fn=rank,
+    )
+
+    # keep only days where the type actually had events (the shift
+    # fabricates up to days-1 trailing-only days past each active one)
+    present = counts.map_batches(
+        lambda df: df[["event_type", "day"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    from kgflow.ops.joins import semi_join
+
+    return semi_join(trailing, present, on=["event_type", "day"])

@@ -5776,6 +5776,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _f(sf_dir)
 
+    def events_wau(sf_dir: str):
+        """Oracle-checked: trailing-7-day distinct users (WAU) per
+        (type, active day) — the windowed-DISTINCT shape: presence
+        rows (ONE dedup exchange) shift-join to target days, the
+        reduce re-dedups (user, day) before counting so a user active
+        twice in the window counts once
+        (`kgflow.ops.relational.events_wau`)."""
+        from kgflow.ops.relational import events_wau as _f
+
+        return _f(sf_dir)
+
     def events_trend_ols(sf_dir: str):
         """Oracle-checked: per-type OLS trend of the dense zero-filled
         daily count series as exact integer moments — slope = num/den
@@ -6166,6 +6177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_ols": events_trend_ols,
         "events_heatmap": events_heatmap,
         "events_window_topk": events_window_topk,
+        "events_wau": events_wau,
         "lineitem_seq_audit": lineitem_seq_audit,
         "customer_kanon": customer_kanon,
         "kg_type_violations": kg_type_violations,
@@ -7821,6 +7833,20 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(ts) // 3600000000) % 24) AS hour,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
+        """,
+        # windowed DISTINCT via presence rows + BETWEEN range join
+        "events_wau": """
+            WITH pres AS (
+              SELECT DISTINCT event_type, user_id,
+                     (epoch_us(ts) // 86400000000) AS day
+              FROM events
+            ), present AS (SELECT DISTINCT event_type, day FROM pres)
+            SELECT p.event_type, p.day,
+                   count(DISTINCT d.user_id)::BIGINT AS wau
+            FROM present p JOIN pres d
+              ON d.event_type = p.event_type
+             AND d.day BETWEEN p.day - 6 AND p.day
+            GROUP BY 1, 2
         """,
         # shift-join trailing window replayed as a BETWEEN range join
         "events_window_topk": """

@@ -3838,3 +3838,79 @@ def events_window_topk(sf_dir: str, days: int = 7, k: int = 3) -> "rd.Dataset":
     from kgflow.ops.joins import semi_join
 
     return semi_join(trailing, present, on=["event_type", "day"])
+
+
+def events_wau(sf_dir: str, days: int = 7) -> "rd.Dataset":
+    """Weekly-active-users: per (event_type, day-with-activity) the
+    TRAILING-``days`` distinct user count — the engagement metric every
+    dashboard carries, and the windowed-DISTINCT shape (a sum over a
+    window double-counts a user active on two days; distinctness must
+    survive the window).
+
+    Scale shape: ONE exchange collapses events to distinct
+    (type, user, day) presence rows; the shift-join replicates each
+    presence to its ``days`` target days; the reduce de-duplicates
+    (user, target-day) pairs vectorized and counts — presence rows ×
+    days of 24-byte partials, never event rows."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "ts"],
+    )
+
+    def presence(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df["ts"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        t = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "user_id": df["user_id"].astype("int64"),
+                "day": d.astype("int64"),
+            }
+        )
+        return t.drop_duplicates()
+
+    def fold_presence(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates().reset_index(drop=True)
+
+    pres = bucketed_group_reduce(
+        ev.map_batches(presence, batch_format="pandas"),
+        key_cols=["event_type", "user_id", "day"],
+        reduce_fn=fold_presence,
+    ).materialize()  # shift source + present-day set
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        reps = []
+        for off in range(days):
+            d = df.copy()
+            d["day"] = d["day"] + off
+            reps.append(d)
+        return pd.concat(reps, ignore_index=True)
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop_duplicates()
+        out = t.groupby(
+            ["event_type", "day"], as_index=False, sort=False
+        )["user_id"].nunique()
+        out = out.rename(columns={"user_id": "wau"})
+        out["wau"] = out["wau"].astype("int64")
+        return out
+
+    trailing = bucketed_group_reduce(
+        pres.map_batches(shift, batch_format="pandas"),
+        key_cols=["event_type", "day"],
+        reduce_fn=count_distinct,
+    )
+    present = pres.map_batches(
+        lambda df: df[["event_type", "day"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    from kgflow.ops.joins import semi_join
+
+    return semi_join(trailing, present, on=["event_type", "day"])

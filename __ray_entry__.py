@@ -5787,6 +5787,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _f(sf_dir)
 
+    def events_churn(sf_dir: str):
+        """Oracle-checked: churned users per (type, active day) —
+        active in the prior 7-day window, absent from the current one;
+        the windowed ANTI-semi shape via ONE window-tagged shift-join
+        and a vectorized indicator-pivot set difference in the reduce
+        (`kgflow.ops.relational.events_churn`)."""
+        from kgflow.ops.relational import events_churn as _f
+
+        return _f(sf_dir)
+
     def events_trend_ols(sf_dir: str):
         """Oracle-checked: per-type OLS trend of the dense zero-filled
         daily count series as exact integer moments — slope = num/den
@@ -6178,6 +6188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heatmap": events_heatmap,
         "events_window_topk": events_window_topk,
         "events_wau": events_wau,
+        "events_churn": events_churn,
         "lineitem_seq_audit": lineitem_seq_audit,
         "customer_kanon": customer_kanon,
         "kg_type_violations": kg_type_violations,
@@ -7833,6 +7844,36 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(ts) // 3600000000) % 24) AS hour,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
+        """,
+        # windowed anti-semi: prior-window users LEFT JOINed against
+        # current-window membership, absent rows counted
+        "events_churn": """
+            WITH pres AS (
+              SELECT DISTINCT event_type, user_id,
+                     (epoch_us(ts) // 86400000000) AS day
+              FROM events
+            ), present AS (SELECT DISTINCT event_type, day FROM pres),
+            pri AS (
+              SELECT DISTINCT p.event_type, p.day, d.user_id
+              FROM present p JOIN pres d
+                ON d.event_type = p.event_type
+               AND d.day BETWEEN p.day - 13 AND p.day - 7
+            ), cur AS (
+              SELECT DISTINCT p.event_type, p.day, d.user_id
+              FROM present p JOIN pres d
+                ON d.event_type = p.event_type
+               AND d.day BETWEEN p.day - 6 AND p.day
+            )
+            SELECT p.event_type, p.day,
+                   CAST(count(pri.user_id) FILTER (
+                     WHERE cur.user_id IS NULL) AS BIGINT) AS churned
+            FROM present p
+            LEFT JOIN pri ON pri.event_type = p.event_type
+                         AND pri.day = p.day
+            LEFT JOIN cur ON cur.event_type = pri.event_type
+                         AND cur.day = pri.day
+                         AND cur.user_id = pri.user_id
+            GROUP BY 1, 2
         """,
         # windowed DISTINCT via presence rows + BETWEEN range join
         "events_wau": """

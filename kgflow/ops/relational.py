@@ -3914,3 +3914,90 @@ def events_wau(sf_dir: str, days: int = 7) -> "rd.Dataset":
     from kgflow.ops.joins import semi_join
 
     return semi_join(trailing, present, on=["event_type", "day"])
+
+
+def events_churn(sf_dir: str, days: int = 7) -> "rd.Dataset":
+    """Churn: per (event_type, active day d) the count of users active
+    in the PRIOR window [d−2·days+1, d−days] but absent from the
+    current window [d−days+1, d] — the retention complement of
+    `events_wau`, and the windowed ANTI-semi shape (membership in one
+    window minus membership in another).
+
+    Scale shape: the same presence-row collapse as events_wau, ONE
+    shift-join that tags each presence row with which window(s) it
+    feeds (current / prior — ≤ 2·days replicas of 32-byte rows), and a
+    per-(type, day) reduce that takes the set difference vectorized
+    via an indicator pivot (max per user per window, prior & !current)."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "ts"],
+    )
+
+    def presence(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df["ts"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "user_id": df["user_id"].astype("int64"),
+                "day": d.astype("int64"),
+            }
+        ).drop_duplicates()
+
+    pres = bucketed_group_reduce(
+        ev.map_batches(presence, batch_format="pandas"),
+        key_cols=["event_type", "user_id", "day"],
+        reduce_fn=lambda g: g.drop_duplicates().reset_index(drop=True),
+    ).materialize()
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.assign(win=pd.Series([], dtype="int64"))
+        reps = []
+        # current window: offsets 0..days-1 → win 0
+        # prior window: offsets days..2*days-1 → win 1
+        for off in range(2 * days):
+            d = df.copy()
+            d["day"] = d["day"] + off
+            d["win"] = np.int64(0 if off < days else 1)
+            reps.append(d)
+        return pd.concat(reps, ignore_index=True)
+
+    def churn(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop_duplicates(
+            ["event_type", "day", "user_id", "win"]
+        )
+        f = t.assign(one=1).pivot_table(
+            index=["event_type", "day", "user_id"],
+            columns="win",
+            values="one",
+            aggfunc="max",
+            fill_value=0,
+        )
+        cur = f[0] if 0 in f.columns else 0
+        pri = f[1] if 1 in f.columns else 0
+        lost = ((pri == 1) & (cur == 0)).groupby(
+            level=["event_type", "day"]
+        ).sum()
+        out = lost.reset_index()
+        out.columns = ["event_type", "day", "churned"]
+        out["churned"] = out["churned"].astype("int64")
+        return out
+
+    trailing = bucketed_group_reduce(
+        pres.map_batches(shift, batch_format="pandas"),
+        key_cols=["event_type", "day"],
+        reduce_fn=churn,
+    )
+    present = pres.map_batches(
+        lambda df: df[["event_type", "day"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    from kgflow.ops.joins import semi_join
+
+    return semi_join(trailing, present, on=["event_type", "day"])

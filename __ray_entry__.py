@@ -5797,6 +5797,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _f(sf_dir)
 
+    def orders_benford(sf_dir: str):
+        """Oracle-checked: Benford first-significant-digit audit over
+        fixed-point order totals — digits from the INTEGER value's
+        decimal string (float formatting differs across engines;
+        int-to-string does not), expectation floor(N*log10(1+1/d)*1e6)
+        computed over constants; one 9-row exchange
+        (`kgflow.ops.relational.orders_benford`)."""
+        from kgflow.ops.relational import orders_benford as _f
+
+        return _f(sf_dir)
+
     def events_trend_ols(sf_dir: str):
         """Oracle-checked: per-type OLS trend of the dense zero-filled
         daily count series as exact integer moments — slope = num/den
@@ -6189,6 +6200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_topk": events_window_topk,
         "events_wau": events_wau,
         "events_churn": events_churn,
+        "orders_benford": orders_benford,
         "lineitem_seq_audit": lineitem_seq_audit,
         "customer_kanon": customer_kanon,
         "kg_type_violations": kg_type_violations,
@@ -7844,6 +7856,22 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(ts) // 3600000000) % 24) AS hour,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
+        """,
+        # int-string first digits; log10 over constants only
+        "orders_benford": """
+            WITH v AS (
+              SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+              FROM orders WHERE floor(o_totalprice * 100) > 0
+            ), d AS (
+              SELECT CAST(left(CAST(x AS VARCHAR), 1) AS BIGINT) AS digit
+              FROM v
+            ), c AS (
+              SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1
+            ), t AS (SELECT sum(n) AS total FROM c)
+            SELECT c.digit, c.n,
+                   CAST(floor(t.total * log10(1 + 1.0 / c.digit)
+                              * 1000000) AS BIGINT) AS n_expected_fp
+            FROM c, t
         """,
         # windowed anti-semi: prior-window users LEFT JOINed against
         # current-window membership, absent rows counted

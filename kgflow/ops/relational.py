@@ -4001,3 +4001,52 @@ def events_churn(sf_dir: str, days: int = 7) -> "rd.Dataset":
     from kgflow.ops.joins import semi_join
 
     return semi_join(trailing, present, on=["event_type", "day"])
+
+
+def orders_benford(sf_dir: str) -> "rd.Dataset":
+    """Benford first-significant-digit audit over order totals — the
+    fraud / synthetic-data smell test: (digit 1-9, n, n_expected_fp)
+    where n_expected_fp = floor(N·log10(1+1/d)·10⁶) is the Benford
+    expectation in fixed-point (the single float log10 is over
+    CONSTANTS, identical on every engine). First digits come from the
+    INTEGER fixed-point value's decimal string (float-to-string
+    formatting differs across engines; int-to-string does not). ONE
+    9-row count exchange."""
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    orders = read_parquet_clean(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        v = v[v > 0]
+        d = pd.Series(v).astype(str).str[0].astype(np.int64)
+        g = pd.DataFrame({"digit": d}).groupby(
+            "digit", as_index=False, sort=False
+        ).size()
+        return g.rename(columns={"size": "n"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("digit", as_index=False, sort=False)["n"].sum()
+        total = int(out["n"].sum())
+        import math
+
+        out["n"] = out["n"].astype("int64")
+        out["n_expected_fp"] = [
+            int(math.floor(total * math.log10(1 + 1 / int(d)) * 10**6))
+            for d in out["digit"]
+        ]
+        out["n_expected_fp"] = out["n_expected_fp"].astype("int64")
+        return out
+
+    # single tiny key domain (1-9): one bucket is correct and cheapest
+    return bucketed_group_reduce(
+        orders.map_batches(partial, batch_format="pandas"),
+        key_cols=["digit"],
+        reduce_fn=final,
+        num_buckets=1,
+    )

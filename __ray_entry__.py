@@ -5797,14 +5797,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _f(sf_dir)
 
-    def orders_benford(sf_dir: str):
-        """Oracle-checked: Benford first-significant-digit audit over
-        fixed-point order totals — digits from the INTEGER value's
-        decimal string (float formatting differs across engines;
-        int-to-string does not), expectation floor(N*log10(1+1/d)*1e6)
-        computed over constants; one 9-row exchange
-        (`kgflow.ops.relational.orders_benford`)."""
-        from kgflow.ops.relational import orders_benford as _f
+    def orders_benford_gof(sf_dir: str):
+        """Oracle-checked: Benford goodness-of-fit — global first-digit
+        counts of fixed-point order totals WITH the Benford expectation
+        floor(N*log10(1+1/d)*1e6) as a fixed-point column (the log10 is
+        over constants, identical on every engine), so the deviation
+        the audit exists to measure rides in the hash-checked result
+        (the per-priority digit counts live in `orders_benford`;
+        `kgflow.ops.relational.orders_benford_gof`)."""
+        from kgflow.ops.relational import orders_benford_gof as _f
 
         return _f(sf_dir)
 
@@ -6200,7 +6201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_topk": events_window_topk,
         "events_wau": events_wau,
         "events_churn": events_churn,
-        "orders_benford": orders_benford,
+        "orders_benford_gof": orders_benford_gof,
         "lineitem_seq_audit": lineitem_seq_audit,
         "customer_kanon": customer_kanon,
         "kg_type_violations": kg_type_violations,
@@ -7858,7 +7859,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2, 3
         """,
         # int-string first digits; log10 over constants only
-        "orders_benford": """
+        "orders_benford_gof": """
             WITH v AS (
               SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
               FROM orders WHERE floor(o_totalprice * 100) > 0

@@ -4003,7 +4003,7 @@ def events_churn(sf_dir: str, days: int = 7) -> "rd.Dataset":
     return semi_join(trailing, present, on=["event_type", "day"])
 
 
-def orders_benford(sf_dir: str) -> "rd.Dataset":
+def orders_benford_gof(sf_dir: str) -> "rd.Dataset":
     """Benford first-significant-digit audit over order totals — the
     fraud / synthetic-data smell test: (digit 1-9, n, n_expected_fp)
     where n_expected_fp = floor(N·log10(1+1/d)·10⁶) is the Benford

@@ -5480,9 +5480,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         span = kmax - kmin
         lo, hi = kmin + span // 10, kmin + (2 * span) // 10
 
+        import hashlib
+
+        # stable digest, not hash(): str hashing is salted per process,
+        # which would leak one staging dir per run into /tmp
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         root = os.path.join(
-            tempfile.gettempdir(),
-            f"kgflow_zonemap_orders_{abs(hash(sf_dir)) % 10**8}",
+            tempfile.gettempdir(), f"kgflow_zonemap_orders_{tag}"
         )
         shutil.rmtree(root, ignore_errors=True)
         orders = read_parquet_clean(

@@ -5813,6 +5813,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _f(sf_dir)
 
+    def events_stickiness(sf_dir: str):
+        """Oracle-checked: DAU/WAU stickiness inputs per (type,
+        active day) — exact int64 numerator/denominator pair (the
+        float ratio stays driver-side so the row hash-checks); one
+        presence collapse feeds both the direct DAU count and the
+        shift-join WAU, stitched by one equi-join
+        (`kgflow.ops.relational.events_stickiness`)."""
+        from kgflow.ops.relational import events_stickiness as _f
+
+        return _f(sf_dir)
+
     def events_trend_ols(sf_dir: str):
         """Oracle-checked: per-type OLS trend of the dense zero-filled
         daily count series as exact integer moments — slope = num/den
@@ -6205,6 +6216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_topk": events_window_topk,
         "events_wau": events_wau,
         "events_churn": events_churn,
+        "events_stickiness": events_stickiness,
         "orders_benford_gof": orders_benford_gof,
         "lineitem_seq_audit": lineitem_seq_audit,
         "customer_kanon": customer_kanon,
@@ -7861,6 +7873,27 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(ts) // 3600000000) % 24) AS hour,
                    count(*)::BIGINT AS n
             FROM events GROUP BY 1, 2, 3
+        """,
+        # dau + windowed-distinct wau as one hash-exact pair
+        "events_stickiness": """
+            WITH pres AS (
+              SELECT DISTINCT event_type, user_id,
+                     (epoch_us(ts) // 86400000000) AS day
+              FROM events
+            ), dau AS (
+              SELECT event_type, day,
+                     count(DISTINCT user_id)::BIGINT AS dau
+              FROM pres GROUP BY 1, 2
+            ), wau AS (
+              SELECT p.event_type, p.day,
+                     count(DISTINCT d.user_id)::BIGINT AS wau
+              FROM (SELECT DISTINCT event_type, day FROM pres) p
+              JOIN pres d ON d.event_type = p.event_type
+                         AND d.day BETWEEN p.day - 6 AND p.day
+              GROUP BY 1, 2
+            )
+            SELECT dau.event_type, dau.day, dau.dau, wau.wau
+            FROM dau JOIN wau USING (event_type, day)
         """,
         # int-string first digits; log10 over constants only
         "orders_benford_gof": """

@@ -4050,3 +4050,82 @@ def orders_benford_gof(sf_dir: str) -> "rd.Dataset":
         reduce_fn=final,
         num_buckets=1,
     )
+
+
+def events_stickiness(sf_dir: str, days: int = 7) -> "rd.Dataset":
+    """Stickiness inputs per (event_type, active day): same-day
+    distinct users (dau) and trailing-``days`` distinct users (wau) as
+    one exact int64 row — DAU/WAU is THE engagement ratio, and
+    emitting the exact numerator/denominator pair (not the float
+    ratio) keeps the row hash-checkable, the `events_trend_ols`
+    num/den convention.
+
+    Scale shape: one presence-row collapse; dau is a direct
+    (type, day) count of it; wau rides the shift-join; one broadcast-
+    friendly equi-join stitches the pair."""
+    from kgflow.ops.joins import hash_join
+    from kgflow.ops.shuffle import bucketed_group_reduce
+    from kgflow.sources.parquet import read_parquet_clean
+
+    ev = read_parquet_clean(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "ts"],
+    )
+
+    def presence(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df["ts"].astype("datetime64[ns]").astype("int64")
+            // 86_400_000_000_000
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "user_id": df["user_id"].astype("int64"),
+                "day": d.astype("int64"),
+            }
+        ).drop_duplicates()
+
+    pres = bucketed_group_reduce(
+        ev.map_batches(presence, batch_format="pandas"),
+        key_cols=["event_type", "user_id", "day"],
+        reduce_fn=lambda g: g.drop_duplicates().reset_index(drop=True),
+    ).materialize()
+
+    def dau_count(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates().groupby(
+            ["event_type", "day"], as_index=False, sort=False
+        )["user_id"].nunique()
+        out = out.rename(columns={"user_id": "dau"})
+        out["dau"] = out["dau"].astype("int64")
+        return out
+
+    dau = bucketed_group_reduce(
+        pres, key_cols=["event_type", "day"], reduce_fn=dau_count
+    )
+
+    def shift(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        reps = []
+        for off in range(days):
+            d = df.copy()
+            d["day"] = d["day"] + off
+            reps.append(d)
+        return pd.concat(reps, ignore_index=True)
+
+    def wau_count(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.drop_duplicates()
+        out = t.groupby(
+            ["event_type", "day"], as_index=False, sort=False
+        )["user_id"].nunique()
+        out = out.rename(columns={"user_id": "wau"})
+        out["wau"] = out["wau"].astype("int64")
+        return out
+
+    wau = bucketed_group_reduce(
+        pres.map_batches(shift, batch_format="pandas"),
+        key_cols=["event_type", "day"],
+        reduce_fn=wau_count,
+    )
+    # inner join on the dau side keeps exactly the active days
+    return hash_join(dau, wau, on=["event_type", "day"], how="inner")

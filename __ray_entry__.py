@@ -6029,9 +6029,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_clusters": doc_dup_clusters,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
-        "ann_lsh_exact": ann_lsh_exact,
-        "ann_int8_exact": ann_int8_exact,
-        "ann_int8_recall": ann_int8_recall,
         "embed_gram": embed_gram,
         "embed_centroids": embed_centroids,
         "ann_ivf_topk": ann_ivf_topk,
@@ -7762,27 +7759,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_a, vec_b FROM s WHERE cos >= 0.98
         """,
         "ann_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, embedding AS qe
-              FROM embeddings ORDER BY vec_id LIMIT 10
-            ), s AS (
-              SELECT q.query_id, e.vec_id AS neighbor_id,
-                     list_cosine_similarity(q.qe, e.embedding) AS sim
-              FROM q CROSS JOIN embeddings e
-              WHERE e.vec_id <> q.query_id
-            ), r AS (
-              SELECT query_id, neighbor_id, sim,
-                     row_number() OVER (
-                       PARTITION BY query_id ORDER BY sim DESC, neighbor_id
-                     ) AS rn
-              FROM s
-            )
-            SELECT query_id, neighbor_id FROM r WHERE rn <= 5
-        """,
-        # num_planes=1 × 16 tables ⇒ pruning a true neighbor needs 16
-        # independent sign separations (miss ≤ (1/3)^16); same oracle
-        # as ann_topk.
-        "ann_lsh_exact": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qe
               FROM embeddings ORDER BY vec_id LIMIT 10

@@ -42,8 +42,13 @@ def _build_one(part_dir: str, col: str, out_path: str) -> dict:
             [np.min(vals), np.max(vals)], dtype=np.int64
         )
     else:
-        # empty partition: an impossible range that overlaps nothing
-        zone = np.array([1, 0], dtype=np.int64)
+        # empty partition: an impossible range that overlaps nothing —
+        # [max, min] fails `zone[0] <= hi and zone[1] >= lo` for every
+        # probe (unlike [1, 0], which matches any probe spanning 0..1)
+        zone = np.array(
+            [np.iinfo(np.int64).max, np.iinfo(np.int64).min],
+            dtype=np.int64,
+        )
     tmp = out_path + ".tmp"
     np.save(tmp + ".npy", zone)
     os.replace(tmp + ".npy", out_path)
@@ -74,6 +79,12 @@ def build_zonemap_index(
             f"build_zonemap_index: no partitions under {table_dir}"
         )
     idx = _index_dir(table_dir, col)
+    # clear stale sidecars for partitions that no longer exist, so a
+    # lookup never routes a probe to a dropped partition
+    live = {os.path.basename(p) + ".npy" for p in parts}
+    for sc in glob.glob(os.path.join(idx, "*.npy")):
+        if os.path.basename(sc) not in live:
+            os.remove(sc)
     refs = [
         _build_one.remote(
             p, col, os.path.join(idx, os.path.basename(p) + ".npy")
@@ -122,14 +133,16 @@ def read_range_pruned(
     import ray.data as rd
 
     parts = zonemap_lookup(table_dir, col, lo, hi)
-    if not parts:
-        return rd.from_arrow(pa.table({col: pa.array([], pa.int64())}))
     cols = columns if columns is None else list({*columns, col})
     files = sorted(
         f
         for p in parts
         for f in glob.glob(os.path.join(table_dir, p, "*.parquet"))
     )
+    if not files:
+        # no overlapping partitions (or all overlapping ones are
+        # file-less) — return an empty Dataset without touching storage
+        return rd.from_arrow(pa.table({col: pa.array([], pa.int64())}))
     ds = rd.read_parquet(files, columns=cols)
 
     def exact(batch: "pa.Table") -> "pa.Table":

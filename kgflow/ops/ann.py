@@ -1456,6 +1456,11 @@ def int8_topk(
             for j, qid in enumerate(self.qids):
                 col = S[:, j]
                 idx = np.argpartition(-col, kk - 1)[:kk]
+                # keep every row tied with the kk-th score so the
+                # partial is a true superset under the tie rule
+                # (score DESC, neighbor_id DESC) — argpartition alone
+                # drops tied candidates arbitrarily
+                idx = np.nonzero(col >= col[idx].min())[0]
                 rows_q.append(np.full(len(idx), qid, dtype=np.int64))
                 rows_n.append(ids[idx])
                 rows_s.append(col[idx])

@@ -116,10 +116,34 @@ def read_parquet_evolved(path: str, columns: list[str] | None = None):
                 cols.append(pa.nulls(batch.num_rows, fld.type))
         return pa.table(dict(zip(target.names, cols)), schema=target)
 
+    def _cheapest_column(fs: list[str]) -> str | None:
+        # smallest total compressed size per footer metadata — the
+        # minimum-I/O way to learn row counts when NONE of the
+        # requested columns exist in this shard group (align() then
+        # synthesizes all-null columns; the read column is dropped)
+        sizes: dict[str, int] = {}
+        for f in fs:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    c = rgm.column(ci)
+                    name = c.path_in_schema.split(".")[0]
+                    sizes[name] = (
+                        sizes.get(name, 0) + c.total_compressed_size
+                    )
+        return min(sizes, key=sizes.get) if sizes else None
+
     parts = []
     for key, fs in sorted(groups.items()):
         have = [n for n, _ in key if columns is None or n in columns]
-        ds = rd.read_parquet(fs, columns=have or None)
+        if not have:
+            cheap = _cheapest_column(fs)
+            ds = rd.read_parquet(
+                fs, columns=[cheap] if cheap is not None else None
+            )
+        else:
+            ds = rd.read_parquet(fs, columns=have)
         parts.append(ds.map_batches(align, batch_format="pyarrow"))
     out = parts[0]
     for p in parts[1:]:

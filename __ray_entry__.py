@@ -613,6 +613,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
         )
 
+    # --- BPE production-tokenizer path (round-5): the flagship DAG
+    # under the LEARNED subword vocab (KgConfig.tokenizer="bpe",
+    # kgflow/stages/tokenize.py BpeTokenizer) — trains per worker to
+    # exhaustion on the fixture corpus, merges every in-corpus word to
+    # one symbol, decodes losslessly via end-of-word markers.
+    _bpe_triples_memo: dict[str, Any] = {}
+
+    def _triples_mat_bpe(sf_dir: str):
+        from kgflow.pipelines.kg import KgConfig, triples_ds
+
+        key = _pages_dir(sf_dir)
+        if key not in _bpe_triples_memo:
+            _bpe_triples_memo[key] = triples_ds(
+                key, KgConfig(tokenizer="bpe")
+            ).materialize()
+        return _bpe_triples_memo[key]
+
+    def kg_triples_bpe(sf_dir: str):
+        """Rows-only (surface parity vs the simple-tokenizer flagship
+        pinned in tests/test_bpe_flagship.py): extracted triples under
+        the learned BPE vocab."""
+        return _triples_mat_bpe(sf_dir).select_columns(
+            ["url", "sent_id", "rel_id", "rel", "subj", "obj"]
+        )
+
+    def kg_triple_prf_bpe(sf_dir: str):
+        """The A2 P/R gate re-run under the BPE vocab — the round-4
+        verdict's acceptance bar for the production tokenizer path
+        (P/R must stay >= 0.95; the fixture world pins it at 1.0)."""
+        import pandas as pd
+
+        from kgflow.stages.metrics import explode_gold, triple_prf
+
+        pages = _pages_dir(sf_dir)
+        pred = _triples_mat_bpe(sf_dir)
+        gold = explode_gold(
+            rd.read_parquet(os.path.join(pages, "gold_spo.parquet"))
+        )
+        m = triple_prf(pred, gold)
+        return pd.DataFrame(
+            [
+                {
+                    "pre": int(m["pre"]),
+                    "true": int(m["true"]),
+                    "cor": int(m["cor"]),
+                    "p4": int(np.floor(m["p"] * 1e4)),
+                    "r4": int(np.floor(m["r"] * 1e4)),
+                    "f14": int(np.floor(m["f1"] * 1e4)),
+                }
+            ]
+        )
+
     # --- training lifecycle (run_seq.sh / run_ner.sh analogues;
     # data-parallel gradient descent on the engine, torch-free stand-in
     # models — see kgflow/train/seq.py). Rows-only: 1 summary row each.
@@ -5969,6 +6021,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_ppr": kg_ppr,
         "kg_triple_prf": kg_triple_prf,
+        "kg_triples_bpe": kg_triples_bpe,
+        "kg_triple_prf_bpe": kg_triple_prf_bpe,
         "feat_seq": feat_seq,
         "feat_ner": feat_ner,
         "feat_interactive": feat_interactive,

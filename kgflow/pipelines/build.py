@@ -125,11 +125,14 @@ def build_kg(
     shards: int = 8,
     num_buckets: int = 16,
     fail_after_shards: int | None = None,
+    fail_after_buckets: int | None = None,
 ) -> dict:
     """Run (or resume) the full build. Returns summary counts.
 
-    ``fail_after_shards`` injects a crash after K phase-A commits — used
-    by the resume test (SURVEY.md §5.2 test #5).
+    ``fail_after_shards`` injects a crash after K phase-A commits;
+    ``fail_after_buckets`` injects one after K phase-C subj_bucket
+    commits — both used by the resume tests (SURVEY.md §5.2 test #5,
+    extract and sink granularity).
     """
     cfg = cfg or KgConfig()
     man = Manifest(out_dir)
@@ -194,20 +197,58 @@ def build_kg(
     emap_ds = rd.read_parquet(os.path.join(out_dir, "entity_map"))
 
     # ---- phase C: canonical edges + nodes ------------------------------
-    if "edges" not in done_under_current_config("materialize"):
+    # Per-BUCKET commits at the sink (round-5, SURVEY §5.2 test #5 at
+    # headline granularity): each subj_bucket partition is renamed into
+    # place and manifest-committed individually, and a resume pushes the
+    # missing-bucket predicate DOWN into the canonicalize stream — the
+    # dedup shuffle and the write only ever carry rows of uncommitted
+    # buckets, so a crash after K of num_buckets commits recomputes
+    # exactly num_buckets − K partitions' worth of edge work.
+    edone = done_under_current_config("materialize_edges")
+    missing = [
+        b for b in range(num_buckets) if f"subj_bucket={b}" not in edone
+    ]
+    if missing:
         # auto-selects broadcast vs bucketed-shuffle join on the
         # distinct-mention count (round-3: the broadcast join is no
         # longer the only way to APPLY a corpus-scale entity map)
         from kgflow.linking.link import canonicalize_triples_with_map
 
         canon = canonicalize_triples_with_map(triples, emap_ds)
+        if len(missing) < num_buckets:
+            from kgflow.ops.shuffle import add_hash_bucket
+
+            keep = frozenset(missing)
+
+            def only_missing(df):
+                b = add_hash_bucket(df, ["subj_id"], num_buckets)
+                return df[b["bucket"].isin(keep)]
+
+            canon = canon.map_batches(only_missing, batch_format="pandas")
         edges = dedup_edges(canon, num_buckets=num_buckets)
-        tmp = os.path.join(out_dir, f"_tmp_edges_{os.getpid()}")
-        edges.write_parquet(tmp, partition_cols=["subj_bucket"])
-        atomic_replace_dir(tmp, os.path.join(out_dir, "edges"))
-        man.commit(
-            "materialize", "edges", lineage=hashes, metrics={"buckets": num_buckets}
-        )
+        staging = os.path.join(out_dir, f"_tmp_edges_{os.getpid()}")
+        edges.write_parquet(staging, partition_cols=["subj_bucket"])
+        n_done = 0
+        for b in missing:
+            src = os.path.join(staging, f"subj_bucket={b}")
+            os.makedirs(src, exist_ok=True)  # empty bucket writes nothing
+            atomic_replace_dir(
+                src, os.path.join(out_dir, "edges", f"subj_bucket={b}")
+            )
+            man.commit(
+                "materialize_edges",
+                f"subj_bucket={b}",
+                lineage=hashes,
+                metrics={"buckets": num_buckets},
+            )
+            n_done += 1
+            if fail_after_buckets is not None and n_done >= fail_after_buckets:
+                raise RuntimeError(
+                    f"injected failure after {n_done} bucket commits"
+                )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     if "nodes" not in done_under_current_config("materialize"):
         nodes = nodes_table(emap_ds)
         tmp = os.path.join(out_dir, f"_tmp_nodes_{os.getpid()}")

@@ -124,6 +124,12 @@ class KgConfig:
     read_columns: list = field(
         default_factory=lambda: ["url", "html", "lang"]
     )
+    # "simple" (closed-world stand-in) | "bpe" (learned-subword vocab,
+    # trained once per worker — the production M1 path without HF).
+    # Env-overridable for A/B runs.
+    tokenizer: str = field(
+        default_factory=lambda: os.environ.get("KGFLOW_TOKENIZER", "simple")
+    )
 
 
 def read_pages(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
@@ -161,7 +167,7 @@ def encoded_ds(sentences: "rd.Dataset", cfg: KgConfig | None = None) -> "rd.Data
     # stateless task: fuses with the extract/split chain; tokenizer is a
     # per-worker-process singleton (kgflow.stages.runtime)
     return sentences.map_batches(
-        make_tokenize_fn(cfg.max_seq_length),
+        make_tokenize_fn(cfg.max_seq_length, cfg.tokenizer),
         batch_format="pyarrow",
         batch_size=cfg.tokenize_batch,
     )
@@ -194,14 +200,18 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
 
         return ds.map_batches(
             ExtractTriplesStage,
-            fn_constructor_kwargs={"seed": cfg.seed, "mode": cfg.decode_mode},
+            fn_constructor_kwargs={
+                "seed": cfg.seed,
+                "mode": cfg.decode_mode,
+                "tok_kind": cfg.tokenizer,
+            },
             batch_format="pyarrow",
             batch_size=cfg.model_batch,
             concurrency=(max(1, int(n * cfg.pool_min)), n),
         )
     from kgflow.stages.runtime import get_tokenizer
 
-    tok = get_tokenizer()
+    tok = get_tokenizer(cfg.tokenizer)
     # two-pool layout: pool minimums pre-provision most capacity at
     # operator start; minimums sum to <1× CPUs so the two pools can
     # always co-schedule
@@ -209,7 +219,7 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
     heavy_max = max(1, int(n * cfg.heavy_pool))
     ds = ds.map_batches(
         RelClassifyStage,
-        fn_constructor_kwargs={"seed": cfg.seed},
+        fn_constructor_kwargs={"seed": cfg.seed, "tok_kind": cfg.tokenizer},
         batch_format="pyarrow",
         batch_size=cfg.model_batch,
         concurrency=(max(1, int(n * cfg.light_pool_min)), light_max),
@@ -221,7 +231,11 @@ def triples_ds(pages_path: str, cfg: KgConfig | None = None) -> "rd.Dataset":
     # post-explosion batch capped so [rows, maxlen] tensors stay bounded
     ds = ds.map_batches(
         TagDecodeStage,
-        fn_constructor_kwargs={"seed": cfg.seed, "mode": cfg.decode_mode},
+        fn_constructor_kwargs={
+            "seed": cfg.seed,
+            "mode": cfg.decode_mode,
+            "tok_kind": cfg.tokenizer,
+        },
         batch_format="pyarrow",
         batch_size=cfg.model_batch,
         concurrency=(max(1, int(n * cfg.heavy_pool_min)), heavy_max),

@@ -23,13 +23,18 @@ from kgflow.stages.tokenize import SimpleTokenizer
 
 
 class EntityTagStage:
-    def __init__(self, seed: int = 42, tokenizer: SimpleTokenizer | None = None):
+    def __init__(
+        self,
+        seed: int = 42,
+        tokenizer: SimpleTokenizer | None = None,
+        tok_kind: str = "simple",
+    ):
         # see RelClassifyStage: default = runtime backend registry
         if tokenizer is None:
             from kgflow.stages.runtime import get_ner_model, get_tokenizer
 
-            self.tok = get_tokenizer()
-            self.model = get_ner_model(seed)
+            self.tok = get_tokenizer(tok_kind)
+            self.model = get_ner_model(seed, tok_kind)
         else:
             self.tok = tokenizer
             self.model = StubNerModel(self.tok, seed)

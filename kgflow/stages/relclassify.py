@@ -38,16 +38,22 @@ def pad_ragged(ids_list: list[list[int]]) -> tuple[np.ndarray, np.ndarray]:
 
 
 class RelClassifyStage:
-    def __init__(self, seed: int = 42, tokenizer: SimpleTokenizer | None = None):
+    def __init__(
+        self,
+        seed: int = 42,
+        tokenizer: SimpleTokenizer | None = None,
+        tok_kind: str = "simple",
+    ):
         # default path goes through the runtime backend registry so
         # set_backend (e.g. the HF adapter, kgflow/adapters/hf.py)
         # reaches this stage; an explicitly-passed tokenizer keeps the
-        # stub pairing (test injection path)
+        # stub pairing (test injection path). tok_kind selects a named
+        # runtime tokenizer ("bpe" = learned-subword production path).
         if tokenizer is None:
             from kgflow.stages.runtime import get_rel_model, get_tokenizer
 
-            self.tok = get_tokenizer()
-            self.model = get_rel_model(seed)
+            self.tok = get_tokenizer(tok_kind)
+            self.model = get_rel_model(seed, tok_kind)
         else:
             self.tok = tokenizer
             self.model = StubRelModel(self.tok, seed)

@@ -42,16 +42,32 @@ def set_backend(tokenizer_factory, rel_factory, ner_factory) -> None:
     get_ner_model.cache_clear()
 
 
-@lru_cache(maxsize=1)
-def get_tokenizer():
-    return _tokenizer_factory()
+def _bpe_tokenizer():
+    from kgflow.stages.tokenize import BpeTokenizer
+
+    return BpeTokenizer()
+
+
+#: named tokenizer kinds selectable per pipeline run (KgConfig.tokenizer
+#: / KGFLOW_TOKENIZER). "simple" routes through the swappable backend
+#: factory (`set_backend`); "bpe" is the learned-subword production path
+#: (trained once per worker process inside this cached getter — the
+#: per-actor-setup pattern, like a model load).
+_KIND_FACTORIES = {"bpe": _bpe_tokenizer}
 
 
 @lru_cache(maxsize=4)
-def get_rel_model(seed: int = 42):
-    return _rel_factory(get_tokenizer(), seed)
+def get_tokenizer(kind: str = "simple"):
+    if kind == "simple":
+        return _tokenizer_factory()
+    return _KIND_FACTORIES[kind]()
 
 
-@lru_cache(maxsize=4)
-def get_ner_model(seed: int = 42):
-    return _ner_factory(get_tokenizer(), seed)
+@lru_cache(maxsize=8)
+def get_rel_model(seed: int = 42, kind: str = "simple"):
+    return _rel_factory(get_tokenizer(kind), seed)
+
+
+@lru_cache(maxsize=8)
+def get_ner_model(seed: int = 42, kind: str = "simple"):
+    return _ner_factory(get_tokenizer(kind), seed)

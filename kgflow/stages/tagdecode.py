@@ -20,11 +20,13 @@ from kgflow.stages.tokenize import SimpleTokenizer
 
 
 class TagDecodeStage:
-    def __init__(self, seed: int = 42, mode: str = "triple"):
+    def __init__(
+        self, seed: int = 42, mode: str = "triple", tok_kind: str = "simple"
+    ):
         from kgflow.stages.runtime import get_tokenizer
 
-        tok = get_tokenizer()
-        self.tag = EntityTagStage(seed=seed)  # runtime-backed model
+        tok = get_tokenizer(tok_kind)
+        self.tag = EntityTagStage(seed=seed, tok_kind=tok_kind)
         self.decode = DecodeStage(tokenizer=tok, mode=mode)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -49,14 +51,16 @@ class ExtractTriplesStage:
     layout (same classes, same order, same per-block batches).
     """
 
-    def __init__(self, seed: int = 42, mode: str = "triple"):
+    def __init__(
+        self, seed: int = 42, mode: str = "triple", tok_kind: str = "simple"
+    ):
         from kgflow.stages.fanout import make_fanout_fn
         from kgflow.stages.relclassify import RelClassifyStage
         from kgflow.stages.runtime import get_tokenizer
 
-        self.rel = RelClassifyStage(seed=seed)
-        self.fanout = make_fanout_fn(get_tokenizer().start_idx)
-        self.tagdecode = TagDecodeStage(seed=seed, mode=mode)
+        self.rel = RelClassifyStage(seed=seed, tok_kind=tok_kind)
+        self.fanout = make_fanout_fn(get_tokenizer(tok_kind).start_idx)
+        self.tagdecode = TagDecodeStage(seed=seed, mode=mode, tok_kind=tok_kind)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.tagdecode(self.fanout(self.rel(batch)))

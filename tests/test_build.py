@@ -85,3 +85,55 @@ def test_rerun_is_noop(fixture_dir, tmp_path):
     assert len(extract) == 4  # 2 original + 2 rebuilt under cfg2
     lineages = {json.dumps(c["lineage"], sort_keys=True) for c in extract}
     assert len(lineages) == 2
+
+
+def test_sink_bucket_resume_exact(fixture_dir, tmp_path):
+    """SURVEY §5.2 test #5 at the HEADLINE granularity (round-5): kill
+    after K of 16 subj_bucket sink commits; the resume recomputes only
+    16−K bucket partitions (the missing-bucket predicate is pushed into
+    the canonicalize stream) and the final edges are byte-identical to
+    an uninterrupted run."""
+    cfg = KgConfig()
+    out_full = str(tmp_path / "full")
+    out_resume = str(tmp_path / "resume")
+    K = 5
+
+    s1 = build_kg(fixture_dir, out_full, cfg, shards=2, num_buckets=16)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_kg(
+            fixture_dir,
+            out_resume,
+            cfg,
+            shards=2,
+            num_buckets=16,
+            fail_after_buckets=K,
+        )
+    commits = [
+        json.loads(l)
+        for l in open(os.path.join(out_resume, "_manifest", "commits.jsonl"))
+    ]
+    bucket_commits = [c for c in commits if c["phase"] == "materialize_edges"]
+    assert len(bucket_commits) == K
+    committed_parts = {c["partition"] for c in bucket_commits}
+
+    s2 = build_kg(fixture_dir, out_resume, cfg, shards=2, num_buckets=16)
+    commits = [
+        json.loads(l)
+        for l in open(os.path.join(out_resume, "_manifest", "commits.jsonl"))
+    ]
+    bucket_commits = [c for c in commits if c["phase"] == "materialize_edges"]
+    # 16 total, no bucket committed twice, and the resume touched only
+    # the 16−K missing ones
+    assert len(bucket_commits) == 16
+    assert len({c["partition"] for c in bucket_commits}) == 16
+    resumed = {c["partition"] for c in bucket_commits} - committed_parts
+    assert len(resumed) == 16 - K
+
+    a, b = _edges_df(out_full), _edges_df(out_resume)
+    pd.testing.assert_frame_equal(a, b)
+    assert s2["edges"] == s1["edges"] and s2["nodes"] == s1["nodes"]
+
+    # extraction did NOT rerun on resume (phase-A commits unchanged)
+    extract = [c for c in commits if c["phase"] == "extract"]
+    assert len(extract) == 2

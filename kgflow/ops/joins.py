@@ -565,6 +565,18 @@ def join_aggregate(
         joined = lpart.merge(rpart, on=on, how="inner")
         return partial_fn(joined)
 
+    def join_partial_salted(g: pd.DataFrame) -> pd.DataFrame:
+        # a reduce bucket can hold SEVERAL (key, salt) combos; the salt
+        # must be a join key or replicated right rows cross salts and
+        # every hot pair is counted once per colliding salt
+        lpart = g.loc[g[SIDE] == 0, left_cols + [SALT]]
+        rpart = g.loc[g[SIDE] == 1, right_cols + [SALT]]
+        del g
+        joined = lpart.merge(rpart, on=on + [SALT], how="inner").drop(
+            columns=[SALT]
+        )
+        return partial_fn(joined)
+
     cold = bucketed_group_reduce(
         left.map_batches(
             split_side(0, "cold"), batch_format="pandas", concurrency=(1, 4)
@@ -588,12 +600,21 @@ def join_aggregate(
             )
         ),
         key_cols=on + [SALT],
-        reduce_fn=join_partial,
+        reduce_fn=join_partial_salted,
         num_buckets=num_buckets,
     )
+    def final_restore(g: pd.DataFrame) -> pd.DataFrame:
+        out = final_fn(g)
+        # _align standardizes ints to nullable Int64 for the union; the
+        # inner join guarantees no nulls survive, so restore int64
+        for c in out.columns:
+            if str(out[c].dtype) == "Int64" and not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
+
     return bucketed_group_reduce(
         cold.union(hot),
         key_cols=agg_keys,
-        reduce_fn=final_fn,
+        reduce_fn=final_restore,
         num_buckets=num_buckets,
     )

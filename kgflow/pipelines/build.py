@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -159,6 +160,8 @@ def build_kg(
             continue
         ds = _triples_for_shard(pages_path, shard, shards, cfg)
         tmp = os.path.join(out_dir, f"_tmp_triples_{shard}_{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)  # same-pid rerun: Ray's
+        # write_parquet ADDS files to an existing dir, never clears it
         ds.write_parquet(tmp)
         os.makedirs(tmp, exist_ok=True)  # a zero-row write creates nothing
         import pyarrow.parquet as pq
@@ -190,6 +193,7 @@ def build_kg(
     if "entity_map" not in done_under_current_config("link"):
         emap = entity_map(triples, seed=cfg.seed)
         tmp = os.path.join(out_dir, f"_tmp_emap_{os.getpid()}")
+        shutil.rmtree(tmp, ignore_errors=True)
         emap.write_parquet(tmp)
         atomic_replace_dir(tmp, os.path.join(out_dir, "entity_map"))
         man.commit("link", "entity_map", lineage=hashes)
@@ -227,6 +231,9 @@ def build_kg(
             canon = canon.map_batches(only_missing, batch_format="pandas")
         edges = dedup_edges(canon, num_buckets=num_buckets)
         staging = os.path.join(out_dir, f"_tmp_edges_{os.getpid()}")
+        # a crashed same-process attempt leaves its staging behind and
+        # write_parquet appends rather than replaces — clear it first
+        shutil.rmtree(staging, ignore_errors=True)
         edges.write_parquet(staging, partition_cols=["subj_bucket"])
         n_done = 0
         for b in missing:
@@ -246,8 +253,6 @@ def build_kg(
                 raise RuntimeError(
                     f"injected failure after {n_done} bucket commits"
                 )
-        import shutil
-
         shutil.rmtree(staging, ignore_errors=True)
     if "nodes" not in done_under_current_config("materialize"):
         nodes = nodes_table(emap_ds)

@@ -39,7 +39,7 @@ def test_hash_join_raises_on_zipf_head():
     from kgflow.ops.joins import hash_join
 
     left, right = _zipf_frames()
-    with pytest.raises(ValueError, match="join_aggregate"):
+    with pytest.raises(Exception, match="join_aggregate"):
         hash_join(
             rd.from_pandas(left),
             rd.from_pandas(right),

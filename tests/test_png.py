@@ -98,10 +98,12 @@ def test_decode_stage_and_phash_handle_png(ray_session):
     assert len(feats) == 3
     assert feats["mean_intensity"].between(0, 1).all()
 
-    hashes = media.map_batches(PHashStage, batch_format="pyarrow")
+    hashes = media.map_batches(
+        PHashStage, batch_format="pyarrow", concurrency=2
+    )
     pairs = hamming_band_pairs(
         hashes, id_col="media_id", hash_col="phash", max_hamming=6
     ).to_pandas()
-    got = {tuple(sorted(p)) for p in pairs[["src", "dst"]].values.tolist()}
+    got = {tuple(sorted(p)) for p in pairs[["doc_a", "doc_b"]].values.tolist()}
     assert (0, 1) in got  # planted near-dup recovered through PNG path
     assert (0, 2) not in got

@@ -2782,7 +2782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from kgflow.ops.multimodal import (
             decode_bmp,
+            decode_png,
             encode_bmp,
+            encode_png,
             image_phash_pairs,
         )
 
@@ -2801,6 +2803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ):
                 if codec == "bmp":
                     img = decode_bmp(payload).copy()
+                elif codec == "png":
+                    img = decode_png(payload).copy()
                 else:  # fake codec: raw RGB bytes
                     img = (
                         _np.frombuffer(payload, dtype=_np.uint8)[: w * h * 3]
@@ -2809,7 +2813,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     )
                 img[0, 0, 0] ^= 1  # one-bit pixel perturbation
                 payloads.append(
-                    encode_bmp(img) if codec == "bmp" else img.tobytes()
+                    encode_bmp(img)
+                    if codec == "bmp"
+                    else encode_png(img)
+                    if codec == "png"
+                    else img.tobytes()
                 )
             cols = {name: f.column(name) for name in f.schema.names}
             cols["media_id"] = pc.add(f.column("media_id"), 5_000_000)

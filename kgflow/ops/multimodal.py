@@ -757,6 +757,8 @@ class ResizeImageStage:
     def _decode(self, payload: bytes, codec: str, w: int, h: int) -> np.ndarray:
         if codec == "bmp":
             return decode_bmp(payload)
+        if codec == "png":
+            return decode_png(payload)
         if codec != "fake":
             raise NotImplementedError(
                 f"codec {codec!r}: compressed image decoding needs "
